@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over `array<double>` columns, plus the
+  * cross-engine-deterministic helpers (rounding, hashing, noise) that make
+  * exact hash-comparison against the DuckDB oracle possible.
+  *
+  * All of these are built from `org.apache.spark.sql.functions._`
+  * higher-order functions, so they stay inside whole-stage codegen — no
+  * Scala UDF / serialization in the hot path.
+  */
+object VecOps {
+
+  /** Sequential left-fold dot product — same evaluation order as the
+    * oracle's `list_dot_product`, so results agree to the last ulp on
+    * identical inputs. The GEMM `A @ B.T` of the reference (attention.py:6,
+    * mlp.py:7) is exactly this pairwise dot. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Cross-engine-identical rounding: floor(x*10^d + 0.5)/10^d is pure IEEE
+    * double arithmetic, so Spark and DuckDB agree bit-for-bit given the same
+    * input — unlike round(), whose half-up tie handling is engine-specific.
+    * Used on every float aggregate that the driver hash-compares. */
+  def qround(c: Column, digits: Int): Column = {
+    val s = math.pow(10, digits)
+    floor(c * lit(s) + lit(0.5)) / lit(s)
+  }
+
+  /** The SQL-oracle dual of [[qround]] (same literal, same ops). */
+  def qroundSql(expr: String, digits: Int): String =
+    s"floor(($expr) * 1e$digits + 0.5) / 1e$digits"
+
+  /** 60-bit uniform hash of a string column via md5 — the deterministic,
+    * engine-portable PRNG stream. DuckDB dual:
+    * `cast('0x' || substr(md5(s), 1, 15) as bigint)`. 15 hex digits < 2^63,
+    * so the cast never overflows in either engine. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val Pow260 = 1152921504606846976.0 // 2^60
+
+  /** Uniform in (0,1): (h + 0.5) / 2^60 — never 0 or 1, safe for log(). */
+  def u01(c: Column): Column =
+    (hash60(c).cast("double") + lit(0.5)) / lit(Pow260)
+
+  /** Standard Gumbel(0,1) noise from the deterministic u01 stream — the
+    * portable replacement for the reference's torch Gumbel draw
+    * (sampling.py:5,14); makes the sampler reproducible AND oracle-checkable. */
+  def gumbel(c: Column): Column = -log(-log(u01(c)))
+
+  /** SQL-oracle duals. */
+  def hash60Sql(expr: String): String =
+    s"cast('0x' || substr(md5($expr), 1, 15) as bigint)"
+  def u01Sql(expr: String): String =
+    s"((${hash60Sql(expr)})::DOUBLE + 0.5) / 1152921504606846976.0"
+  def gumbelSql(expr: String): String =
+    s"-ln(-ln(${u01Sql(expr)}))"
+}

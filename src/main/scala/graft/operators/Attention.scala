@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftAggs, VecOps}
+
+/** Attention as a relational plan (reference attention.py:5-9,31-57;
+  * scaled variant custom_attention.cpp:26-29).
+  *
+  * `out_q = softmax(q·Kᵀ [/ sqrt(F)]) · V`, computed in ONE pass:
+  * pair-scoring join -> per-q_id log-weighted-mean monoid aggregate. The
+  * M×N score matrix is never materialized — pair rows stream from the join
+  * straight into the partial hash-aggregate inside one whole-stage-codegen
+  * stage, the Spark analog of the reference's "never realize the full
+  * intermediate" tiling (README.md:19-21).
+  *
+  * Distribution: the query side is broadcast (the reference keeps the query
+  * chunk resident while streaming KV — gemm_map_reduce_attention.cpp:97-124);
+  * the large KV side streams partition-by-partition, and only M partial
+  * monoid buffers per partition cross the shuffle. At 100 TB KV this plan is
+  * embarrassingly parallel: no KV shuffle at all, shuffle volume = O(M ×
+  * partitions).
+  */
+object Attention {
+
+  /** q: (q_id, qvec); kv: (k_id, kvec, vvec). Returns (q_id, z, out) where
+    * z = logsumexp of scores and out = softmax-weighted mean of vvec. */
+  def attention(q: DataFrame, kv: DataFrame, scale: Boolean = false): DataFrame = {
+    val pairs = kv.crossJoin(broadcast(q))
+    val raw = VecOps.dot(col("qvec"), col("kvec"))
+    val sc = if (scale) raw / sqrt(size(col("qvec")).cast("double")) else raw
+    pairs
+      .select(col("q_id"), sc.as("sc"), col("vvec"))
+      .groupBy("q_id")
+      .agg(GraftAggs.logWeightedMean(col("sc"), col("vvec")).as("lw"))
+      .select(col("q_id"), col("lw.z").as("z"), col("lw.v").as("out"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet loaders for the driver fixture tables (TESTDATA.md, FIXTURES.md §B).
+  *
+  * Schema expectations mirror the reference's constructor asserts
+  * (reference attention.py:39-40, mlp.py:24-25, xentropy.py:47-48): fail
+  * fast at load time, before any job is launched. All loads are plain
+  * `spark.read.parquet`, so Catalyst gets full pushdown/pruning on the scan.
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(all.contains(name), s"unknown fixture table: $name")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private def requireCols(df: DataFrame, name: String, cols: Set[String]): Unit =
+    require(cols.subsetOf(df.columns.toSet),
+      s"$name: expected columns $cols, found ${df.columns.mkString(",")}")
+
+  /** The engine's "matrix" data model (SURVEY.md §1.4): one row per matrix
+    * row, vector widened float->double (exact) so all downstream arithmetic
+    * is f64 like the reference's correctness tests (attention.py:99-101). */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "embeddings")
+    requireCols(df, "embeddings", Set("vec_id", "embedding", "label"))
+    df.select(
+      col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("vec"),
+      col("label").cast("long").as("label"))
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "documents")
+    requireCols(df, "documents", Set("doc_id", "text", "lang", "source", "n_chars"))
+    df
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    requireCols(df, "events", Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    df
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+}
