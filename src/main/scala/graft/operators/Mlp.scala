@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+
+/** Two-layer MLP `out = relu(X·Pᵀ)·Q` as a relational plan (reference
+  * mlp.py:6-7,18-44; fused single-op variant relu_matmul.cpp:9-21).
+  *
+  * The reference folds over the hidden dimension K with a plain `+` monoid
+  * (mlp.py:18-21) — in Spark that is the built-in `sum`, so no custom
+  * Aggregator is needed: hidden activations stream from the pair-scoring
+  * join straight into a codegen'd partial sum, and only `M × D` partial
+  * sums cross the shuffle. The B×K hidden matrix is never materialized,
+  * mirroring the reference's per-chunk fold.
+  *
+  * Distribution: X (the output-axis side, M rows) is broadcast; the hidden
+  * axis (p/q rows) is the one that scales and streams partition-parallel
+  * with zero shuffle of the big side.
+  */
+object Mlp {
+
+  /** x: (b_id, xvec F); pq: (k_id, pvec F, qvec D) — row k of both layer
+    * matrices. Returns (b_id, d, v) = COO of relu(X·Pᵀ)·Q. */
+  def mlp(x: DataFrame, pq: DataFrame): DataFrame = {
+    val h = greatest(VecOps.dot(col("xvec"), col("pvec")), lit(0.0))
+    pq.crossJoin(broadcast(x))
+      .select(col("b_id"), h.as("h"), col("qvec"))
+      .select(col("b_id"), posexplode(col("qvec")), col("h"))
+      .groupBy(col("b_id"), col("pos").cast("long").as("d"))
+      .agg(sum(col("h") * col("col")).as("v"))
+      .select(col("b_id"), col("d"), col("v"))
+  }
+
+  /** Fused `relu(A·Bᵀ)` (reference relu_matmul.cpp:9-21, test_custom_op.py):
+    * a: (a_id, avec), b: (b_id, bvec) -> COO (a_id, b_id, v). Pure
+    * codegen'd expressions — no shuffle at all beyond the broadcast. */
+  def reluMatmul(a: DataFrame, b: DataFrame): DataFrame =
+    b.crossJoin(broadcast(a))
+      .select(col("a_id"), col("b_id"),
+        greatest(VecOps.dot(col("avec"), col("bvec")), lit(0.0)).as("v"))
+}

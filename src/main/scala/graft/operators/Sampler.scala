@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftAggs, VecOps}
+
+/** Exact categorical sampling from `softmax(pred·trgᵀ)` per row without
+  * materializing the logit matrix (reference sampling.py:5-61).
+  *
+  * The reference merges chunk candidates with probability `e^{z_a −
+  * logaddexp(z_a, z_b)}` (sampling.py:25-30) — biased per SURVEY.md §2.4.3.
+  * We implement the exact, associative form instead: the Gumbel-max trick
+  * as a pure max monoid — `argmax_n(logit_n + Gumbel_n)` is an unbiased
+  * softmax sample, and `max` over perturbed keys is trivially commutative/
+  * associative, so Spark's partial/final agg needs no custom state at all
+  * (`max(struct(perturbed, logit, idx))`).
+  *
+  * Noise is a deterministic md5-derived Gumbel stream keyed on
+  * (seed, m_id, k_id) ([[VecOps.gumbel]]) rather than the reference's
+  * `torch.rand` (sampling.py:5,14) — reproducible across retries AND
+  * bit-identically computable by the DuckDB oracle, so this normally
+  * "nondeterministic" operator gets a full hash-equality check.
+  *
+  * Output matches gemmmr_sampler (sampling.py:59-61): the chosen global
+  * index `c` and its softmax probability `weight = e^{z − logsumexp}`.
+  */
+object Sampler {
+
+  /** pred: (m_id, mvec); trg: (k_id, kvec). Returns (m_id, c, weight). */
+  def sampler(pred: DataFrame, trg: DataFrame, seed: String): DataFrame = {
+    val sc = VecOps.dot(col("mvec"), col("kvec"))
+    val key = concat(lit(seed + ":"), col("m_id").cast("string"),
+      lit(":"), col("k_id").cast("string"))
+    trg.crossJoin(broadcast(pred))
+      .select(col("m_id"), col("k_id"), sc.as("sc"))
+      .select(col("m_id"), col("k_id"), col("sc"),
+        (col("sc") + VecOps.gumbel(key)).as("pert"))
+      .groupBy("m_id")
+      .agg(
+        max(struct(col("pert"), col("sc"), col("k_id"))).as("top"),
+        GraftAggs.logSumExp(col("sc")).as("tz"))
+      .select(col("m_id"), col("top.k_id").as("c"),
+        exp(col("top.sc") - col("tz")).as("weight"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecOps
-import graft.operators.Attention
+import graft.operators.{Attention, Entropy, Mlp, Sampler, XEntropy}
 import graft.sources.Tables
 
 /** Driver-facing queries over the `embeddings` fixture for the reference's
@@ -35,28 +35,124 @@ object MatrixQueries {
       .select(col("q_id"), col("pos").cast("long").as("d"),
         VecOps.qround(col("col"), 4).as("v"))
 
+  private def mlpQuery(s: SparkSession, dir: String): DataFrame =
+    Mlp.mlp(
+      qSide(s, dir).select(col("q_id").as("b_id"), col("qvec").as("xvec")),
+      kvSide(s, dir).select(col("k_id"), col("kvec").as("pvec"), col("vvec").as("qvec")))
+      .select(col("b_id"), col("d"), VecOps.qround(col("v"), 4).as("v"))
+
+  private def reluMatmulQuery(s: SparkSession, dir: String): DataFrame =
+    Mlp.reluMatmul(
+      qSide(s, dir).select(col("q_id").as("a_id"), col("qvec").as("avec")),
+      kvSide(s, dir).select(col("k_id").as("b_id"), col("kvec").as("bvec")))
+      .select(col("a_id"), col("b_id"), VecOps.qround(col("v"), 4).as("v"))
+
+  private def xentropyQuery(s: SparkSession, dir: String): DataFrame =
+    XEntropy.xentropy(
+      qSide(s, dir).select(col("q_id").as("m_id"), col("qvec").as("mvec"), col("label")),
+      kvSide(s, dir).select(col("k_id"), col("kvec")))
+      .select(col("m_id"), VecOps.qround(col("loss"), 4).as("loss"))
+
+  private def entropyQuery(s: SparkSession, dir: String): DataFrame =
+    Entropy.entropy(
+      qSide(s, dir).select(col("q_id").as("m_id"), col("qvec").as("mvec")),
+      kvSide(s, dir).select(col("k_id"), col("kvec")))
+      .select(col("m_id"), VecOps.qround(col("h"), 4).as("h"))
+
+  private def samplerQuery(s: SparkSession, dir: String): DataFrame =
+    Sampler.sampler(
+      qSide(s, dir).select(col("q_id").as("m_id"), col("qvec").as("mvec")),
+      kvSide(s, dir).select(col("k_id"), col("kvec")),
+      seed = "graft")
+      .select(col("m_id"), col("c"), VecOps.qround(col("weight"), 6).as("weight"))
+
   // ---- oracle SQL builders (DuckDB dialect; two-pass stable softmax) ----
+
+  /** Shared prefix: q = query side (vec_id < M, doubles), k = full side. */
+  private val qkPrefix =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label FROM embeddings WHERE vec_id < $M),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv, (embedding::DOUBLE[])[1:$D] AS vv FROM embeddings),
+       |s AS (SELECT q_id, label, k_id, list_dot_product(qv, kv) AS sc, vv FROM q CROSS JOIN k)""".stripMargin
 
   private def attentionOracle(scaleExpr: String): String = {
     val v = VecOps.qroundSql("sum(wt * x) / sum(wt)", 4)
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $M),
-       |k AS (SELECT embedding::DOUBLE[] AS kv, (embedding::DOUBLE[])[1:$D] AS vv FROM embeddings),
-       |s AS (SELECT q_id, list_dot_product(qv, kv)$scaleExpr AS sc, vv FROM q CROSS JOIN k),
-       |m AS (SELECT q_id, max(sc) AS mx FROM s GROUP BY q_id),
-       |w AS (SELECT s.q_id, exp(sc - mx) AS wt, vv FROM s JOIN m USING (q_id)),
+    s"""$qkPrefix,
+       |ss AS (SELECT q_id, sc$scaleExpr AS sc, vv FROM s),
+       |m AS (SELECT q_id, max(sc) AS mx FROM ss GROUP BY q_id),
+       |w AS (SELECT ss.q_id, exp(sc - mx) AS wt, vv FROM ss JOIN m USING (q_id)),
        |e AS (SELECT q_id, d, wt, vv[d] AS x
        |      FROM w CROSS JOIN (SELECT unnest(generate_series(1, $D)) AS d) ds)
        |SELECT q_id, CAST(d - 1 AS BIGINT) AS d, $v AS v
        |FROM e GROUP BY q_id, d""".stripMargin
   }
 
+  private val mlpOracle = {
+    val v = VecOps.qroundSql("sum(h * x)", 4)
+    s"""$qkPrefix,
+       |hh AS (SELECT q_id AS b_id, greatest(sc, 0) AS h, vv FROM s),
+       |e AS (SELECT b_id, d, h, vv[d] AS x
+       |      FROM hh CROSS JOIN (SELECT unnest(generate_series(1, $D)) AS d) ds)
+       |SELECT b_id, CAST(d - 1 AS BIGINT) AS d, $v AS v
+       |FROM e GROUP BY b_id, d""".stripMargin
+  }
+
+  private val reluMatmulOracle = {
+    val v = VecOps.qroundSql("greatest(sc, 0)", 4)
+    s"""$qkPrefix
+       |SELECT q_id AS a_id, k_id AS b_id, $v AS v FROM s""".stripMargin
+  }
+
+  private val xentropyOracle = {
+    val loss = VecOps.qroundSql("p - n", 4)
+    s"""$qkPrefix,
+       |m AS (SELECT q_id, max(sc) AS mx FROM s GROUP BY q_id),
+       |a AS (SELECT s.q_id AS m_id, mx + ln(sum(exp(sc - mx))) AS p,
+       |             sum(CASE WHEN k_id = label THEN sc ELSE 0 END) AS n
+       |      FROM s JOIN m USING (q_id) GROUP BY s.q_id, mx)
+       |SELECT m_id, $loss AS loss FROM a""".stripMargin
+  }
+
+  private val entropyOracle = {
+    val h = VecOps.qroundSql("p - n", 4)
+    s"""$qkPrefix,
+       |m AS (SELECT q_id, max(sc) AS mx FROM s GROUP BY q_id),
+       |a AS (SELECT s.q_id AS m_id, mx + ln(sum(exp(sc - mx))) AS p,
+       |             sum(exp(sc - mx) * sc) / sum(exp(sc - mx)) AS n
+       |      FROM s JOIN m USING (q_id) GROUP BY s.q_id, mx)
+       |SELECT m_id, $h AS h FROM a""".stripMargin
+  }
+
+  private val samplerOracle = {
+    val wt = VecOps.qroundSql("exp(z - tz)", 6)
+    val gum = VecOps.gumbelSql(
+      "'graft:' || CAST(q_id AS VARCHAR) || ':' || CAST(k_id AS VARCHAR)")
+    s"""$qkPrefix,
+       |g AS (SELECT q_id, k_id, sc, sc + ($gum) AS pert FROM s),
+       |m AS (SELECT q_id, max(sc) AS mx FROM s GROUP BY q_id),
+       |t AS (SELECT s.q_id, mx + ln(sum(exp(sc - mx))) AS tz
+       |      FROM s JOIN m USING (q_id) GROUP BY s.q_id, mx),
+       |c AS (SELECT q_id, arg_max(k_id, pert) AS c, arg_max(sc, pert) AS z
+       |      FROM g GROUP BY q_id)
+       |SELECT c.q_id AS m_id, c.c, $wt AS weight FROM c JOIN t USING (q_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attention" -> attentionQuery(scale = false),
-    "sdpa_scaled" -> attentionQuery(scale = true)
+    "sdpa_scaled" -> attentionQuery(scale = true),
+    "mlp" -> mlpQuery,
+    "relu_matmul" -> reluMatmulQuery,
+    "xentropy" -> xentropyQuery,
+    "entropy" -> entropyQuery,
+    "sampler" -> samplerQuery
   )
 
   val oracles: Map[String, String] = Map(
     "attention" -> attentionOracle(""),
-    "sdpa_scaled" -> attentionOracle(" / sqrt(64.0)")
+    "sdpa_scaled" -> attentionOracle(" / sqrt(64.0)"),
+    "mlp" -> mlpOracle,
+    "relu_matmul" -> reluMatmulOracle,
+    "xentropy" -> xentropyOracle,
+    "entropy" -> entropyOracle,
+    "sampler" -> samplerOracle
   )
 }
