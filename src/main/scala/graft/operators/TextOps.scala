@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+
+/** Text analysis for a training-data pipeline over the `documents` table:
+  * tokenization, token/quality statistics, n-gram-heuristic language ID,
+  * and rolling-hash document fingerprinting.
+  *
+  * The reference has no text surface (SURVEY.md §2.5 — its type system is
+  * {float matrix, int vector}); these are the north-star extensions the
+  * engine needs at 100 TB. Everything here is built from
+  * `org.apache.spark.sql.functions._` higher-order functions over the token
+  * array — per-row, no join, no shuffle, embarrassingly parallel at any
+  * scale: a 100 TB corpus maps straight onto input-split parallelism.
+  */
+object TextOps {
+
+  /** Whitespace-collapse + lowercase normalization (dedup canonical form). */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** SQL oracle dual ('g' flag: DuckDB replaces first match only by default). */
+  def normTextSql(e: String): String =
+    s"regexp_replace(lower(trim($e)), '\\s+', ' ', 'g')"
+
+  /** ASCII-alnum token stream. The `[a-z0-9]+` class parses identically in
+    * Java regex (Spark) and RE2 (DuckDB oracle) — deliberately no `\w`,
+    * whose unicode semantics differ between engines. */
+  def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** SQL oracle dual of [[tokens]]. */
+  def tokensSql(e: String): String =
+    s"regexp_extract_all(lower($e), '[a-z0-9]+')"
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  private def stopwordRatio: Column =
+    size(filter(col("toks"), t => array_contains(lit(stopwords.toArray), t)))
+      .cast("double") / greatest(size(col("toks")), lit(1))
+
+  /** Per-document token statistics: counts, uniques, mean token length,
+    * stopword ratio. One row in, one row out — pure projection. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        VecOps.qround(
+          aggregate(transform(col("toks"), t => length(t).cast("double")),
+            lit(0.0), (a, x) => a + x) / greatest(size(col("toks")), lit(1)),
+          4).as("mean_tok_len"),
+        VecOps.qround(stopwordRatio, 4).as("stopword_ratio"))
+
+  /** Quality scoring (length / punctuation / stopword heuristics à la
+    * C4/Gopher filter rules): per-doc signals + a boolean keep decision. */
+  def textQuality(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    // chars outside [a-z0-9 space] after lowering = punctuation-ish
+    val punct = (nChars - length(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", ""))) / nChars
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        VecOps.qround(punct, 4).as("punct_ratio"),
+        VecOps.qround(stopwordRatio, 4).as("stopword_ratio"))
+      .withColumn("keep",
+        col("n_tokens") >= 10 && col("punct_ratio") < 0.3 &&
+          col("stopword_ratio") < 0.6)
+  }
+
+  /** Function-word profiles per language for the n-gram/stopword-heuristic
+    * language identifier. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of", "to", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "y", "los", "es", "de", "que", "un"),
+    "fr" -> Seq("le", "les", "et", "la", "est", "des", "une", "du"))
+
+  /** Heuristic language ID: score(lang) = fraction of tokens hitting that
+    * language's function-word profile; prediction = highest score with a
+    * fixed priority-order tiebreak (the CASE chain — bit-identical in both
+    * engines); no hits at all -> "und". Pure per-row expressions. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = langProfiles.foldLeft(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks"))) {
+      case (df, (l, ws)) =>
+        df.withColumn(s"s_$l",
+          size(filter(col("toks"), t => array_contains(lit(ws.toArray), t)))
+            .cast("double") / greatest(size(col("toks")), lit(1)))
+    }
+    val best = greatest(langProfiles.map(p => col(s"s_${p._1}")): _*)
+    val pred = langProfiles.init.foldRight(lit(langProfiles.last._1)) {
+      case ((l, _), els) => when(col(s"s_$l") === best, l).otherwise(els)
+    }
+    scored.select(
+      col("doc_id"),
+      when(best === 0.0, "und").otherwise(pred).as("lang_pred"),
+      VecOps.qround(best, 4).as("lang_score"))
+  }
+
+  /** SQL oracle dual of [[langId]] (same CASE evaluation order). */
+  def langIdSql(table: String): String = {
+    val scoreCols = langProfiles.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, t -> list_contains($list, t)))::DOUBLE / greatest(len(toks), 1) AS s_$l"
+    }.mkString(",\n       ")
+    val best = langProfiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+    val pred = langProfiles.init
+      .map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }
+      .mkString("CASE ", " ", s" ELSE '${langProfiles.last._1}' END")
+    s"""WITH d AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $table),
+       |sc AS (SELECT doc_id,
+       |       $scoreCols
+       |       FROM d),
+       |b AS (SELECT doc_id, $best AS best, s_en, s_de, s_es, s_fr FROM sc)
+       |SELECT doc_id,
+       |       CASE WHEN best = 0.0 THEN 'und' ELSE $pred END AS lang_pred,
+       |       ${VecOps.qroundSql("best", 4)} AS lang_score
+       |FROM b""".stripMargin
+  }
+
+  /** Rolling-hash document fingerprint: min over all 8-char windows of the
+    * normalized text of a 60-bit md5 hash (min-hash winnowing). Robust to
+    * whitespace/case edits; a pure per-row array expression — the 100 TB
+    * plan is a map-only scan. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), normText(col("text")).as("t"))
+      .select(col("doc_id"),
+        array_min(transform(
+          sequence(lit(1), greatest(length(col("t")) - 7, lit(1))),
+          i => VecOps.hash60(col("t").substr(i, lit(8))))).as("fp"))
+
+  /** SQL oracle dual of [[fingerprint]]. */
+  def fingerprintSql(table: String): String =
+    s"""SELECT doc_id,
+       |  list_min(list_transform(
+       |    generate_series(1, greatest(length(t) - 7, 1)),
+       |    i -> ${VecOps.hash60Sql("substr(t, i, 8)")})) AS fp
+       |FROM (SELECT doc_id, ${normTextSql("text")} AS t FROM $table)""".stripMargin
+}
