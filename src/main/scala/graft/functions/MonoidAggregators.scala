@@ -41,59 +41,30 @@ class LogSumExpAgg extends Aggregator[Double, LseBuf, Double] {
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
-case class LWIn(score: Double, value: Seq[Double])
-case class LWBuf(z: Double, v: Array[Double])
-case class LWOut(z: Double, v: Seq[Double])
-
-/** Log-weighted running mean — the attention/entropy monoid (reference
-  * attention.py:31-44, entropy.py:18-23): state
-  * `(z = logsumexp of scores, v = softmax-weighted mean of values)`;
-  * identity `(-inf, null)`; merge
-  * `z' = logaddexp(z_a, z_b); v' = v_a*e^{z_a-z'} + v_b*e^{z_b-z'}`.
-  * Scalar entropy case = D=1 value vector. */
-class LogWeightedMeanAgg extends Aggregator[LWIn, LWBuf, LWOut] {
-  def zero: LWBuf = LWBuf(Double.NegativeInfinity, null)
-
-  // combine (za, va) ⊕ (zb, vb); may reuse/mutate `va` (owned by the buffer)
-  private def comb(za: Double, va: Array[Double], zb: Double, vb: Array[Double],
-                   mutableA: Boolean): LWBuf =
-    if (zb == Double.NegativeInfinity) LWBuf(za, va)
-    else if (za == Double.NegativeInfinity) LWBuf(zb, if (mutableA) vb else vb.clone())
-    else {
-      val z =
-        if (za >= zb) za + math.log1p(math.exp(zb - za))
-        else zb + math.log1p(math.exp(za - zb))
-      val wa = math.exp(za - z)
-      val wb = math.exp(zb - z)
-      val out = if (mutableA) va else new Array[Double](va.length)
-      var i = 0
-      while (i < va.length) { out(i) = va(i) * wa + vb(i) * wb; i += 1 }
-      LWBuf(z, out)
-    }
-
-  def reduce(b: LWBuf, in: LWIn): LWBuf = {
-    // copy the row's value once (row buffers are reused by Spark)
-    if (b.z == Double.NegativeInfinity) LWBuf(in.score, in.value.toArray)
-    else comb(b.z, b.v, in.score, toArr(in.value), mutableA = true)
-  }
-  private def toArr(s: Seq[Double]): Array[Double] = s match {
-    case w: scala.collection.mutable.ArraySeq[Double] @unchecked =>
-      w.array.asInstanceOf[Array[Double]]
-    case other => other.toArray
-  }
-  def merge(a: LWBuf, b: LWBuf): LWBuf = comb(a.z, a.v, b.z, b.v, mutableA = true)
-  def finish(b: LWBuf): LWOut =
-    LWOut(b.z, if (b.v == null) Seq.empty else b.v.toSeq)
-  def bufferEncoder: Encoder[LWBuf] = Encoders.product[LWBuf]
-  def outputEncoder: Encoder[LWOut] = Encoders.product[LWOut]
-}
-
-/** DataFrame-callable registrations. `udaf(Aggregator)` lowers to a
-  * `ScalaAggregator` (a `TypedImperativeAggregate`), so the buffer lives as
-  * a JVM object inside the hash map and only serializes on spill/shuffle. */
+/** DataFrame-callable registrations. The scalar logsumexp stays a
+  * `udaf(Aggregator)` (lowers to `ScalaAggregator`, a
+  * `TypedImperativeAggregate`; the per-row encoder cost on a bare Double is
+  * negligible). The vector-valued monoids are native
+  * `TypedImperativeAggregate`s in [[NativeAggs]] — the round-1 Aggregator
+  * form paid a ~35× per-row encoder round-trip on the value array
+  * (VERDICT.md round 1, "What's wrong" #2). */
 object GraftAggs {
+  import org.apache.spark.sql.Column
+
   /** logsumexp(scoreCol) */
   val logSumExp: UserDefinedFunction = udaf(new LogSumExpAgg, ExpressionEncoder[Double]())
-  /** logWeightedMean(scoreCol, valueArrayCol) -> struct(z, v) */
-  val logWeightedMean: UserDefinedFunction = udaf(new LogWeightedMeanAgg, ExpressionEncoder[LWIn]())
+
+  /** logWeightedVec(scoreCol, valueArrayCol) -> struct(z, v): the
+    * attention/entropy monoid (reference attention.py:31-44). */
+  def logWeightedVec(score: Column, value: Column): Column =
+    NativeExprs.toCol(
+      LogWeightedVecAgg(NativeExprs.toExpr(score), NativeExprs.toExpr(value))
+        .toAggregateExpression())
+
+  /** vecWeightedSum(wCol, vecCol) -> array<double>: Σ w·vec, the MLP
+    * hidden-dim fold (reference mlp.py:18-21). */
+  def vecWeightedSum(w: Column, v: Column): Column =
+    NativeExprs.toCol(
+      VecWeightedSumAgg(NativeExprs.toExpr(w), NativeExprs.toExpr(v))
+        .toAggregateExpression())
 }

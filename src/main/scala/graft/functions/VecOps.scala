@@ -7,18 +7,19 @@ import org.apache.spark.sql.functions._
   * cross-engine-deterministic helpers (rounding, hashing, noise) that make
   * exact hash-comparison against the DuckDB oracle possible.
   *
-  * All of these are built from `org.apache.spark.sql.functions._`
-  * higher-order functions, so they stay inside whole-stage codegen — no
-  * Scala UDF / serialization in the hot path.
+  * The hot-path dot product is the codegen'd [[DotProduct]] native
+  * expression; everything else is `org.apache.spark.sql.functions._`
+  * built-ins — no Scala UDF / serialization anywhere in the hot path.
   */
 object VecOps {
 
   /** Sequential left-fold dot product — same evaluation order as the
     * oracle's `list_dot_product`, so results agree to the last ulp on
     * identical inputs. The GEMM `A @ B.T` of the reference (attention.py:6,
-    * mlp.py:7) is exactly this pairwise dot. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    * mlp.py:7) is exactly this pairwise dot. Backed by the codegen'd
+    * [[DotProduct]] Catalyst expression (the round-1 higher-order-function
+    * form was interpreted — CodegenFallback — in every query's inner loop). */
+  def dot(a: Column, b: Column): Column = NativeExprs.dot(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 

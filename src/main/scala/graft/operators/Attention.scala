@@ -33,7 +33,7 @@ object Attention {
     pairs
       .select(col("q_id"), sc.as("sc"), col("vvec"))
       .groupBy("q_id")
-      .agg(GraftAggs.logWeightedMean(col("sc"), col("vvec")).as("lw"))
+      .agg(GraftAggs.logWeightedVec(col("sc"), col("vvec")).as("lw"))
       .select(col("q_id"), col("lw.z").as("z"), col("lw.v").as("out"))
   }
 }

@@ -10,7 +10,7 @@ import graft.functions.{GraftAggs, VecOps}
   *
   * The reference's monoid `(p = logsumexp, n = mass-weighted mean logit)`
   * (entropy.py:18-23) is the scalar (D=1) case of the attention monoid —
-  * we reuse [[graft.functions.LogWeightedMeanAgg]] with the logit itself
+  * we reuse [[graft.functions.LogWeightedVecAgg]] with the logit itself
   * as the 1-element value vector, exactly as SURVEY.md §2.2 predicted one
   * Aggregator covers both ops.
   */
@@ -22,7 +22,7 @@ object Entropy {
     trg.crossJoin(broadcast(pred))
       .select(col("m_id"), sc.as("sc"))
       .groupBy("m_id")
-      .agg(GraftAggs.logWeightedMean(col("sc"), array(col("sc"))).as("lw"))
+      .agg(GraftAggs.logWeightedVec(col("sc"), array(col("sc"))).as("lw"))
       .select(col("m_id"), (col("lw.z") - col("lw.v").getItem(0)).as("h"))
   }
 }

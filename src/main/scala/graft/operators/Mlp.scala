@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.VecOps
+import graft.functions.{GraftAggs, VecOps}
 
 /** Two-layer MLP `out = relu(X·Pᵀ)·Q` as a relational plan (reference
   * mlp.py:6-7,18-44; fused single-op variant relu_matmul.cpp:9-21).
@@ -22,15 +22,21 @@ import graft.functions.VecOps
 object Mlp {
 
   /** x: (b_id, xvec F); pq: (k_id, pvec F, qvec D) — row k of both layer
-    * matrices. Returns (b_id, d, v) = COO of relu(X·Pᵀ)·Q. */
+    * matrices. Returns (b_id, d, v) = COO of relu(X·Pᵀ)·Q.
+    *
+    * The hidden fold is ONE vector-valued aggregate (`Σ h·qvec` via
+    * [[graft.functions.VecWeightedSumAgg]]): the pair stream is never
+    * exploded per element — only the M×D *result* is (round 1 exploded
+    * BEFORE the aggregate, pushing ×D rows through an interpreted
+    * Generate; VERDICT.md "What's wrong" #3). */
   def mlp(x: DataFrame, pq: DataFrame): DataFrame = {
     val h = greatest(VecOps.dot(col("xvec"), col("pvec")), lit(0.0))
     pq.crossJoin(broadcast(x))
       .select(col("b_id"), h.as("h"), col("qvec"))
-      .select(col("b_id"), posexplode(col("qvec")), col("h"))
-      .groupBy(col("b_id"), col("pos").cast("long").as("d"))
-      .agg(sum(col("h") * col("col")).as("v"))
-      .select(col("b_id"), col("d"), col("v"))
+      .groupBy(col("b_id"))
+      .agg(GraftAggs.vecWeightedSum(col("h"), col("qvec")).as("out"))
+      .select(col("b_id"), posexplode(col("out")))
+      .select(col("b_id"), col("pos").cast("long").as("d"), col("col").as("v"))
   }
 
   /** Fused `relu(A·Bᵀ)` (reference relu_matmul.cpp:9-21, test_custom_op.py):
