@@ -33,8 +33,6 @@ def norm(v):
         if v == 0.0:
             return 0.0
         return v
-    if isinstance(v, int):
-        return float(v) if False else v
     return v
 
 

@@ -17,14 +17,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("attention")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-pipeline surface (text / dedup / similarity / streaming /
+    * multimodal) and the relational analytics shapes. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MatrixQueries.queries
+    MatrixQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ StreamQueries.queries ++
+      RelationalQueries.queries ++ MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    MatrixQueries.oracles
+    MatrixQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ StreamQueries.oracles ++
+      RelationalQueries.oracles ++ MediaQueries.oracles
 
   /** Headline subset timed by [[Bench]] at sf0.1. */
   def benchQueries: Seq[String] = queries.keys.toSeq.sorted

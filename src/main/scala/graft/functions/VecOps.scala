@@ -45,6 +45,26 @@ object VecOps {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** TWO independent 60-bit hashes from ONE md5 (hex chars 1-15 and 17-31)
+    * as array(h1, h2) — the base for Kirsch–Mitzenmacher double hashing:
+    * `h_j = (h1 % 2^58) + j·(h2 % 2^54)`, giving K hash functions for the
+    * price of one md5 (j ≤ 15 keeps the sum < 2^59 — no overflow under
+    * ANSI in either engine, pure integer ops). */
+  def hashPair(c: Column): Column = {
+    val hex = md5(c)
+    array(
+      conv(substring(hex, 1, 15), 16, 10).cast("long"),
+      conv(substring(hex, 17, 15), 16, 10).cast("long"))
+  }
+
+  /** SQL oracle dual of [[hashPair]]. */
+  def hashPairSql(expr: String): String =
+    s"[cast('0x' || substr(md5($expr), 1, 15) as bigint), cast('0x' || substr(md5($expr), 17, 15) as bigint)]"
+
+  /** double-hashing moduli: h1 < 2^58, h2 < 2^54. */
+  val DhM1 = 288230376151711744L // 2^58
+  val DhM2 = 18014398509481984L // 2^54
+
   private val Pow260 = 1152921504606846976.0 // 2^60
 
   /** Uniform in (0,1): (h + 0.5) / 2^60 — never 0 or 1, safe for log(). */

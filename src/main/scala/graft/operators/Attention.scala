@@ -26,8 +26,21 @@ object Attention {
 
   /** q: (q_id, qvec); kv: (k_id, kvec, vvec). Returns (q_id, z, out) where
     * z = logsumexp of scores and out = softmax-weighted mean of vvec. */
-  def attention(q: DataFrame, kv: DataFrame, scale: Boolean = false): DataFrame = {
-    val pairs = kv.crossJoin(broadcast(q))
+  def attention(q: DataFrame, kv: DataFrame, scale: Boolean = false): DataFrame =
+    plan(kv.crossJoin(broadcast(q)), scale)
+
+  /** Blocked 2-D path for LARGE M, where broadcasting the query side is
+    * impossible (the round-1 gap: every plan assumed q fits a broadcast).
+    * `SHUFFLE_REPLICATE_NL` forces `CartesianProductExec`, whose
+    * (q-partition × kv-partition) task grid IS the reference's 2-D chunk
+    * loop (gemm_map_reduce_attention.cpp:97-124) — each task streams one
+    * q-block against one kv-block and partial aggregation reduces its pairs
+    * to per-q monoid buffers before the only shuffle (O(M × kv-partitions)
+    * buffers, never the M×N score matrix). */
+  def attentionBlocked(q: DataFrame, kv: DataFrame, scale: Boolean = false): DataFrame =
+    plan(kv.crossJoin(q.hint("SHUFFLE_REPLICATE_NL")), scale)
+
+  private def plan(pairs: DataFrame, scale: Boolean): DataFrame = {
     val raw = VecOps.dot(col("qvec"), col("kvec"))
     val sc = if (scale) raw / sqrt(size(col("qvec")).cast("double")) else raw
     pairs

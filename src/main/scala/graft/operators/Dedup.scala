@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+
+/** Deduplication operators for the `documents` table: exact clustering,
+  * MinHash+LSH banding, SimHash, and n-gram Jaccard verification — the
+  * dedup pillar of an LLM-training-data pipeline (brief-driven; the
+  * reference has no text surface, SURVEY.md §2.5).
+  *
+  * Scale design: every pairing step is BUCKETED — band-key equi-joins
+  * (MinHash/SimHash bands) — never an all-pairs product, so the 100 TB plan
+  * is shuffle-on-band-key with per-bucket fan-out only. Signatures are
+  * per-row map-only expressions over the token array.
+  *
+  * All hashes come from the deterministic md5-derived 60-bit stream
+  * ([[VecOps.hash60]]) so every query here is bit-identically reproducible
+  * by the DuckDB oracle.
+  */
+object Dedup {
+
+  /** minhash signature length / rows-per-band / number of bands. */
+  val K = 16
+  val R = 4
+  val B: Int = K / R
+
+  /** Word 3-gram shingles of a token array; documents under 3 tokens fall
+    * back to the whole token stream as one shingle (never an empty set). */
+  def shingles(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(3)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** SQL oracle dual of [[shingles]] (1-based list_slice mirrors the
+    * 0-based sequence+slice exactly). */
+  def shinglesSql(toksExpr: String): String =
+    s"""CASE WHEN len($toksExpr) >= 3
+       | THEN list_transform(generate_series(1, len($toksExpr) - 2),
+       |        i -> array_to_string(list_slice($toksExpr, i, i + 2), ' '))
+       | ELSE [array_to_string($toksExpr, ' ')] END""".stripMargin
+
+  /** (doc_id, sig array<long> length K): per-doc minhash signature —
+    * sig[j] = min over shingles of hash_j(shingle), where the K hash
+    * functions come from ONE md5 per shingle via double hashing
+    * ([[VecOps.hashPair]]): at 100 TB the md5 is the dominant cost and this
+    * is a K× reduction (round-2 bench: 11 s → ~1 s at sf0.1). Map-only.
+    *
+    * The sh2 select boundary materializes the per-shingle hash pair once;
+    * CollapseProject keeps it (16 references to a non-cheap expression are
+    * not inlined), so md5 runs once per shingle, not K times. */
+  def minhashSig(docs: DataFrame): DataFrame = {
+    val mhCols = (0 until K).map { j =>
+      array_min(transform(col("sh2"),
+        p => pmod(element_at(p, 1), lit(VecOps.DhM1)) +
+          lit(j.toLong) * pmod(element_at(p, 2), lit(VecOps.DhM2)))).as(s"mh$j")
+    }
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), s0 => VecOps.hashPair(s0)).as("sh2"))
+      .select(col("doc_id") +: mhCols: _*)
+      .select(col("doc_id"),
+        array((0 until K).map(j => col(s"mh$j")): _*).as("sig"))
+  }
+
+  /** SQL dual of [[minhashSig]]: doc_id, sig (list of K minhashes). */
+  def minhashSigSql(table: String): String = {
+    val mh = (0 until K).map { j =>
+      s"list_min(list_transform(sh2, p -> (p[1] % ${VecOps.DhM1}) + $j * (p[2] % ${VecOps.DhM2})))"
+    }.mkString("[", ",\n       ", "]")
+    s"""SELECT doc_id, $mh AS sig
+       |FROM (SELECT doc_id, list_transform(sh, s -> ${VecOps.hashPairSql("s")}) AS sh2
+       |      FROM (SELECT doc_id, ${shinglesSql(TextOps.tokensSql("text"))} AS sh
+       |            FROM $table))""".stripMargin
+  }
+
+  /** (doc_id, band, key): the LSH index — key = ':'-joined band rows. */
+  def minhashBands(sig: DataFrame): DataFrame = {
+    val keys = (0 until B).map { b =>
+      concat_ws(":",
+        (0 until R).map(r => col("sig").getItem(b * R + r).cast("string")): _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(keys: _*)))
+      .select(col("doc_id"), col("pos").cast("long").as("band"),
+        col("col").as("key"))
+  }
+
+  def minhashBandsSql(sigSql: String): String = {
+    val keys = (0 until B).map { b =>
+      (0 until R).map(r => s"CAST(sig[${b * R + r + 1}] AS VARCHAR)")
+        .mkString("concat_ws(':', ", ", ", ")")
+    }
+    val rows = keys.zipWithIndex
+      .map { case (k, b) => s"SELECT doc_id, CAST($b AS BIGINT) AS band, $k AS key FROM sig" }
+      .mkString("\n UNION ALL ")
+    s"""WITH sig AS ($sigSql)
+       |$rows""".stripMargin
+  }
+
+  /** Candidate near-dup pairs (a < b, sharing ≥1 LSH band) with estimated
+    * jaccard = fraction of matching minhashes. Band equi-join, no
+    * cartesian. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSig(docs)
+    val bnd = minhashBands(sig)
+    val cand = bnd.as("a").join(bnd.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, v) => acc + v) / lit(K.toDouble)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), VecOps.qround(est, 4).as("est_jaccard"))
+  }
+
+  /** Exact-duplicate clustering: md5 of the normalized text as the group
+    * key; every doc annotated with its cluster representative (min doc_id)
+    * and cluster size. GroupBy-on-hash — bucketed, scale-safe. */
+  def exactClusters(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    docs
+      .select(col("doc_id"),
+        md5(TextOps.normText(col("text")).cast("binary")).as("fp"))
+      .select(col("doc_id"),
+        min(col("doc_id")).over(w).as("cluster_id"),
+        count(lit(1)).over(w).as("cluster_size"))
+  }
+
+  def exactClustersSql(table: String): String =
+    s"""SELECT doc_id,
+       |  min(doc_id) OVER (PARTITION BY fp) AS cluster_id,
+       |  count(*) OVER (PARTITION BY fp) AS cluster_size
+       |FROM (SELECT doc_id, md5(${TextOps.normTextSql("text")}) AS fp
+       |      FROM $table)""".stripMargin
+
+  /** 32-bit SimHash over the token stream: bit k of the signature is set
+    * when the majority of token hashes have bit k set. Per-token hash
+    * computed once; the 32 bit-counts then scan the small hash array. */
+  def simhashSig(docs: DataFrame): DataFrame = {
+    val th = transform(col("toks"), t => VecOps.hash60(t))
+    val bits = (0 until 32).map { k =>
+      val cnt = size(filter(col("th"),
+        h => pmod(shiftrightunsigned(h, k), lit(2L)) === 1))
+      when(cnt * 2 > size(col("th")), lit(1L << k)).otherwise(lit(0L))
+    }
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), th.as("th"))
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  def simhashSigSql(table: String): String = {
+    val terms = (0 until 32).map { k =>
+      s"(CASE WHEN 2 * len(list_filter(th, h -> ((h >> $k) & 1) = 1)) > len(th) THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+       |FROM (SELECT doc_id, list_transform(${TextOps.tokensSql("text")},
+       |        t -> ${VecOps.hash60Sql("t")}) AS th FROM $table)""".stripMargin
+  }
+
+  /** Near-dup pairs by SimHash: candidates share ≥1 of four 8-bit bands
+    * (bucketed join), kept when Hamming distance ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSig(docs)
+    val bandCols = (0 until 4).map(b =>
+      shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L)))
+    val bnd = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array(bandCols: _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("pos").cast("long").as("band"), col("col").as("key"))
+    bnd.as("a").join(bnd.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashPairsSql(table: String, maxHamming: Int = 3): String = {
+    val bands = (0 until 4)
+      .map(b => s"SELECT doc_id, simhash, CAST($b AS BIGINT) AS band, (simhash >> ${8 * b}) & 255 AS key FROM sig")
+      .mkString("\n UNION ALL ")
+    s"""WITH sig AS (${simhashSigSql(table)}),
+       |bnd AS ($bands)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM bnd a JOIN bnd b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+  }
+
+  /** Exact n-gram (word 3-gram) Jaccard for minhash-band candidate pairs:
+    * the verification stage after LSH recall. */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSig(docs)
+    val bnd = minhashBands(sig)
+    val cand = bnd.as("a").join(bnd.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        VecOps.qround(inter / greatest(uni, lit(1.0)), 4).as("jaccard"))
+  }
+
+  def ngramJaccardPairsSql(table: String): String = {
+    val cand =
+      s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bnd a JOIN bnd b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
+    s"""WITH bnd AS (${minhashBandsSql(minhashSigSql(table))}),
+       |cand AS ($cand),
+       |sets AS (SELECT doc_id, list_distinct(${shinglesSql(TextOps.tokensSql("text"))}) AS sh
+       |         FROM $table)
+       |SELECT doc_a, doc_b,
+       |  ${VecOps.qroundSql(
+            "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE" +
+              " / greatest(len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))), 1)",
+            4)} AS jaccard
+       |FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |          JOIN sets sb ON sb.doc_id = doc_b""".stripMargin
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+
+/** Media row: opaque binary payload + typed metadata — the multimodal
+  * column model (image/audio/video as `binary` with a format tag). */
+case class MediaRow(doc_id: Long, fmt: String, payload: Array[Byte])
+
+/** Decoded output: metadata + fixed-width feature vector. */
+case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Long,
+                         feat: Array[Double])
+
+/** Multimodal-column plumbing: treat media as opaque `binary` columns with
+  * typed metadata and run decode / feature-extraction as a batched
+  * per-partition transform (`Dataset.mapPartitions` — the JVM analog of
+  * `mapInPandas` batch processing: one codec instance per partition, rows
+  * streamed through it).
+  *
+  * The byte-level decoder itself is a clearly-marked STUB (this container
+  * ships no image/audio codecs): a deterministic md5-based feature
+  * extractor whose output the DuckDB oracle can reproduce, so the
+  * END-TO-END plumbing — binary column, schema, partition batching, typed
+  * Dataset round-trip, COO explode — is fully correctness-checked even
+  * though the codec is fake. Swap [[Multimodal.stubDecode]] for a real
+  * decoder at deployment; everything around it stays.
+  */
+object Multimodal {
+
+  /** feature vector width produced by the (stub) decoder. */
+  val F = 8
+
+  /** Build the (binary payload, metadata) shape from `documents` (payload =
+    * utf8 bytes of the text standing in for real media bytes; format tag
+    * assigned deterministically) and decode — returns COO
+    * (doc_id, fmt, n_bytes, d, feat). */
+  def mediaFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val media = docs.select(
+        col("doc_id"),
+        element_at(typedLit(Seq("png", "jpg", "wav")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    decodeFeatures(media).toDF()
+      .select(col("doc_id"), col("fmt"), col("n_bytes"), posexplode(col("feat")))
+      .select(col("doc_id"), col("fmt"), col("n_bytes"),
+        col("pos").cast("long").as("d"), col("col").as("feat"))
+  }
+
+  /** Batched per-partition decode: ONE MessageDigest ("codec") per
+    * partition, reused across the row stream — the partition-local
+    * batching a real decoder needs. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val codec = MessageDigest.getInstance("MD5")
+      it.map { m =>
+        MediaFeatures(m.doc_id, m.fmt, m.payload.length.toLong,
+          stubDecode(codec, m.payload))
+      }
+    }
+  }
+
+  /** STUB DECODER — replace with a real image/audio decode at deployment.
+    * feature d = u01(md5(payload ++ ":d")), bit-identical to the oracle's
+    * `u01(md5(text || ':' || d))`. */
+  private def stubDecode(codec: MessageDigest, payload: Array[Byte]): Array[Double] =
+    Array.tabulate(F) { d =>
+      codec.reset()
+      codec.update(payload)
+      codec.update(s":$d".getBytes(StandardCharsets.UTF_8))
+      val hex = codec.digest().map(b => f"$b%02x").mkString
+      val v = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (v + 0.5) / 1152921504606846976.0
+    }
+
+  /** DuckDB oracle dual of [[mediaFeatures]]. */
+  def mediaFeaturesSql(table: String): String =
+    s"""SELECT doc_id,
+       |  ['png', 'jpg', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       |  octet_length(encode(text))::BIGINT AS n_bytes,
+       |  CAST(d AS BIGINT) AS d,
+       |  ${VecOps.u01Sql("text || ':' || d")} AS feat
+       |FROM $table CROSS JOIN (SELECT unnest(generate_series(0, ${F - 1})) AS d) ds""".stripMargin
+}

@@ -61,9 +61,11 @@ object TextOps {
     * C4/Gopher filter rules): per-doc signals + a boolean keep decision. */
   def textQuality(docs: DataFrame): DataFrame = {
     val nChars = length(col("text")).cast("double")
-    // chars outside [a-z0-9 space] after lowering = punctuation-ish
+    // chars outside [a-z0-9 space] after lowering = punctuation-ish.
+    // greatest(...,1) guard: ANSI mode (Spark 4 default) throws on /0 for an
+    // empty document (ADVICE.md round 1).
     val punct = (nChars - length(regexp_replace(lower(col("text")),
-      "[^a-z0-9 ]", ""))) / nChars
+      "[^a-z0-9 ]", ""))) / greatest(nChars, lit(1.0))
     docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
@@ -126,6 +128,30 @@ object TextOps {
        |       ${VecOps.qroundSql("best", 4)} AS lang_score
        |FROM b""".stripMargin
   }
+
+  /** Token counting two ways: raw whitespace tokens and a BPE-ish
+    * pre-tokenizer regex stream (letter runs / digit runs / single
+    * non-alnum) — the standard subword-tokenizer front end. Pure per-row
+    * expressions; ASCII classes only so Java regex (Spark) and RE2 (DuckDB)
+    * agree. */
+  def tokenCount(docs: DataFrame): DataFrame = {
+    val bpe = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    docs.select(
+      col("doc_id"),
+      when(length(trim(col("text"))) === 0, lit(0))
+        .otherwise(size(split(trim(col("text")), "\\s+")))
+        .cast("long").as("n_ws"),
+      size(bpe).cast("long").as("n_bpe"))
+  }
+
+  /** SQL oracle dual of [[tokenCount]]. */
+  def tokenCountSql(table: String): String =
+    s"""SELECT doc_id,
+       |  (CASE WHEN length(trim(text)) = 0 THEN 0
+       |        ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_ws,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpe
+       |FROM $table""".stripMargin
 
   /** Rolling-hash document fingerprint: min over all 8-char windows of the
     * normalized text of a 60-bit md5 hash (min-hash winnowing). Robust to

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Driver-facing deduplication queries over `documents` — exact, MinHash
+  * LSH (signatures + candidate pairs), SimHash, and n-gram-Jaccard
+  * verification. See [[graft.operators.Dedup]] for the scale rationale
+  * (bucketed band joins, never all-pairs).
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exactClusters(docs(s, dir))),
+    "minhash_sig" -> ((s, dir) => Dedup.minhashSig(docs(s, dir))),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir)))
+  )
+
+  private val minhashPairsOracle = {
+    val est = (1 to Dedup.K)
+      .map(j => s"(CASE WHEN ma.sig[$j] = mb.sig[$j] THEN 1.0 ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH bnd AS (${Dedup.minhashBandsSql(Dedup.minhashSigSql("documents"))}),
+       |sig AS (${Dedup.minhashSigSql("documents")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bnd a JOIN bnd b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  floor(($est) / ${Dedup.K}.0 * 1e4 + 0.5) / 1e4 AS est_jaccard
+       |FROM cand JOIN sig ma ON ma.doc_id = doc_a
+       |          JOIN sig mb ON mb.doc_id = doc_b""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> Dedup.exactClustersSql("documents"),
+    "minhash_sig" -> Dedup.minhashSigSql("documents"),
+    "dedup_minhash" -> minhashPairsOracle,
+    "dedup_simhash" -> Dedup.simhashPairsSql("documents"),
+    "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents")
+  )
+}

@@ -35,6 +35,16 @@ object MatrixQueries {
       .select(col("q_id"), col("pos").cast("long").as("d"),
         VecOps.qround(col("col"), 4).as("v"))
 
+  /** Full-M self-attention through the non-broadcast blocked (2-D tiled)
+    * path — proves the plan works with the query-side cap lifted. */
+  private def attentionBigQuery(s: SparkSession, dir: String): DataFrame =
+    Attention.attentionBlocked(
+      emb(s, dir).select(col("vec_id").as("q_id"), col("vec").as("qvec")),
+      kvSide(s, dir))
+      .select(col("q_id"), posexplode(col("out")))
+      .select(col("q_id"), col("pos").cast("long").as("d"),
+        VecOps.qround(col("col"), 4).as("v"))
+
   private def mlpQuery(s: SparkSession, dir: String): DataFrame =
     Mlp.mlp(
       qSide(s, dir).select(col("q_id").as("b_id"), col("qvec").as("xvec")),
@@ -68,15 +78,17 @@ object MatrixQueries {
 
   // ---- oracle SQL builders (DuckDB dialect; two-pass stable softmax) ----
 
-  /** Shared prefix: q = query side (vec_id < M, doubles), k = full side. */
-  private val qkPrefix =
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label FROM embeddings WHERE vec_id < $M),
+  /** Shared prefix: q = query side (filtered by mWhere), k = full side. */
+  private def qkPrefixWhere(mWhere: String): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label FROM embeddings$mWhere),
        |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv, (embedding::DOUBLE[])[1:$D] AS vv FROM embeddings),
-       |s AS (SELECT q_id, label, k_id, list_dot_product(qv, kv) AS sc, vv FROM q CROSS JOIN k)""".stripMargin
+       |s AS (SELECT q_id, label, k_id, list_dot_product(qv, kv) AS sc, len(qv) AS fdim, vv FROM q CROSS JOIN k)""".stripMargin
 
-  private def attentionOracle(scaleExpr: String): String = {
+  private val qkPrefix = qkPrefixWhere(s" WHERE vec_id < $M")
+
+  private def attentionOracle(scaleExpr: String, mWhere: String = s" WHERE vec_id < $M"): String = {
     val v = VecOps.qroundSql("sum(wt * x) / sum(wt)", 4)
-    s"""$qkPrefix,
+    s"""${qkPrefixWhere(mWhere)},
        |ss AS (SELECT q_id, sc$scaleExpr AS sc, vv FROM s),
        |m AS (SELECT q_id, max(sc) AS mx FROM ss GROUP BY q_id),
        |w AS (SELECT ss.q_id, exp(sc - mx) AS wt, vv FROM ss JOIN m USING (q_id)),
@@ -138,6 +150,7 @@ object MatrixQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attention" -> attentionQuery(scale = false),
+    "attention_big" -> (attentionBigQuery _),
     "sdpa_scaled" -> attentionQuery(scale = true),
     "mlp" -> mlpQuery,
     "relu_matmul" -> reluMatmulQuery,
@@ -148,7 +161,10 @@ object MatrixQueries {
 
   val oracles: Map[String, String] = Map(
     "attention" -> attentionOracle(""),
-    "sdpa_scaled" -> attentionOracle(" / sqrt(64.0)"),
+    "attention_big" -> attentionOracle("", mWhere = ""),
+    // scale derived from the data (len(qv)) exactly like the Spark side's
+    // sqrt(size(qvec)) — no hard-coded embedding width (ADVICE.md round 1)
+    "sdpa_scaled" -> attentionOracle(" / sqrt(fdim)"),
     "mlp" -> mlpOracle,
     "relu_matmul" -> reluMatmulOracle,
     "xentropy" -> xentropyOracle,

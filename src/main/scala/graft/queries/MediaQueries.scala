@@ -1,0 +1,22 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** Driver-facing multimodal-column query: binary payload + metadata →
+  * batched per-partition (stub) decode → feature COO. See
+  * [[graft.operators.Multimodal]].
+  */
+object MediaQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_features" -> ((s, dir) =>
+      Multimodal.mediaFeatures(Tables.documents(s, dir)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "media_features" -> Multimodal.mediaFeaturesSql("documents")
+  )
+}

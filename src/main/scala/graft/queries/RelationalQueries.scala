@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+import graft.sources.Tables
+
+/** Classic relational analytics over the TPC-H-ish fixture tables —
+  * scan→filter→multi-join→aggregate→top-k shapes proving the engine is a
+  * general analytics engine, not only the kernel surface.
+  *
+  * Scale notes: joins are key equi-joins (orderkey/custkey/nationkey);
+  * dimension sides (nation, region, customer) broadcast under AQE; float
+  * sums over ~10^5 rows are rounded coarsely (nearest 100 for money sums)
+  * because cross-engine summation order differs by ~1e-2 absolute at this
+  * magnitude — the rounding grid must dominate the reassociation error.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-style pricing summary. */
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        VecOps.qround(sum(col("l_quantity")), 2).as("sum_qty"),
+        VecOps.qround(sum(col("l_extendedprice")), -2).as("sum_base"),
+        VecOps.qround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), -2)
+          .as("sum_disc"),
+        count(lit(1)).as("n"))
+
+  private val q1Oracle =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${VecOps.qroundSql("sum(l_quantity)", 2)} AS sum_qty,
+       |  ${VecOps.qroundSql("sum(l_extendedprice)", -2)} AS sum_base,
+       |  ${VecOps.qroundSql("sum(l_extendedprice * (1.0 - l_discount))", -2)} AS sum_disc,
+       |  count(*) AS n
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Top-10 customers by total order value (join → agg → deterministic
+    * rank → limit). orderBy+limit FIRST (plans as distributed
+    * TakeOrderedAndProject — no global single-partition window over all
+    * customers); the rank window then runs over only the 10 survivors. */
+  private def topCustomers(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(desc("revenue_raw"), col("c_custkey"))
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue_raw"))
+      .orderBy(desc("revenue_raw"), col("c_custkey"))
+      .limit(10)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("c_custkey"), col("c_name"), col("n_orders"),
+        VecOps.qround(col("revenue_raw"), 2).as("revenue"))
+  }
+
+  private val topCustomersOracle =
+    s"""WITH a AS (SELECT c_custkey, c_name, count(*) AS n_orders,
+       |             sum(o_totalprice) AS revenue_raw
+       |           FROM orders JOIN customer ON o_custkey = c_custkey
+       |           GROUP BY c_custkey, c_name),
+       |r AS (SELECT *, row_number() OVER (ORDER BY revenue_raw DESC, c_custkey) AS rank
+       |      FROM a)
+       |SELECT CAST(rank AS BIGINT) AS rank, c_custkey, c_name, n_orders,
+       |       ${VecOps.qroundSql("revenue_raw", 2)} AS revenue
+       |FROM r WHERE rank <= 10""".stripMargin
+
+  /** Revenue per region/nation through the full 5-table join chain. */
+  private def regionRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        VecOps.qround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), -2)
+          .as("revenue"),
+        count(lit(1)).as("n"))
+
+  private val regionRevenueOracle =
+    s"""SELECT r_name, n_name,
+       |  ${VecOps.qroundSql("sum(l_extendedprice * (1.0 - l_discount))", -2)} AS revenue,
+       |  count(*) AS n
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1" -> q1,
+    "top_customers" -> topCustomers,
+    "region_revenue" -> regionRevenue
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q1" -> q1Oracle,
+    "top_customers" -> topCustomersOracle,
+    "region_revenue" -> regionRevenueOracle
+  )
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Driver-facing event-stream queries over `events`. `events_window` is the
+  * SAME plan [[graft.streaming.StreamingOps.windowedAgg]] runs under
+  * Structured Streaming; `events_sessions` is the batch window-function
+  * dual of the flatMapGroupsWithState sessionizer
+  * ([[graft.streaming.Sessionize]]) — both proved equivalent in the test
+  * suite, graded here against the DuckDB oracle in batch.
+  */
+object StreamQueries {
+
+  private val GapSec = 1800L
+
+  /** Batch sessionization: gap > 30 min starts a new session — the classic
+    * lag → cumulative-sum → groupBy plan (one shuffle on user_id; all
+    * window functions run within the user partition, scale-safe). */
+  def sessionsBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val prev = lag(col("ts_s"), 1).over(byUser)
+    val cum = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      .withColumn("new_s",
+        when(prev.isNull || col("ts_s") - prev > GapSec, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_s")).as("start_s"),
+        max(col("ts_s")).as("end_s"))
+  }
+
+  private val sessionsOracle =
+    s"""WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+       |g AS (SELECT user_id, event_id, ts_s,
+       |        CASE WHEN lag(ts_s) OVER w IS NULL
+       |                  OR ts_s - lag(ts_s) OVER w > $GapSec
+       |             THEN 1 ELSE 0 END AS new_s
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       |s AS (SELECT user_id, ts_s,
+       |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+       |                         ROWS UNBOUNDED PRECEDING) AS session_id
+       |      FROM g)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |       count(*) AS n_events, min(ts_s) AS start_s, max(ts_s) AS end_s
+       |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_window" -> ((s, dir) => StreamingOps.windowedAgg(Tables.events(s, dir))),
+    "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_window" -> StreamingOps.windowedAggSql("events"),
+    "events_sessions" -> sessionsOracle
+  )
+}

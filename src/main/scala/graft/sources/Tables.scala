@@ -46,7 +46,17 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
     requireCols(df, "events", Set("event_id", "ts", "user_id", "event_type", "value", "props"))
-    df
+    // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and we
+    // rebuild a micro-precision timestamp here. Integer DIV (not `/`, which
+    // is double and loses precision above 2^53 ns) floors exactly like
+    // DuckDB's nano->micro conversion.
+    val ts = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts")
+    }
+    df.withColumn("ts", ts)
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
