@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Behavioral tests for the dedup pillar on handcrafted documents with
+  * known duplicate structure (the fixtures only have accidental dups). */
+class DedupSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest before sunset tonight"
+  private val docs = Seq(
+    (0L, base),
+    (1L, "  THE   quick brown fox jumps over the lazy dog and then runs far " +
+      "away into the deep green forest before sunset tonight"), // ws/case only
+    (2L, base.replace("lazy", "sleepy")), // one-word near-dup
+    (3L, "completely unrelated text about spark query engines and columnar " +
+      "storage formats with vectorized execution pipelines everywhere"),
+    (4L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("exact clustering groups whitespace/case variants") {
+    val got = Dedup.exactClusters(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == (0L, 2L) && got(1L) == (0L, 2L), "0 and 1 share a cluster")
+    assert(got(2L)._2 == 1L && got(3L)._2 == 1L && got(4L)._2 == 1L)
+  }
+
+  test("minhash signatures: identical for exact dups, mostly equal for near-dups") {
+    val sig = Dedup.minhashSig(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(0L) == sig(1L), "normalized dups share the signature")
+    val nearMatches = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
+    assert(nearMatches >= Dedup.K / 2, s"near-dup only matched $nearMatches/${Dedup.K}")
+    val farMatches = sig(0L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(farMatches <= Dedup.K / 4, s"unrelated docs matched $farMatches/${Dedup.K}")
+  }
+
+  test("minhash LSH pairs find the duplicate cluster, never unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: zero hamming for dups, banded pairs exclude unrelated docs") {
+    val sig = Dedup.simhashSig(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    val pairs = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) == 0L)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ngram jaccard verifies LSH candidates with exact similarity") {
+    val got = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((0L, 1L)) == 1.0)
+    got.get((0L, 2L)).foreach(j => assert(j > 0.3 && j < 1.0))
+  }
+
+  test("lang_id calls the English function-word profile") {
+    val got = TextOps.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "en" && got(3L) == "en")
+  }
+}
