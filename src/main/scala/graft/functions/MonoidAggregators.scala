@@ -18,18 +18,43 @@ import org.apache.spark.sql.functions.udaf
   * `sum(exp(x))`.
   */
 
+/** Typeclass mirror of the reference's monoid contract: `zero` ↔ `init`,
+  * `combine` ↔ `binary_reduce` (reference core.py:15-23). */
+trait Monoid[B] extends Serializable {
+  def zero: B
+  def combine(a: B, b: B): B
+}
+
+/** Generic factory mirroring `mk_GeMMMapReduce` (reference core.py:15-64):
+  * monoid + per-row lift (↔ `proj_fold`) + output projection → a Spark
+  * `Aggregator`, which Catalyst plans as partial → exchange → final — the
+  * execution the reference hand-rolls as its chunk loop. New monoids
+  * (sketches, top-k, ...) get partial/merge/spill handling for free.
+  *
+  * Extensibility path; the vector-heavy hot-path monoids remain native
+  * `TypedImperativeAggregate`s ([[LogWeightedVecAgg]], [[VecWeightedSumAgg]])
+  * to skip the per-row encoder. */
+object FoldAggregator {
+  def apply[IN, B, OUT](m: Monoid[B], lift: IN => B, project: B => OUT)(
+      implicit be: Encoder[B], oe: Encoder[OUT]): Aggregator[IN, B, OUT] =
+    new Aggregator[IN, B, OUT] {
+      def zero: B = m.zero
+      def reduce(b: B, in: IN): B = m.combine(b, lift(in))
+      def merge(a: B, b: B): B = m.combine(a, b)
+      def finish(b: B): OUT = project(b)
+      def bufferEncoder: Encoder[B] = be
+      def outputEncoder: Encoder[OUT] = oe
+    }
+}
+
 /** Buffer for streaming logsumexp: running max + renormalized sum. */
 case class LseBuf(mx: Double, s: Double)
 
-/** Streaming logsumexp (reference xentropy.py:10-11,39-44): one exp per row,
-  * running-max renormalized. Identity = (-inf, 0). */
-class LogSumExpAgg extends Aggregator[Double, LseBuf, Double] {
+/** The logsumexp monoid (reference xentropy.py:10-11,39-44): running-max
+  * renormalized — never a raw sum(exp). Identity = (-inf, 0). */
+object LseMonoid extends Monoid[LseBuf] {
   def zero: LseBuf = LseBuf(Double.NegativeInfinity, 0.0)
-  def reduce(b: LseBuf, x: Double): LseBuf =
-    if (x == Double.NegativeInfinity) b
-    else if (x <= b.mx) LseBuf(b.mx, b.s + math.exp(x - b.mx))
-    else LseBuf(x, b.s * math.exp(b.mx - x) + 1.0)
-  def merge(a: LseBuf, b: LseBuf): LseBuf =
+  def combine(a: LseBuf, b: LseBuf): LseBuf =
     if (a.mx == Double.NegativeInfinity) b
     else if (b.mx == Double.NegativeInfinity) a
     else if (a.mx >= b.mx) LseBuf(a.mx, a.s + b.s * math.exp(b.mx - a.mx))
@@ -37,8 +62,20 @@ class LogSumExpAgg extends Aggregator[Double, LseBuf, Double] {
   def finish(b: LseBuf): Double =
     if (b.mx == Double.NegativeInfinity) Double.NegativeInfinity
     else b.mx + math.log(b.s)
-  def bufferEncoder: Encoder[LseBuf] = Encoders.product[LseBuf]
-  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** Streaming logsumexp built from the generic factory: a single score x
+  * lifts to the singleton state (x, 1). */
+class LogSumExpAgg extends Aggregator[Double, LseBuf, Double] {
+  private val inner = FoldAggregator[Double, LseBuf, Double](
+    LseMonoid, x => LseBuf(x, 1.0), LseMonoid.finish)(
+    Encoders.product[LseBuf], Encoders.scalaDouble)
+  def zero: LseBuf = inner.zero
+  def reduce(b: LseBuf, x: Double): LseBuf = inner.reduce(b, x)
+  def merge(a: LseBuf, b: LseBuf): LseBuf = inner.merge(a, b)
+  def finish(b: LseBuf): Double = inner.finish(b)
+  def bufferEncoder: Encoder[LseBuf] = inner.bufferEncoder
+  def outputEncoder: Encoder[Double] = inner.outputEncoder
 }
 
 /** DataFrame-callable registrations. The scalar logsumexp stays a
