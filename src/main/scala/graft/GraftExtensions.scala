@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.{DotProduct, LogWeightedVecAgg, VecWeightedSumAgg}
+
+/** SQL-surface registration of the native graft functions, so they are
+  * callable from `spark.sql(...)` and `selectExpr` exactly like built-ins:
+  *
+  *   - `graft_dot(a, b)` — codegen'd array<double> dot product
+  *   - `graft_log_weighted_vec(score, vec)` — attention/entropy monoid agg
+  *   - `graft_vec_weighted_sum(w, vec)` — weighted vector-sum agg
+  *
+  * Two registration paths:
+  *   1. `spark.sql.extensions=graft.GraftExtensions` at session build time
+  *      (the standard SparkSessionExtensions plug-in mechanism), or
+  *   2. [[GraftExtensions.register]] on an already-running session (e.g. a
+  *      driver-owned one the library did not create).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private[graft] val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      "graft_dot(a, b) - dot product of two array<double> columns",
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("graft_log_weighted_vec",
+      "graft_log_weighted_vec(score, vec) - aggregate: struct(z=logsumexp(score), v=softmax-weighted mean of vec)",
+      (es: Seq[Expression]) => LogWeightedVecAgg(es(0), es(1))),
+    ("graft_vec_weighted_sum",
+      "graft_vec_weighted_sum(w, vec) - aggregate: elementwise sum of w*vec",
+      (es: Seq[Expression]) => VecWeightedSumAgg(es(0), es(1)))
+  )
+
+  /** Idempotent imperative registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, usage, builder) =>
+      ColumnBridge.registerFunction(spark, name, usage, builder)
+    }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Attention
+
+/** SQL registration of the native functions + physical-plan-shape
+  * regression tests (the plan properties the 100 TB design depends on). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft functions are SQL-callable after register()") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .as[Double].head()
+    assert(dot == 32.0)
+
+    Seq((0L, 1.0, Array(2.0, 4.0)), (0L, 1.0, Array(6.0, 8.0)))
+      .toDF("g", "sc", "v").createOrReplaceTempView("ext_t")
+    val lw = spark.sql(
+      "SELECT g, graft_log_weighted_vec(sc, v) AS lw FROM ext_t GROUP BY g")
+      .select($"lw.v").as[Seq[Double]].head()
+    // equal scores -> plain mean (to fp tolerance; logaddexp reweighting)
+    assert(lw.zip(Seq(4.0, 6.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+
+    val vs = spark.sql(
+      "SELECT g, graft_vec_weighted_sum(sc, v) AS s FROM ext_t GROUP BY g")
+      .select($"s").as[Seq[Double]].head()
+    assert(vs == Seq(8.0, 12.0))
+  }
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("attention broadcast plan shape: broadcast join, no kv-side shuffle before the partial agg") {
+    val emb = (0 until 64).map(i => (i.toLong, Array.fill(8)(i * 0.1)))
+      .toDF("id", "vec")
+    val q = emb.select(col("id").as("q_id"), col("vec").as("qvec"))
+    val kv = emb.select(col("id").as("k_id"), col("vec").as("kvec"),
+      col("vec").as("vvec"))
+    val plan = physicalPlan(Attention.attention(q, kv))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "broadcast plan must not be a cartesian")
+  }
+
+  test("attention blocked plan shape: forced CartesianProduct (2-D tile grid)") {
+    val emb = (0 until 64).map(i => (i.toLong, Array.fill(8)(i * 0.1)))
+      .toDF("id", "vec")
+    val q = emb.select(col("id").as("q_id"), col("vec").as("qvec"))
+    val kv = emb.select(col("id").as("k_id"), col("vec").as("kvec"),
+      col("vec").as("vvec"))
+    val plan = physicalPlan(Attention.attentionBlocked(q, kv))
+    assert(plan.contains("CartesianProduct"), s"expected CartesianProduct in:\n$plan")
+  }
+}
