@@ -55,13 +55,32 @@ object StreamQueries {
        |       count(*) AS n_events, min(ts_s) AS start_s, max(ts_s) AS end_s
        |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** Semi-structured props (JSON string column) → typed extraction + agg:
+    * per event_type, bucketed stats of the `k` payload field. */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  private val propsOracle =
+    s"""SELECT event_type, CAST(props->>'$$.k' AS BIGINT) % 10 AS k_bucket,
+       |       count(*) AS n, sum(CAST(props->>'$$.k' AS BIGINT)) AS sum_k
+       |FROM events
+       |GROUP BY event_type, k_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window" -> ((s, dir) => StreamingOps.windowedAgg(Tables.events(s, dir))),
-    "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir)))
+    "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir))),
+    "events_props" -> ((s, dir) => propsStats(Tables.events(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
     "events_window" -> StreamingOps.windowedAggSql("events"),
-    "events_sessions" -> sessionsOracle
+    "events_sessions" -> sessionsOracle,
+    "events_props" -> propsOracle
   )
 }
