@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query runs end-to-end on the sf0.001 fixtures and
+  * produces rows, and every query has an oracle — the wiring contract the
+  * driver grades (a query without an oracle silently downgrades to a
+  * rows-only check; a broken query zeroes its CORRECTNESS row). */
+class QueriesSmokeSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** candidate-pair queries may legitimately be empty at tiny scale. */
+  private val mayBeEmpty = Set("dedup_minhash", "dedup_ngram", "dedup_simhash", "dedup_embed")
+
+  test("every query has an oracle and every oracle has a query") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"query $name runs at sf0.001") {
+      val n = fn(spark, dir).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+}
