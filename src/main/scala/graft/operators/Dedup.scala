@@ -104,9 +104,13 @@ object Dedup {
 
   /** Candidate near-dup pairs (a < b, sharing ≥1 LSH band) with estimated
     * jaccard = fraction of matching minhashes. Band equi-join, no
-    * cartesian. */
+    * cartesian. The signature table is cached — it is referenced three
+    * times in the plan (band explode + both sides of the back-join) and
+    * recomputing the md5 shingling per reference dominates; at scale this
+    * is the standard "materialize the LSH index once" step (16 longs per
+    * doc — tiny relative to the corpus). */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSig(docs)
+    val sig = minhashSig(docs).cache()
     val bnd = minhashBands(sig)
     val cand = bnd.as("a").join(bnd.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -171,7 +175,7 @@ object Dedup {
   /** Near-dup pairs by SimHash: candidates share ≥1 of four 8-bit bands
     * (bucketed join), kept when Hamming distance ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSig(docs)
+    val sig = simhashSig(docs).cache() // both sides of the band self-join
     val bandCols = (0 until 4).map(b =>
       shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L)))
     val bnd = sig.select(col("doc_id"), col("simhash"),
@@ -204,7 +208,7 @@ object Dedup {
   /** Exact n-gram (word 3-gram) Jaccard for minhash-band candidate pairs:
     * the verification stage after LSH recall. */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSig(docs)
+    val sig = minhashSig(docs).cache()
     val bnd = minhashBands(sig)
     val cand = bnd.as("a").join(bnd.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -214,6 +218,7 @@ object Dedup {
     val sets = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
+      .cache() // referenced by both sides of the verification join
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     cand
