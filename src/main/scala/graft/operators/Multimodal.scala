@@ -82,6 +82,31 @@ object Multimodal {
       (v + 0.5) / 1152921504606846976.0
     }
 
+  /** Frame sampling: every stride-th fixed-width window of the payload,
+    * fingerprinted — the frame-sample stage of a video/audio pipeline
+    * (pick every Nth frame, hash/feature it). Expressed over the payload's
+    * decoded text so the oracle can reproduce it (DuckDB cannot slice
+    * BLOBs); a real decoder slices the binary inside the
+    * [[decodeFeatures]] partition loop. Map-only: 100 TB plan is pure
+    * input-split parallelism, cost ∝ bytes / stride. */
+  def frameSamples(docs: DataFrame, width: Int = 64, stride: Int = 128): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(length(col("text")) - (width - 1), lit(1)),
+            lit(stride)),
+          i => VecOps.hash60(col("text").substr(i, lit(width))))))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        col("col").as("fhash"))
+
+  /** DuckDB oracle dual of [[frameSamples]] (frame_idx recomputed from the
+    * window start: i = 1 + idx·stride). */
+  def frameSamplesSql(table: String, width: Int = 64, stride: Int = 128): String =
+    s"""SELECT doc_id, CAST((i - 1) // $stride AS BIGINT) AS frame_idx,
+       |       ${VecOps.hash60Sql(s"substr(text, i, $width)")} AS fhash
+       |FROM $table,
+       |     unnest(generate_series(1, greatest(length(text) - ${width - 1}, 1), $stride)) AS u(i)""".stripMargin
+
   /** DuckDB oracle dual of [[mediaFeatures]]. */
   def mediaFeaturesSql(table: String): String =
     s"""SELECT doc_id,

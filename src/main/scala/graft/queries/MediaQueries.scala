@@ -13,10 +13,13 @@ object MediaQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> ((s, dir) =>
-      Multimodal.mediaFeatures(Tables.documents(s, dir)))
+      Multimodal.mediaFeatures(Tables.documents(s, dir))),
+    "media_frames" -> ((s, dir) =>
+      Multimodal.frameSamples(Tables.documents(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
-    "media_features" -> Multimodal.mediaFeaturesSql("documents")
+    "media_features" -> Multimodal.mediaFeaturesSql("documents"),
+    "media_frames" -> Multimodal.frameSamplesSql("documents")
   )
 }
