@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{DotProduct, LogWeightedVecAgg, VecWeightedSumAgg}
+import graft.functions.{DotProduct, LogSumExpDecl, LogWeightedVecAgg, VecWeightedSumAgg}
 
 /** SQL-surface registration of the native graft functions, so they are
   * callable from `spark.sql(...)` and `selectExpr` exactly like built-ins:
@@ -39,7 +39,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => LogWeightedVecAgg(es(0), es(1))),
     ("graft_vec_weighted_sum",
       "graft_vec_weighted_sum(w, vec) - aggregate: elementwise sum of w*vec",
-      (es: Seq[Expression]) => VecWeightedSumAgg(es(0), es(1)))
+      (es: Seq[Expression]) => VecWeightedSumAgg(es(0), es(1))),
+    ("graft_logsumexp",
+      "graft_logsumexp(x) - aggregate: numerically-stable log(sum(exp(x)))",
+      (es: Seq[Expression]) => LogSumExpDecl(es(0)))
   )
 
   /** Idempotent imperative registration into an existing session. */

@@ -88,8 +88,17 @@ class LogSumExpAgg extends Aggregator[Double, LseBuf, Double] {
 object GraftAggs {
   import org.apache.spark.sql.Column
 
-  /** logsumexp(scoreCol) */
-  val logSumExp: UserDefinedFunction = udaf(new LogSumExpAgg, ExpressionEncoder[Double]())
+  /** logsumexp(scoreCol): fully-codegen [[LogSumExpDecl]] — two primitive
+    * buffer slots, no object buffer or encoder. ([[LogSumExpAgg]] remains
+    * as the FoldAggregator-built reference implementation and the
+    * extension-path example.) */
+  def logSumExp(score: Column): Column =
+    NativeExprs.toCol(
+      LogSumExpDecl(NativeExprs.toExpr(score)).toAggregateExpression())
+
+  /** the Aggregator form, for users extending via [[FoldAggregator]]. */
+  val logSumExpUdaf: UserDefinedFunction =
+    udaf(new LogSumExpAgg, ExpressionEncoder[Double]())
 
   /** logWeightedVec(scoreCol, valueArrayCol) -> struct(z, v): the
     * attention/entropy monoid (reference attention.py:31-44). */

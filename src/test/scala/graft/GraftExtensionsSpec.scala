@@ -31,6 +31,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT g, graft_vec_weighted_sum(sc, v) AS s FROM ext_t GROUP BY g")
       .select($"s").as[Seq[Double]].head()
     assert(vs == Seq(8.0, 12.0))
+
+    val lse = spark.sql(
+      "SELECT g, graft_logsumexp(sc) AS z FROM ext_t GROUP BY g")
+      .select($"z").as[Double].head()
+    assert(math.abs(lse - (1.0 + math.log(2.0))) < 1e-12)
   }
 
   private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =

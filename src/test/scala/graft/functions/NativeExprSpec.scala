@@ -41,6 +41,20 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("declarative logsumexp matches the two-pass closed form per group") {
+    val data = (0 until 2000).map(i => (i % 7, rnd.nextGaussian() * 12))
+    val got = data.toDF("g", "x")
+      .groupBy(col("g")).agg(GraftAggs.logSumExp(col("x")).as("z"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val want = data.groupBy(_._1).map { case (g, xs) =>
+      val vs = xs.map(_._2)
+      val mx = vs.max
+      g -> (mx + math.log(vs.map(v => math.exp(v - mx)).sum))
+    }
+    for ((g, z) <- want)
+      assert(math.abs(got(g) - z) <= 1e-9 * math.max(1.0, math.abs(z)), s"group $g")
+  }
+
   test("DotProduct is null-safe and truncates to the shorter array") {
     val df = Seq(
       (Array(1.0, 2.0, 3.0), Array(4.0, 5.0)),
