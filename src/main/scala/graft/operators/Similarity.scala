@@ -105,21 +105,27 @@ object Similarity {
     * boosting recall at moderate cosine), then exact cosine ≥ minCos.
     * Band equi-join — never all-pairs. */
   def embeddingNearDupPairs(vecs: DataFrame, minCos: Double): DataFrame = {
-    val sig = lshBucket(col("vec"), P)
+    // signature table cached (referenced by the band explode and both sides
+    // of the verification join); candidate dedup runs on bare id pairs so
+    // the distinct never hashes the 64-wide vectors
+    val sig = vecs
+      .select(col("vec_id"), col("vec"), lshBucket(col("vec"), P).as("sig"))
+      .cache()
     val bandCols = (0 until 2).map(b =>
       shiftrightunsigned(col("sig"), 4 * b).bitwiseAND(lit(15L)))
-    val bnd = vecs
-      .select(col("vec_id"), col("vec"), sig.as("sig"))
-      .select(col("vec_id"), col("vec"), posexplode(array(bandCols: _*)))
-      .select(col("vec_id"), col("vec"),
+    val bnd = sig
+      .select(col("vec_id"), posexplode(array(bandCols: _*)))
+      .select(col("vec_id"),
         col("pos").cast("long").as("band"), col("col").as("key"))
-    val cos = VecOps.cosine(col("vec_a"), col("vec_b"))
-    bnd.as("a").join(bnd.as("b"),
+    val cand = bnd.as("a").join(bnd.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.vec").as("vec_a"), col("b.vec").as("vec_b"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+    val cos = VecOps.cosine(col("vec_a"), col("vec_b"))
+    cand
+      .join(sig.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(sig.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"), cos.as("cos"))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), VecOps.qround(col("cos"), 4).as("cos"))
