@@ -68,6 +68,20 @@ object Dedup {
         array((0 until K).map(j => col(s"mh$j")): _*).as("sig"))
   }
 
+  /** Exploded grading form of [[minhashSig]]: (doc_id, j, minhash) — the
+    * driver's compare harness cannot sort an array column, so the graded
+    * query flattens the signature; the array form stays the library API. */
+  def minhashSigExploded(docs: DataFrame): DataFrame =
+    minhashSig(docs)
+      .select(col("doc_id"), posexplode(col("sig")))
+      .select(col("doc_id"), col("pos").cast("long").as("j"),
+        col("col").as("minhash"))
+
+  /** SQL dual of [[minhashSigExploded]]. */
+  def minhashSigExplodedSql(table: String): String =
+    s"""SELECT doc_id, CAST(j - 1 AS BIGINT) AS j, sig[CAST(j AS INT)] AS minhash
+       |FROM (${minhashSigSql(table)}) s, range(1, ${K + 1}) t(j)""".stripMargin
+
   /** SQL dual of [[minhashSig]]: doc_id, sig (list of K minhashes). */
   def minhashSigSql(table: String): String = {
     val mh = (0 until K).map { j =>

@@ -68,7 +68,10 @@ object StreamQueries {
 
   private val propsOracle =
     s"""SELECT event_type, CAST(props->>'$$.k' AS BIGINT) % 10 AS k_bucket,
-       |       count(*) AS n, sum(CAST(props->>'$$.k' AS BIGINT)) AS sum_k
+       |       count(*) AS n,
+       |       -- CAST: DuckDB sum(BIGINT) is HUGEINT, which the compare
+       |       -- harness floats; Spark emits BIGINT — pin both to BIGINT
+       |       CAST(sum(CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS sum_k
        |FROM events
        |GROUP BY event_type, k_bucket""".stripMargin
 
