@@ -1,12 +1,15 @@
 package graft.functions
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Codegen'd fused multiply-accumulate over two `array<double>` columns —
   * the GEMM inner loop of every reference operator (reference attention.py:6,
@@ -63,6 +66,124 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** JVM-static kernel for the 256-bit sign sketch: the hyperplane matrix is
+  * derived once per JVM from the deterministic md5 stream (`plane:<p>:<d>`,
+  * same formula as the DuckDB oracle recomputes in SQL) and referenced from
+  * generated code by a static call — nothing is serialized into task
+  * binaries or expression trees (the composed-`typedLit` version shipped
+  * ~1.3 MB of plan per task and minutes of Janino compile). */
+object SketchKernel {
+  val Bits = 256
+  val Words: Int = Bits / 64
+  val Dim = 64
+
+  /** md5 hex → first 15 hex digits → long → (x+0.5)/2^60 − 0.5: identical
+    * to the oracle's `u01('plane:p:d') - 0.5` (pure IEEE ops both sides). */
+  def planeComponent(p: Int, d: Int): Double = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane:$p:$d".getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    val v = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    (v + 0.5) / 1152921504606846976.0 - 0.5
+  }
+
+  /** planes flattened row-major: plane p component d at [p*Dim + d]. */
+  lazy val flat: Array[Double] = {
+    val a = new Array[Double](Bits * Dim)
+    var p = 0
+    while (p < Bits) {
+      var d = 0
+      while (d < Dim) { a(p * Dim + d) = planeComponent(p, d); d += 1 }
+      p += 1
+    }
+    a
+  }
+
+  /** packed sign bits: word w bit i = [vec · plane_{64w+i} > 0]. Sequential
+    * fold per plane — the same dot order as DuckDB's list_dot_product, so
+    * the sign decisions match the oracle exactly. */
+  def words(v: ArrayData): ArrayData = {
+    val n = math.min(v.numElements(), Dim)
+    val out = new Array[Long](Words)
+    var p = 0
+    while (p < Bits) {
+      val off = p * Dim
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += v.getDouble(d) * flat(off + d); d += 1 }
+      if (s > 0) out(p >> 6) |= 1L << (p & 63)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_sketch(vec)`: 256-bit sign sketch of an array<double> as
+  * array<long> (4 packed words). One pass over the static plane matrix —
+  * see [[SketchKernel]]. */
+case class SignSketch(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sketch"
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernel.words(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernel.words($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_hamming(a, b)`: popcount of XOR over two packed-bit array<long>
+  * columns (truncates to the shorter sketch). */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<long>, array<long>), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var h = 0L
+    var i = 0
+    while (i < n) { h += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $h = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $h += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-construction helpers for the native expressions/aggregates. */
 object NativeExprs {
   def toExpr(c: Column): Expression = ColumnBridge.expression(c)
@@ -70,4 +191,10 @@ object NativeExprs {
 
   /** `dot(a, b)` over two array<double> columns, codegen'd. */
   def dot(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  /** 256-bit packed sign sketch of an array<double> column. */
+  def signSketch(v: Column): Column = toCol(SignSketch(toExpr(v)))
+
+  /** hamming distance between two packed array<long> sketches. */
+  def hamming(a: Column, b: Column): Column = toCol(HammingDist(toExpr(a), toExpr(b)))
 }

@@ -8,14 +8,19 @@ import graft.operators.Similarity
 import graft.sources.Tables
 
 /** Driver-facing similarity-search queries over `embeddings`: exact cosine
-  * top-k, sign-LSH ANN top-k, and banded-LSH embedding near-dup pairs.
+  * top-k, sketch-prefiltered ANN top-k (256-bit sign sketch → hamming
+  * prefilter → exact rerank), the measured ANN recall, and banded-LSH
+  * embedding near-dup pairs.
   */
 object SimilarityQueries {
 
   /** query-side rows (vec_id < MQ) for the top-k queries. */
   private val MQ = 64
   private val TopK = 10
-  private val AnnK = 5
+
+  /** ANN k matches [[TopK]] so `similar_ann_recall` is recall@10 against
+    * the exact result on the identical query set. */
+  private val AnnK = 10
 
   /** no true near-dups in the synthetic embeddings (max pairwise cosine
     * ≈ 0.51 at sf0.01) — 0.4 exercises the band join + threshold with a
@@ -46,19 +51,51 @@ object SimilarityQueries {
        |       ${VecOps.qroundSql("cos", 4)} AS cos
        |FROM r WHERE rank <= $TopK""".stripMargin
 
-  private val annOracle =
-    s"""WITH q AS (SELECT q_id, qv, ${Similarity.lshBucketSql("qv", Similarity.AnnPlanes)} AS bucket
-       |           FROM (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $MQ)),
-       |k AS (SELECT k_id, kv, ${Similarity.lshBucketSql("kv", Similarity.AnnPlanes)} AS bucket
-       |      FROM (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings)),
-       |p AS (SELECT q_id, k_id, $cosSql AS cos
-       |      FROM q JOIN k USING (bucket) WHERE k_id <> q_id),
-       |r AS (SELECT q_id, k_id, cos,
-       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, k_id) AS rank
-       |      FROM p)
+  /** Oracle dual of the sketch ANN: planes as a 256-list of 64-vectors from
+    * the same md5 stream, bits as 0/1 lists (DuckDB BIGINT cannot hold bit
+    * 63, so the oracle never packs words — the hamming count is identical),
+    * then the same hamming-prefilter → top-C → exact-rerank pipeline. */
+  private val annOracle = {
+    val planeVec =
+      s"list_transform(generate_series(0, ${Similarity.Dim - 1}), d -> ${VecOps.u01Sql("'plane:' || p || ':' || d")} - 0.5)"
+    s"""WITH pl AS (SELECT list(pv ORDER BY p) AS pls
+       |            FROM (SELECT p, $planeVec AS pv
+       |                  FROM (SELECT unnest(generate_series(0, ${Similarity.SketchBits - 1})) AS p))),
+       |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $MQ),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |qb AS (SELECT q_id, qv, list_transform(pls, w -> CASE WHEN list_dot_product(qv, w) > 0 THEN 1 ELSE 0 END) AS qbits
+       |       FROM q CROSS JOIN pl),
+       |kb AS (SELECT k_id, kv, list_transform(pls, w -> CASE WHEN list_dot_product(kv, w) > 0 THEN 1 ELSE 0 END) AS kbits
+       |       FROM k CROSS JOIN pl),
+       |h AS (SELECT q_id, k_id,
+       |        CAST(list_sum(list_transform(generate_series(1, ${Similarity.SketchBits}),
+       |               i -> CASE WHEN qbits[i] <> kbits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |      FROM qb CROSS JOIN kb WHERE k_id <> q_id),
+       |c AS (SELECT q_id, k_id
+       |      FROM (SELECT q_id, k_id,
+       |              row_number() OVER (PARTITION BY q_id ORDER BY hamming, k_id) AS hrank
+       |            FROM h WHERE hamming <= ${Similarity.HammingMax})
+       |      WHERE hrank <= ${Similarity.RerankC}),
+       |r AS (SELECT c.q_id, c.k_id, $cosSql AS cos
+       |      FROM c JOIN qb ON qb.q_id = c.q_id JOIN kb ON kb.k_id = c.k_id)
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, k_id,
        |       ${VecOps.qroundSql("cos", 4)} AS cos
-       |FROM r WHERE rank <= $AnnK""".stripMargin
+       |FROM (SELECT q_id, k_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, k_id) AS rank
+       |      FROM r)
+       |WHERE rank <= $AnnK""".stripMargin
+  }
+
+  private val annRecallOracle =
+    s"""WITH brute AS (SELECT * FROM ($topkOracle) tb),
+       |ann AS (SELECT * FROM ($annOracle) ta),
+       |hits AS (SELECT brute.q_id, count(*) AS n_hit
+       |         FROM brute JOIN ann ON brute.q_id = ann.q_id AND brute.k_id = ann.k_id
+       |         GROUP BY brute.q_id),
+       |n AS (SELECT q_id, count(*) AS n FROM brute GROUP BY q_id)
+       |SELECT n.q_id,
+       |       ${VecOps.qroundSql("COALESCE(n_hit, 0)::DOUBLE / n.n::DOUBLE", 4)} AS recall
+       |FROM n LEFT JOIN hits ON hits.q_id = n.q_id""".stripMargin
 
   private val nearDupOracle = {
     val pairCos =
@@ -80,6 +117,8 @@ object SimilarityQueries {
       Similarity.cosineTopK(qSide(s, dir), kvSide(s, dir), TopK)),
     "similar_ann" -> ((s, dir) =>
       Similarity.annTopK(qSide(s, dir), kvSide(s, dir), AnnK)),
+    "similar_ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(qSide(s, dir), kvSide(s, dir), AnnK)),
     "dedup_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         emb(s, dir).select(col("vec_id"), col("vec")), MinCos))
@@ -88,6 +127,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "similar_topk" -> topkOracle,
     "similar_ann" -> annOracle,
+    "similar_ann_recall" -> annRecallOracle,
     "dedup_embed" -> nearDupOracle
   )
 }
