@@ -25,9 +25,12 @@ import graft.functions.{GraftAggs, VecOps}
 object Attention {
 
   /** q: (q_id, qvec); kv: (k_id, kvec, vvec). Returns (q_id, z, out) where
-    * z = logsumexp of scores and out = softmax-weighted mean of vvec. */
-  def attention(q: DataFrame, kv: DataFrame, scale: Boolean = false): DataFrame =
-    plan(kv.crossJoin(broadcast(q)), scale)
+    * z = logsumexp of scores and out = softmax-weighted mean of vvec.
+    * Distribution via [[PairPlan]] — Auto picks broadcast vs the blocked
+    * 2-D grid from the query side's size estimate. */
+  def attention(q: DataFrame, kv: DataFrame, scale: Boolean = false,
+                mode: PairPlan.Mode = PairPlan.Auto): DataFrame =
+    plan(PairPlan.cross(kv, q, mode), scale)
 
   /** Blocked 2-D path for LARGE M, where broadcasting the query side is
     * impossible (the round-1 gap: every plan assumed q fits a broadcast).
@@ -38,7 +41,7 @@ object Attention {
     * to per-q monoid buffers before the only shuffle (O(M × kv-partitions)
     * buffers, never the M×N score matrix). */
   def attentionBlocked(q: DataFrame, kv: DataFrame, scale: Boolean = false): DataFrame =
-    plan(kv.crossJoin(q.hint("SHUFFLE_REPLICATE_NL")), scale)
+    attention(q, kv, scale, PairPlan.Blocked)
 
   private def plan(pairs: DataFrame, scale: Boolean): DataFrame = {
     val raw = VecOps.dot(col("qvec"), col("kvec"))

@@ -17,9 +17,10 @@ import graft.functions.{GraftAggs, VecOps}
 object Entropy {
 
   /** pred: (m_id, mvec); trg: (k_id, kvec). Returns (m_id, h). */
-  def entropy(pred: DataFrame, trg: DataFrame): DataFrame = {
+  def entropy(pred: DataFrame, trg: DataFrame,
+              mode: PairPlan.Mode = PairPlan.Auto): DataFrame = {
     val sc = VecOps.dot(col("mvec"), col("kvec"))
-    trg.crossJoin(broadcast(pred))
+    PairPlan.cross(trg, pred, mode)
       .select(col("m_id"), sc.as("sc"))
       .groupBy("m_id")
       .agg(GraftAggs.logWeightedVec(col("sc"), array(col("sc"))).as("lw"))

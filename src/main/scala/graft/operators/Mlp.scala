@@ -29,9 +29,10 @@ object Mlp {
     * exploded per element — only the M×D *result* is (round 1 exploded
     * BEFORE the aggregate, pushing ×D rows through an interpreted
     * Generate; VERDICT.md "What's wrong" #3). */
-  def mlp(x: DataFrame, pq: DataFrame): DataFrame = {
+  def mlp(x: DataFrame, pq: DataFrame,
+          mode: PairPlan.Mode = PairPlan.Auto): DataFrame = {
     val h = greatest(VecOps.dot(col("xvec"), col("pvec")), lit(0.0))
-    pq.crossJoin(broadcast(x))
+    PairPlan.cross(pq, x, mode)
       .select(col("b_id"), h.as("h"), col("qvec"))
       .groupBy(col("b_id"))
       .agg(GraftAggs.vecWeightedSum(col("h"), col("qvec")).as("out"))
@@ -42,8 +43,9 @@ object Mlp {
   /** Fused `relu(A·Bᵀ)` (reference relu_matmul.cpp:9-21, test_custom_op.py):
     * a: (a_id, avec), b: (b_id, bvec) -> COO (a_id, b_id, v). Pure
     * codegen'd expressions — no shuffle at all beyond the broadcast. */
-  def reluMatmul(a: DataFrame, b: DataFrame): DataFrame =
-    b.crossJoin(broadcast(a))
+  def reluMatmul(a: DataFrame, b: DataFrame,
+                 mode: PairPlan.Mode = PairPlan.Auto): DataFrame =
+    PairPlan.cross(b, a, mode)
       .select(col("a_id"), col("b_id"),
         greatest(VecOps.dot(col("avec"), col("bvec")), lit(0.0)).as("v"))
 }

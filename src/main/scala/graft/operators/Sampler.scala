@@ -28,11 +28,12 @@ import graft.functions.{GraftAggs, VecOps}
 object Sampler {
 
   /** pred: (m_id, mvec); trg: (k_id, kvec). Returns (m_id, c, weight). */
-  def sampler(pred: DataFrame, trg: DataFrame, seed: String): DataFrame = {
+  def sampler(pred: DataFrame, trg: DataFrame, seed: String,
+              mode: PairPlan.Mode = PairPlan.Auto): DataFrame = {
     val sc = VecOps.dot(col("mvec"), col("kvec"))
     val key = concat(lit(seed + ":"), col("m_id").cast("string"),
       lit(":"), col("k_id").cast("string"))
-    trg.crossJoin(broadcast(pred))
+    PairPlan.cross(trg, pred, mode)
       .select(col("m_id"), col("k_id"), sc.as("sc"))
       .select(col("m_id"), col("k_id"), col("sc"),
         (col("sc") + VecOps.gumbel(key)).as("pert"))

@@ -77,10 +77,11 @@ object Similarity {
   /** Brute-force cosine top-k: q (q_id, qvec) × kv (k_id, kvec) →
     * (q_id, rank, k_id, cos), rank by (cos desc, k_id) for determinism;
     * self-pairs excluded. */
-  def cosineTopK(q: DataFrame, kv: DataFrame, k: Int): DataFrame = {
+  def cosineTopK(q: DataFrame, kv: DataFrame, k: Int,
+                 mode: PairPlan.Mode = PairPlan.Auto): DataFrame = {
     val cos = VecOps.cosine(col("qvec"), col("kvec"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("k_id"))
-    kv.crossJoin(broadcast(q))
+    PairPlan.cross(kv, q, mode)
       .filter(col("k_id") =!= col("q_id"))
       .select(col("q_id"), col("k_id"), cos.as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -21,9 +21,10 @@ object XEntropy {
 
   /** pred: (m_id, mvec, label); trg: (k_id, kvec) where k_id is the global
     * class index (reference tixs, xentropy.py:75). Returns (m_id, loss). */
-  def xentropy(pred: DataFrame, trg: DataFrame): DataFrame = {
+  def xentropy(pred: DataFrame, trg: DataFrame,
+               mode: PairPlan.Mode = PairPlan.Auto): DataFrame = {
     val sc = VecOps.dot(col("mvec"), col("kvec"))
-    trg.crossJoin(broadcast(pred))
+    PairPlan.cross(trg, pred, mode)
       .select(col("m_id"), col("label"), col("k_id"), sc.as("sc"))
       .groupBy("m_id")
       .agg(

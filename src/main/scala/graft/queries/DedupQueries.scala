@@ -20,6 +20,7 @@ object DedupQueries {
     // cannot sort an array column; Dedup.minhashSig stays the array API
     "minhash_sig" -> ((s, dir) => Dedup.minhashSigExploded(docs(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
+    "dedup_minhash_capped" -> ((s, dir) => Dedup.minhashPairsCapped(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir)))
   )
@@ -43,6 +44,7 @@ object DedupQueries {
     "dedup_exact" -> Dedup.exactClustersSql("documents"),
     "minhash_sig" -> Dedup.minhashSigExplodedSql("documents"),
     "dedup_minhash" -> minhashPairsOracle,
+    "dedup_minhash_capped" -> Dedup.minhashPairsCappedSql("documents"),
     "dedup_simhash" -> Dedup.simhashPairsSql("documents"),
     "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents")
   )

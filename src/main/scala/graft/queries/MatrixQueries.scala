@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecOps
-import graft.operators.{Attention, Entropy, Mlp, Sampler, XEntropy}
+import graft.operators.{Attention, Entropy, Mlp, PairPlan, Sampler, XEntropy}
 import graft.sources.Tables
 
 /** Driver-facing queries over the `embeddings` fixture for the reference's
@@ -51,6 +51,15 @@ object MatrixQueries {
       kvSide(s, dir).select(col("k_id"), col("kvec").as("pvec"), col("vvec").as("qvec")))
       .select(col("b_id"), col("d"), VecOps.qround(col("v"), 4).as("v"))
 
+  /** Full-M mlp through the non-broadcast blocked (2-D tiled) path — the
+    * same cap-lifted proof attention_big gives for attention. */
+  private def mlpBigQuery(s: SparkSession, dir: String): DataFrame =
+    Mlp.mlp(
+      emb(s, dir).select(col("vec_id").as("b_id"), col("vec").as("xvec")),
+      kvSide(s, dir).select(col("k_id"), col("kvec").as("pvec"), col("vvec").as("qvec")),
+      PairPlan.Blocked)
+      .select(col("b_id"), col("d"), VecOps.qround(col("v"), 4).as("v"))
+
   private def reluMatmulQuery(s: SparkSession, dir: String): DataFrame =
     Mlp.reluMatmul(
       qSide(s, dir).select(col("q_id").as("a_id"), col("qvec").as("avec")),
@@ -61,6 +70,14 @@ object MatrixQueries {
     XEntropy.xentropy(
       qSide(s, dir).select(col("q_id").as("m_id"), col("qvec").as("mvec"), col("label")),
       kvSide(s, dir).select(col("k_id"), col("kvec")))
+      .select(col("m_id"), VecOps.qround(col("loss"), 4).as("loss"))
+
+  /** Full-M xentropy through the blocked path (no broadcast). */
+  private def xentropyBigQuery(s: SparkSession, dir: String): DataFrame =
+    XEntropy.xentropy(
+      emb(s, dir).select(col("vec_id").as("m_id"), col("vec").as("mvec"), col("label")),
+      kvSide(s, dir).select(col("k_id"), col("kvec")),
+      PairPlan.Blocked)
       .select(col("m_id"), VecOps.qround(col("loss"), 4).as("loss"))
 
   private def entropyQuery(s: SparkSession, dir: String): DataFrame =
@@ -98,9 +115,9 @@ object MatrixQueries {
        |FROM e GROUP BY q_id, d""".stripMargin
   }
 
-  private val mlpOracle = {
+  private def mlpOracle(mWhere: String = s" WHERE vec_id < $M") = {
     val v = VecOps.qroundSql("sum(h * x)", 4)
-    s"""$qkPrefix,
+    s"""${qkPrefixWhere(mWhere)},
        |hh AS (SELECT q_id AS b_id, greatest(sc, 0) AS h, vv FROM s),
        |e AS (SELECT b_id, d, h, vv[d] AS x
        |      FROM hh CROSS JOIN (SELECT unnest(generate_series(1, $D)) AS d) ds)
@@ -114,9 +131,9 @@ object MatrixQueries {
        |SELECT q_id AS a_id, k_id AS b_id, $v AS v FROM s""".stripMargin
   }
 
-  private val xentropyOracle = {
+  private def xentropyOracle(mWhere: String = s" WHERE vec_id < $M") = {
     val loss = VecOps.qroundSql("p - n", 4)
-    s"""$qkPrefix,
+    s"""${qkPrefixWhere(mWhere)},
        |m AS (SELECT q_id, max(sc) AS mx FROM s GROUP BY q_id),
        |a AS (SELECT s.q_id AS m_id, mx + ln(sum(exp(sc - mx))) AS p,
        |             sum(CASE WHEN k_id = label THEN sc ELSE 0 END) AS n
@@ -153,8 +170,10 @@ object MatrixQueries {
     "attention_big" -> (attentionBigQuery _),
     "sdpa_scaled" -> attentionQuery(scale = true),
     "mlp" -> mlpQuery,
+    "mlp_big" -> (mlpBigQuery _),
     "relu_matmul" -> reluMatmulQuery,
     "xentropy" -> xentropyQuery,
+    "xentropy_big" -> (xentropyBigQuery _),
     "entropy" -> entropyQuery,
     "sampler" -> samplerQuery
   )
@@ -165,9 +184,11 @@ object MatrixQueries {
     // scale derived from the data (len(qv)) exactly like the Spark side's
     // sqrt(size(qvec)) — no hard-coded embedding width (ADVICE.md round 1)
     "sdpa_scaled" -> attentionOracle(" / sqrt(fdim)"),
-    "mlp" -> mlpOracle,
+    "mlp" -> mlpOracle(),
+    "mlp_big" -> mlpOracle(mWhere = ""),
     "relu_matmul" -> reluMatmulOracle,
-    "xentropy" -> xentropyOracle,
+    "xentropy" -> xentropyOracle(),
+    "xentropy_big" -> xentropyOracle(mWhere = ""),
     "entropy" -> entropyOracle,
     "sampler" -> samplerOracle
   )

@@ -1,15 +1,24 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event for sessionization (epoch-second timestamps). */
 case class SessEvent(user_id: Long, event_id: Long, ts_s: Long)
 
-/** Open-session state carried between micro-batches. */
-case class SessState(sessionId: Long, startS: Long, lastS: Long, n: Long)
+/** SessEvent plus the event-time column the watermark is defined on. */
+case class SessEventW(user_id: Long, event_id: Long, ts_s: Long,
+                      ets: java.sql.Timestamp)
 
-/** One (possibly still-open) session. */
+/** Open-session state carried between micro-batches (fixed-size). */
+case class SessState(startS: Long, lastS: Long, n: Long)
+
+/** One (possibly still-open) session. `session_id` is the session's start
+  * second — a STABLE identity that survives state expiry (an ordinal
+  * counter cannot: once a timed-out session's state is removed, the next
+  * session would restart the count). The batch dual's per-user ordinal is
+  * exactly `rank(start_s)`, so the two are interconvertible. */
 case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                       start_s: Long, end_s: Long)
 
@@ -18,11 +27,19 @@ case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
   * mapGroupsWithState/flatMapGroupsWithState surface). A session is a run
   * of a user's events with < gapSec between consecutive events.
   *
-  * Each micro-batch emits every session it advanced (closed ones finally,
-  * the open one provisionally — Update semantics); the open session's state
-  * persists in the state store. The batch dual is the classic
-  * lag/cumsum/groupBy window-function plan (`StreamQueries.sessionsBatch`),
-  * and `StreamingParitySpec` proves they agree.
+  * State lifecycle (VERDICT r2 next-steps #5): the input gets a watermark
+  * of `gapSec` on event time and the group registers an
+  * `EventTimeTimeout` at `last_event + gap`; when the watermark passes it,
+  * the open session is emitted FINAL and its state is removed — the state
+  * store holds only users active within the gap horizon, never
+  * all-users-ever. Each micro-batch emits every session it advanced
+  * (closed ones finally, the open one provisionally — Update semantics).
+  * Late events still above the watermark merge into the open session
+  * (lastS/startS are max/min-folded, so out-of-order arrival is safe).
+  *
+  * The batch dual is the classic lag/cumsum window-function plan
+  * (`StreamQueries.sessionsBatch`), and `StreamingParitySpec` proves they
+  * agree — including a session closed by timeout.
   */
 object Sessionize {
 
@@ -31,29 +48,44 @@ object Sessionize {
   def sessions(ds: Dataset[SessEvent], gapSec: Long = GapSec)(
       implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
-    ds.groupByKey(_.user_id)
+    ds.withColumn("ets", col("ts_s").cast("timestamp"))
+      .as[SessEventW]
+      .withWatermark("ets", s"$gapSec seconds")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, events: Iterator[SessEvent], state: GroupState[SessState]) =>
-          val sorted = events.toSeq.sortBy(e => (e.ts_s, e.event_id))
-          var cur = state.getOption.orNull
-          val out = Seq.newBuilder[SessionOut]
-          for (e <- sorted) {
-            if (cur == null) {
-              cur = SessState(1L, e.ts_s, e.ts_s, 1L)
-            } else if (e.ts_s - cur.lastS > gapSec) {
-              out += SessionOut(user, cur.sessionId, cur.n, cur.startS, cur.lastS)
-              cur = SessState(cur.sessionId + 1, e.ts_s, e.ts_s, 1L)
-            } else {
-              cur = cur.copy(lastS = e.ts_s, n = cur.n + 1)
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[SessEventW], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_event + gap: the session is final
+            val cur = state.get
+            state.remove()
+            Iterator(SessionOut(user, cur.startS, cur.n, cur.startS, cur.lastS))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts_s, e.event_id))
+            var cur = state.getOption.orNull
+            val out = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              if (cur == null) {
+                cur = SessState(e.ts_s, e.ts_s, 1L)
+              } else if (e.ts_s - cur.lastS > gapSec) {
+                out += SessionOut(user, cur.startS, cur.n, cur.startS, cur.lastS)
+                cur = SessState(e.ts_s, e.ts_s, 1L)
+              } else {
+                cur = SessState(math.min(cur.startS, e.ts_s),
+                  math.max(cur.lastS, e.ts_s), cur.n + 1)
+              }
             }
+            if (cur != null) {
+              // provisional emit of the open session (Update semantics)
+              out += SessionOut(user, cur.startS, cur.n, cur.startS, cur.lastS)
+              state.update(cur)
+              // timeout must be >= the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(math.max(
+                (cur.lastS + gapSec) * 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
           }
-          if (cur != null) {
-            // provisional emit of the open session (Update semantics)
-            out += SessionOut(user, cur.sessionId, cur.n, cur.startS, cur.lastS)
-            state.update(cur)
-          }
-          out.result().iterator
       }
   }
 }

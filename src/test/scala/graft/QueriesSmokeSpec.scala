@@ -12,7 +12,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   /** candidate-pair queries may legitimately be empty at tiny scale. */
-  private val mayBeEmpty = Set("dedup_minhash", "dedup_ngram", "dedup_simhash", "dedup_embed")
+  private val mayBeEmpty = Set("dedup_minhash", "dedup_minhash_capped",
+    "dedup_ngram", "dedup_simhash", "dedup_embed")
 
   test("every query has an oracle and every oracle has a query") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)

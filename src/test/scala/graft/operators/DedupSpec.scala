@@ -65,6 +65,27 @@ class DedupSpec extends AnyFunSuite {
     got.get((0L, 2L)).foreach(j => assert(j > 0.3 && j < 1.0))
   }
 
+  test("capped minhash pairs: adversarial all-identical corpus stays linear") {
+    // 100 bit-identical docs → every band bucket holds all 100 docs. The
+    // uncapped plan would emit 4950 pairs; the cap routes hot buckets to a
+    // spanning star: exactly the 99 (0, b) pairs, cluster still connected.
+    val n = 100L
+    val dup = spark.range(n).select(col("id").as("doc_id"), lit(base).as("text"))
+    val rows = Dedup.minhashPairsCapped(dup, cap = 16).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (1L until n).map(b => (0L, b)).toSet,
+      s"expected the 99-edge star from doc 0, got ${rows.length} pairs")
+    assert(rows.forall(_.getDouble(2) == 1.0), "identical docs est_jaccard = 1")
+  }
+
+  test("capped minhash pairs: cold buckets keep exact all-pairs semantics") {
+    val uncapped = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.minhashPairsCapped(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped, "below-cap buckets must be unchanged")
+  }
+
   test("lang_id calls the English function-word profile") {
     val got = TextOps.langId(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -64,8 +64,11 @@ class StreamingParitySpec extends AnyFunSuite {
   }
 
   test("flatMapGroupsWithState sessionizer == batch lag/cumsum dual") {
+    // compare on the session's stable identity (user, start, end, n) —
+    // streaming session_id is start_s (survives state expiry), batch's is
+    // the per-user ordinal = rank(start_s); contents must agree exactly
     val batch = StreamQueries.sessionsBatch(events.toDF())
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      .collect().map(r => (r.getLong(0), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
 
     implicit val s = spark
@@ -79,8 +82,48 @@ class StreamingParitySpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
 
     val streamed = spark.table("sessions")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      .collect().map(r => (r.getLong(0), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     assert(streamed == batch)
+    // streaming session_id == start_s by construction
+    assert(spark.table("sessions")
+      .filter(col("session_id") =!= col("start_s")).count() == 0)
+  }
+
+  test("event-time timeout closes sessions finally; a returning user starts fresh") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = base
+    val mem = MemoryStream[SessEvent]
+    val q = Sessionize.sessions(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("sessions_timeout")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: user 1's whole first session
+      mem.addData(SessEvent(1, 1, t0), SessEvent(1, 2, t0 + 60), SessEvent(1, 3, t0 + 120))
+      q.processAllAvailable()
+      // batch 2: user 2 far in the future advances the watermark past
+      // user 1's last event + gap -> user 1's state must time out
+      mem.addData(SessEvent(2, 4, t0 + 20000))
+      q.processAllAvailable()
+      // batch 3: another event so the post-watermark batch definitely runs
+      mem.addData(SessEvent(2, 5, t0 + 20060))
+      q.processAllAvailable()
+      // batch 4: user 1 returns after the timeout -> a NEW session whose
+      // identity (start_s) does not collide with the expired one
+      mem.addData(SessEvent(1, 6, t0 + 30000))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val user1 = spark.table("sessions_timeout")
+      .filter(col("user_id") === 1)
+      .select(col("session_id"), col("n_events"), col("start_s"), col("end_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // first session: provisional and timeout-final emissions are the SAME
+    // tuple (set-collapsed); second session: fresh state after expiry
+    assert(user1 == Set(
+      (t0, 3L, t0, t0 + 120),
+      (t0 + 30000, 1L, t0 + 30000, t0 + 30000)))
   }
 }
