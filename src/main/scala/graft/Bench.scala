@@ -7,16 +7,30 @@ import org.apache.spark.sql.functions.{col, sum, xxhash64}
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * Protocol mirrors the reference's `check_speed` (reference
-  * core.py:118-131: warmup then repeated timed runs): 1 warmup + 2 timed
-  * runs per query, reporting the min — so JVM/JIT/Spark cold-start is not
-  * attributed to the first query measured.
+  * core.py:118-131: warmup then repeated timed runs), hardened against
+  * co-tenant CPU contention (VERDICT r3 "What's wrong" #1 — the r3 artifact
+  * recorded 20-54× noise on unchanged queries):
+  *
+  *  - 1 warmup + 3 timed runs per query, reporting the MEDIAN (min-of-2
+  *    could still pick a contended run; the median of 3 needs 2 of 3 runs
+  *    contended to lie);
+  *  - per-query process-CPU seconds are reported alongside wall seconds
+  *    (`cpu_sec`): under contention wall ≫ cpu/32, so a polluted run is
+  *    visible in the artifact instead of masquerading as a regression;
+  *  - all cached DataFrames are dropped between runs
+  *    (`spark.catalog.clearCache()`), so each timed run pays its own cache
+  *    population (runs are independent, and the session never accumulates
+  *    dead storage blocks across the 30+ queries — VERDICT #2);
+  *  - the JSON line is emitted from a `finally`, so a mid-suite crash still
+  *    produces per-query numbers for everything measured before it.
   *
   * The sink is a hash-sum over ALL output columns (`sum(xxhash64(cols))`),
   * so Catalyst cannot prune the projection the way the round-1 `.count()`
-  * sink allowed (VERDICT.md "What's wrong" #1 — map-only queries were
-  * optimized to a bare row count).
+  * sink allowed.
   */
 object Bench {
+
+  private val Runs = 3
 
   private def force(df: DataFrame): Unit = {
     // cast to double before summing: ANSI mode (Spark 4 default) would throw
@@ -37,23 +51,48 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.benchQueries.map { name =>
-      val fn = SparkEntry.queries(name)
-      val best =
-        try {
-          force(fn(spark, sfDir)) // warmup (also triggers codegen + JIT)
-          (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            force(fn(spark, sfDir))
-            (System.nanoTime() - t0) / 1e9
-          }.min
-        } catch { case _: Throwable => -1.0 }
-      name -> best
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    try {
+      SparkEntry.benchQueries.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val sample =
+          try {
+            force(fn(spark, sfDir)) // warmup (codegen + JIT + file listing)
+            spark.catalog.clearCache()
+            val runs = (1 to Runs).map { _ =>
+              val c0 = osBean.getProcessCpuTime
+              val t0 = System.nanoTime()
+              force(fn(spark, sfDir))
+              val wall = (System.nanoTime() - t0) / 1e9
+              val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+              spark.catalog.clearCache() // next run repopulates its own caches
+              (wall, cpu)
+            }
+            (median(runs.map(_._1)), median(runs.map(_._2)))
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              (-1.0, -1.0)
+          }
+        results(name) = sample
+      }
+    } finally {
+      val qs = results.map { case (k, (w, _)) => s"\"$k\":$w" }
+        .mkString("{", ",", "}")
+      val cs = results.map { case (k, (_, c)) => s"\"$k\":$c" }
+        .mkString("{", ",", "}")
+      val ok = results.values.map(_._1).filter(_ >= 0)
+      val total = ok.sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"runs":$Runs,"stat":"median","sf":"$sfDir"}""")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.size / 2)
   }
 }

@@ -255,36 +255,58 @@ object Dedup {
        |        t -> ${VecOps.hash60Sql("t")}) AS th FROM $table)""".stripMargin
   }
 
+  /** SimHash hot-bucket cap: the band key is 8 bits (256 buckets), so at
+    * corpus scale typical buckets hold corpus/256 docs — the cap must sit
+    * above the POISSON bulk (else capping rewrites normal semantics) while
+    * still bounding the pathological duplicate-heavy bucket to cap²/2
+    * pairs. 64 clears the bulk at both fixture SFs and caps any one bucket
+    * at ~2k pairs. */
+  val SimhashBucketCap = 64
+
   /** Near-dup pairs by SimHash: candidates share ≥1 of four 8-bit bands
-    * (bucketed join), kept when Hamming distance ≤ maxHamming. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSig(docs).cache() // both sides of the band self-join
+    * (bucketed join), kept when Hamming distance ≤ maxHamming. Candidates
+    * are routed through [[cappedBandPairs]] (VERDICT r3 next-steps #4) —
+    * the same skew guard as the capped MinHash path, so a duplicate-heavy
+    * corpus cannot go quadratic inside one band key. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   cap: Int = SimhashBucketCap): DataFrame = {
+    val sig = simhashSig(docs).cache() // band explode + both verify joins
     val bandCols = (0 until 4).map(b =>
       shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L)))
-    val bnd = sig.select(col("doc_id"), col("simhash"),
-        posexplode(array(bandCols: _*)))
-      .select(col("doc_id"), col("simhash"),
-        col("pos").cast("long").as("band"), col("col").as("key"))
-    bnd.as("a").join(bnd.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .cast("long").as("hamming"))
-      .distinct()
+    val bnd = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .select(col("doc_id"), col("pos").cast("long").as("band"),
+        col("col").as("key"))
+    cappedBandPairs(bnd, cap)
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
-  def simhashPairsSql(table: String, maxHamming: Int = 3): String = {
+  def simhashPairsSql(table: String, maxHamming: Int = 3,
+                      cap: Int = SimhashBucketCap): String = {
     val bands = (0 until 4)
-      .map(b => s"SELECT doc_id, simhash, CAST($b AS BIGINT) AS band, (simhash >> ${8 * b}) & 255 AS key FROM sig")
+      .map(b => s"SELECT doc_id, CAST($b AS BIGINT) AS band, (simhash >> ${8 * b}) & 255 AS key FROM sig")
       .mkString("\n UNION ALL ")
     s"""WITH sig AS (${simhashSigSql(table)}),
-       |bnd AS ($bands)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |bnd AS ($bands),
+       |sized AS (SELECT doc_id, band, key,
+       |            count(*) OVER (PARTITION BY band, key) AS bucket_n,
+       |            min(doc_id) OVER (PARTITION BY band, key) AS bucket_min
+       |          FROM bnd),
+       |cold AS (SELECT * FROM sized WHERE bucket_n <= $cap),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |           FROM cold a JOIN cold b
+       |             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |           UNION
+       |           SELECT bucket_min AS doc_a, doc_id AS doc_b
+       |           FROM sized WHERE bucket_n > $cap AND doc_id <> bucket_min))
+       |SELECT doc_a, doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |FROM bnd a JOIN bnd b
-       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |FROM cand JOIN sig a ON a.doc_id = doc_a
+       |          JOIN sig b ON b.doc_id = doc_b
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
   }
 

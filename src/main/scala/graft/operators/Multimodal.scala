@@ -71,14 +71,16 @@ object Multimodal {
 
   /** STUB DECODER — replace with a real image/audio decode at deployment.
     * feature d = u01(md5(payload ++ ":d")), bit-identical to the oracle's
-    * `u01(md5(text || ':' || d))`. */
+    * `u01(md5(text || ':' || d))`. 60-bit extraction goes straight from the
+    * digest bytes ([[graft.functions.SketchKernel.hex60]]) — the former
+    * per-byte hex Formatter dominated this stub's row cost (VERDICT r3
+    * "What's wrong" #4). */
   private def stubDecode(codec: MessageDigest, payload: Array[Byte]): Array[Double] =
     Array.tabulate(F) { d =>
       codec.reset()
       codec.update(payload)
       codec.update(s":$d".getBytes(StandardCharsets.UTF_8))
-      val hex = codec.digest().map(b => f"$b%02x").mkString
-      val v = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val v = graft.functions.SketchKernel.hex60(codec.digest())
       (v + 0.5) / 1152921504606846976.0
     }
 

@@ -93,15 +93,54 @@ object RelationalQueries {
        |JOIN region ON n_regionkey = r_regionkey
        |GROUP BY r_name, n_name""".stripMargin
 
+  /** TPC-H Q9-style product-profit query (VERDICT r3 next-steps #5 — the
+    * last two unqueried fixture tables): part ⋈ lineitem ⋈ supplier ⋈
+    * orders ⋈ nation, profit by supplier nation × order year, filtered on a
+    * part-name pattern. The fixture has no `partsupp`, so the cost side is
+    * `p_retailprice × l_quantity` instead of Q9's `ps_supplycost` — same
+    * join/filter/agg shape. The `%red%` filter is applied to `part` before
+    * any join (and pushes into the parquet scan); part/supplier/nation are
+    * dimension-sized and broadcast under AQE, so the only shuffle is the
+    * final (nation, year) aggregation. */
+  private def partProfit(s: SparkSession, dir: String): DataFrame = {
+    val profit =
+      col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_name").like("%red%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(VecOps.qround(sum(profit), -2).as("profit"), count(lit(1)).as("n"))
+  }
+
+  private val partProfitOracle =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  ${VecOps.qroundSql(
+          "sum(l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity)", -2)} AS profit,
+       |  count(*) AS n
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY n_name, o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> q1,
     "top_customers" -> topCustomers,
-    "region_revenue" -> regionRevenue
+    "region_revenue" -> regionRevenue,
+    "part_profit" -> partProfit
   )
 
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> q1Oracle,
     "top_customers" -> topCustomersOracle,
-    "region_revenue" -> regionRevenueOracle
+    "region_revenue" -> regionRevenueOracle,
+    "part_profit" -> partProfitOracle
   )
 }

@@ -33,6 +33,34 @@ object SimilarityQueries {
     emb(s, dir).filter(col("vec_id") < MQ)
       .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
 
+  /** q_id offset for the perturbed query set (keeps perturbed ids disjoint
+    * from kv ids, so the source vector is NOT excluded by the self-pair
+    * filter — finding it is the whole point). */
+  private val QOffset = 1000000L
+
+  /** perturbation amplitude: |noise|² ≈ 64·amp²/12 = 0.12 on unit vectors →
+    * cos(query, source) ≈ 1/√1.12 ≈ 0.945 — the strong-neighbor geometry
+    * the prefix-bucket index targets (see Similarity.annTopKProbed). */
+  private val PerturbAmp = 0.15
+
+  /** Strong-neighbor query set derived from the fixture: each query is a
+    * deterministically perturbed copy of an existing vector (md5 noise
+    * stream `pq:<vec_id>:<d>`, reproduced exactly by the oracle) — the
+    * "find the source of this corrupted copy" workload. */
+  private def perturbedQSide(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < MQ)
+      .select((col("vec_id") + QOffset).as("q_id"),
+        transform(col("vec"), (x, d) =>
+          x + lit(PerturbAmp) *
+            (VecOps.u01(concat(lit("pq:"), col("vec_id").cast("string"),
+              lit(":"), d.cast("string"))) - lit(0.5))).as("qvec"))
+
+  private val perturbedQCte =
+    s"""SELECT vec_id + $QOffset AS q_id,
+       |  list_transform(generate_series(0, ${Similarity.Dim - 1}),
+       |    d -> vv[d+1] + $PerturbAmp * (${VecOps.u01Sql("'pq:' || vec_id || ':' || d")} - 0.5)) AS qv
+       |FROM (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings WHERE vec_id < $MQ)""".stripMargin
+
   private def kvSide(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id").as("k_id"), col("vec").as("kvec"))
 
@@ -86,6 +114,68 @@ object SimilarityQueries {
        |WHERE rank <= $AnnK""".stripMargin
   }
 
+  /** Oracle dual of the prefix-bucketed probe path on the perturbed query
+    * set. The Spark plan probes buckets via the 697-mask equi-join; the
+    * oracle filters on prefix-hamming ≤ radius over the first PrefixBits
+    * sign bits — identical pair sets (bucket = XOR of prefixes; popcount ≤
+    * radius ⇔ the mask exists), different but equivalent formulation. */
+  private def probeTopkSql(k: Int) = {
+    val planeVec =
+      s"list_transform(generate_series(0, ${Similarity.Dim - 1}), d -> ${VecOps.u01Sql("'plane:' || p || ':' || d")} - 0.5)"
+    s"""WITH pl AS (SELECT list(pv ORDER BY p) AS pls
+       |            FROM (SELECT p, $planeVec AS pv
+       |                  FROM (SELECT unnest(generate_series(0, ${Similarity.SketchBits - 1})) AS p))),
+       |q AS ($perturbedQCte),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |qb AS (SELECT q_id, qv, list_transform(pls, w -> CASE WHEN list_dot_product(qv, w) > 0 THEN 1 ELSE 0 END) AS qbits
+       |       FROM q CROSS JOIN pl),
+       |kb AS (SELECT k_id, kv, list_transform(pls, w -> CASE WHEN list_dot_product(kv, w) > 0 THEN 1 ELSE 0 END) AS kbits
+       |       FROM k CROSS JOIN pl),
+       |h AS (SELECT q_id, k_id,
+       |        CAST(list_sum(list_transform(generate_series(1, ${Similarity.PrefixBits}),
+       |               i -> CASE WHEN qbits[i] <> kbits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS pham,
+       |        CAST(list_sum(list_transform(generate_series(1, ${Similarity.SketchBits}),
+       |               i -> CASE WHEN qbits[i] <> kbits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |      FROM qb CROSS JOIN kb WHERE k_id <> q_id),
+       |c AS (SELECT q_id, k_id
+       |      FROM (SELECT q_id, k_id,
+       |              row_number() OVER (PARTITION BY q_id ORDER BY hamming, k_id) AS hrank
+       |            FROM h WHERE pham <= ${Similarity.ProbeRadius})
+       |      WHERE hrank <= ${Similarity.RerankC}),
+       |r AS (SELECT c.q_id, c.k_id, $cosSql AS cos
+       |      FROM c JOIN qb ON qb.q_id = c.q_id JOIN kb ON kb.k_id = c.k_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, k_id,
+       |       ${VecOps.qroundSql("cos", 4)} AS cos
+       |FROM (SELECT q_id, k_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, k_id) AS rank
+       |      FROM r)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Exact brute-force top-k on the same perturbed query set (recall base). */
+  private def probeBruteSql(k: Int) =
+    s"""WITH q AS ($perturbedQCte),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |p AS (SELECT q_id, k_id, $cosSql AS cos
+       |      FROM q CROSS JOIN k WHERE k_id <> q_id),
+       |r AS (SELECT q_id, k_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, k_id) AS rank
+       |      FROM p)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, k_id,
+       |       ${VecOps.qroundSql("cos", 4)} AS cos
+       |FROM r WHERE rank <= $k""".stripMargin
+
+  private val probeRecallOracle =
+    s"""WITH brute AS (SELECT * FROM (${probeBruteSql(1)}) tb),
+       |ann AS (SELECT * FROM (${probeTopkSql(1)}) ta),
+       |hits AS (SELECT brute.q_id, count(*) AS n_hit
+       |         FROM brute JOIN ann ON brute.q_id = ann.q_id AND brute.k_id = ann.k_id
+       |         GROUP BY brute.q_id),
+       |n AS (SELECT q_id, count(*) AS n FROM brute GROUP BY q_id)
+       |SELECT n.q_id,
+       |       ${VecOps.qroundSql("COALESCE(n_hit, 0)::DOUBLE / n.n::DOUBLE", 4)} AS recall
+       |FROM n LEFT JOIN hits ON hits.q_id = n.q_id""".stripMargin
+
   private val annRecallOracle =
     s"""WITH brute AS (SELECT * FROM ($topkOracle) tb),
        |ann AS (SELECT * FROM ($annOracle) ta),
@@ -97,19 +187,34 @@ object SimilarityQueries {
        |       ${VecOps.qroundSql("COALESCE(n_hit, 0)::DOUBLE / n.n::DOUBLE", 4)} AS recall
        |FROM n LEFT JOIN hits ON hits.q_id = n.q_id""".stripMargin
 
+  /** Capped-band dual mirroring [[Similarity.embeddingNearDupPairs]]'s
+    * hot-bucket guard (identical output on the skew-free fixtures). */
   private val nearDupOracle = {
     val pairCos =
-      "list_dot_product(a.vv, b.vv) / (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv)))"
+      "list_dot_product(va.vv, vb.vv) / (sqrt(list_dot_product(va.vv, va.vv)) * sqrt(list_dot_product(vb.vv, vb.vv)))"
+    val cap = Similarity.EmbedBucketCap
     s"""WITH v AS (SELECT vec_id, vv, ${Similarity.lshBucketSql("vv", Similarity.P)} AS sig
        |           FROM (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings)),
-       |bnd AS (SELECT vec_id, vv, CAST(0 AS BIGINT) AS band, sig & 15 AS key FROM v
+       |bnd AS (SELECT vec_id, CAST(0 AS BIGINT) AS band, sig & 15 AS key FROM v
        |        UNION ALL
-       |        SELECT vec_id, vv, CAST(1 AS BIGINT) AS band, (sig >> 4) & 15 AS key FROM v),
-       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, $pairCos AS cos
-       |         FROM bnd a JOIN bnd b
-       |           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |        SELECT vec_id, CAST(1 AS BIGINT) AS band, (sig >> 4) & 15 AS key FROM v),
+       |sized AS (SELECT vec_id, band, key,
+       |            count(*) OVER (PARTITION BY band, key) AS bucket_n,
+       |            min(vec_id) OVER (PARTITION BY band, key) AS bucket_min
+       |          FROM bnd),
+       |cold AS (SELECT * FROM sized WHERE bucket_n <= $cap),
+       |cand AS (SELECT DISTINCT id_a, id_b FROM (
+       |           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |           FROM cold a JOIN cold b
+       |             ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |           UNION
+       |           SELECT bucket_min AS id_a, vec_id AS id_b
+       |           FROM sized WHERE bucket_n > $cap AND vec_id <> bucket_min))
        |SELECT id_a, id_b, ${VecOps.qroundSql("cos", 4)} AS cos
-       |FROM cand WHERE cos >= $MinCos""".stripMargin
+       |FROM (SELECT id_a, id_b, $pairCos AS cos
+       |      FROM cand JOIN v va ON va.vec_id = id_a
+       |                JOIN v vb ON vb.vec_id = id_b)
+       |WHERE cos >= $MinCos""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -119,6 +224,10 @@ object SimilarityQueries {
       Similarity.annTopK(qSide(s, dir), kvSide(s, dir), AnnK)),
     "similar_ann_recall" -> ((s, dir) =>
       Similarity.annRecall(qSide(s, dir), kvSide(s, dir), AnnK)),
+    "similar_ann_probe" -> ((s, dir) =>
+      Similarity.annTopKProbed(perturbedQSide(s, dir), kvSide(s, dir), AnnK)),
+    "similar_ann_probe_recall" -> ((s, dir) =>
+      Similarity.annProbeRecall(perturbedQSide(s, dir), kvSide(s, dir), 1)),
     "dedup_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         emb(s, dir).select(col("vec_id"), col("vec")), MinCos))
@@ -128,6 +237,8 @@ object SimilarityQueries {
     "similar_topk" -> topkOracle,
     "similar_ann" -> annOracle,
     "similar_ann_recall" -> annRecallOracle,
+    "similar_ann_probe" -> probeTopkSql(AnnK),
+    "similar_ann_probe_recall" -> probeRecallOracle,
     "dedup_embed" -> nearDupOracle
   )
 }

@@ -77,12 +77,16 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window" -> ((s, dir) => StreamingOps.windowedAgg(Tables.events(s, dir))),
+    // the SAME aggregation actually run as a stream: file source →
+    // watermark → checkpointed foreachBatch parquet sink → read back
+    "events_window_stream" -> ((s, dir) => StreamingOps.windowedAggFileStream(s, dir)),
     "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir))),
     "events_props" -> ((s, dir) => propsStats(Tables.events(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
     "events_window" -> StreamingOps.windowedAggSql("events"),
+    "events_window_stream" -> StreamingOps.windowedAggSql("events"),
     "events_sessions" -> sessionsOracle,
     "events_props" -> propsOracle
   )

@@ -46,17 +46,39 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
     requireCols(df, "events", Set("event_id", "ts", "user_id", "event_type", "value", "props"))
-    // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and we
-    // rebuild a micro-precision timestamp here. Integer DIV (not `/`, which
-    // is double and loses precision above 2^53 ns) floors exactly like
-    // DuckDB's nano->micro conversion.
+    fixEventTs(df)
+  }
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and we
+    * rebuild a micro-precision timestamp here. Integer DIV (not `/`, which
+    * is double and loses precision above 2^53 ns) floors exactly like
+    * DuckDB's nano->micro conversion. Shared by the batch loader and the
+    * file-stream source (the fix is a per-row projection, valid on
+    * streaming DataFrames too). */
+  def fixEventTs(df: DataFrame): DataFrame = {
     val ts = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr("ts DIV 1000"))
       case _ => col("ts")
     }
     df.withColumn("ts", ts)
+  }
+
+  /** STREAMING read of the events fixture: the same parquet path consumed
+    * through the file-stream source (schema pinned from the batch footer —
+    * a file stream cannot infer it). This is the deployable edge: in
+    * production the path is a landing directory that accumulates files and
+    * each micro-batch picks up the new ones; over the static fixture it
+    * yields the same rows in one (or a few) batches. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = load(spark, dir, "events").schema // footer read only
+    // the fixture is a single FILE: a non-glob path makes FileStreamSource
+    // force basePath = the file itself, which PartitioningAwareFileIndex
+    // rejects ("Option 'basePath' must be a directory") — so glob the file
+    // name and pin basePath to the fixture dir explicitly
+    fixEventTs(spark.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/events*.parquet"))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

@@ -11,14 +11,21 @@ case class SessEvent(user_id: Long, event_id: Long, ts_s: Long)
 case class SessEventW(user_id: Long, event_id: Long, ts_s: Long,
                       ets: java.sql.Timestamp)
 
-/** Open-session state carried between micro-batches (fixed-size). */
-case class SessState(startS: Long, lastS: Long, n: Long)
+/** Open-session state carried between micro-batches (fixed-size). `idS` is
+  * the FIRST-SEEN start second — the session's identity — kept separate
+  * from the min-folded `startS` so a late (above-watermark) event that
+  * extends the session backward does not change its identity (ADVICE r3:
+  * an id derived from the min-folded start left a phantom row under the old
+  * id in any Update-mode sink upserting on (user_id, session_id)). */
+case class SessState(idS: Long, startS: Long, lastS: Long, n: Long)
 
-/** One (possibly still-open) session. `session_id` is the session's start
-  * second — a STABLE identity that survives state expiry (an ordinal
-  * counter cannot: once a timed-out session's state is removed, the next
-  * session would restart the count). The batch dual's per-user ordinal is
-  * exactly `rank(start_s)`, so the two are interconvertible. */
+/** One (possibly still-open) session. `session_id` is the session's
+  * first-seen start second — a STABLE identity that survives both state
+  * expiry (an ordinal counter cannot: once a timed-out session's state is
+  * removed, the next session would restart the count) and late backward
+  * extension (`start_s` may min-fold below it; `session_id` never moves).
+  * For in-order arrival `session_id == start_s`, and the batch dual's
+  * per-user ordinal is `rank(start_s)` — the two are interconvertible. */
 case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                       start_s: Long, end_s: Long)
 
@@ -35,7 +42,10 @@ case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
   * all-users-ever. Each micro-batch emits every session it advanced
   * (closed ones finally, the open one provisionally — Update semantics).
   * Late events still above the watermark merge into the open session
-  * (lastS/startS are max/min-folded, so out-of-order arrival is safe).
+  * (lastS/startS are max/min-folded, so out-of-order arrival is safe,
+  * and the session keeps its first-seen identity `idS` while folding —
+  * Update-mode consumers upserting on (user_id, session_id) never see a
+  * phantom row under a superseded id).
   *
   * The batch dual is the classic lag/cumsum window-function plan
   * (`StreamQueries.sessionsBatch`), and `StreamingParitySpec` proves they
@@ -59,25 +69,26 @@ object Sessionize {
             // watermark passed last_event + gap: the session is final
             val cur = state.get
             state.remove()
-            Iterator(SessionOut(user, cur.startS, cur.n, cur.startS, cur.lastS))
+            Iterator(SessionOut(user, cur.idS, cur.n, cur.startS, cur.lastS))
           } else {
             val sorted = events.toSeq.sortBy(e => (e.ts_s, e.event_id))
             var cur = state.getOption.orNull
             val out = Seq.newBuilder[SessionOut]
             for (e <- sorted) {
               if (cur == null) {
-                cur = SessState(e.ts_s, e.ts_s, 1L)
+                cur = SessState(e.ts_s, e.ts_s, e.ts_s, 1L)
               } else if (e.ts_s - cur.lastS > gapSec) {
-                out += SessionOut(user, cur.startS, cur.n, cur.startS, cur.lastS)
-                cur = SessState(e.ts_s, e.ts_s, 1L)
+                out += SessionOut(user, cur.idS, cur.n, cur.startS, cur.lastS)
+                cur = SessState(e.ts_s, e.ts_s, e.ts_s, 1L)
               } else {
-                cur = SessState(math.min(cur.startS, e.ts_s),
+                // identity (idS) is sticky; only the extent min/max-folds
+                cur = SessState(cur.idS, math.min(cur.startS, e.ts_s),
                   math.max(cur.lastS, e.ts_s), cur.n + 1)
               }
             }
             if (cur != null) {
               // provisional emit of the open session (Update semantics)
-              out += SessionOut(user, cur.startS, cur.n, cur.startS, cur.lastS)
+              out += SessionOut(user, cur.idS, cur.n, cur.startS, cur.lastS)
               state.update(cur)
               // timeout must be >= the current watermark or Spark rejects it
               state.setTimeoutTimestamp(math.max(

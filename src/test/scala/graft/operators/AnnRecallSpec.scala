@@ -34,12 +34,49 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rec >= 0.88, f"mean recall@10 $rec%.3f below target")
   }
 
-  test("hamming prefilter keeps candidates well under N") {
-    val (q, kv) = sides("/root/testdata/sf0.01")
-    // candidate stage only: every query must rerank <= RerankC rows
-    val ann = Similarity.annTopK(q, kv, 10)
-    val perQ = ann.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
-    assert(perQ.agg(max(col("n"))).head().getLong(0) <= 10L)
-    assert(ann.count() == 64 * 10)
+  test("candidate stage itself is bounded: <= RerankC reranked rows per query, << N") {
+    // ADVICE r3: asserting on the top-k OUTPUT is tautological — measure
+    // the candidate set instead. With k = RerankC the final rank filter
+    // keeps every reranked candidate, so the output IS the candidate set.
+    val (q, kv) = sides("/root/testdata/sf0.1") // N = 2000
+    val cands = Similarity.annTopK(q, kv, Similarity.RerankC)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), avg(col("n")).as("av")).head()
+    assert(cands.getLong(0) <= Similarity.RerankC,
+      s"per-query candidates ${cands.getLong(0)} exceed RerankC")
+    // << N: the rerank touches at most 6.4% of the 2000 vectors per query
+    assert(cands.getDouble(1) <= 0.1 * 2000,
+      f"mean candidates ${cands.getDouble(1)}%.1f not << N")
+  }
+
+  /** deterministically perturbed copies of the first 64 vectors (same
+    * md5 noise stream as the graded `similar_ann_probe` query). */
+  private def perturbedQ(dir: String) = {
+    import org.apache.spark.sql.functions._
+    Tables.embeddings(TestSpark.spark, dir).filter(col("vec_id") < 64)
+      .select((col("vec_id") + 1000000L).as("q_id"),
+        transform(col("vec"), (x, d) =>
+          x + lit(0.15) * (graft.functions.VecOps.u01(
+            concat(lit("pq:"), col("vec_id").cast("string"),
+              lit(":"), d.cast("string"))) - lit(0.5))).as("qvec"))
+  }
+
+  test("prefix-bucket probe: sublinear candidates AND high recall on strong neighbors") {
+    val dir = "/root/testdata/sf0.1" // N = 2000
+    val kv = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+    val q = perturbedQ(dir)
+    // candidate stage: radius-3 probes cover 697/65536 ≈ 1.1% of buckets,
+    // so each query touches ~1% of N — assert a loose 5% ceiling
+    val cands = Similarity.annTopKProbed(q, kv, Similarity.RerankC)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx")).head()
+    assert(cands.getLong(0) <= (0.05 * 2000).toLong,
+      s"probed candidates ${cands.getLong(0)} not sublinear (> 5% of N)")
+    // recall@1 of finding the source vector (cos ≈ 0.945): binomial math
+    // says P[prefix-ham <= 3] ≈ 0.92 — floor at 0.85
+    val rec = Similarity.annProbeRecall(q, kv, 1)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(rec >= 0.85, f"probe recall@1 $rec%.3f below target")
   }
 }

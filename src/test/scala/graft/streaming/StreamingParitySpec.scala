@@ -85,9 +85,38 @@ class StreamingParitySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     assert(streamed == batch)
-    // streaming session_id == start_s by construction
+    // in-order arrival: first-seen identity == min-folded start
     assert(spark.table("sessions")
       .filter(col("session_id") =!= col("start_s")).count() == 0)
+  }
+
+  test("late above-watermark event extends the session without changing its id") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = base
+    val mem = MemoryStream[SessEvent]
+    val q = Sessionize.sessions(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("sessions_lateid")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1 opens user 9's session at t0+1000
+      mem.addData(SessEvent(9, 1, t0 + 1000), SessEvent(9, 2, t0 + 1060))
+      q.processAllAvailable()
+      // batch 2 delivers a LATE (still above watermark) event at t0+900:
+      // start_s min-folds backward, the identity must NOT move (ADVICE r3 —
+      // an Update-mode sink upserting on (user_id, session_id) would keep a
+      // phantom row under the old id forever)
+      mem.addData(SessEvent(9, 3, t0 + 900))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("sessions_lateid").filter(col("user_id") === 9)
+      .select(col("session_id"), col("n_events"), col("start_s"), col("end_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every emission carries the SAME id (the first-seen start) ...
+    assert(rows.map(_._1).toSet == Set(t0 + 1000))
+    // ... and the latest emission folded the late event into the extent
+    assert(rows.toSet.contains((t0 + 1000, 3L, t0 + 900, t0 + 1060)))
   }
 
   test("event-time timeout closes sessions finally; a returning user starts fresh") {
