@@ -86,11 +86,30 @@ object MatrixQueries {
       kvSide(s, dir).select(col("k_id"), col("kvec")))
       .select(col("m_id"), VecOps.qround(col("h"), 4).as("h"))
 
+  /** Full-M entropy through the blocked path — with this every kernel
+    * (attention, mlp, xentropy, entropy, sampler) has a graded cap-lifted
+    * variant through the shared PairPlan tile grid. */
+  private def entropyBigQuery(s: SparkSession, dir: String): DataFrame =
+    Entropy.entropy(
+      emb(s, dir).select(col("vec_id").as("m_id"), col("vec").as("mvec")),
+      kvSide(s, dir).select(col("k_id"), col("kvec")),
+      PairPlan.Blocked)
+      .select(col("m_id"), VecOps.qround(col("h"), 4).as("h"))
+
   private def samplerQuery(s: SparkSession, dir: String): DataFrame =
     Sampler.sampler(
       qSide(s, dir).select(col("q_id").as("m_id"), col("qvec").as("mvec")),
       kvSide(s, dir).select(col("k_id"), col("kvec")),
       seed = "graft")
+      .select(col("m_id"), col("c"), VecOps.qround(col("weight"), 6).as("weight"))
+
+  /** Full-M sampler through the blocked path. */
+  private def samplerBigQuery(s: SparkSession, dir: String): DataFrame =
+    Sampler.sampler(
+      emb(s, dir).select(col("vec_id").as("m_id"), col("vec").as("mvec")),
+      kvSide(s, dir).select(col("k_id"), col("kvec")),
+      seed = "graft",
+      mode = PairPlan.Blocked)
       .select(col("m_id"), col("c"), VecOps.qround(col("weight"), 6).as("weight"))
 
   // ---- oracle SQL builders (DuckDB dialect; two-pass stable softmax) ----
@@ -141,9 +160,9 @@ object MatrixQueries {
        |SELECT m_id, $loss AS loss FROM a""".stripMargin
   }
 
-  private val entropyOracle = {
+  private def entropyOracle(mWhere: String = s" WHERE vec_id < $M") = {
     val h = VecOps.qroundSql("p - n", 4)
-    s"""$qkPrefix,
+    s"""${qkPrefixWhere(mWhere)},
        |m AS (SELECT q_id, max(sc) AS mx FROM s GROUP BY q_id),
        |a AS (SELECT s.q_id AS m_id, mx + ln(sum(exp(sc - mx))) AS p,
        |             sum(exp(sc - mx) * sc) / sum(exp(sc - mx)) AS n
@@ -151,11 +170,11 @@ object MatrixQueries {
        |SELECT m_id, $h AS h FROM a""".stripMargin
   }
 
-  private val samplerOracle = {
+  private def samplerOracle(mWhere: String = s" WHERE vec_id < $M") = {
     val wt = VecOps.qroundSql("exp(z - tz)", 6)
     val gum = VecOps.gumbelSql(
       "'graft:' || CAST(q_id AS VARCHAR) || ':' || CAST(k_id AS VARCHAR)")
-    s"""$qkPrefix,
+    s"""${qkPrefixWhere(mWhere)},
        |g AS (SELECT q_id, k_id, sc, sc + ($gum) AS pert FROM s),
        |m AS (SELECT q_id, max(sc) AS mx FROM s GROUP BY q_id),
        |t AS (SELECT s.q_id, mx + ln(sum(exp(sc - mx))) AS tz
@@ -175,7 +194,9 @@ object MatrixQueries {
     "xentropy" -> xentropyQuery,
     "xentropy_big" -> (xentropyBigQuery _),
     "entropy" -> entropyQuery,
-    "sampler" -> samplerQuery
+    "entropy_big" -> (entropyBigQuery _),
+    "sampler" -> samplerQuery,
+    "sampler_big" -> (samplerBigQuery _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,7 +210,9 @@ object MatrixQueries {
     "relu_matmul" -> reluMatmulOracle,
     "xentropy" -> xentropyOracle(),
     "xentropy_big" -> xentropyOracle(mWhere = ""),
-    "entropy" -> entropyOracle,
-    "sampler" -> samplerOracle
+    "entropy" -> entropyOracle(),
+    "entropy_big" -> entropyOracle(mWhere = ""),
+    "sampler" -> samplerOracle(),
+    "sampler_big" -> samplerOracle(mWhere = "")
   )
 }
