@@ -43,29 +43,48 @@ object Dedup {
        |        i -> array_to_string(list_slice($toksExpr, i, i + 2), ' '))
        | ELSE [array_to_string($toksExpr, ' ')] END""".stripMargin
 
+  /** Fan a small scan out to the session's full parallelism before a
+    * CPU-bound per-row kernel: the local fixture is a single parquet split,
+    * so without this every md5-heavy map runs in ONE task (measured: 1.0
+    * cores busy of 32 for the whole of minhash_sig). On a real cluster the
+    * input has thousands of splits and this is a no-op — the shuffle only
+    * triggers when partitions < cores. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism)
+    else df
+  }
+
   /** (doc_id, sig array<long> length K): per-doc minhash signature —
     * sig[j] = min over shingles of hash_j(shingle), where the K hash
     * functions come from ONE md5 per shingle via double hashing
     * ([[VecOps.hashPair]]): at 100 TB the md5 is the dominant cost and this
-    * is a K× reduction (round-2 bench: 11 s → ~1 s at sf0.1). Map-only.
+    * is a K× reduction. Map-only.
     *
-    * The sh2 select boundary materializes the per-shingle hash pair once;
-    * CollapseProject keeps it (16 references to a non-cheap expression are
-    * not inlined), so md5 runs once per shingle, not K times. */
+    * The signature is ONE `aggregate` fold over the shingle hash pairs —
+    * K running minima updated per shingle — so the md5 array (aggregate's
+    * child) is evaluated exactly once per row regardless of how Catalyst
+    * collapses projections. Both earlier shapes silently re-ran md5 K
+    * times: K separate `mh_j` columns each inlined the subtree under
+    * CollapseProject once a downstream explode reshaped the plan, and a
+    * `transform(0..K-1, j -> array_min(transform(sh2, ...)))` re-evaluates
+    * its captured child per outer-lambda iteration (no CSE across lambda
+    * iterations). Round-2/3 benches never saw the K× cost because the
+    * dedup queries had already cached an identical signature plan. */
   def minhashSig(docs: DataFrame): DataFrame = {
-    val mhCols = (0 until K).map { j =>
-      array_min(transform(col("sh2"),
-        p => pmod(element_at(p, 1), lit(VecOps.DhM1)) +
-          lit(j.toLong) * pmod(element_at(p, 2), lit(VecOps.DhM2)))).as(s"mh$j")
-    }
-    docs
+    val fold = aggregate(
+      col("sh2"),
+      array_repeat(lit(Long.MaxValue), K),
+      (acc, p) => zip_with(acc, sequence(lit(0L), lit((K - 1).toLong)),
+        (a, j) => least(a, pmod(element_at(p, 1), lit(VecOps.DhM1)) +
+          j * pmod(element_at(p, 2), lit(VecOps.DhM2)))))
+    fanOut(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingles(col("toks")).as("sh"))
       .select(col("doc_id"),
         transform(col("sh"), s0 => VecOps.hashPair(s0)).as("sh2"))
-      .select(col("doc_id") +: mhCols: _*)
-      .select(col("doc_id"),
-        array((0 until K).map(j => col(s"mh$j")): _*).as("sig"))
+      .select(col("doc_id"), fold.as("sig"))
   }
 
   /** Exploded grading form of [[minhashSig]]: (doc_id, j, minhash) — the
@@ -240,7 +259,7 @@ object Dedup {
         h => pmod(shiftrightunsigned(h, k), lit(2L)) === 1))
       when(cnt * 2 > size(col("th")), lit(1L << k)).otherwise(lit(0L))
     }
-    docs
+    fanOut(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), th.as("th"))
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
@@ -320,7 +339,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = docs
+    val sets = fanOut(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
       .cache() // referenced by both sides of the verification join
