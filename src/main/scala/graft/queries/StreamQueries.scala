@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecOps
+import graft.operators.AsOfJoin
 import graft.sources.Tables
 import graft.streaming.StreamingOps
 
@@ -75,19 +77,45 @@ object StreamQueries {
        |FROM events
        |GROUP BY event_type, k_bucket""".stripMargin
 
+  /** Per-type exact value quantiles (linear interpolation both engines).
+    * Exact percentile sorts the group's values — fine for a handful of
+    * event types; at 100 TB swap `percentile` for `approx_percentile`
+    * (t-digest-style mergeable sketch, same call shape, no exact oracle). */
+  private def valueQuantiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        VecOps.qround(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        VecOps.qround(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        VecOps.qround(percentile(col("value"), lit(0.99)), 4).as("p99"),
+        count(lit(1)).as("n"))
+
+  private val quantilesOracle =
+    s"""SELECT event_type,
+       |  ${VecOps.qroundSql("quantile_cont(value, 0.5)", 4)} AS p50,
+       |  ${VecOps.qroundSql("quantile_cont(value, 0.9)", 4)} AS p90,
+       |  ${VecOps.qroundSql("quantile_cont(value, 0.99)", 4)} AS p99,
+       |  count(*) AS n
+       |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window" -> ((s, dir) => StreamingOps.windowedAgg(Tables.events(s, dir))),
     // the SAME aggregation actually run as a stream: file source →
     // watermark → checkpointed foreachBatch parquet sink → read back
     "events_window_stream" -> ((s, dir) => StreamingOps.windowedAggFileStream(s, dir)),
     "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir))),
-    "events_props" -> ((s, dir) => propsStats(Tables.events(s, dir)))
+    "events_props" -> ((s, dir) => propsStats(Tables.events(s, dir))),
+    // purchase attributed to the latest prior view per user
+    "events_asof" -> ((s, dir) =>
+      AsOfJoin.asOf(Tables.events(s, dir), "purchase", "view")),
+    "events_quantiles" -> ((s, dir) => valueQuantiles(Tables.events(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
     "events_window" -> StreamingOps.windowedAggSql("events"),
     "events_window_stream" -> StreamingOps.windowedAggSql("events"),
     "events_sessions" -> sessionsOracle,
-    "events_props" -> propsOracle
+    "events_props" -> propsOracle,
+    "events_asof" -> AsOfJoin.asOfSql("events", "purchase", "view"),
+    "events_quantiles" -> quantilesOracle
   )
 }

@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.functions.VecOps
 import graft.operators.TextOps
@@ -48,12 +50,36 @@ object TextQueries {
        |  (n_tokens >= 10 AND punct_ratio < 0.3 AND stopword_ratio < 0.6) AS keep
        |FROM q""".stripMargin
 
+  /** Top-k vocabulary by document frequency — the vocabulary-building /
+    * word-count shape a corpus pipeline runs before tokenizer training:
+    * explode DISTINCT tokens per doc (so df counts documents, not
+    * occurrences), count per token with map-side combine, and take the top
+    * k via `orderBy.limit` (plans as distributed TakeOrderedAndProject —
+    * the rank window then runs over only the k survivors, exactly like
+    * RelationalQueries.topCustomers). */
+  private def topTerms(d: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.orderBy(desc("df"), col("token"))
+    d.select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("token")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("token"), col("df"))
+  }
+
+  private def topTermsOracle(k: Int = 20) =
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS token FROM documents),
+       |d AS (SELECT token, count(*) AS df FROM t GROUP BY token),
+       |r AS (SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rank FROM d)
+       |SELECT CAST(rank AS BIGINT) AS rank, token, df FROM r WHERE rank <= $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) => TextOps.textStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.textQuality(docs(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
-    "token_count" -> ((s, dir) => TextOps.tokenCount(docs(s, dir)))
+    "token_count" -> ((s, dir) => TextOps.tokenCount(docs(s, dir))),
+    "top_terms" -> ((s, dir) => topTerms(docs(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -61,6 +87,7 @@ object TextQueries {
     "text_quality" -> textQualityOracle,
     "lang_id" -> TextOps.langIdSql("documents"),
     "doc_fingerprint" -> TextOps.fingerprintSql("documents"),
-    "token_count" -> TextOps.tokenCountSql("documents")
+    "token_count" -> TextOps.tokenCountSql("documents"),
+    "top_terms" -> topTermsOracle()
   )
 }
