@@ -23,14 +23,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MatrixQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ StreamQueries.queries ++
-      RelationalQueries.queries ++ MediaQueries.queries
+      RelationalQueries.queries ++ MediaQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     MatrixQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ StreamQueries.oracles ++
-      RelationalQueries.oracles ++ MediaQueries.oracles
+      RelationalQueries.oracles ++ MediaQueries.oracles ++
+      CurationQueries.oracles
 
   /** Headline subset timed by [[Bench]] at sf0.1. */
   def benchQueries: Seq[String] = queries.keys.toSeq.sorted

@@ -103,6 +103,10 @@ object StreamQueries {
     // watermark → checkpointed foreachBatch parquet sink → read back
     "events_window_stream" -> ((s, dir) => StreamingOps.windowedAggFileStream(s, dir)),
     "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir))),
+    // the SAME sessionizer actually run as a stream (file source →
+    // flatMapGroupsWithState → upsert sink), ordinal-converted to grade
+    // against the identical oracle as the batch dual
+    "events_sessions_stream" -> ((s, dir) => StreamingOps.sessionizeFileStream(s, dir)),
     "events_props" -> ((s, dir) => propsStats(Tables.events(s, dir))),
     // purchase attributed to the latest prior view per user
     "events_asof" -> ((s, dir) =>
@@ -114,6 +118,7 @@ object StreamQueries {
     "events_window" -> StreamingOps.windowedAggSql("events"),
     "events_window_stream" -> StreamingOps.windowedAggSql("events"),
     "events_sessions" -> sessionsOracle,
+    "events_sessions_stream" -> sessionsOracle,
     "events_props" -> propsOracle,
     "events_asof" -> AsOfJoin.asOfSql("events", "purchase", "view"),
     "events_quantiles" -> quantilesOracle

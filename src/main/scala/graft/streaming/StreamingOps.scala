@@ -82,6 +82,49 @@ object StreamingOps {
       .select(col("w_start"), col("event_type"), col("n"), col("total"), col("lse"))
   }
 
+  /** The deployable streaming edge for [[Sessionize]]: file-stream source →
+    * flatMapGroupsWithState sessionizer → checkpointed foreachBatch parquet
+    * sink (Update-mode upsert keyed on the session's stable identity), read
+    * back and converted to the batch dual's per-user ordinal session ids so
+    * it grades against the SAME DuckDB oracle as `events_sessions`.
+    *
+    * Every Update emission carries the session's complete current extent
+    * (min/max-folded), so latest-batch-per-(user, identity) is the final
+    * session even when the run stops before the watermark fires the
+    * session's timeout — the timeout emission is content-identical. The
+    * ordinal conversion (`row_number` over start_s per user) runs on the
+    * session table — thousands of times smaller than the event stream. */
+  def sessionizeFileStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    val ev = graft.sources.Tables.eventsStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      .as[SessEvent]
+    val q = Sessionize.sessions(ev)(spark).toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    val latest = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(desc("batch_id"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("start_s"))
+    spark.read.parquet(out)
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("start_s"), col("end_s"))
+      .withColumn("session_id", row_number().over(ord).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_s"), col("end_s"))
+  }
+
   /** DuckDB oracle dual (two-pass stable logsumexp). */
   def windowedAggSql(table: String): String =
     s"""WITH b AS (SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS w_start,
