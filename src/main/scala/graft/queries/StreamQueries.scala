@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecOps
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Funnel}
 import graft.sources.Tables
 import graft.streaming.StreamingOps
 
@@ -19,6 +19,8 @@ import graft.streaming.StreamingOps
 object StreamQueries {
 
   private val GapSec = 1800L
+
+  private val FunnelSteps = Seq("view", "click", "purchase")
 
   /** Batch sessionization: gap > 30 min starts a new session — the classic
     * lag → cumulative-sum → groupBy plan (one shuffle on user_id; all
@@ -111,7 +113,10 @@ object StreamQueries {
     // purchase attributed to the latest prior view per user
     "events_asof" -> ((s, dir) =>
       AsOfJoin.asOf(Tables.events(s, dir), "purchase", "view")),
-    "events_quantiles" -> ((s, dir) => valueQuantiles(Tables.events(s, dir)))
+    "events_quantiles" -> ((s, dir) => valueQuantiles(Tables.events(s, dir))),
+    // conversion funnel: first view, first click after it, first purchase after that
+    "events_funnel" -> ((s, dir) =>
+      Funnel.funnel(Tables.events(s, dir), FunnelSteps))
   )
 
   val oracles: Map[String, String] = Map(
@@ -121,6 +126,7 @@ object StreamQueries {
     "events_sessions_stream" -> sessionsOracle,
     "events_props" -> propsOracle,
     "events_asof" -> AsOfJoin.asOfSql("events", "purchase", "view"),
-    "events_quantiles" -> quantilesOracle
+    "events_quantiles" -> quantilesOracle,
+    "events_funnel" -> Funnel.funnelSql("events", FunnelSteps)
   )
 }
