@@ -56,17 +56,26 @@ object Decontaminate {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
-  /** DuckDB oracle dual of [[flag]] (same shingles, same hash stream). */
-  def flagSql(table: String, evalMod: Int = 41): String =
-    s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM $table),
+  /** The oracle's CTE chain (shingle hashes, eval set, train slice) —
+    * exposed separately so composed pipelines (CurationQueries) can embed
+    * it in a larger WITH clause. */
+  def flagCtes(table: String, evalMod: Int = 41): String =
+    s"""t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM $table),
        |sh AS (SELECT doc_id,
        |         unnest(list_transform(
        |           generate_series(1, greatest(len(toks) - ${N - 1}, 1)),
        |           i -> ${VecOps.hash60Sql(s"array_to_string(toks[i:i+${N - 1}], ' ')")})) AS sh
        |       FROM t),
        |ev AS (SELECT DISTINCT sh AS eh FROM sh WHERE doc_id % $evalMod = 0),
-       |tr AS (SELECT * FROM sh WHERE doc_id % $evalMod <> 0)
-       |SELECT tr.doc_id, count(ev.eh) AS n_hits, count(ev.eh) > 0 AS contaminated
-       |FROM tr LEFT JOIN ev ON tr.sh = ev.eh
-       |GROUP BY tr.doc_id""".stripMargin
+       |tr AS (SELECT * FROM sh WHERE doc_id % $evalMod <> 0)""".stripMargin
+
+  /** The oracle's final select over [[flagCtes]]'s names. */
+  val flagSelect: String =
+    """SELECT tr.doc_id, count(ev.eh) AS n_hits, count(ev.eh) > 0 AS contaminated
+      |FROM tr LEFT JOIN ev ON tr.sh = ev.eh
+      |GROUP BY tr.doc_id""".stripMargin
+
+  /** DuckDB oracle dual of [[flag]] (same shingles, same hash stream). */
+  def flagSql(table: String, evalMod: Int = 41): String =
+    s"WITH ${flagCtes(table, evalMod)}\n$flagSelect"
 }

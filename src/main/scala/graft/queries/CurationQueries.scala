@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecOps
-import graft.operators.Decontaminate
+import graft.operators.{Decontaminate, TextOps}
 import graft.sources.Tables
 
 /** Corpus-curation queries over `documents`: benchmark decontamination,
@@ -63,16 +63,67 @@ object CurationQueries {
        |      FROM documents)
        |WHERE rank <= $TopK""".stripMargin
 
+  /** END-TO-END curation pipeline — the composition a corpus run actually
+    * executes: quality filter (C4/Gopher-style keep) ∧ decontamination
+    * (no eval-set 8-gram leak; the eval slice itself is excluded from the
+    * corpus) ∧ stratified down-sampling, reported as kept-docs per
+    * language. One query proves the operators COMPOSE: three doc_id
+    * equi-joins AQE plans as broadcasts at fixture scale and as shuffle
+    * joins at 100 TB — both correct, no operator-specific glue. */
+  private def curatedCounts(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val q = TextOps.textQuality(d).select(col("doc_id"), col("keep"))
+    val f = Decontaminate.flag(d).select(col("doc_id"), col("contaminated"))
+    val rate = when(col("lang") === "en", EnRatePm).otherwise(RestRatePm)
+    d.select(col("doc_id"), col("lang"))
+      .join(q, "doc_id").join(f, "doc_id")
+      .filter(col("keep") && !col("contaminated") &&
+        VecOps.hash60(concat(lit("strat:"), col("doc_id").cast("string")))
+          % 1000 < rate)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** Same pipeline as one DuckDB statement: the decontamination CTEs are
+    * embedded verbatim (Decontaminate.flagCtes), the quality ratios repeat
+    * the graded `text_quality` formulas exactly (same qround), and the
+    * sample predicate is the graded `sample_stratified` one. */
+  private val curatedOracle: String = {
+    val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val punct = VecOps.qroundSql(
+      "(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE" +
+        " / greatest(length(text), 1)", 4)
+    val stop = VecOps.qroundSql(
+      s"len(list_filter(toks, t -> list_contains($stopList, t)))::DOUBLE" +
+        " / greatest(len(toks), 1)", 4)
+    s"""WITH ${Decontaminate.flagCtes("documents")},
+       |decon AS (${Decontaminate.flagSelect}),
+       |qd AS (SELECT doc_id, text, ${TextOps.tokensSql("text")} AS toks FROM documents),
+       |q AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |        $punct AS punct_ratio, $stop AS stopword_ratio
+       |      FROM qd)
+       |SELECT d.lang, count(*) AS n_kept
+       |FROM documents d
+       |JOIN q USING (doc_id)
+       |JOIN decon USING (doc_id)
+       |WHERE q.n_tokens >= 10 AND q.punct_ratio < 0.3 AND q.stopword_ratio < 0.6
+       |  AND NOT decon.contaminated
+       |  AND ${VecOps.hash60Sql("'strat:' || CAST(d.doc_id AS VARCHAR)")} % 1000
+       |      < CASE WHEN d.lang = 'en' THEN $EnRatePm ELSE $RestRatePm END
+       |GROUP BY d.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // eval-set n-gram leakage flags over the training slice
     "decontaminate" -> ((s, dir) => Decontaminate.flag(docs(s, dir))),
     "sample_stratified" -> ((s, dir) => stratifiedSample(docs(s, dir))),
-    "docs_topk_lang" -> ((s, dir) => topKPerLang(docs(s, dir)))
+    "docs_topk_lang" -> ((s, dir) => topKPerLang(docs(s, dir))),
+    "corpus_curated" -> curatedCounts _
   )
 
   val oracles: Map[String, String] = Map(
     "decontaminate" -> Decontaminate.flagSql("documents"),
     "sample_stratified" -> stratifiedOracle,
-    "docs_topk_lang" -> topKOracle
+    "docs_topk_lang" -> topKOracle,
+    "corpus_curated" -> curatedOracle
   )
 }

@@ -217,7 +217,29 @@ object SimilarityQueries {
        |WHERE cos >= $MinCos""".stripMargin
   }
 
+  /** Per-label centroid of the embedding vectors — the vector-aggregation
+    * shape that trains an IVF coarse quantizer (one k-means assignment
+    * step under fixed labels). posexplode → groupBy(label, pos) is the
+    * scale-safe formulation: partial sums combine map-side per (label,
+    * dim), so the shuffle carries labels × dims rows, never the vectors. */
+  private def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(VecOps.qround(sum(col("x")) / count(lit(1)), 4).as("c"),
+        count(lit(1)).as("n"))
+
+  private val centroidsOracle =
+    s"""SELECT label, CAST(i AS BIGINT) AS pos,
+       |  ${VecOps.qroundSql("sum(e) / count(*)", 4)} AS c,
+       |  count(*) AS n
+       |FROM (SELECT label,
+       |        unnest(embedding)::DOUBLE AS e,
+       |        unnest(range(len(embedding))) AS i
+       |      FROM embeddings)
+       |GROUP BY label, i""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_centroids" -> ((s, dir) => centroids(emb(s, dir))),
     "similar_topk" -> ((s, dir) =>
       Similarity.cosineTopK(qSide(s, dir), kvSide(s, dir), TopK)),
     "similar_ann" -> ((s, dir) =>
@@ -234,6 +256,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "embed_centroids" -> centroidsOracle,
     "similar_topk" -> topkOracle,
     "similar_ann" -> annOracle,
     "similar_ann_recall" -> annRecallOracle,
