@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Codegen'd fused multiply-accumulate over two `array<double>` columns —
   * the GEMM inner loop of every reference operator (reference attention.py:6,
@@ -150,6 +150,90 @@ case class SignSketch(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** JVM-static kernel for the K=16 minhash signature over a token array —
+  * the codegen'd replacement for the interpreted `aggregate`/`zip_with`
+  * fold (VERDICT r4 next-steps #1: dedup touches every corpus byte, and the
+  * HOF lambdas were ~5.6 CPU-µs/char of pure interpreter overhead).
+  *
+  * Bit-identical to the fold it replaces (and to the DuckDB oracle dual in
+  * [[graft.operators.Dedup.minhashSigSql]]):
+  *   - shingles: word 3-grams joined by ' ' when ≥3 tokens, else the whole
+  *     token stream as one shingle (reference-free; Dedup.shingles);
+  *   - ONE md5 per shingle → two 60-bit halves (hex digits 1-15 / 17-31,
+  *     computed straight from the digest bytes — big-endian 8 bytes >>> 4,
+  *     same trick as [[SketchKernel.hex60]]);
+  *   - Kirsch–Mitzenmacher double hashing h_j = (h1 % 2^58) + j·(h2 % 2^54)
+  *     for j < 16 (max < 2^59, no overflow), K running minima in one pass.
+  *
+  * The shingle bytes are streamed into the digest (token bytes + ' '
+  * separators) — no intermediate shingle string, no per-shingle allocation
+  * beyond the 16-byte digest. Tokens are ASCII `[a-z0-9]+` matches so the
+  * byte stream equals the UTF-8 of the joined string trivially.
+  */
+object MinhashKernel {
+  val K = 16
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit value from 8 digest bytes at `off`, big-endian, low nibble
+    * dropped — equals parsing hex digits [2*off+1 .. 2*off+15]. */
+  private def hex60At(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = off
+    while (i < off + 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def sig(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Long](K)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val digest = md.get()
+    // fold one shingle (tokens [from, from+len)) into the K minima
+    def absorb(from: Int, len: Int): Unit = {
+      digest.reset()
+      var i = 0
+      while (i < len) {
+        if (i > 0) digest.update(' '.toByte)
+        digest.update(toks.getUTF8String(from + i).getBytes)
+        i += 1
+      }
+      val d = digest.digest()
+      val h2 = hex60At(d, 8) % VecOps.DhM2
+      var v = hex60At(d, 0) % VecOps.DhM1
+      var j = 0
+      while (j < K) { if (v < out(j)) out(j) = v; v += h2; j += 1 }
+    }
+    if (n >= 3) {
+      var i = 0
+      while (i + 3 <= n) { absorb(i, 3); i += 1 }
+    } else absorb(0, n)
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_minhash(tokens)`: K=16 minhash signature of an array<string>
+  * token column as array<long>. One tight-loop pass — see [[MinhashKernel]]. */
+case class MinhashSig(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(v: Any): Any =
+    MinhashKernel.sig(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashKernel.sig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_hamming(a, b)`: popcount of XOR over two packed-bit array<long>
   * columns. A length mismatch (malformed/empty sketch) counts every missing
   * word as 64 differing bits — a truncating version would score a corrupt
@@ -207,6 +291,9 @@ object NativeExprs {
 
   /** 256-bit packed sign sketch of an array<double> column. */
   def signSketch(v: Column): Column = toCol(SignSketch(toExpr(v)))
+
+  /** K=16 minhash signature of an array<string> token column. */
+  def minhashSig(toks: Column): Column = toCol(MinhashSig(toExpr(toks)))
 
   /** hamming distance between two packed array<long> sketches. */
   def hamming(a: Column, b: Column): Column = toCol(HammingDist(toExpr(a), toExpr(b)))

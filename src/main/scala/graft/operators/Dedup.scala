@@ -62,30 +62,19 @@ object Dedup {
     * ([[VecOps.hashPair]]): at 100 TB the md5 is the dominant cost and this
     * is a K× reduction. Map-only.
     *
-    * The signature is ONE `aggregate` fold over the shingle hash pairs —
-    * K running minima updated per shingle — so the md5 array (aggregate's
-    * child) is evaluated exactly once per row regardless of how Catalyst
-    * collapses projections. Both earlier shapes silently re-ran md5 K
-    * times: K separate `mh_j` columns each inlined the subtree under
-    * CollapseProject once a downstream explode reshaped the plan, and a
-    * `transform(0..K-1, j -> array_min(transform(sh2, ...)))` re-evaluates
-    * its captured child per outer-lambda iteration (no CSE across lambda
-    * iterations). Round-2/3 benches never saw the K× cost because the
-    * dedup queries had already cached an identical signature plan. */
-  def minhashSig(docs: DataFrame): DataFrame = {
-    val fold = aggregate(
-      col("sh2"),
-      array_repeat(lit(Long.MaxValue), K),
-      (acc, p) => zip_with(acc, sequence(lit(0L), lit((K - 1).toLong)),
-        (a, j) => least(a, pmod(element_at(p, 1), lit(VecOps.DhM1)) +
-          j * pmod(element_at(p, 2), lit(VecOps.DhM2)))))
+    * The kernel is the codegen'd [[graft.functions.MinhashSig]] native
+    * expression — tokenize in Catalyst (codegen'd regex), then one tight
+    * JVM loop does shingling + md5 + K running minima (VERDICT r4 #1: the
+    * previous single-`aggregate` HOF fold was correct and evaluated md5
+    * exactly once per shingle, but the interpreted lambda machinery —
+    * zip_with allocating a K-array per shingle — cost ~5.6 CPU-µs/char;
+    * earlier K-column shapes even re-ran md5 K× under CollapseProject, see
+    * round-4 history). Bit-identical to [[minhashSigSql]]. */
+  def minhashSig(docs: DataFrame): DataFrame =
     fanOut(docs)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
       .select(col("doc_id"),
-        transform(col("sh"), s0 => VecOps.hashPair(s0)).as("sh2"))
-      .select(col("doc_id"), fold.as("sig"))
-  }
+        graft.functions.NativeExprs.minhashSig(
+          TextOps.tokens(col("text"))).as("sig"))
 
   /** Exploded grading form of [[minhashSig]]: (doc_id, j, minhash) — the
     * driver's compare harness cannot sort an array column, so the graded
@@ -330,15 +319,14 @@ object Dedup {
   }
 
   /** Exact n-gram (word 3-gram) Jaccard for minhash-band candidate pairs:
-    * the verification stage after LSH recall. */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    * the verification stage after LSH recall. Candidates come from
+    * [[cappedBandPairs]] (VERDICT r4 #3) — same skew guard as every other
+    * pairing path, so a duplicate-heavy corpus cannot go quadratic inside
+    * one band key (skew-free fixtures: identical rows to the uncapped
+    * join). */
+  def ngramJaccardPairs(docs: DataFrame, cap: Int = BucketCap): DataFrame = {
     val sig = minhashSig(docs).cache()
-    val bnd = minhashBands(sig)
-    val cand = bnd.as("a").join(bnd.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = cappedBandPairs(minhashBands(sig), cap)
     val sets = fanOut(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh"))
@@ -352,13 +340,20 @@ object Dedup {
         VecOps.qround(inter / greatest(uni, lit(1.0)), 4).as("jaccard"))
   }
 
-  def ngramJaccardPairsSql(table: String): String = {
-    val cand =
-      s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bnd a JOIN bnd b
-         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
+  def ngramJaccardPairsSql(table: String, cap: Int = BucketCap): String = {
     s"""WITH bnd AS (${minhashBandsSql(minhashSigSql(table))}),
-       |cand AS ($cand),
+       |sized AS (SELECT doc_id, band, key,
+       |            count(*) OVER (PARTITION BY band, key) AS bucket_n,
+       |            min(doc_id) OVER (PARTITION BY band, key) AS bucket_min
+       |          FROM bnd),
+       |cold AS (SELECT * FROM sized WHERE bucket_n <= $cap),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |           FROM cold a JOIN cold b
+       |             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |           UNION
+       |           SELECT bucket_min AS doc_a, doc_id AS doc_b
+       |           FROM sized WHERE bucket_n > $cap AND doc_id <> bucket_min)),
        |sets AS (SELECT doc_id, list_distinct(${shinglesSql(TextOps.tokensSql("text"))}) AS sh
        |         FROM $table)
        |SELECT doc_a, doc_b,

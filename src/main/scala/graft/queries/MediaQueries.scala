@@ -15,11 +15,16 @@ object MediaQueries {
     "media_features" -> ((s, dir) =>
       Multimodal.mediaFeatures(Tables.documents(s, dir))),
     "media_frames" -> ((s, dir) =>
-      Multimodal.frameSamples(Tables.documents(s, dir)))
+      Multimodal.frameSamples(Tables.documents(s, dir))),
+    // REAL binary codec end-to-end: synthesized P6 PPM payloads parsed by
+    // a genuine header+raster decoder, graded on integer-exact stats
+    "media_features_real" -> ((s, dir) =>
+      Multimodal.ppmFeatures(Tables.documents(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
     "media_features" -> Multimodal.mediaFeaturesSql("documents"),
-    "media_frames" -> Multimodal.frameSamplesSql("documents")
+    "media_frames" -> Multimodal.frameSamplesSql("documents"),
+    "media_features_real" -> Multimodal.ppmFeaturesSql("documents")
   )
 }

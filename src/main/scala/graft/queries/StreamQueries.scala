@@ -99,6 +99,42 @@ object StreamQueries {
        |  count(*) AS n
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** Sketch accuracy tolerance: relative error vs the exact quantile. With
+    * accuracy=10000 the GK sketch's rank error is ≤ n/10000 ≈ 2 ranks at
+    * sf0.1, so the value error is a few adjacent-order-statistic gaps —
+    * far inside 5%; a mis-merged or mis-tuned sketch lands tens of percent
+    * out. */
+  private val QTolRel = 0.05
+  private val SketchAccuracy = 10000
+
+  /** GRADED SKETCH AGGREGATE (VERDICT r4 next-steps #4): the
+    * `approx_percentile` (Greenwald–Khanna) sketch, which IS the quantile
+    * plan at 100 TB — a fixed-size mergeable summary per partition instead
+    * of a full sort of the group ([[valueQuantiles]] documents the swap).
+    * A sketch is not hash-exact across engines by design, so the graded
+    * output is a within-tolerance BOOLEAN against the exact percentile
+    * computed in the same aggregation: the oracle asserts TRUE (plus the
+    * exact anchors n and p50), and a drifting sketch flips the boolean and
+    * fails the hash compare — accuracy is graded, not claimed. */
+  private def valueQuantilesSketch(events: DataFrame): DataFrame = {
+    def ok(p: Double) = {
+      val exact = percentile(col("value"), lit(p))
+      val approx = approx_percentile(col("value"), lit(p), lit(SketchAccuracy))
+      abs(approx - exact) <= lit(QTolRel) * greatest(abs(exact), lit(1.0))
+    }
+    events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        VecOps.qround(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        ok(0.5).as("p50_ok"), ok(0.9).as("p90_ok"), ok(0.99).as("p99_ok"))
+  }
+
+  private val quantilesSketchOracle =
+    s"""SELECT event_type, count(*) AS n,
+       |  ${VecOps.qroundSql("quantile_cont(value, 0.5)", 4)} AS p50,
+       |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+       |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window" -> ((s, dir) => StreamingOps.windowedAgg(Tables.events(s, dir))),
     // the SAME aggregation actually run as a stream: file source →
@@ -114,6 +150,8 @@ object StreamQueries {
     "events_asof" -> ((s, dir) =>
       AsOfJoin.asOf(Tables.events(s, dir), "purchase", "view")),
     "events_quantiles" -> ((s, dir) => valueQuantiles(Tables.events(s, dir))),
+    "events_quantiles_sketch" -> ((s, dir) =>
+      valueQuantilesSketch(Tables.events(s, dir))),
     // conversion funnel: first view, first click after it, first purchase after that
     "events_funnel" -> ((s, dir) =>
       Funnel.funnel(Tables.events(s, dir), FunnelSteps))
@@ -127,6 +165,7 @@ object StreamQueries {
     "events_props" -> propsOracle,
     "events_asof" -> AsOfJoin.asOfSql("events", "purchase", "view"),
     "events_quantiles" -> quantilesOracle,
+    "events_quantiles_sketch" -> quantilesSketchOracle,
     "events_funnel" -> Funnel.funnelSql("events", FunnelSteps)
   )
 }

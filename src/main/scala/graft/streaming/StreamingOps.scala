@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 import graft.functions.{GraftAggs, VecOps}
 
@@ -62,18 +62,34 @@ object StreamingOps {
   def windowedAggFileStream(spark: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft_ews_out").toString
     val ckpt = Files.createTempDirectory("graft_ews_ckpt").toString
-    val agg = windowedAgg(
-      graft.sources.Tables.eventsStream(spark, dir).withWatermark("ts", "30 days"))
-    val q = agg.writeStream
+    val q = startWindowedAggStream(
+      graft.sources.Tables.eventsStream(spark, dir), out, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination()
+    readWindowedSink(spark, out)
+  }
+
+  /** Start the windowed-agg upsert pipeline over any streaming `events`
+    * source: watermark → [[windowedAgg]] → checkpointed foreachBatch
+    * append with batch_id. Factored out of [[windowedAggFileStream]] so
+    * the checkpoint-RESTART proof (StreamingParitySpec: stop after one
+    * batch, start a second query on the same ckpt/out, identical graded
+    * result) drives the exact production pipeline, not a test replica. */
+  def startWindowedAggStream(source: DataFrame, out: String, ckpt: String,
+                             trigger: Trigger): StreamingQuery =
+    windowedAgg(source.withWatermark("ts", "30 days")).writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(out)
       }
       .start()
-    q.awaitTermination()
+
+  /** Latest-batch-per-key read-back of the upsert sink (each Update
+    * emission carries the group's complete current value). */
+  def readWindowedSink(spark: SparkSession, out: String): DataFrame = {
     val latest = Window.partitionBy(col("w_start"), col("event_type"))
       .orderBy(desc("batch_id"))
     spark.read.parquet(out)
