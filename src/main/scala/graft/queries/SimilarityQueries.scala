@@ -187,6 +187,57 @@ object SimilarityQueries {
        |       ${VecOps.qroundSql("COALESCE(n_hit, 0)::DOUBLE / n.n::DOUBLE", 4)} AS recall
        |FROM n LEFT JOIN hits ON hits.q_id = n.q_id""".stripMargin
 
+  /** Oracle dual of the IVF path on the perturbed query set: centroids =
+    * per-label qrounded means (list(c ORDER BY i) rebuilds the vector),
+    * nearest-centroid assignment and the nprobe probe list both rank by
+    * (centroid cosine DESC, list_id) — identical tie-break to the Spark
+    * plan's struct(−cos, list_id) argmin — then exact-cosine rerank of the
+    * probed lists' union. Centroid quantization (4 decimals, both engines)
+    * is what makes the Voronoi assignment hash-stable cross-engine. */
+  private def ivfTopkSql(k: Int, nprobe: Int = Similarity.NProbe) = {
+    def cosOf(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH c0 AS (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
+       |            FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+       |                    unnest(range(len(embedding))) AS i FROM embeddings)
+       |            GROUP BY label, i),
+       |cents AS (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
+       |          FROM c0 GROUP BY label),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |asn AS (SELECT k_id, list_id FROM (
+       |          SELECT k_id, list_id,
+       |            row_number() OVER (PARTITION BY k_id
+       |              ORDER BY ${cosOf("kv", "cvec")} DESC, list_id) AS rn
+       |          FROM k CROSS JOIN cents) WHERE rn = 1),
+       |q AS ($perturbedQCte),
+       |pr AS (SELECT q_id, list_id FROM (
+       |         SELECT q_id, list_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY ${cosOf("qv", "cvec")} DESC, list_id) AS rn
+       |         FROM q CROSS JOIN cents) WHERE rn <= $nprobe),
+       |cand AS (SELECT q_id, k_id FROM pr JOIN asn USING (list_id)
+       |         WHERE k_id <> q_id),
+       |r AS (SELECT cand.q_id, cand.k_id, $cosSql AS cos
+       |      FROM cand JOIN q ON q.q_id = cand.q_id JOIN k ON k.k_id = cand.k_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, k_id,
+       |       ${VecOps.qroundSql("cos", 4)} AS cos
+       |FROM (SELECT q_id, k_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, k_id) AS rank
+       |      FROM r)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  private val ivfRecallOracle =
+    s"""WITH brute AS (SELECT * FROM (${probeBruteSql(1)}) tb),
+       |ivf AS (SELECT * FROM (${ivfTopkSql(1)}) ti),
+       |hits AS (SELECT brute.q_id, count(*) AS n_hit
+       |         FROM brute JOIN ivf ON brute.q_id = ivf.q_id AND brute.k_id = ivf.k_id
+       |         GROUP BY brute.q_id),
+       |n AS (SELECT q_id, count(*) AS n FROM brute GROUP BY q_id)
+       |SELECT n.q_id,
+       |       ${VecOps.qroundSql("COALESCE(n_hit, 0)::DOUBLE / n.n::DOUBLE", 4)} AS recall
+       |FROM n LEFT JOIN hits ON hits.q_id = n.q_id""".stripMargin
+
   /** Capped-band dual mirroring [[Similarity.embeddingNearDupPairs]]'s
     * hot-bucket guard (identical output on the skew-free fixtures). */
   private val nearDupOracle = {
@@ -250,6 +301,12 @@ object SimilarityQueries {
       Similarity.annTopKProbed(perturbedQSide(s, dir), kvSide(s, dir), AnnK)),
     "similar_ann_probe_recall" -> ((s, dir) =>
       Similarity.annProbeRecall(perturbedQSide(s, dir), kvSide(s, dir), 1)),
+    "similar_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(perturbedQSide(s, dir), kvSide(s, dir),
+        Similarity.ivfCentroids(emb(s, dir)), AnnK)),
+    "similar_ivf_recall" -> ((s, dir) =>
+      Similarity.ivfRecall(perturbedQSide(s, dir), kvSide(s, dir),
+        Similarity.ivfCentroids(emb(s, dir)), 1)),
     "dedup_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         emb(s, dir).select(col("vec_id"), col("vec")), MinCos))
@@ -262,6 +319,8 @@ object SimilarityQueries {
     "similar_ann_recall" -> annRecallOracle,
     "similar_ann_probe" -> probeTopkSql(AnnK),
     "similar_ann_probe_recall" -> probeRecallOracle,
+    "similar_ivf" -> ivfTopkSql(AnnK),
+    "similar_ivf_recall" -> ivfRecallOracle,
     "dedup_embed" -> nearDupOracle
   )
 }

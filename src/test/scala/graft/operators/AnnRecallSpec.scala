@@ -79,4 +79,29 @@ class AnnRecallSpec extends AnyFunSuite {
       .agg(avg(col("recall"))).head().getDouble(0)
     assert(rec >= 0.85, f"probe recall@1 $rec%.3f below target")
   }
+
+  test("IVF: candidates bounded by probed-list mass AND high recall on strong neighbors") {
+    val dir = "/root/testdata/sf0.1" // N = 2000, nlist = 10
+    val emb = Tables.embeddings(spark, dir)
+    val kv = emb.select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+    val q = perturbedQ(dir)
+    val cents = Similarity.ivfCentroids(emb)
+    // candidate stage measured directly (the assign ⋈ probes join, before
+    // any rank filter): nprobe/nlist = 3/10 of the corpus in expectation;
+    // noise-Voronoi cells are uneven, so ceiling at 2× the expectation
+    val perQ = Similarity.ivfAssign(kv, cents)
+      .join(Similarity.ivfProbes(q, cents, Similarity.NProbe), "list_id")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), avg(col("n")).as("av")).head()
+    val expect = Similarity.NProbe.toDouble / 10 * 2000
+    assert(perQ.getLong(0) <= (2 * expect).toLong,
+      s"per-query IVF candidates ${perQ.getLong(0)} > 2× probed-list expectation")
+    // recall@1 of finding the source (cos ≈ 0.945): measured 0.98 at this
+    // SF (correlated argmax keeps query and source in the same cell for
+    // 81% at nprobe=1, 97% at 3) — floor at 0.9
+    val rec = Similarity
+      .ivfRecall(q, kv, cents, 1)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(rec >= 0.9, f"IVF recall@1 $rec%.3f below target")
+  }
 }
