@@ -234,6 +234,68 @@ case class MinhashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** JVM-static kernel for the 32-bit SimHash signature over a token array —
+  * same treatment as [[MinhashKernel]] for the other corpus-linear dedup
+  * signature: the column formulation computed hash60 per token once but
+  * then ran 32 interpreted `filter` scans over the hash array (one per
+  * signature bit) — 32 × n_tokens lambda evaluations per document.
+  *
+  * Bit-identical to that formulation (and to the DuckDB dual in
+  * [[graft.operators.Dedup.simhashSigSql]]): per token, h = first 60 bits
+  * of md5 (the [[VecOps.hash60]] stream); counter k += bit k of h for
+  * k < 32; signature bit k set iff 2·counter_k > n_tokens (strict
+  * majority). One md5 and one 32-step counter update per token. */
+object SimhashKernel {
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def sig(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val cnt = new Array[Int](32)
+    val digest = md.get()
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      digest.update(toks.getUTF8String(i).getBytes)
+      val d = digest.digest()
+      // first 8 bytes big-endian >>> 4 == hex digits 1-15 == hash60
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = h >>> 4
+      var k = 0
+      while (k < 32) { cnt(k) += ((h >>> k) & 1L).toInt; k += 1 }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 32) { if (2 * cnt(k) > n) out |= 1L << k; k += 1 }
+    out
+  }
+}
+
+/** `graft_simhash(tokens)`: 32-bit SimHash of an array<string> token column
+  * as long. One tight-loop pass — see [[SimhashKernel]]. */
+case class SimhashSig(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(v: Any): Any =
+    SimhashKernel.sig(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashKernel.sig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_hamming(a, b)`: popcount of XOR over two packed-bit array<long>
   * columns. A length mismatch (malformed/empty sketch) counts every missing
   * word as 64 differing bits — a truncating version would score a corrupt
@@ -294,6 +356,9 @@ object NativeExprs {
 
   /** K=16 minhash signature of an array<string> token column. */
   def minhashSig(toks: Column): Column = toCol(MinhashSig(toExpr(toks)))
+
+  /** 32-bit SimHash of an array<string> token column. */
+  def simhashSig(toks: Column): Column = toCol(SimhashSig(toExpr(toks)))
 
   /** hamming distance between two packed array<long> sketches. */
   def hamming(a: Column, b: Column): Column = toCol(HammingDist(toExpr(a), toExpr(b)))
