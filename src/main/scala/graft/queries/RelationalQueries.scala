@@ -130,17 +130,95 @@ object RelationalQueries {
        |WHERE p_name LIKE '%red%'
        |GROUP BY n_name, o_year""".stripMargin
 
+  /** TPC-H Q3-style shipping priority: segment-filtered customers ⋈ orders
+    * before the cutoff ⋈ lineitems shipped after it, top-10 open orders by
+    * outstanding revenue. Both date filters and the segment filter sit
+    * before their joins (pushed to the parquet scans); customer is
+    * dimension-sized and broadcasts; orderBy+limit plans as distributed
+    * TakeOrderedAndProject — no global sort. */
+  private val Q3Cutoff = "1998-03-15"
+
+  private def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(Q3Cutoff).cast("timestamp")
+    val w = Window.orderBy(desc("revenue_raw"), col("l_orderkey"))
+    Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") < cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue_raw"))
+      .orderBy(desc("revenue_raw"), col("l_orderkey"))
+      .limit(10)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"),
+        VecOps.qround(col("revenue_raw"), 2).as("revenue"))
+  }
+
+  private val shippingPriorityOracle =
+    s"""WITH a AS (SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |             sum(l_extendedprice * (1.0 - l_discount)) AS revenue_raw
+       |           FROM lineitem
+       |           JOIN orders ON l_orderkey = o_orderkey
+       |           JOIN customer ON o_custkey = c_custkey
+       |           WHERE c_mktsegment = 'BUILDING'
+       |             AND o_orderdate < TIMESTAMP '$Q3Cutoff 00:00:00'
+       |             AND l_shipdate > TIMESTAMP '$Q3Cutoff 00:00:00'
+       |           GROUP BY l_orderkey, o_orderdate, o_orderpriority),
+       |r AS (SELECT *, row_number() OVER (ORDER BY revenue_raw DESC, l_orderkey) AS rank
+       |      FROM a)
+       |SELECT CAST(rank AS BIGINT) AS rank, l_orderkey,
+       |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       |       ${VecOps.qroundSql("revenue_raw", 2)} AS revenue
+       |FROM r WHERE rank <= 10""".stripMargin
+
+  /** ROLLUP subtotals — the grouping-sets surface: per (flag, status)
+    * pricing stats plus per-flag subtotals and the grand total in one
+    * pass. Spark plans a single Expand + one aggregation (each input row
+    * fans out once per grouping set; partial aggs still combine map-side),
+    * not one job per set. `gid` is grouping_id() — bit k set when the k-th
+    * rollup column is aggregated away (first column = MSB in both
+    * engines) — which also disambiguates a genuine NULL key from a
+    * subtotal row. */
+  private def q1Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        VecOps.qround(sum(col("l_quantity")), 2).as("sum_qty"),
+        VecOps.qround(sum(col("l_extendedprice")), -2).as("sum_base"),
+        count(lit(1)).as("n"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base"), col("n"))
+
+  private val q1RollupOracle =
+    s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  l_returnflag, l_linestatus,
+       |  ${VecOps.qroundSql("sum(l_quantity)", 2)} AS sum_qty,
+       |  ${VecOps.qroundSql("sum(l_extendedprice)", -2)} AS sum_base,
+       |  count(*) AS n
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> q1,
+    "tpch_q1_rollup" -> q1Rollup,
     "top_customers" -> topCustomers,
     "region_revenue" -> regionRevenue,
-    "part_profit" -> partProfit
+    "part_profit" -> partProfit,
+    "shipping_priority" -> shippingPriority
   )
 
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> q1Oracle,
+    "tpch_q1_rollup" -> q1RollupOracle,
     "top_customers" -> topCustomersOracle,
     "region_revenue" -> regionRevenueOracle,
-    "part_profit" -> partProfitOracle
+    "part_profit" -> partProfitOracle,
+    "shipping_priority" -> shippingPriorityOracle
   )
 }
