@@ -140,6 +140,9 @@ object StreamQueries {
     // the SAME aggregation actually run as a stream: file source →
     // watermark → checkpointed foreachBatch parquet sink → read back
     "events_window_stream" -> ((s, dir) => StreamingOps.windowedAggFileStream(s, dir)),
+    // every event delivered TWICE; streaming dedup collapses it to the
+    // single-copy batch answer (exactly-once over at-least-once delivery)
+    "events_dedup_stream" -> ((s, dir) => StreamingOps.dedupFileStream(s, dir)),
     "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir))),
     // the SAME sessionizer actually run as a stream (file source →
     // flatMapGroupsWithState → upsert sink), ordinal-converted to grade
@@ -160,6 +163,7 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "events_window" -> StreamingOps.windowedAggSql("events"),
     "events_window_stream" -> StreamingOps.windowedAggSql("events"),
+    "events_dedup_stream" -> StreamingOps.dedupStreamSql("events"),
     "events_sessions" -> sessionsOracle,
     "events_sessions_stream" -> sessionsOracle,
     "events_props" -> propsOracle,

@@ -98,6 +98,51 @@ object StreamingOps {
       .select(col("w_start"), col("event_type"), col("n"), col("total"), col("lse"))
   }
 
+  /** Exactly-once-delivery edge: the events fixture staged TWICE into a
+    * landing directory (every row delivered two times — the at-least-once
+    * re-delivery a real ingest pipeline must survive), streamed through
+    * watermark-bounded `dropDuplicatesWithinWatermark(event_id)`, sunk in
+    * Append mode, and read back as per-type counts alongside the distinct
+    * id count. A broken dedup doubles `n` and a lossy one breaks
+    * `n = n_uniq` — both graded against the single-copy batch oracle.
+    *
+    * At 100 TB the dedup state is one entry per event_id WITHIN the
+    * watermark delay only (that is the point of the WithinWatermark
+    * variant vs plain dropDuplicates, whose state never expires); the
+    * delay is the re-delivery horizon, not the data's age span. */
+  def dedupFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val staging = Files.createTempDirectory("graft_dedup_src")
+    val out = Files.createTempDirectory("graft_dedup_out").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt").toString
+    val srcFile = java.nio.file.Paths.get(dir, "events.parquet")
+    Files.copy(srcFile, staging.resolve("copy_a.parquet"))
+    Files.copy(srcFile, staging.resolve("copy_b.parquet"))
+    val schema = spark.read.parquet(staging.toString).schema
+    val q = graft.sources.Tables.fixEventTs(
+        spark.readStream.schema(schema).parquet(staging.toString))
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_uniq"))
+  }
+
+  /** DuckDB oracle dual of [[dedupFileStream]] over the SINGLE-copy table:
+    * exactly-once means the doubled stream collapses to this. */
+  def dedupStreamSql(table: String): String =
+    s"""SELECT event_type, count(*) AS n,
+       |  count(DISTINCT event_id) AS n_uniq
+       |FROM $table GROUP BY event_type""".stripMargin
+
   /** The deployable streaming edge for [[Sessionize]]: file-stream source →
     * flatMapGroupsWithState sessionizer → checkpointed foreachBatch parquet
     * sink (Update-mode upsert keyed on the session's stable identity), read
