@@ -99,6 +99,37 @@ object StreamQueries {
        |  count(*) AS n
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** Per-user running aggregates — the ordered-window surface (running
+    * total, 3-row moving average, inter-event gap) every event-analytics
+    * user reaches for. ONE shuffle on user_id; all three frames share the
+    * same partitioning + ordering, so they evaluate inside the same sorted
+    * partition pass — no extra exchange per window. Running sums are
+    * sequential in event order in both engines, so qround(4) grades them
+    * exactly. */
+  private def userRunning(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m3 = w.rowsBetween(-2, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        VecOps.qround(sum(col("value")).over(cum), 4).as("cum_value"),
+        VecOps.qround(avg(col("value")).over(m3), 4).as("mavg3"),
+        coalesce(col("ts_s") - lag(col("ts_s"), 1).over(w), lit(0L)).as("gap_s"))
+  }
+
+  private val userRunningOracle =
+    s"""WITH e AS (SELECT user_id, event_id,
+       |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value FROM events)
+       |SELECT user_id, event_id,
+       |  ${VecOps.qroundSql(
+            "sum(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING)", 4)} AS cum_value,
+       |  ${VecOps.qroundSql(
+            "avg(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 4)} AS mavg3,
+       |  COALESCE(ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id), 0) AS gap_s
+       |FROM e""".stripMargin
+
   /** Sketch accuracy tolerance: relative error vs the exact quantile. With
     * accuracy=10000 the GK sketch's rank error is ≤ n/10000 ≈ 2 ranks at
     * sf0.1, so the value error is a few adjacent-order-statistic gaps —
@@ -153,6 +184,7 @@ object StreamQueries {
     "events_asof" -> ((s, dir) =>
       AsOfJoin.asOf(Tables.events(s, dir), "purchase", "view")),
     "events_quantiles" -> ((s, dir) => valueQuantiles(Tables.events(s, dir))),
+    "events_running" -> ((s, dir) => userRunning(Tables.events(s, dir))),
     "events_quantiles_sketch" -> ((s, dir) =>
       valueQuantilesSketch(Tables.events(s, dir))),
     // conversion funnel: first view, first click after it, first purchase after that
@@ -169,6 +201,7 @@ object StreamQueries {
     "events_props" -> propsOracle,
     "events_asof" -> AsOfJoin.asOfSql("events", "purchase", "view"),
     "events_quantiles" -> quantilesOracle,
+    "events_running" -> userRunningOracle,
     "events_quantiles_sketch" -> quantilesSketchOracle,
     "events_funnel" -> Funnel.funnelSql("events", FunnelSteps)
   )
