@@ -160,9 +160,14 @@ object Dedup {
     * key — one shuffle, no pairing — so the hot bucket never explodes. */
   def cappedBandPairs(bnd: DataFrame, cap: Int): DataFrame = {
     val w = Window.partitionBy(col("band"), col("key"))
+    // cached: referenced by BOTH sides of the cold self-join and the hot
+    // star — uncached, the windowed-count shuffle+sort re-runs three times
+    // per query. This is the (small) sized band index: 5 narrow columns ×
+    // docs·bands rows.
     val sized = bnd.select(col("doc_id"), col("band"), col("key"))
       .withColumn("bucket_n", count(lit(1)).over(w))
       .withColumn("bucket_min", min(col("doc_id")).over(w))
+      .cache()
     val cold = sized.filter(col("bucket_n") <= cap)
     val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
