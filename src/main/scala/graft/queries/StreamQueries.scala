@@ -99,6 +99,57 @@ object StreamQueries {
        |  count(*) AS n
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** Salt fan-out for [[saltedTypeJoin]]: 8-way spread of each hot key. */
+  private val SaltR = 8
+
+  /** Per-user share of each event type through a SALTED join: `events` is
+    * maximally skewed on event_type (5 hot keys carry everything), the
+    * per-type dim is joined row-level via [[SaltedJoin]] — each hot key
+    * spread over [[SaltR]] sub-partitions — then re-aggregated. Graded
+    * against a plain-join oracle: salting must be row-for-row
+    * semantics-neutral or the counts/shares hash-mismatch. */
+  private def saltedTypeJoin(events: DataFrame): DataFrame = {
+    val dim = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("type_n"))
+    val joined = graft.operators.SaltedJoin.join(
+      events.select(col("event_id"), col("user_id"), col("event_type")),
+      dim, Seq("event_type"), col("event_id"), SaltR)
+    joined.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("type_n")).as("type_n"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        VecOps.qround(col("n").cast("double") / col("type_n").cast("double"), 6)
+          .as("share"))
+  }
+
+  private val saltedTypeJoinOracle =
+    s"""WITH dim AS (SELECT event_type, count(*) AS type_n
+       |             FROM events GROUP BY event_type),
+       |g AS (SELECT user_id, event_type, count(*) AS n
+       |      FROM events GROUP BY user_id, event_type)
+       |SELECT user_id, g.event_type, n,
+       |  ${VecOps.qroundSql("n::DOUBLE / type_n::DOUBLE", 6)} AS share
+       |FROM g JOIN dim USING (event_type)""".stripMargin
+
+  /** Pivot: one column per event type, count per user — the wide-format
+    * reporting shape (`groupBy.pivot` with the value list PINNED: an
+    * unpinned pivot runs an extra distinct-collect job to discover values,
+    * a full pass at 100 TB). Missing cells are 0, not null. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def userTypePivot(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+
+  private val userTypePivotOracle = {
+    val cols = EventTypes.map(t =>
+      s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t").mkString(",\n|  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
   /** Per-user running aggregates — the ordered-window surface (running
     * total, 3-row moving average, inter-event gap) every event-analytics
     * user reaches for. ONE shuffle on user_id; all three frames share the
@@ -185,6 +236,8 @@ object StreamQueries {
       AsOfJoin.asOf(Tables.events(s, dir), "purchase", "view")),
     "events_quantiles" -> ((s, dir) => valueQuantiles(Tables.events(s, dir))),
     "events_running" -> ((s, dir) => userRunning(Tables.events(s, dir))),
+    "events_salted_join" -> ((s, dir) => saltedTypeJoin(Tables.events(s, dir))),
+    "events_pivot" -> ((s, dir) => userTypePivot(Tables.events(s, dir))),
     "events_quantiles_sketch" -> ((s, dir) =>
       valueQuantilesSketch(Tables.events(s, dir))),
     // conversion funnel: first view, first click after it, first purchase after that
@@ -202,6 +255,8 @@ object StreamQueries {
     "events_asof" -> AsOfJoin.asOfSql("events", "purchase", "view"),
     "events_quantiles" -> quantilesOracle,
     "events_running" -> userRunningOracle,
+    "events_salted_join" -> saltedTypeJoinOracle,
+    "events_pivot" -> userTypePivotOracle,
     "events_quantiles_sketch" -> quantilesSketchOracle,
     "events_funnel" -> Funnel.funnelSql("events", FunnelSteps)
   )
