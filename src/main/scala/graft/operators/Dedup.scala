@@ -198,6 +198,77 @@ object Dedup {
   /** default hot-bucket threshold: pairs per bucket stay ≤ cap²/2. */
   val BucketCap = 16
 
+  /** Connected components over an undirected (doc_a, doc_b) edge list by
+    * iterative min-label propagation: label(v) ← min(label(v),
+    * min_{u∈N(v)} label(u)) until fixpoint — each iteration is one
+    * edge⋈label join + a groupBy(src) min, i.e. two shuffles on node id.
+    *
+    * Convergence is O(component diameter) iterations. That is why this
+    * composes with [[cappedBandPairs]]: the hot-bucket spanning star keeps
+    * every duplicate cluster's diameter ≤ 2 even when the cluster is huge,
+    * so the loop is 2-3 iterations at any scale — the driver-side loop is
+    * CONTROL only (one boolean aggregate per iteration, never data).
+    * `localCheckpoint` truncates the per-iteration lineage so plan size
+    * stays constant. This is the standard scalable CC formulation
+    * (label propagation; large-star/small-star is the same idea with
+    * per-iteration re-wiring). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbr = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src")).agg(min(col("nlabel")).as("nmin"))
+      val next = labels
+        .join(nbr.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"),
+          col("label").as("prev_label"))
+        .localCheckpoint(true)
+      converged = next.filter(col("next_label") < col("prev_label")).isEmpty
+      labels = next.select(col("id"), col("next_label").as("label"))
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Duplicate CLUSTERS (the step exact-dedup users actually want from
+    * LSH): capped minhash band pairs filtered to est_jaccard ≥ minEst form
+    * the edge list; connected components assign each clustered doc its
+    * component-minimum doc_id as cluster id. Docs with no near-dup edge
+    * are not emitted (they are their own cluster trivially). */
+  def dedupClusters(docs: DataFrame, minEst: Double = 0.5,
+                    cap: Int = BucketCap): DataFrame =
+    connectedComponents(
+      minhashPairsCapped(docs, cap).filter(col("est_jaccard") >= minEst))
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+
+  /** SQL dual of [[dedupClusters]]: transitive closure via a recursive CTE
+    * (enumerate reachable labels, keep the minimum) — equivalent fixpoint,
+    * different engine idiom. */
+  def dedupClustersSql(table: String, minEst: Double = 0.5,
+                       cap: Int = BucketCap): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${minhashPairsCappedSql(table, cap)}) p
+       |  WHERE est_jaccard >= $minEst),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL
+       |        SELECT doc_b, doc_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT sym.src, reach.label
+       |  FROM sym JOIN reach ON reach.id = sym.dst)
+       |SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id""".stripMargin
+
   /** SQL dual of [[minhashPairsCapped]]. */
   def minhashPairsCappedSql(table: String, cap: Int = BucketCap): String = {
     val est = (1 to K)

@@ -22,7 +22,10 @@ object DedupQueries {
     "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
     "dedup_minhash_capped" -> ((s, dir) => Dedup.minhashPairsCapped(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
-    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir)))
+    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    // LSH pairs -> connected components: the cluster assignment a dedup
+    // pipeline actually applies (keep one doc per cluster)
+    "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(docs(s, dir)))
   )
 
   private val minhashPairsOracle = {
@@ -46,6 +49,7 @@ object DedupQueries {
     "dedup_minhash" -> minhashPairsOracle,
     "dedup_minhash_capped" -> Dedup.minhashPairsCappedSql("documents"),
     "dedup_simhash" -> Dedup.simhashPairsSql("documents"),
-    "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents")
+    "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents"),
+    "dedup_clusters" -> Dedup.dedupClustersSql("documents")
   )
 }
