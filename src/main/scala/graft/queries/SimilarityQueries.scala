@@ -307,6 +307,11 @@ object SimilarityQueries {
     "similar_ivf_recall" -> ((s, dir) =>
       Similarity.ivfRecall(perturbedQSide(s, dir), kvSide(s, dir),
         Similarity.ivfCentroids(emb(s, dir)), 1)),
+    // the same search through a parquet index PARTITIONED BY list_id —
+    // grades the persisted-layout round trip (pruned scan, same answer)
+    "similar_ivf_pruned" -> ((s, dir) =>
+      Similarity.ivfTopKPersisted(perturbedQSide(s, dir), kvSide(s, dir),
+        Similarity.ivfCentroids(emb(s, dir)), AnnK)),
     "dedup_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         emb(s, dir).select(col("vec_id"), col("vec")), MinCos))
@@ -321,6 +326,7 @@ object SimilarityQueries {
     "similar_ann_probe_recall" -> probeRecallOracle,
     "similar_ivf" -> ivfTopkSql(AnnK),
     "similar_ivf_recall" -> ivfRecallOracle,
+    "similar_ivf_pruned" -> ivfTopkSql(AnnK),
     "dedup_embed" -> nearDupOracle
   )
 }

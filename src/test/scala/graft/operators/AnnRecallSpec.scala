@@ -104,4 +104,24 @@ class AnnRecallSpec extends AnyFunSuite {
       .agg(avg(col("recall"))).head().getDouble(0)
     assert(rec >= 0.9, f"IVF recall@1 $rec%.3f below target")
   }
+
+  test("persisted IVF index: scan is partition-pruned to the probed lists") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val kv = emb.select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+    val q = perturbedQ(dir)
+    val cents = Similarity.ivfCentroids(emb)
+    val res = Similarity.ivfTopKPersisted(q, kv, cents, 10)
+    res.collect()
+    // the probe side is broadcast against the partition column, so the
+    // index scan must carry a dynamic partition-pruning filter — without
+    // it every list's files are read and the index layout buys nothing
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no partition pruning on the persisted index scan:\n${plan.take(2000)}")
+    // and it returns the same rows as the in-memory path
+    val direct = Similarity.ivfTopK(q, kv, cents, 10)
+    assert(res.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(res).count() == 0)
+  }
 }
