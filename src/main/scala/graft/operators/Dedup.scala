@@ -251,6 +251,33 @@ object Dedup {
       minhashPairsCapped(docs, cap).filter(col("est_jaccard") >= minEst))
       .select(col("id").as("doc_id"), col("label").as("cluster"))
 
+  /** The corpus-level payoff of the whole pipeline: documents minus every
+    * non-representative cluster member (each cluster keeps its minimum
+    * doc_id — exactly the cluster label). A broadcast LEFT ANTI join
+    * against the (tiny) drop list: (docs·bands → pairs → components) all
+    * happen on signatures; only this last filter touches the corpus table
+    * again, map-only. Output: per-lang kept/total counts. */
+  def dedupCorpus(docs: DataFrame, minEst: Double = 0.5,
+                  cap: Int = BucketCap): DataFrame = {
+    val drop = dedupClusters(docs, minEst, cap)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+  }
+
+  /** SQL dual of [[dedupCorpus]]. */
+  def dedupCorpusSql(table: String, minEst: Double = 0.5,
+                     cap: Int = BucketCap): String =
+    s"""WITH clusters AS (${dedupClustersSql(table, minEst, cap)}),
+       |kept AS (SELECT d.* FROM $table d
+       |         WHERE d.doc_id NOT IN
+       |           (SELECT doc_id FROM clusters WHERE doc_id <> cluster))
+       |SELECT lang, count(*) AS n_kept,
+       |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM kept GROUP BY lang""".stripMargin
+
   /** SQL dual of [[dedupClusters]]: transitive closure via a recursive CTE
     * (enumerate reachable labels, keep the minimum) — equivalent fixpoint,
     * different engine idiom. */

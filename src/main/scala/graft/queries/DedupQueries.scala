@@ -25,7 +25,9 @@ object DedupQueries {
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     // LSH pairs -> connected components: the cluster assignment a dedup
     // pipeline actually applies (keep one doc per cluster)
-    "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(docs(s, dir)))
+    "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(docs(s, dir))),
+    // clusters -> kept corpus (anti-join the non-representative members)
+    "dedup_corpus" -> ((s, dir) => Dedup.dedupCorpus(docs(s, dir)))
   )
 
   private val minhashPairsOracle = {
@@ -50,6 +52,7 @@ object DedupQueries {
     "dedup_minhash_capped" -> Dedup.minhashPairsCappedSql("documents"),
     "dedup_simhash" -> Dedup.simhashPairsSql("documents"),
     "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents"),
-    "dedup_clusters" -> Dedup.dedupClustersSql("documents")
+    "dedup_clusters" -> Dedup.dedupClustersSql("documents"),
+    "dedup_corpus" -> Dedup.dedupCorpusSql("documents")
   )
 }

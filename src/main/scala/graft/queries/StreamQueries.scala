@@ -225,6 +225,10 @@ object StreamQueries {
     // every event delivered TWICE; streaming dedup collapses it to the
     // single-copy batch answer (exactly-once over at-least-once delivery)
     "events_dedup_stream" -> ((s, dir) => StreamingOps.dedupFileStream(s, dir)),
+    // stream-stream inner join (views x purchases within 1h), state bounded
+    // by the watermarked time-range condition
+    "events_join_stream" -> ((s, dir) =>
+      StreamingOps.viewPurchaseJoinStream(s, dir)),
     "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir))),
     // the SAME sessionizer actually run as a stream (file source →
     // flatMapGroupsWithState → upsert sink), ordinal-converted to grade
@@ -249,6 +253,7 @@ object StreamQueries {
     "events_window" -> StreamingOps.windowedAggSql("events"),
     "events_window_stream" -> StreamingOps.windowedAggSql("events"),
     "events_dedup_stream" -> StreamingOps.dedupStreamSql("events"),
+    "events_join_stream" -> StreamingOps.viewPurchaseJoinSql("events"),
     "events_sessions" -> sessionsOracle,
     "events_sessions_stream" -> sessionsOracle,
     "events_props" -> propsOracle,

@@ -143,6 +143,62 @@ object StreamingOps {
        |  count(DISTINCT event_id) AS n_uniq
        |FROM $table GROUP BY event_type""".stripMargin
 
+  /** STREAM-STREAM inner join: views ⋈ purchases by user within 1 hour,
+    * both sides live streams of the same events source. The time-range
+    * condition on the two watermarked event-time columns is what lets
+    * Spark expire join state (a view older than watermark − 1 h can never
+    * match a future purchase and is dropped) — without it the buffers grow
+    * forever; with it, state is bounded by rate × (delay + range) on each
+    * side regardless of total stream length. Append-mode matches are sunk
+    * per batch and re-aggregated per user, graded against the batch join
+    * oracle. */
+  def viewPurchaseJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_ssj_out").toString
+    val ckpt = Files.createTempDirectory("graft_ssj_ckpt").toString
+    def side(t: String, uid: String, eid: String, tsc: String) =
+      graft.sources.Tables.eventsStream(spark, dir)
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(uid), col("event_id").as(eid),
+          col("ts").as(tsc))
+        .withWatermark(tsc, "30 days")
+    val views = side("view", "user_id", "view_id", "v_ts")
+    val purchases = side("purchase", "p_user", "purchase_id", "p_ts")
+    val q = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("view_id")).as("n_views"),
+        countDistinct(col("purchase_id")).as("n_purchases"))
+  }
+
+  /** DuckDB oracle dual of [[viewPurchaseJoinStream]] (batch join —
+    * stream-stream inner join must converge to it). */
+  def viewPurchaseJoinSql(table: String): String =
+    s"""WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+       |           FROM $table WHERE event_type = 'view'),
+       |p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+       |      FROM $table WHERE event_type = 'purchase'),
+       |j AS (SELECT user_id, view_id, purchase_id
+       |      FROM v JOIN p ON user_id = p_user
+       |        AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR)
+       |SELECT user_id, count(*) AS n_pairs,
+       |       count(DISTINCT view_id) AS n_views,
+       |       count(DISTINCT purchase_id) AS n_purchases
+       |FROM j GROUP BY user_id""".stripMargin
+
   /** The deployable streaming edge for [[Sessionize]]: file-stream source →
     * flatMapGroupsWithState sessionizer → checkpointed foreachBatch parquet
     * sink (Update-mode upsert keyed on the session's stable identity), read
