@@ -204,8 +204,67 @@ object RelationalQueries {
        |FROM lineitem
        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  /** TPC-H Q6-style forecast-revenue: the pure-pushdown query — every
+    * predicate (date range, discount band, quantity cap) reaches the
+    * parquet scan as a PushedFilter, the projection is 2 columns, and the
+    * plan is scan → partial agg → single-row final. The canonical "is the
+    * scan doing the work" probe at 100 TB. */
+  private def q6(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        VecOps.qround(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n"))
+
+  private val q6Oracle =
+    s"""SELECT ${VecOps.qroundSql("sum(l_extendedprice * l_discount)", 2)} AS revenue,
+       |  count(*) AS n
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  /** LEFT OUTER join with a real null population: customers against their
+    * big-ticket orders (totalprice > threshold — ~1/3 of customers have
+    * none at sf0.01). Exercises outer-join null semantics through the
+    * whole grade path: null-aware conditional counting, countDistinct over
+    * a when(), and the dim-side broadcast still applies (the filtered
+    * orders side is the small one). */
+  private val BigOrder = 450000.0
+
+  private def customerBigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > BigOrder)
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        countDistinct(when(col("o_orderkey").isNull, col("c_custkey")))
+          .as("n_without"),
+        count(col("o_orderkey")).as("n_big_orders"))
+  }
+
+  private val customerBigOrdersOracle =
+    s"""SELECT c_mktsegment,
+       |  count(DISTINCT c_custkey) AS n_customers,
+       |  count(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS n_without,
+       |  count(o_orderkey) AS n_big_orders
+       |FROM customer LEFT JOIN
+       |  (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > $BigOrder) o
+       |  ON c_custkey = o_custkey
+       |GROUP BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> q1,
+    "tpch_q6" -> q6,
+    "customer_big_orders" -> customerBigOrders,
     "tpch_q1_rollup" -> q1Rollup,
     "top_customers" -> topCustomers,
     "region_revenue" -> regionRevenue,
@@ -215,6 +274,8 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> q1Oracle,
+    "tpch_q6" -> q6Oracle,
+    "customer_big_orders" -> customerBigOrdersOracle,
     "tpch_q1_rollup" -> q1RollupOracle,
     "top_customers" -> topCustomersOracle,
     "region_revenue" -> regionRevenueOracle,

@@ -99,6 +99,31 @@ object StreamQueries {
        |  count(*) AS n
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** Per-type dispersion stats from raw power sums: mean, sample variance
+    * and stddev derived POST-AGGREGATION from (n, Σx, Σx²) with the same
+    * closed formula in both engines — the mergeable-moments formulation
+    * that partial aggregation combines map-side (a streaming/distributed
+    * monoid, unlike a naive two-pass variance). */
+  private def typeStats(events: DataFrame): DataFrame = {
+    val n = count(lit(1)).cast("double")
+    val s1 = sum(col("value"))
+    val s2 = sum(col("value") * col("value"))
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        VecOps.qround(s1 / n, 4).as("mean"),
+        VecOps.qround((s2 - s1 * s1 / n) / (n - lit(1.0)), 4).as("var_samp"),
+        VecOps.qround(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))), 4).as("stddev"))
+  }
+
+  private val typeStatsOracle = {
+    val v = "(sum(value * value) - sum(value) * sum(value) / count(*)) / (count(*) - 1.0)"
+    s"""SELECT event_type, count(*) AS n,
+       |  ${VecOps.qroundSql("sum(value) / count(*)", 4)} AS mean,
+       |  ${VecOps.qroundSql(v, 4)} AS var_samp,
+       |  ${VecOps.qroundSql(s"sqrt($v)", 4)} AS stddev
+       |FROM events GROUP BY event_type""".stripMargin
+  }
+
   /** Salt fan-out for [[saltedTypeJoin]]: 8-way spread of each hot key. */
   private val SaltR = 8
 
@@ -242,6 +267,7 @@ object StreamQueries {
     "events_running" -> ((s, dir) => userRunning(Tables.events(s, dir))),
     "events_salted_join" -> ((s, dir) => saltedTypeJoin(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) => userTypePivot(Tables.events(s, dir))),
+    "events_typestats" -> ((s, dir) => typeStats(Tables.events(s, dir))),
     "events_quantiles_sketch" -> ((s, dir) =>
       valueQuantilesSketch(Tables.events(s, dir))),
     // conversion funnel: first view, first click after it, first purchase after that
@@ -262,6 +288,7 @@ object StreamQueries {
     "events_running" -> userRunningOracle,
     "events_salted_join" -> saltedTypeJoinOracle,
     "events_pivot" -> userTypePivotOracle,
+    "events_typestats" -> typeStatsOracle,
     "events_quantiles_sketch" -> quantilesSketchOracle,
     "events_funnel" -> Funnel.funnelSql("events", FunnelSteps)
   )
