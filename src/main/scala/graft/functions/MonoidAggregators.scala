@@ -78,6 +78,53 @@ class LogSumExpAgg extends Aggregator[Double, LseBuf, Double] {
   def outputEncoder: Encoder[Double] = inner.outputEncoder
 }
 
+/** One ranked item of the top-k monoid state. */
+case class TopKItem(value: Double, id: Long)
+
+/** Bounded top-k buffer: items sorted (value desc, id asc), length ≤ k. */
+case class TopKBuf(items: Seq[TopKItem])
+
+/** The bounded top-k monoid — the canonical "new monoid via the factory"
+  * the reference's `mk_GeMMMapReduce` contract promises (its sampler is
+  * the k=1 case, sampling.py:14 argmax): state is the k best (value, id)
+  * pairs, combine is an O(k) sorted-merge-truncate. Exactly associative
+  * and commutative (pure comparisons, no float arithmetic — the laws hold
+  * bit-exactly, unlike the softmax family's to-tolerance). The id
+  * tie-break makes the fold order-independent even on duplicate values,
+  * which is what lets the driver hash-grade the result. */
+class TopKMonoid(k: Int) extends Monoid[TopKBuf] {
+  def zero: TopKBuf = TopKBuf(Vector.empty)
+  private def beats(x: TopKItem, y: TopKItem): Boolean =
+    x.value > y.value || (x.value == y.value && x.id < y.id)
+  def combine(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    val out = Vector.newBuilder[TopKItem]
+    var (i, j, n) = (0, 0, 0)
+    while (n < k && (i < a.items.length || j < b.items.length)) {
+      val takeA = j >= b.items.length ||
+        (i < a.items.length && beats(a.items(i), b.items(j)))
+      if (takeA) { out += a.items(i); i += 1 }
+      else { out += b.items(j); j += 1 }
+      n += 1
+    }
+    TopKBuf(out.result())
+  }
+}
+
+/** Top-k per group through the [[FoldAggregator]] factory: each (value, id)
+  * row lifts to a singleton state; Catalyst's partial→exchange→final IS the
+  * blocked fold, so only k items per group ever cross the shuffle. */
+class TopKAgg(k: Int) extends Aggregator[TopKItem, TopKBuf, Seq[TopKItem]] {
+  private val inner = FoldAggregator[TopKItem, TopKBuf, Seq[TopKItem]](
+    new TopKMonoid(k), it => TopKBuf(Vector(it)), _.items)(
+    Encoders.product[TopKBuf], ExpressionEncoder[Seq[TopKItem]]())
+  def zero: TopKBuf = inner.zero
+  def reduce(b: TopKBuf, in: TopKItem): TopKBuf = inner.reduce(b, in)
+  def merge(a: TopKBuf, b: TopKBuf): TopKBuf = inner.merge(a, b)
+  def finish(b: TopKBuf): Seq[TopKItem] = inner.finish(b)
+  def bufferEncoder: Encoder[TopKBuf] = inner.bufferEncoder
+  def outputEncoder: Encoder[Seq[TopKItem]] = inner.outputEncoder
+}
+
 /** DataFrame-callable registrations. The scalar logsumexp stays a
   * `udaf(Aggregator)` (lowers to `ScalaAggregator`, a
   * `TypedImperativeAggregate`; the per-row encoder cost on a bare Double is
@@ -99,6 +146,11 @@ object GraftAggs {
   /** the Aggregator form, for users extending via [[FoldAggregator]]. */
   val logSumExpUdaf: UserDefinedFunction =
     udaf(new LogSumExpAgg, ExpressionEncoder[Double]())
+
+  /** topK(k)(valueCol, idCol) -> array<struct<value,id>>, largest first
+    * (id-tie-broken) — the bounded top-k monoid via [[FoldAggregator]]. */
+  def topK(k: Int): UserDefinedFunction =
+    udaf(new TopKAgg(k), ExpressionEncoder[TopKItem]())
 
   /** logWeightedVec(scoreCol, valueArrayCol) -> struct(z, v): the
     * attention/entropy monoid (reference attention.py:31-44). */

@@ -124,6 +124,31 @@ object StreamQueries {
        |FROM events GROUP BY event_type""".stripMargin
   }
 
+  /** Top-3 events per type through the BOUNDED TOP-K MONOID
+    * ([[graft.functions.TopKMonoid]] via the FoldAggregator factory — the
+    * reference's extension contract exercised end-to-end): only k items
+    * per group cross the shuffle, vs a window-rank's full sort of every
+    * group member. The graded dual IS that window rank. */
+  private val TypeTopK = 3
+
+  private def typeTopEvents(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(graft.functions.GraftAggs.topK(TypeTopK)(
+        col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("event_id"),
+        VecOps.qround(col("col.value"), 4).as("value"))
+
+  private val typeTopEventsOracle =
+    s"""SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id,
+       |  ${VecOps.qroundSql("value", 4)} AS value
+       |FROM (SELECT event_type, event_id, value,
+       |        row_number() OVER (PARTITION BY event_type
+       |          ORDER BY value DESC, event_id) AS rank
+       |      FROM events)
+       |WHERE rank <= $TypeTopK""".stripMargin
+
   /** Salt fan-out for [[saltedTypeJoin]]: 8-way spread of each hot key. */
   private val SaltR = 8
 
@@ -268,6 +293,7 @@ object StreamQueries {
     "events_salted_join" -> ((s, dir) => saltedTypeJoin(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) => userTypePivot(Tables.events(s, dir))),
     "events_typestats" -> ((s, dir) => typeStats(Tables.events(s, dir))),
+    "events_type_topk" -> ((s, dir) => typeTopEvents(Tables.events(s, dir))),
     "events_quantiles_sketch" -> ((s, dir) =>
       valueQuantilesSketch(Tables.events(s, dir))),
     // conversion funnel: first view, first click after it, first purchase after that
@@ -289,6 +315,7 @@ object StreamQueries {
     "events_salted_join" -> saltedTypeJoinOracle,
     "events_pivot" -> userTypePivotOracle,
     "events_typestats" -> typeStatsOracle,
+    "events_type_topk" -> typeTopEventsOracle,
     "events_quantiles_sketch" -> quantilesSketchOracle,
     "events_funnel" -> Funnel.funnelSql("events", FunnelSteps)
   )

@@ -139,4 +139,29 @@ class MonoidLawsSpec extends AnyFunSuite {
       for (i <- 0 until D) assert(r.v(i) == a.v(i))
     }
   }
+
+  // ---- TopKMonoid (pure comparisons — laws hold bit-exactly) ----
+
+  test("top-k monoid: associative, commutative, identity — EXACTLY; fold == sort") {
+    val k = 3
+    val m = new TopKMonoid(k)
+    def randBuf(): TopKBuf =
+      (1 to rnd.nextInt(6)).foldLeft(m.zero)((b, _) =>
+        m.combine(b, TopKBuf(Vector(
+          TopKItem(rnd.nextInt(4).toDouble, rnd.nextInt(100).toLong)))))
+    for (_ <- 1 to Iters) {
+      val (a, b, c) = (randBuf(), randBuf(), randBuf())
+      assert(m.combine(m.combine(a, b), c) == m.combine(a, m.combine(b, c)))
+      assert(m.combine(a, b) == m.combine(b, a)) // needs the id tie-break:
+      // duplicate values are common here (values drawn from 4 levels)
+      assert(m.combine(a, m.zero) == a && m.combine(m.zero, a) == a)
+    }
+    for (_ <- 1 to Iters) {
+      val items = Seq.fill(1 + rnd.nextInt(20))(
+        TopKItem(rnd.nextInt(4).toDouble, rnd.nextInt(1000).toLong))
+      val folded = items.foldLeft(m.zero)((b, it) => m.combine(b, TopKBuf(Vector(it))))
+      val want = items.sortBy(it => (-it.value, it.id)).take(k)
+      assert(folded.items == want, s"fold ${folded.items} vs sort $want")
+    }
+  }
 }
