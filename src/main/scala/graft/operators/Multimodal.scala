@@ -21,6 +21,10 @@ case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Long,
 case class PpmFeatures(doc_id: Long, width: Long, height: Long,
                        n_bytes: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** Output of the nearest-neighbor resize: thumb dims + channel sums. */
+case class PpmThumb(doc_id: Long, width: Long, height: Long,
+                    sum_r: Long, sum_g: Long, sum_b: Long)
+
 /** Multimodal-column plumbing: treat media as opaque `binary` columns with
   * typed metadata and run decode / feature-extraction as a batched
   * per-partition transform (`Dataset.mapPartitions` — the JVM analog of
@@ -113,12 +117,11 @@ object Multimodal {
     header ++ px
   }
 
-  /** REAL P6 parser: magic, whitespace/`#`-comment-tolerant header ints,
-    * single whitespace, then exactly 3*w*h raw bytes. Returns
-    * (width, height, sumR, sumG, sumB); throws on malformed input — a
-    * decoder that silently zero-fills corrupt media would poison features
-    * downstream. */
-  def decodePpm(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+  /** REAL P6 header parse: magic, whitespace/`#`-comment-tolerant header
+    * ints, single whitespace separator. Returns (width, height,
+    * rasterStart); throws on malformed input — a decoder that silently
+    * zero-fills corrupt media would poison features downstream. */
+  def ppmHeader(payload: Array[Byte]): (Int, Int, Int) = {
     require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6',
       "not a P6 PPM payload")
     var pos = 2
@@ -143,6 +146,12 @@ object Multimodal {
     pos += 1 // exactly ONE whitespace byte separates header from raster
     require(payload.length - pos == 3 * w * h,
       s"PPM raster length ${payload.length - pos} != 3*$w*$h")
+    (w, h, pos)
+  }
+
+  /** Full decode: dims + per-channel pixel sums over the whole raster. */
+  def decodePpm(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val (w, h, pos) = ppmHeader(payload)
     var (sr, sg, sb) = (0L, 0L, 0L)
     var i = pos
     while (i < payload.length) {
@@ -155,6 +164,29 @@ object Multimodal {
       i += 1
     }
     (w, h, sr, sg, sb)
+  }
+
+  /** Nearest-neighbor RESIZE to tw×th (the brief's resize verb): thumb
+    * pixel (x′, y′) samples source pixel (⌊x′·w/tw⌋, ⌊y′·h/th⌋), read
+    * straight from the raster bytes — no intermediate image. Returns the
+    * thumbnail's channel sums. */
+  def resizePpm(payload: Array[Byte], tw: Int, th: Int): (Long, Long, Long) = {
+    val (w, h, pos) = ppmHeader(payload)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        val base = pos + 3 * (sy * w + x * w / tw)
+        sr += payload(base) & 0xffL
+        sg += payload(base + 1) & 0xffL
+        sb += payload(base + 2) & 0xffL
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
   }
 
   /** Graded end-to-end REAL-codec query: synthesize binary PPM payloads →
@@ -191,6 +223,44 @@ object Multimodal {
        |       CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
        |       CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
        |FROM px GROUP BY doc_id, w, h""".stripMargin
+
+  /** Graded resize query: synthesize → parse → nearest-neighbor 4×4
+    * thumbnail → channel sums. Same batched per-partition shape as
+    * [[ppmFeatures]]; map-only. */
+  def ppmThumbs(docs: DataFrame, tw: Int = ThumbW, th: Int = ThumbH): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val payload = ppmPayload(id)
+          val (sr, sg, sb) = resizePpm(payload, tw, th)
+          PpmThumb(id, tw.toLong, th.toLong, sr, sg, sb)
+        }
+      }
+      .toDF()
+  }
+
+  val ThumbW = 4
+  val ThumbH = 4
+
+  /** DuckDB oracle dual of [[ppmThumbs]]: the nearest-neighbor sample
+    * positions recomputed in closed form over the pixel formula — thumb
+    * pixel index t → channel t%3, x′=(t÷3)%tw, y′=(t÷3)÷tw, source byte
+    * 3·(⌊y′h/th⌋·w + ⌊x′w/tw⌋) + ch. */
+  def ppmThumbsSql(table: String, tw: Int = ThumbW, th: Int = ThumbH): String =
+    s"""WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+       |              FROM $table),
+       |px AS (SELECT doc_id, i % 3 AS ch,
+       |         (doc_id * 7 +
+       |          3 * ((((i // 3) // $tw) * h // $th) * w
+       |               + (((i // 3) % $tw) * w // $tw)) + i % 3) % 256 AS v
+       |       FROM dims, unnest(generate_series(0, ${3 * tw * th - 1})) AS u(i))
+       |SELECT doc_id, CAST($tw AS BIGINT) AS width, CAST($th AS BIGINT) AS height,
+       |       CAST(sum(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+       |       CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+       |       CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
+       |FROM px GROUP BY doc_id""".stripMargin
 
   /** Frame sampling: every stride-th fixed-width window of the payload,
     * fingerprinted — the frame-sample stage of a video/audio pipeline

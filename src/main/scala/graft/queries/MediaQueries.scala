@@ -19,12 +19,17 @@ object MediaQueries {
     // REAL binary codec end-to-end: synthesized P6 PPM payloads parsed by
     // a genuine header+raster decoder, graded on integer-exact stats
     "media_features_real" -> ((s, dir) =>
-      Multimodal.ppmFeatures(Tables.documents(s, dir)))
+      Multimodal.ppmFeatures(Tables.documents(s, dir))),
+    // the resize verb: nearest-neighbor 4x4 thumbnail sampled straight
+    // from the parsed raster bytes
+    "media_thumbs" -> ((s, dir) =>
+      Multimodal.ppmThumbs(Tables.documents(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
     "media_features" -> Multimodal.mediaFeaturesSql("documents"),
     "media_frames" -> Multimodal.frameSamplesSql("documents"),
-    "media_features_real" -> Multimodal.ppmFeaturesSql("documents")
+    "media_features_real" -> Multimodal.ppmFeaturesSql("documents"),
+    "media_thumbs" -> Multimodal.ppmThumbsSql("documents")
   )
 }
