@@ -42,7 +42,19 @@ object GraftExtensions {
       (es: Seq[Expression]) => VecWeightedSumAgg(es(0), es(1))),
     ("graft_logsumexp",
       "graft_logsumexp(x) - aggregate: numerically-stable log(sum(exp(x)))",
-      (es: Seq[Expression]) => LogSumExpDecl(es(0)))
+      (es: Seq[Expression]) => LogSumExpDecl(es(0))),
+    ("graft_minhash",
+      "graft_minhash(tokens) - K=16 minhash signature of array<string> as array<long>",
+      (es: Seq[Expression]) => graft.functions.MinhashSig(es(0))),
+    ("graft_simhash",
+      "graft_simhash(tokens) - 32-bit SimHash of array<string> as bigint",
+      (es: Seq[Expression]) => graft.functions.SimhashSig(es(0))),
+    ("graft_sign_sketch",
+      "graft_sign_sketch(vec) - 256-bit packed sign sketch of array<double> as array<long>",
+      (es: Seq[Expression]) => graft.functions.SignSketch(es(0))),
+    ("graft_hamming",
+      "graft_hamming(a, b) - hamming distance between two packed array<long> sketches",
+      (es: Seq[Expression]) => graft.functions.HammingDist(es(0), es(1)))
   )
 
   /** Idempotent imperative registration into an existing session. */

@@ -36,6 +36,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT g, graft_logsumexp(sc) AS z FROM ext_t GROUP BY g")
       .select($"z").as[Double].head()
     assert(math.abs(lse - (1.0 + math.log(2.0))) < 1e-12)
+
+    // the dedup/ANN kernels, SQL-callable too
+    val mh = spark.sql(
+      "SELECT graft_minhash(array('a', 'b', 'c', 'd')) AS s").as[Seq[Long]].head()
+    assert(mh.length == 16 && mh.forall(_ >= 0))
+    val sh = spark.sql(
+      "SELECT graft_simhash(array('a', 'b', 'c')) AS s").as[Long].head()
+    assert(sh >= 0 && sh < (1L << 32))
+    val ham = spark.sql(
+      """SELECT graft_hamming(graft_sign_sketch(array(1.0d, -1.0d)),
+        |                     graft_sign_sketch(array(1.0d, -1.0d))) AS h""".stripMargin)
+      .as[Long].head()
+    assert(ham == 0L)
   }
 
   private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
