@@ -261,9 +261,34 @@ object RelationalQueries {
        |  ON c_custkey = o_custkey
        |GROUP BY c_mktsegment""".stripMargin
 
+  /** TPC-H Q4-style priority check: orders with AT LEAST ONE late line
+    * item (shipped > 60 days after the order date), counted per priority.
+    * A LEFT SEMI join with a mixed equi + non-equi condition — the EXISTS
+    * shape: the probe side never duplicates an order no matter how many
+    * lines qualify, and only the order key + date cross the join. (The
+    * fixture has no commit/receipt dates; ship-lag stands in for Q4's
+    * late-commit predicate — same join/filter/agg shape.) */
+  private def latePriority(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  private val latePriorityOracle =
+    s"""SELECT o_orderpriority, count(*) AS n
+       |FROM orders
+       |WHERE EXISTS (SELECT 1 FROM lineitem
+       |              WHERE l_orderkey = o_orderkey
+       |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> q1,
     "tpch_q6" -> q6,
+    "tpch_q4_late" -> latePriority,
     "customer_big_orders" -> customerBigOrders,
     "tpch_q1_rollup" -> q1Rollup,
     "top_customers" -> topCustomers,
@@ -275,6 +300,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> q1Oracle,
     "tpch_q6" -> q6Oracle,
+    "tpch_q4_late" -> latePriorityOracle,
     "customer_big_orders" -> customerBigOrdersOracle,
     "tpch_q1_rollup" -> q1RollupOracle,
     "top_customers" -> topCustomersOracle,
