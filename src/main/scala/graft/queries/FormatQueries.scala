@@ -80,6 +80,22 @@ object FormatQueries {
        |       ${VecOps.qroundSql("sum(l_extendedprice)", -2)} AS sum_price
        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Events round-tripped through ORC (the other columnar format Spark
+    * ships a native vectorized reader for): typed projection written and
+    * read back, then the same per-type aggregate as the JSON path — the
+    * oracle grades the full write→read→agg trip against the original
+    * parquet. */
+  private def eventsOrcSource(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_events_orc").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").orc(out)
+    spark.read.schema(ev.schema).orc(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        VecOps.qround(sum(col("value")), 4).as("total"))
+  }
+
   /** Bucketed co-located join — the layout that kills the per-query
     * shuffle: orders and lineitem written `bucketBy(8, orderkey)` +
     * `sortBy` as external tables, then joined on the bucket key. Both
@@ -123,6 +139,7 @@ object FormatQueries {
     "docs_sink_partitioned" -> docsSinkPartitioned _,
     "events_json_source" -> eventsJsonSource _,
     "lineitem_csv_source" -> lineitemCsvSource _,
+    "events_orc_source" -> eventsOrcSource _,
     "bucketed_join" -> bucketedJoin _
   )
 
@@ -130,6 +147,7 @@ object FormatQueries {
     "docs_sink_partitioned" -> docsSinkOracle,
     "events_json_source" -> eventsJsonOracle,
     "lineitem_csv_source" -> lineitemCsvOracle,
+    "events_orc_source" -> eventsJsonOracle, // same agg, same source table
     "bucketed_join" -> bucketedJoinOracle
   )
 }
