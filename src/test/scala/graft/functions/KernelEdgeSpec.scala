@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Edge-of-domain behavior the docstrings promise, pinned: degenerate token
+  * streams through the native dedup kernels, malformed media through the
+  * PPM parser, and corrupt sketches through hamming. */
+class KernelEdgeSpec extends AnyFunSuite {
+
+  private def toks(ts: String*): ArrayData =
+    new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+
+  test("minhash kernel: <3 tokens hash the whole stream as ONE shingle") {
+    // 1- and 2-token docs must produce the signature of their joined
+    // stream, not crash or emit MaxValue sentinels
+    val one = MinhashKernel.sig(toks("alpha")).toLongArray()
+    val two = MinhashKernel.sig(toks("alpha", "beta")).toLongArray()
+    assert(one.length == 16 && two.length == 16)
+    assert(one.forall(v => v >= 0 && v < Long.MaxValue))
+    assert(!(one sameElements two))
+    // 3 tokens = exactly one 3-gram shingle = the whole stream:
+    // must equal the <3-token "whole stream" path on the same stream
+    val three = MinhashKernel.sig(toks("a", "b", "c")).toLongArray()
+    val whole = MinhashKernel.sig(toks("a b c")).toLongArray()
+    assert(three sameElements whole,
+      "3-token shingle must hash the space-joined stream bytes")
+  }
+
+  test("simhash kernel: empty token stream is signature 0; strict majority") {
+    assert(SimhashKernel.sig(toks()) == 0L)
+    // one token: every set bit of its hash60 low 32 is a 1-of-1 majority
+    val s = SimhashKernel.sig(toks("x"))
+    assert(s >= 0 && s < (1L << 32))
+    // two tokens with different hashes: a bit set in only one of them is
+    // 1 of 2 — NOT a strict majority — so the sig is the AND of the two
+    val a = SimhashKernel.sig(toks("x"))
+    val b = SimhashKernel.sig(toks("y"))
+    assert(SimhashKernel.sig(toks("x", "y")) == (a & b))
+  }
+
+  test("PPM parser rejects malformed payloads instead of zero-filling") {
+    val good = Multimodal.ppmPayload(7L)
+    assert(Multimodal.decodePpm(good)._1 == (8 + 7 % 5))
+    // wrong magic
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P5 1 1 255 ".getBytes)
+    }
+    // truncated raster
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(good.dropRight(1))
+    }
+    // non-255 maxval
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P6\n1 1\n15\n123".getBytes)
+    }
+    // comment-tolerant header still parses
+    val commented = ("P6\n# a comment\n1 1\n255\n".getBytes ++ Array[Byte](1, 2, 3))
+    assert(Multimodal.decodePpm(commented) == ((1, 1, 1L, 2L, 3L)))
+  }
+
+  test("hamming: a short/corrupt sketch counts missing words as all-differing") {
+    val full = new GenericArrayData(Array[Any](0L, 0L, 0L, 0L))
+    val short = new GenericArrayData(Array[Any](0L))
+    val d = HammingDist(
+      org.apache.spark.sql.catalyst.expressions.Literal(1),
+      org.apache.spark.sql.catalyst.expressions.Literal(1))
+    assert(d.nullSafeEval(full, short) == 192L, "3 missing words = 192 bits")
+    assert(d.nullSafeEval(full, full) == 0L)
+  }
+}
