@@ -338,6 +338,22 @@ object Similarity {
     rerankExact(cand, q, kv, k, PairPlan.Auto)
   }
 
+  /** ONE full k-means iteration over the current quantizer: re-assign
+    * every vector to its nearest centroid (map-only, [[ivfAssign]]), then
+    * recompute each list's mean — the training loop of a real IVF build
+    * (seed with [[ivfCentroids]], iterate to convergence). Output is the
+    * exploded (list_id, pos, c, n) form so the driver can hash-grade it;
+    * the shuffle carries lists × dims partial sums, never vectors. Lists
+    * that capture no vectors disappear (standard k-means empty-cell
+    * behavior; production re-seeds them). */
+  def kmeansStep(kv: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssign(kv, cents)
+      .join(kv, "k_id")
+      .select(col("list_id"), posexplode(col("kvec")).as(Seq("pos", "x")))
+      .groupBy(col("list_id"), col("pos").cast("long").as("pos"))
+      .agg(VecOps.qround(sum(col("x")) / count(lit(1)), 4).as("c"),
+        count(lit(1)).as("n"))
+
   /** [[ivfTopK]] through the PERSISTED index layout: [[ivfIndex]] written
     * as parquet `PARTITIONED BY (list_id)`, read back, and probe-joined.
     * The probe side is a broadcast against the partition column, so the

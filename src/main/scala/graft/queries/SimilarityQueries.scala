@@ -238,6 +238,32 @@ object SimilarityQueries {
        |       ${VecOps.qroundSql("COALESCE(n_hit, 0)::DOUBLE / n.n::DOUBLE", 4)} AS recall
        |FROM n LEFT JOIN hits ON hits.q_id = n.q_id""".stripMargin
 
+  /** Oracle dual of one k-means iteration: the same centroid/assignment
+    * CTEs as [[ivfTopkSql]], then per-(list, dim) means over the assigned
+    * vectors. */
+  private val kmeansStepOracle = {
+    def cosOf(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH c0 AS (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
+       |            FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+       |                    unnest(range(len(embedding))) AS i FROM embeddings)
+       |            GROUP BY label, i),
+       |cents AS (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
+       |          FROM c0 GROUP BY label),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |asn AS (SELECT k_id, list_id FROM (
+       |          SELECT k_id, list_id,
+       |            row_number() OVER (PARTITION BY k_id
+       |              ORDER BY ${cosOf("kv", "cvec")} DESC, list_id) AS rn
+       |          FROM k CROSS JOIN cents) WHERE rn = 1)
+       |SELECT list_id, CAST(i AS BIGINT) AS pos,
+       |  ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c, count(*) AS n
+       |FROM (SELECT asn.list_id, unnest(kv)::DOUBLE AS x,
+       |        unnest(range(len(kv))) AS i
+       |      FROM asn JOIN k USING (k_id))
+       |GROUP BY list_id, i""".stripMargin
+  }
+
   /** Capped-band dual mirroring [[Similarity.embeddingNearDupPairs]]'s
     * hot-bucket guard (identical output on the skew-free fixtures). */
   private val nearDupOracle = {
@@ -312,6 +338,11 @@ object SimilarityQueries {
     "similar_ivf_pruned" -> ((s, dir) =>
       Similarity.ivfTopKPersisted(perturbedQSide(s, dir), kvSide(s, dir),
         Similarity.ivfCentroids(emb(s, dir)), AnnK)),
+    // one full k-means iteration (re-assign + recompute means) — the IVF
+    // quantizer's training loop, graded
+    "kmeans_step" -> ((s, dir) =>
+      Similarity.kmeansStep(kvSide(s, dir),
+        Similarity.ivfCentroids(emb(s, dir)))),
     "dedup_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         emb(s, dir).select(col("vec_id"), col("vec")), MinCos))
@@ -327,6 +358,7 @@ object SimilarityQueries {
     "similar_ivf" -> ivfTopkSql(AnnK),
     "similar_ivf_recall" -> ivfRecallOracle,
     "similar_ivf_pruned" -> ivfTopkSql(AnnK),
+    "kmeans_step" -> kmeansStepOracle,
     "dedup_embed" -> nearDupOracle
   )
 }
