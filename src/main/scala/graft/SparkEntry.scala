@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MatrixQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ StreamQueries.queries ++
-      RelationalQueries.queries ++ MediaQueries.queries ++
+      RelationalQueries.queries ++ SubqueryQueries.queries ++
+      MediaQueries.queries ++
       CurationQueries.queries ++ FormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,7 +32,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     MatrixQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ StreamQueries.oracles ++
-      RelationalQueries.oracles ++ MediaQueries.oracles ++
+      RelationalQueries.oracles ++ SubqueryQueries.oracles ++
+      MediaQueries.oracles ++
       CurationQueries.oracles ++ FormatQueries.oracles
 
   /** Headline subset timed by [[Bench]] at sf0.1. */
