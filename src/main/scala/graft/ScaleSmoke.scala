@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Nonlinearity probe for the dedup pipeline (VERDICT r4 next-steps #7):
+  * times each stage — signature, candidate pairs, full cluster+filter —
+  * on the fixture corpus at 1× and at R× (default 10×, ≈50k docs from
+  * sf0.1), and prints the observed R×/1× wall ratio per stage next to the
+  * replication factor. A stage whose ratio grows much faster than R is
+  * superlinear and would not survive a real scale-up; at 100 TB the
+  * corpus is ~10^9 docs and only O(n)/O(n log n) stages are acceptable.
+  *
+  * The R× corpus is DERIVED from the fixture (never synthesized fresh):
+  * each document gains R−1 near-duplicate replicas distinguished by one
+  * appended replica token, so the MinHash path sees realistic heavy
+  * near-dup pressure — every band bucket holds ~R signatures, candidate
+  * pairs grow ~R²/2 per document group (bounded by the hot-bucket cap),
+  * and connected components must merge R-member clusters. This is the
+  * adversarial shape for LSH dedup, not the easy one.
+  *
+  * Bench-only (no oracle): correctness of every stage is already graded
+  * by `minhash_sig` / `dedup_minhash*` / `dedup_clusters` / `dedup_corpus`
+  * in CORRECTNESS; this main exists to measure the SHAPE of the cost
+  * curve. Output: one JSON line, same artifact conventions as [[Bench]].
+  */
+object ScaleSmoke {
+
+  private def r3(x: Double): Double = math.rint(x * 1000) / 1000
+
+  /** R near-dup replicas per document; replica 0 is the original text. */
+  private def replicate(docs: DataFrame, r: Int): DataFrame =
+    docs.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+      .select(
+        (col("doc_id") * r + col("rep")).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zqreplica"),
+            col("rep").cast("string"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val rep = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+
+    // each stage runs the pipeline from the raw corpus up to its own
+    // output (cumulative cost — what a user of that stage actually pays)
+    val stages: Seq[(String, DataFrame => Long)] = Seq(
+      "sig" -> (d => Dedup.minhashSig(d).count()),
+      "pairs" -> (d => Dedup.minhashPairsCapped(d).count()),
+      "corpus" -> (d => Dedup.dedupCorpus(d).count()))
+
+    def run(corpus: DataFrame): Map[String, (Double, Long)] = {
+      corpus.cache().count() // isolate replication cost from stage timing
+      val out = stages.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        val n = f(corpus)
+        name -> ((System.nanoTime() - t0) / 1e9, n)
+      }.toMap
+      corpus.unpersist(blocking = true)
+      out
+    }
+
+    run(base.limit(200)) // warmup: codegen + JIT on a slice, then discard
+    spark.catalog.clearCache()
+    val one = run(base)
+    spark.catalog.clearCache()
+    val big = run(replicate(base, rep))
+
+    val nDocs = base.count()
+    val qs = stages.map { case (name, _) =>
+      val (w1, n1) = one(name)
+      val (wr, nr) = big(name)
+      s""""$name":{"wall_1x":${r3(w1)},"wall_${rep}x":${r3(wr)},""" +
+        s""""ratio":${r3(wr / math.max(w1, 1e-9))},"rows_1x":$n1,"rows_${rep}x":$nr}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_smoke","rep":$rep,"docs_1x":$nDocs,"stages":$qs,"sf":"$sfDir"}"""
+    println(line)
+    System.err.println(line)
+    spark.stop()
+  }
+}
