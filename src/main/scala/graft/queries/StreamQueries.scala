@@ -279,6 +279,13 @@ object StreamQueries {
     // by the watermarked time-range condition
     "events_join_stream" -> ((s, dir) =>
       StreamingOps.viewPurchaseJoinStream(s, dir)),
+    // stream-STATIC dimension enrich (purchases x customer segment),
+    // stateless per micro-batch
+    "events_enrich_stream" -> ((s, dir) =>
+      StreamingOps.segmentSpendStream(s, dir)),
+    // daily resample + gap fill (calendar grid, carry-forward)
+    "events_resample" -> ((s, dir) =>
+      graft.operators.Resample.dailyValue(Tables.events(s, dir))),
     "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir))),
     // the SAME sessionizer actually run as a stream (file source →
     // flatMapGroupsWithState → upsert sink), ordinal-converted to grade
@@ -306,6 +313,8 @@ object StreamQueries {
     "events_window_stream" -> StreamingOps.windowedAggSql("events"),
     "events_dedup_stream" -> StreamingOps.dedupStreamSql("events"),
     "events_join_stream" -> StreamingOps.viewPurchaseJoinSql("events"),
+    "events_enrich_stream" -> StreamingOps.segmentSpendSql("events"),
+    "events_resample" -> graft.operators.Resample.dailyValueSql("events"),
     "events_sessions" -> sessionsOracle,
     "events_sessions_stream" -> sessionsOracle,
     "events_props" -> propsOracle,

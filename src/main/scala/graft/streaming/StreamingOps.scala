@@ -143,6 +143,52 @@ object StreamingOps {
        |  count(DISTINCT event_id) AS n_uniq
        |FROM $table GROUP BY event_type""".stripMargin
 
+  /** STREAM-STATIC join — the third join mode Structured Streaming
+    * supports, and the canonical enrich-events-with-dimensions edge: each
+    * micro-batch hash-joins the live stream against the static dimension
+    * table with NO watermark and NO join state (the static side is simply
+    * (re)read per batch — at 100 TB of stream the dimension stays a
+    * broadcast, and updating the dimension files between batches is
+    * picked up automatically). Purchases enriched with the customer's
+    * market segment, sunk per batch through the same checkpointed
+    * foreachBatch edge as the other streaming queries, then aggregated
+    * per segment on read-back and graded against the batch-join oracle. */
+  def segmentSpendStream(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sst_out").toString
+    val ckpt = Files.createTempDirectory("graft_sst_ckpt").toString
+    val purchases = graft.sources.Tables.eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val cust = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = purchases.join(cust, col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("event_id"), col("value"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_uniq"),
+        VecOps.qround(sum(col("value")), 4).as("total_value"))
+  }
+
+  /** DuckDB oracle dual of [[segmentSpendStream]] (batch join — the
+    * stream-static join must converge to it). */
+  def segmentSpendSql(table: String): String =
+    s"""SELECT c_mktsegment AS segment, count(*) AS n,
+       |  count(DISTINCT event_id) AS n_uniq,
+       |  ${VecOps.qroundSql("sum(value)", 4)} AS total_value
+       |FROM $table JOIN customer ON user_id = c_custkey
+       |WHERE event_type = 'purchase'
+       |GROUP BY c_mktsegment""".stripMargin
+
   /** STREAM-STREAM inner join: views ⋈ purchases by user within 1 hour,
     * both sides live streams of the same events source. The time-range
     * condition on the two watermarked event-time columns is what lets
