@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Decontaminate, Dedup, TextOps}
 import graft.sources.Tables
 
 /** Nonlinearity probe for the dedup pipeline (VERDICT r4 next-steps #7):
@@ -63,7 +63,18 @@ object ScaleSmoke {
     val stages: Seq[(String, DataFrame => Long)] = Seq(
       "sig" -> (d => Dedup.minhashSig(d).count()),
       "pairs" -> (d => Dedup.minhashPairsCapped(d).count()),
-      "corpus" -> (d => Dedup.dedupCorpus(d).count()))
+      "corpus" -> (d => Dedup.dedupCorpus(d).count()),
+      // quality ∧ decontamination — the curation half of the pipeline
+      // (same composition as the graded `corpus_curated`)
+      "curate" -> { d =>
+        val q = TextOps.textQuality(d).select(col("doc_id"), col("keep"))
+        val f = Decontaminate.flag(d).select(col("doc_id"), col("contaminated"))
+        d.select(col("doc_id"), col("lang"))
+          .join(q, "doc_id").join(f, "doc_id")
+          .filter(col("keep") && !col("contaminated"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+          .count()
+      })
 
     def run(corpus: DataFrame): Map[String, (Double, Long)] = {
       corpus.cache().count() // isolate replication cost from stage timing
