@@ -267,8 +267,45 @@ object StreamQueries {
        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** Trailing 7-day window per user over ACTIVE days — the RANGE-frame
+    * window (rangeBetween on a numeric day ordinal), which unlike every
+    * row-frame window here includes frame rows by VALUE distance: gaps in
+    * the calendar shrink the frame automatically, no gap-fill needed.
+    * Events collapse to daily bins first (map-side combine), so the
+    * window pass runs over users×active-days rows, partitioned by user —
+    * no global sort, no per-event window state. Cross-engine: the framed
+    * sums are doubles summed in possibly different association order;
+    * qround(4) output with values ~1e3 leaves 7 digits of headroom. */
+  private def userTrailing(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(sum(col("value")).as("v"), count(lit(1)).as("n"))
+      .withColumn("day_n", floor(unix_timestamp(col("day")) / 86400L).cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_n"))
+      .rangeBetween(-6, 0)
+    daily.select(col("user_id"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      VecOps.qround(sum(col("v")).over(w), 4).as("trail_value"),
+      sum(col("n")).over(w).as("trail_n"))
+  }
+
+  private val userTrailingOracle =
+    s"""WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
+       |             sum(value) AS v, count(*) AS n
+       |           FROM events GROUP BY user_id, date_trunc('day', ts)),
+       |b AS (SELECT user_id, day, v, n,
+       |        CAST(floor(epoch(day) / 86400) AS BIGINT) AS day_n FROM d)
+       |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       |  ${VecOps.qroundSql(
+          """sum(v) OVER (PARTITION BY user_id ORDER BY day_n
+            |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin, 4)} AS trail_value,
+       |  sum(n) OVER (PARTITION BY user_id ORDER BY day_n
+       |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trail_n
+       |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window" -> ((s, dir) => StreamingOps.windowedAgg(Tables.events(s, dir))),
+    "events_trailing" -> ((s, dir) => userTrailing(Tables.events(s, dir))),
     // the SAME aggregation actually run as a stream: file source →
     // watermark → checkpointed foreachBatch parquet sink → read back
     "events_window_stream" -> ((s, dir) => StreamingOps.windowedAggFileStream(s, dir)),
@@ -310,6 +347,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "events_window" -> StreamingOps.windowedAggSql("events"),
+    "events_trailing" -> userTrailingOracle,
     "events_window_stream" -> StreamingOps.windowedAggSql("events"),
     "events_dedup_stream" -> StreamingOps.dedupStreamSql("events"),
     "events_join_stream" -> StreamingOps.viewPurchaseJoinSql("events"),

@@ -264,6 +264,38 @@ object SubqueryQueries {
        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
        |GROUP BY c_mktsegment""".stripMargin
 
+  /** Q15-style top supplier: revenue per supplier for one quarter, then
+    * the supplier(s) hitting the maximum — the aggregate-of-aggregate
+    * scalar subquery. The max side is a 1-row broadcast over the ALREADY
+    * cent-rounded per-supplier sums, so the equality compares doubles
+    * both engines agree on exactly. */
+  private def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(VecOps.qround(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mr"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mr"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+  }
+
+  private val topSupplierOracle =
+    s"""WITH r AS (SELECT l_suppkey,
+       |             ${VecOps.qroundSql(
+              "sum(l_extendedprice * (1.0 - l_discount))", 2)} AS total_rev
+       |           FROM lineitem
+       |           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |           GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_rev
+       |FROM r JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_rev = (SELECT max(total_rev) FROM r)""".stripMargin
+
   /** INTERSECT / EXCEPT set operations: customers who bought in both 1996
     * and 1997 vs. only in 1996. Spark plans both as hash joins over the
     * deduplicated key sets (LeftSemi / LeftAnti with distinct) — same
@@ -343,6 +375,7 @@ object SubqueryQueries {
     "brand_bands" -> brandBands,
     "idle_customers" -> idleCustomers,
     "repeat_buyers" -> repeatBuyers,
+    "top_supplier" -> topSupplier,
     "priority_status_cube" -> priorityStatusCube,
     "customer_ntile" -> customerNtile
   )
@@ -357,6 +390,7 @@ object SubqueryQueries {
     "brand_bands" -> brandBandsOracle,
     "idle_customers" -> idleCustomersOracle,
     "repeat_buyers" -> repeatBuyersOracle,
+    "top_supplier" -> topSupplierOracle,
     "priority_status_cube" -> priorityStatusCubeOracle,
     "customer_ntile" -> customerNtileOracle
   )
