@@ -303,9 +303,31 @@ object StreamQueries {
        |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trail_n
        |FROM b""".stripMargin
 
+  /** Bivariate co-moments per type: Pearson correlation and population
+    * covariance of (value, hour-of-day). Both are single-pass mergeable
+    * co-moment aggregates (the bivariate siblings of the variance family
+    * in `events_typestats`) — map-side combinable, one shuffle of 5
+    * constant-size states. corr is scale-free (|r| ≤ 1), so qround(4)
+    * leaves ~10 orders of headroom over cross-engine reassociation. */
+  private def typeCorr(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), col("value"),
+        hour(col("ts")).cast("double").as("hr"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        VecOps.qround(corr(col("value"), col("hr")), 4).as("corr_vh"),
+        VecOps.qround(covar_pop(col("value"), col("hr")), 4).as("covar_vh"))
+
+  private val typeCorrOracle =
+    s"""SELECT event_type, count(*) AS n,
+       |  ${VecOps.qroundSql("corr(value, CAST(hour(ts) AS DOUBLE))", 4)} AS corr_vh,
+       |  ${VecOps.qroundSql("covar_pop(value, CAST(hour(ts) AS DOUBLE))", 4)} AS covar_vh
+       |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window" -> ((s, dir) => StreamingOps.windowedAgg(Tables.events(s, dir))),
     "events_trailing" -> ((s, dir) => userTrailing(Tables.events(s, dir))),
+    "events_corr" -> ((s, dir) => typeCorr(Tables.events(s, dir))),
     // the SAME aggregation actually run as a stream: file source →
     // watermark → checkpointed foreachBatch parquet sink → read back
     "events_window_stream" -> ((s, dir) => StreamingOps.windowedAggFileStream(s, dir)),
@@ -348,6 +370,7 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "events_window" -> StreamingOps.windowedAggSql("events"),
     "events_trailing" -> userTrailingOracle,
+    "events_corr" -> typeCorrOracle,
     "events_window_stream" -> StreamingOps.windowedAggSql("events"),
     "events_dedup_stream" -> StreamingOps.dedupStreamSql("events"),
     "events_join_stream" -> StreamingOps.viewPurchaseJoinSql("events"),
