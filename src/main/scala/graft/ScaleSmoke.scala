@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontaminate, Dedup, TextOps}
+import graft.operators.{Decontaminate, Dedup, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Nonlinearity probe for the dedup pipeline (VERDICT r4 next-steps #7):
@@ -93,13 +93,45 @@ object ScaleSmoke {
     spark.catalog.clearCache()
     val big = run(replicate(base, rep))
 
+    // ANN corpus scaling: 64 fixed queries against the kv corpus at 1× and
+    // R× (vec_id remapped, vectors unchanged). Brute top-k is linear in N
+    // by construction (fixed M × N pair scoring); the probed index should
+    // track its ~1% candidate slice. Both measured, not assumed.
+    val kvBase = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+    def kvRep(r: Int): DataFrame =
+      kvBase.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .select((col("k_id") * r + col("rep")).as("k_id"), col("kvec"))
+    val qSide = kvBase.filter(col("k_id") < 64)
+      .select(col("k_id").as("q_id"), col("kvec").as("qvec"))
+    val annStages: Seq[(String, DataFrame => Long)] = Seq(
+      "ann_brute" -> (kv => Similarity.cosineTopK(qSide, kv, 10).count()),
+      "ann_probe" -> (kv => Similarity.annTopKProbed(qSide, kv, 10).count()))
+    def runAnn(kv: DataFrame): Map[String, (Double, Long)] = {
+      kv.cache().count()
+      val out = annStages.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        val n = f(kv)
+        name -> ((System.nanoTime() - t0) / 1e9, n)
+      }.toMap
+      kv.unpersist(blocking = true)
+      out
+    }
+    runAnn(kvBase.limit(500)) // warmup
+    spark.catalog.clearCache()
+    val annOne = runAnn(kvBase)
+    spark.catalog.clearCache()
+    val annBig = runAnn(kvRep(rep))
+
     val nDocs = base.count()
-    val qs = stages.map { case (name, _) =>
-      val (w1, n1) = one(name)
-      val (wr, nr) = big(name)
+    def fmt(name: String, o: (Double, Long), b: (Double, Long)): String = {
+      val ((w1, n1), (wr, nr)) = (o, b)
       s""""$name":{"wall_1x":${r3(w1)},"wall_${rep}x":${r3(wr)},""" +
         s""""ratio":${r3(wr / math.max(w1, 1e-9))},"rows_1x":$n1,"rows_${rep}x":$nr}"""
-    }.mkString("{", ",", "}")
+    }
+    val qs = (stages.map { case (name, _) => fmt(name, one(name), big(name)) } ++
+      annStages.map { case (name, _) => fmt(name, annOne(name), annBig(name)) })
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_smoke","rep":$rep,"docs_1x":$nDocs,"stages":$qs,"sf":"$sfDir"}"""
     println(line)

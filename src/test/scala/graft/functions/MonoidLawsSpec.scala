@@ -199,4 +199,17 @@ class MonoidLawsSpec extends AnyFunSuite {
         assert(est.contains(t), s"heavy $t (count $c > $bound) missing")
     }
   }
+
+  test("Misra–Gries monoid: adversarial all-distinct stream stays bounded and sane") {
+    // uniform all-distinct stream: every insert past saturation triggers a
+    // flush whose threshold is 1, near-emptying the buffer — the worst
+    // case for the truncation path. Size must stay ≤ m, estimates ≤ 1,
+    // and the bound (n/(m+1) ≥ any true count of 1) holds trivially.
+    val m = 8
+    val mg = new MgMonoid(m)
+    val folded = (1 to 500).foldLeft(mg.zero)((b, i) =>
+      mg.combine(b, MgBuf(Map(s"u$i" -> 1L))))
+    assert(folded.counts.size <= m)
+    assert(folded.counts.values.forall(c => c >= 1L && c <= 1L))
+  }
 }
