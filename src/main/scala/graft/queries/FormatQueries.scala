@@ -58,6 +58,38 @@ object FormatQueries {
        |       ${VecOps.qroundSql("sum(value)", 4)} AS total
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** Schema evolution across parquet batches: an early batch wrote only
+    * (doc_id, lang); a later batch added (source, n_chars). `mergeSchema`
+    * reconciles the footers by NAME and nulls the missing columns — the
+    * read path every long-lived 100 TB dataset eventually needs (columns
+    * get added; old files are never rewritten). mergeSchema costs a
+    * footer read per file at planning time, so it's an opt-in here and at
+    * scale (pin the merged schema once discovery has run). Split is
+    * deterministic (doc_id parity); the aggregation counts each batch's
+    * rows through the null pattern the merge produced. */
+  private def docsSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_docs_evo").toString
+    val d = Tables.documents(spark, dir)
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/batch=0")
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("append").parquet(s"$out/batch=1")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        count(col("source")).as("n_with_source"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("chars_late"))
+  }
+
+  private val docsSchemaEvolutionOracle =
+    """SELECT lang, count(*) AS n,
+      |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_source,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS chars_late
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** Lineitem round-tripped through CSV with a pinned schema, then the
     * TPC-H Q1 grouping — doubles survive the text round-trip exactly
     * (Spark writes shortest-round-trip representations). */
@@ -140,6 +172,7 @@ object FormatQueries {
     "events_json_source" -> eventsJsonSource _,
     "lineitem_csv_source" -> lineitemCsvSource _,
     "events_orc_source" -> eventsOrcSource _,
+    "docs_schema_evolution" -> docsSchemaEvolution _,
     "bucketed_join" -> bucketedJoin _
   )
 
@@ -148,6 +181,7 @@ object FormatQueries {
     "events_json_source" -> eventsJsonOracle,
     "lineitem_csv_source" -> lineitemCsvOracle,
     "events_orc_source" -> eventsJsonOracle, // same agg, same source table
+    "docs_schema_evolution" -> docsSchemaEvolutionOracle,
     "bucketed_join" -> bucketedJoinOracle
   )
 }
