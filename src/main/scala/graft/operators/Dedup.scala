@@ -321,6 +321,91 @@ object Dedup {
        |          JOIN sig mb ON mb.doc_id = doc_b""".stripMargin
   }
 
+  /** INCREMENTAL dedup — admit a NEW document batch against an EXISTING
+    * corpus (the daily-ingest shape every production pipeline runs: the
+    * corpus is deduped once; each new batch checks in against it without
+    * re-pairing the corpus with itself).
+    *
+    * The existing side is reduced to a persisted-index shape first: ONE
+    * representative doc (min doc_id) per (band, key) — so a new doc's
+    * lookup fan-out is bounded by its B band keys regardless of how
+    * duplicate-heavy the existing bucket is (the index-side analogue of
+    * [[cappedBandPairs]]'s hot-bucket star; at 100 TB this index is what
+    * you materialize once and equi-join every batch against). Candidates
+    * are verified by signature agreement (est jaccard ≥ minEst) against
+    * the representative. Output: per-lang admission counts for the batch.
+    *
+    * est is a count of matching minhashes / K — exact integer arithmetic
+    * over doubles, and K is a power of two, so the ≥ threshold compare is
+    * bit-deterministic in both engines. */
+  def incrementalDedup(newDocs: DataFrame, existing: DataFrame,
+                       minEst: Double = 0.5): DataFrame = {
+    // both sig tables are cached: each is read twice (band explode + the
+    // verification join) and the md5 shingling dominates — this is the
+    // "materialize the LSH index once" step (16 longs per doc)
+    val sigNew = minhashSig(newDocs).cache()
+    val sigOld = minhashSig(existing).cache()
+    val index = minhashBands(sigOld)
+      .groupBy(col("band"), col("key")).agg(min(col("doc_id")).as("rep_id"))
+    val est = aggregate(
+      zip_with(col("sig"), col("sig_rep"),
+        (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, v) => acc + v) / lit(K.toDouble)
+    val dup = minhashBands(sigNew)
+      .join(index, Seq("band", "key"))
+      .select(col("doc_id"), col("rep_id")).distinct()
+      .join(sigNew, "doc_id")
+      .join(sigOld.select(col("doc_id").as("rep_id"), col("sig").as("sig_rep")),
+        "rep_id")
+      .filter(est >= minEst)
+      .select(col("doc_id")).distinct()
+    // no broadcast hint: the dup list is bounded by the BATCH, not the
+    // corpus — let AQE pick the join strategy from its runtime size
+    newDocs.join(dup.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("lang"), col("n_new"), col("n_dup"),
+        (col("n_new") - col("n_dup")).as("n_admitted"))
+  }
+
+  /** SQL dual of [[incrementalDedup]] over the doc_id-parity split of
+    * `table` (even = existing corpus, odd = new batch). */
+  def incrementalDedupSql(table: String, minEst: Double = 0.5): String = {
+    val keys = (0 until B).map { b =>
+      (0 until R).map(r => s"CAST(sig[${b * R + r + 1}] AS VARCHAR)")
+        .mkString("concat_ws(':', ", ", ", ")")
+    }
+    def bands(sigCte: String) = keys.zipWithIndex
+      .map { case (k, b) =>
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, $k AS key FROM $sigCte" }
+      .mkString("\n UNION ALL ")
+    val est = (1 to K)
+      .map(j => s"(CASE WHEN sn.sig[$j] = so.sig[$j] THEN 1.0 ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH new_docs AS (SELECT * FROM $table WHERE doc_id % 2 = 1),
+       |old_docs AS (SELECT * FROM $table WHERE doc_id % 2 = 0),
+       |sig_new AS (${minhashSigSql("new_docs")}),
+       |sig_old AS (${minhashSigSql("old_docs")}),
+       |bnd_new AS (${bands("sig_new")}),
+       |bnd_old AS (${bands("sig_old")}),
+       |idx AS (SELECT band, key, min(doc_id) AS rep_id
+       |        FROM bnd_old GROUP BY band, key),
+       |cand AS (SELECT DISTINCT n.doc_id, i.rep_id
+       |         FROM bnd_new n JOIN idx i ON n.band = i.band AND n.key = i.key),
+       |dup AS (SELECT DISTINCT c.doc_id
+       |        FROM cand c JOIN sig_new sn ON sn.doc_id = c.doc_id
+       |                    JOIN sig_old so ON so.doc_id = c.rep_id
+       |        WHERE ($est) / $K.0 >= $minEst)
+       |SELECT d.lang, count(*) AS n_new,
+       |       CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dup,
+       |       CAST(count(*) - sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_admitted
+       |FROM new_docs d LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |GROUP BY d.lang""".stripMargin
+  }
+
   /** Exact-duplicate clustering: md5 of the normalized text as the group
     * key; every doc annotated with its cluster representative (min doc_id)
     * and cluster size. GroupBy-on-hash — bucketed, scale-safe. */

@@ -153,6 +153,72 @@ object TextOps {
        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpe
        |FROM $table""".stripMargin
 
+  /** Gopher-style repetition signals — the standard repetitious-text
+    * quality filter for LLM corpora (Rae et al. 2021 §A1.1 uses
+    * most-common-word fraction and duplicate-n-gram fractions; our docs
+    * have no line structure, so the token/bigram forms are the applicable
+    * two). Per doc:
+    *   - `top_tok_frac`: occurrences of the most frequent token / n_tokens
+    *   - `dup_bigram_frac`: 1 − distinct bigrams / total bigrams
+    *   - `rep_keep`: both signals under their thresholds, compared on the
+    *     ALREADY-quantized values so the boolean cannot flip cross-engine.
+    *
+    * Pure per-row expressions — map-only at any corpus size. The mode count
+    * is O(uniq·len) per doc, fine for web-page-sized documents; a corpus of
+    * book-length docs would swap in the exploded groupBy(doc_id, token)
+    * dual (one map-side-combined shuffle) — same output, linear per doc. */
+  def repetition(docs: DataFrame, maxTopTok: Double = 0.2,
+                 maxDupBigram: Double = 0.1): DataFrame = {
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(2)))))
+      .otherwise(array(concat_ws(" ", col("toks"))))
+    val maxTf = coalesce(
+      array_max(transform(array_distinct(col("toks")),
+        t => size(filter(col("toks"), x => x === t)))),
+      lit(0))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        VecOps.qround(
+          maxTf.cast("double") / greatest(size(col("toks")), lit(1)), 4)
+          .as("top_tok_frac"),
+        bigrams.as("bg"))
+      .withColumn("dup_bigram_frac",
+        VecOps.qround(
+          (size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
+            size(col("bg")), 4))
+      .select(col("doc_id"), col("n_tokens"), col("top_tok_frac"),
+        col("dup_bigram_frac"),
+        (col("top_tok_frac") <= maxTopTok &&
+          col("dup_bigram_frac") <= maxDupBigram).as("rep_keep"))
+  }
+
+  /** SQL oracle dual of [[repetition]]. */
+  def repetitionSql(table: String, maxTopTok: Double = 0.2,
+                    maxDupBigram: Double = 0.1): String =
+    s"""WITH d AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $table),
+       |s AS (SELECT doc_id,
+       |  len(toks)::BIGINT AS n_tokens,
+       |  ${VecOps.qroundSql(
+             "coalesce(list_max(list_transform(list_distinct(toks)," +
+               " t -> len(list_filter(toks, x -> x = t)))), 0)::DOUBLE" +
+               " / greatest(len(toks), 1)", 4)} AS top_tok_frac,
+       |  CASE WHEN len(toks) >= 2
+       |    THEN list_transform(generate_series(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i + 1])
+       |    ELSE [array_to_string(toks, ' ')] END AS bg
+       |  FROM d)
+       |SELECT doc_id, n_tokens, top_tok_frac,
+       |  ${VecOps.qroundSql(
+             "(len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg)", 4)}
+       |    AS dup_bigram_frac,
+       |  (top_tok_frac <= $maxTopTok AND
+       |   ${VecOps.qroundSql(
+             "(len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg)", 4)}
+       |     <= $maxDupBigram) AS rep_keep
+       |FROM s""".stripMargin
+
   /** Rolling-hash document fingerprint: min over stride-4-sampled 8-char
     * windows of the normalized text of a 60-bit md5 hash (min-hash
     * winnowing; the stride cuts the dominant md5 cost 4× while min-of-

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Dedup
 import graft.sources.Tables
@@ -27,7 +28,15 @@ object DedupQueries {
     // pipeline actually applies (keep one doc per cluster)
     "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(docs(s, dir))),
     // clusters -> kept corpus (anti-join the non-representative members)
-    "dedup_corpus" -> ((s, dir) => Dedup.dedupCorpus(docs(s, dir)))
+    "dedup_corpus" -> ((s, dir) => Dedup.dedupCorpus(docs(s, dir))),
+    // incremental ingest: odd doc_ids are the new batch, even the existing
+    // corpus; new docs near-dup'ing an existing band representative are
+    // rejected, the rest admitted (per-lang counts)
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalDedup(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))
+    })
   )
 
   private val minhashPairsOracle = {
@@ -53,6 +62,7 @@ object DedupQueries {
     "dedup_simhash" -> Dedup.simhashPairsSql("documents"),
     "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents"),
     "dedup_clusters" -> Dedup.dedupClustersSql("documents"),
-    "dedup_corpus" -> Dedup.dedupCorpusSql("documents")
+    "dedup_corpus" -> Dedup.dedupCorpusSql("documents"),
+    "dedup_incremental" -> Dedup.incrementalDedupSql("documents")
   )
 }

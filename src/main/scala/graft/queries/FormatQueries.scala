@@ -167,13 +167,41 @@ object FormatQueries {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderstatus""".stripMargin
 
+  /** Range-clustered data layout — the OTHER write-time layout lever next
+    * to [[bucketedJoin]]'s hash buckets: `repartitionByRange(n_chars)` +
+    * `sortWithinPartitions` writes files whose per-file (and per-row-group)
+    * n_chars min/max ranges are DISJOINT, so a range predicate on the
+    * read-back skips whole files from the parquet footer statistics alone
+    * (Z-order's 1-D special case; at 100 TB this is how time- or
+    * size-sliced scans avoid touching the rest of the corpus — proved
+    * file-level in RangeLayoutSpec). The graded query runs the full
+    * write→filtered-read→agg trip against the unclustered oracle. */
+  private def docsLayoutRange(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_docs_range").toString
+    Tables.documents(spark, dir)
+      .repartitionByRange(8, col("n_chars"), col("doc_id"))
+      .sortWithinPartitions(col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("n_chars") >= 200 && col("n_chars") < 400)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val docsLayoutRangeOracle =
+    """SELECT lang, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars >= 200 AND n_chars < 400
+      |GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_sink_partitioned" -> docsSinkPartitioned _,
     "events_json_source" -> eventsJsonSource _,
     "lineitem_csv_source" -> lineitemCsvSource _,
     "events_orc_source" -> eventsOrcSource _,
     "docs_schema_evolution" -> docsSchemaEvolution _,
-    "bucketed_join" -> bucketedJoin _
+    "bucketed_join" -> bucketedJoin _,
+    "docs_layout_range" -> docsLayoutRange _
   )
 
   val oracles: Map[String, String] = Map(
@@ -182,6 +210,7 @@ object FormatQueries {
     "lineitem_csv_source" -> lineitemCsvOracle,
     "events_orc_source" -> eventsJsonOracle, // same agg, same source table
     "docs_schema_evolution" -> docsSchemaEvolutionOracle,
-    "bucketed_join" -> bucketedJoinOracle
+    "bucketed_join" -> bucketedJoinOracle,
+    "docs_layout_range" -> docsLayoutRangeOracle
   )
 }

@@ -179,6 +179,38 @@ object TextQueries {
        |  ${VecOps.qroundSql("tfidf", 4)} AS tfidf
        |FROM r WHERE rank <= $k""".stripMargin
 
+  /** CCNet-style unigram language-model scoring: corpus token frequencies
+    * → per-doc mean log probability (the perplexity-proxy quality filter a
+    * curation pipeline runs after the heuristic rules). Two aggregations:
+    * the frequency table is one token-keyed map-side-combined shuffle and
+    * is vocabulary-sized — broadcast here (at a vocabulary too large to
+    * broadcast the same plan is a shuffle equi-join on token, still never
+    * corpus×corpus); the per-doc mean is one doc_id-keyed shuffle. Per-token
+    * log-probs are quantized at 1e-6 in both engines before averaging
+    * (same stance as the tf-idf idf), the mean at 1e-4. */
+  private def unigramLogProb(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).cast("double").as("n_total"))
+    val lp = VecOps.qround(log(col("tf").cast("double") / col("n_total")), 6)
+    toks.join(broadcast(freq), "token").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        VecOps.qround(avg(lp), 4).as("mean_logp"))
+  }
+
+  private val unigramLogProbOracle =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |f AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+       |n AS (SELECT sum(tf)::DOUBLE AS n_total FROM f),
+       |lp AS (SELECT doc_id,
+       |         ${VecOps.qroundSql("ln(tf::DOUBLE / n_total)", 6)} AS l
+       |       FROM t JOIN f USING (token), n)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  ${VecOps.qroundSql("avg(l)", 4)} AS mean_logp
+       |FROM lp GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) => TextOps.textStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.textQuality(docs(s, dir))),
@@ -188,7 +220,9 @@ object TextQueries {
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     "token_count" -> ((s, dir) => TextOps.tokenCount(docs(s, dir))),
     "top_terms" -> ((s, dir) => topTerms(docs(s, dir))),
-    "vocab_sketch" -> ((s, dir) => vocabSketch(docs(s, dir)))
+    "vocab_sketch" -> ((s, dir) => vocabSketch(docs(s, dir))),
+    "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
+    "quality_logprob" -> ((s, dir) => unigramLogProb(docs(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,6 +234,8 @@ object TextQueries {
     "doc_fingerprint" -> TextOps.fingerprintSql("documents"),
     "token_count" -> TextOps.tokenCountSql("documents"),
     "top_terms" -> topTermsOracle(),
-    "vocab_sketch" -> vocabSketchOracle
+    "vocab_sketch" -> vocabSketchOracle,
+    "text_repetition" -> TextOps.repetitionSql("documents"),
+    "quality_logprob" -> unigramLogProbOracle
   )
 }

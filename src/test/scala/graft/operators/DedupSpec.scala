@@ -91,4 +91,26 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(0L) == "en" && got(3L) == "en")
   }
+
+  test("incremental dedup: batch near-dups of the corpus rejected, fresh docs admitted") {
+    val existing = Seq(
+      (0L, base, "en"),
+      (2L, "completely unrelated text about spark query engines and " +
+        "columnar storage formats with vectorized execution", "en")
+    ).toDF("doc_id", "text", "lang")
+    val batch = Seq(
+      // ws/case variant of corpus doc 0: identical signature → est 1.0 → dup
+      (1L, "  THE   quick brown fox jumps over the lazy dog and then runs " +
+        "far away into the deep green forest before sunset tonight", "en"),
+      // genuinely new content → no band collision above threshold → admitted
+      (3L, "fresh document describing streaming watermarks checkpoints and " +
+        "stateful session windows in structured pipelines", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.incrementalDedup(batch, existing).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_new") == 2 && r.getAs[Long]("n_dup") == 1 &&
+      r.getAs[Long]("n_admitted") == 1,
+      s"expected 2 new / 1 dup / 1 admitted, got $r")
+  }
 }

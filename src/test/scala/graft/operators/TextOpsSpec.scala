@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Behavioral tests for the repetition quality signals on documents with
+  * known repetition structure (the fixtures are near-uniform token draws,
+  * so both signals sit low there — these pin the filter actually firing).
+  */
+class TextOpsSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    // the degenerate SEO-spam shape: one token over and over
+    (0L, "buy buy buy buy buy buy buy buy buy buy"),
+    // looped boilerplate: a clean sentence repeated 4 times — every bigram
+    // after the first pass is a duplicate
+    (1L, Seq.fill(4)("click here to subscribe now").mkString(" ")),
+    // normal prose-like variety (most frequent token 2/13 = 0.15)
+    (2L, "a quick brown fox jumps over the lazy dog near a river bank"),
+    (3L, "x"), // single token: one whole-stream bigram, dup frac 0
+    (4L, "")   // empty: zero tokens, both signals 0 (length filters reject it)
+  ).toDF("doc_id", "text")
+
+  test("repetition signals flag repeated-token and looped-boilerplate docs") {
+    val got = TextOps.repetition(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    }.toMap
+    val (top0, _, keep0) = got(0L)
+    assert(top0 == 1.0 && !keep0, "all-same-token doc must be rejected")
+    val (_, dup1, keep1) = got(1L)
+    assert(dup1 > 0.5 && !keep1, "looped boilerplate must be rejected")
+    val (top2, dup2, keep2) = got(2L)
+    assert(top2 < 0.25 && dup2 == 0.0 && keep2, "varied prose passes")
+  }
+
+  test("repetition edges: single-token and empty docs don't divide by zero") {
+    val got = TextOps.repetition(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    }.toMap
+    assert(got(3L) == ((1L, 1.0, 0.0)), "single token: top frac 1, no dup bigrams")
+    assert(got(4L) == ((0L, 0.0, 0.0)), "empty doc: all zeros")
+  }
+}
