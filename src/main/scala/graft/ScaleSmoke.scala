@@ -64,6 +64,13 @@ object ScaleSmoke {
       "sig" -> (d => Dedup.minhashSig(d).count()),
       "pairs" -> (d => Dedup.minhashPairsCapped(d).count()),
       "corpus" -> (d => Dedup.dedupCorpus(d).count()),
+      // incremental ingest against the heavy-near-dup corpus: under R×
+      // replication every band bucket on the existing side is hot, so this
+      // measures the representative-index reduction doing its job (lookup
+      // fan-out stays ≤ B per new doc no matter how hot the bucket)
+      "incr" -> (d => Dedup.incrementalDedup(
+        d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0)).count()),
       // quality ∧ decontamination — the curation half of the pipeline
       // (same composition as the graded `corpus_curated`)
       "curate" -> { d =>
