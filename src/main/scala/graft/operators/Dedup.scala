@@ -339,23 +339,41 @@ object Dedup {
     * over doubles, and K is a power of two, so the ≥ threshold compare is
     * bit-deterministic in both engines. */
   def incrementalDedup(newDocs: DataFrame, existing: DataFrame,
-                       minEst: Double = 0.5): DataFrame = {
-    // both sig tables are cached: each is read twice (band explode + the
-    // verification join) and the md5 shingling dominates — this is the
-    // "materialize the LSH index once" step (16 longs per doc)
-    val sigNew = minhashSig(newDocs).cache()
+                       minEst: Double = 0.5): DataFrame =
+    admitCounts(newDocs, minhashRepIndex(existing), minEst)
+
+  /** The persisted LSH index [[incrementalDedup]] checks batches against:
+    * (band, key, rep_id, sig_rep) — one representative per band bucket.
+    * Built ONCE per corpus (the existing-side sigs are cached: band
+    * explode + the rep-sig join both read them and the md5 shingling
+    * dominates), then every batch equi-joins it — batch ingest never
+    * re-signs the corpus. */
+  def minhashRepIndex(existing: DataFrame): DataFrame = {
     val sigOld = minhashSig(existing).cache()
-    val index = minhashBands(sigOld)
+    minhashBands(sigOld)
       .groupBy(col("band"), col("key")).agg(min(col("doc_id")).as("rep_id"))
+      .join(sigOld.select(col("doc_id").as("rep_id"), col("sig").as("sig_rep")),
+        "rep_id")
+  }
+
+  /** Per-lang admission counts of `newDocs` against a prebuilt
+    * [[minhashRepIndex]]. This is the per-batch half of the incremental
+    * pipeline — also the foreachBatch body of the streaming ingest edge
+    * ([[graft.streaming.StreamingOps]]). */
+  def admitCounts(newDocs: DataFrame, index: DataFrame,
+                  minEst: Double = 0.5): DataFrame = {
+    // cached: band explode + the verification join both read the batch sigs
+    val sigNew = minhashSig(newDocs).cache()
     val est = aggregate(
       zip_with(col("sig"), col("sig_rep"),
         (x, y) => when(x === y, 1.0).otherwise(0.0)),
       lit(0.0), (acc, v) => acc + v) / lit(K.toDouble)
     val dup = minhashBands(sigNew)
-      .join(index, Seq("band", "key"))
+      .join(index.select(col("band"), col("key"), col("rep_id")),
+        Seq("band", "key"))
       .select(col("doc_id"), col("rep_id")).distinct()
       .join(sigNew, "doc_id")
-      .join(sigOld.select(col("doc_id").as("rep_id"), col("sig").as("sig_rep")),
+      .join(index.select(col("rep_id"), col("sig_rep")).dropDuplicates("rep_id"),
         "rep_id")
       .filter(est >= minEst)
       .select(col("doc_id")).distinct()

@@ -36,7 +36,12 @@ object DedupQueries {
       val d = docs(s, dir)
       Dedup.incrementalDedup(
         d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))
-    })
+    }),
+    // the SAME incremental pipeline at arrival time: new docs land as
+    // files, each micro-batch runs admitCounts against the prebuilt
+    // corpus index — graded against the identical one-shot oracle
+    "docs_ingest_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.dedupIngestStream(s, dir))
   )
 
   private val minhashPairsOracle = {
@@ -63,6 +68,7 @@ object DedupQueries {
     "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents"),
     "dedup_clusters" -> Dedup.dedupClustersSql("documents"),
     "dedup_corpus" -> Dedup.dedupCorpusSql("documents"),
-    "dedup_incremental" -> Dedup.incrementalDedupSql("documents")
+    "dedup_incremental" -> Dedup.incrementalDedupSql("documents"),
+    "docs_ingest_stream" -> Dedup.incrementalDedupSql("documents")
   )
 }

@@ -285,6 +285,57 @@ object RelationalQueries {
        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q21-style "suppliers who kept orders waiting": suppliers that
+    * were the ONLY late supplier in a multi-supplier order. The textbook
+    * form is a join + EXISTS + NOT EXISTS (two correlated self-joins of
+    * the largest table); written Spark-first it is ONE orderkey-keyed
+    * aggregation over lineitem — per order, count distinct suppliers,
+    * count distinct LATE suppliers, and keep the single late supplier via
+    * a conditional min — then a supplier-keyed count. Three shuffles
+    * total, lineitem scanned once, no self-join anywhere; at 100 TB the
+    * two EXISTS probes would each re-shuffle the full lineitem table.
+    * (Ship-lag > 60 days stands in for Q21's receipt>commit, as in
+    * `tpch_q4_late`.) */
+  private def supplierWaiting(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val flagged = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("okey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
+    val per = flagged.groupBy(col("okey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+    val w = Window.orderBy(desc("n_waiting"), col("s_name"))
+    per.filter(col("n_supps") > 1 && col("n_late") === 1)
+      .groupBy(col("late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_waiting"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))), "s_suppkey")
+      .orderBy(desc("n_waiting"), col("s_name")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("s_name"), col("n_waiting"))
+  }
+
+  private val supplierWaitingOracle =
+    s"""WITH f AS (SELECT l_orderkey AS okey, l_suppkey,
+       |             l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |per AS (SELECT okey, count(DISTINCT l_suppkey) AS n_supps,
+       |          count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+       |          min(CASE WHEN late THEN l_suppkey END) AS late_supp
+       |        FROM f GROUP BY okey),
+       |c AS (SELECT late_supp AS s_suppkey, count(*) AS n_waiting
+       |      FROM per WHERE n_supps > 1 AND n_late = 1 GROUP BY 1),
+       |r AS (SELECT s_name, n_waiting,
+       |        row_number() OVER (ORDER BY n_waiting DESC, s_name) AS rank
+       |      FROM c JOIN supplier USING (s_suppkey))
+       |SELECT CAST(rank AS BIGINT) AS rank, s_name, n_waiting
+       |FROM r WHERE rank <= 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> q1,
     "tpch_q6" -> q6,
@@ -294,7 +345,8 @@ object RelationalQueries {
     "top_customers" -> topCustomers,
     "region_revenue" -> regionRevenue,
     "part_profit" -> partProfit,
-    "shipping_priority" -> shippingPriority
+    "shipping_priority" -> shippingPriority,
+    "supplier_waiting" -> supplierWaiting
   )
 
   val oracles: Map[String, String] = Map(
@@ -306,6 +358,7 @@ object RelationalQueries {
     "top_customers" -> topCustomersOracle,
     "region_revenue" -> regionRevenueOracle,
     "part_profit" -> partProfitOracle,
-    "shipping_priority" -> shippingPriorityOracle
+    "shipping_priority" -> shippingPriorityOracle,
+    "supplier_waiting" -> supplierWaitingOracle
   )
 }

@@ -245,6 +245,61 @@ object StreamingOps {
        |       count(DISTINCT purchase_id) AS n_purchases
        |FROM j GROUP BY user_id""".stripMargin
 
+  /** STREAMING INGEST DEDUP — the arrival-time edge of
+    * [[graft.operators.Dedup.incrementalDedup]]: new documents land as
+    * files, stream through a checkpointed foreachBatch that runs the
+    * per-batch half of the incremental pipeline ([[graft.operators.Dedup
+    * .admitCounts]]) against the corpus's prebuilt band-representative
+    * index, and per-batch admission counts append to the sink. The index
+    * is built ONCE outside the stream and cached — micro-batches never
+    * re-sign the corpus (at 100 TB the index is the persisted artifact;
+    * each batch pays only its own signatures + an equi-join).
+    *
+    * Counts are additive across batches because file-streamed batches
+    * partition the landing set, so the read-back SUM per lang equals the
+    * one-shot batch result — graded against the same DuckDB oracle as
+    * `dedup_incremental`. `maxFilesPerTrigger=2` forces ≥2 micro-batches
+    * over the 4 staged files, so the grade covers real multi-batch
+    * accumulation, not a degenerate single batch.
+    *
+    * foreachBatch is AT-LEAST-ONCE (a batch whose sink write committed but
+    * whose checkpoint offset didn't is replayed on restart), so the sink
+    * must be idempotent: each batch OVERWRITES its own `batch=<id>` path —
+    * a replay rewrites identical content instead of double-counting.
+    * (The windowed/sessionize edges get the same property from
+    * latest-batch-per-key upserts; for additive counts, deterministic
+    * per-batch paths are the standard answer.) */
+  def dedupIngestStream(spark: SparkSession, dir: String): DataFrame = {
+    val staging = Files.createTempDirectory("graft_ingest_src").toString
+    val out = Files.createTempDirectory("graft_ingest_out").toString
+    val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val index = graft.operators.Dedup
+      .minhashRepIndex(docs.filter(col("doc_id") % 2 === 0))
+      .cache()
+    docs.filter(col("doc_id") % 2 === 1)
+      .repartition(4) // 4 landing files → 2 micro-batches at 2 files/trigger
+      .write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(staging)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.admitCounts(batch, index)
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_new")).as("n_new"), sum(col("n_dup")).as("n_dup"),
+        sum(col("n_admitted")).as("n_admitted"))
+  }
+
   /** The deployable streaming edge for [[Sessionize]]: file-stream source →
     * flatMapGroupsWithState sessionizer → checkpointed foreachBatch parquet
     * sink (Update-mode upsert keyed on the session's stable identity), read
