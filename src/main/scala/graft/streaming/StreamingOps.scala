@@ -281,24 +281,37 @@ object StreamingOps {
       .repartition(4) // 4 landing files → 2 micro-batches at 2 files/trigger
       .write.mode("overwrite").parquet(staging)
     val schema = spark.read.parquet(staging).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2")
-      .parquet(staging)
-      .writeStream
+    val q = startIngestStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staging),
+      index, out, ckpt, Trigger.AvailableNow())
+    q.awaitTermination()
+    readIngestSink(spark, out)
+  }
+
+  /** Start the ingest-dedup pipeline over any streaming documents source.
+    * Factored out of [[dedupIngestStream]] so the checkpoint-restart proof
+    * (StreamingParitySpec) drives the exact production pipeline. */
+  def startIngestStream(source: DataFrame, index: DataFrame, out: String,
+                        ckpt: String, trigger: Trigger): StreamingQuery =
+    source.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Dedup.admitCounts(batch, index)
           .write.mode("overwrite").parquet(s"$out/batch=$batchId")
       }
       .start()
-    q.awaitTermination()
+
+  /** Sum the per-batch admission counts (batches partition the landing
+    * set, so per-lang sums equal the one-shot result). */
+  def readIngestSink(spark: SparkSession, out: String): DataFrame =
     spark.read.parquet(out)
       .groupBy(col("lang"))
       .agg(sum(col("n_new")).as("n_new"), sum(col("n_dup")).as("n_dup"),
         sum(col("n_admitted")).as("n_admitted"))
-  }
 
   /** The deployable streaming edge for [[Sessionize]]: file-stream source →
     * flatMapGroupsWithState sessionizer → checkpointed foreachBatch parquet

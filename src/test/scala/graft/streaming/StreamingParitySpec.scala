@@ -237,4 +237,50 @@ class StreamingParitySpec extends AnyFunSuite {
       (t0, 3L, t0, t0 + 120),
       (t0 + 30000, 1L, t0 + 30000, t0 + 30000)))
   }
+
+  test("ingest dedup restart: resumed batches extend the sink, never re-count") {
+    // restart proof for the SECOND streaming edge family (additive-count
+    // sink with per-batch-id overwrite paths, vs the windowed edge's
+    // latest-per-key upsert): half the landing files arrive, the query
+    // runs to completion ("dies"), more files land, a second query resumes
+    // from the SAME checkpoint — combined per-lang sums must equal the
+    // one-shot batch result. A restart that re-read run-1 files would
+    // inflate n_new; one that lost the offset log would skip run-2 files.
+    val dir = "/root/testdata/sf0.001"
+    val staging = java.nio.file.Files.createTempDirectory("graft_ingres_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_ingres_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingres_ckpt").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val index = graft.operators.Dedup.minhashRepIndex(existing).cache()
+
+    newDocs.filter(col("doc_id") % 4 === 1).coalesce(1)
+      .write.parquet(s"$staging/wave_a")
+    val schema = spark.read.parquet(s"$staging/wave_a").schema
+    def source = spark.readStream.schema(schema)
+      .option("basePath", staging.toString)
+      .parquet(s"$staging/wave_*")
+    val trig = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+
+    val q1 = StreamingOps.startIngestStream(source, index, out, ckpt, trig)
+    try q1.awaitTermination() finally q1.stop()
+    val run1N = StreamingOps.readIngestSink(spark, out)
+      .agg(sum(col("n_new"))).head().getLong(0)
+    assert(run1N > 0, "run 1 admitted nothing")
+
+    newDocs.filter(col("doc_id") % 4 === 3).coalesce(1)
+      .write.parquet(s"$staging/wave_b")
+    val q2 = StreamingOps.startIngestStream(source, index, out, ckpt, trig)
+    try q2.awaitTermination() finally q2.stop()
+
+    val streamed = StreamingOps.readIngestSink(spark, out)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val oneShot = graft.operators.Dedup.incrementalDedup(newDocs, existing)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == oneShot,
+      s"restart-combined counts diverge: $streamed vs $oneShot")
+  }
 }
