@@ -219,6 +219,48 @@ object TextOps {
        |     <= $maxDupBigram) AS rep_keep
        |FROM s""".stripMargin
 
+  /** Context-window CHUNKING — the sequence-prep step between curation and
+    * tokenizer/training: split each document's token stream into
+    * fixed-size chunks of `width` tokens with `overlap` tokens carried
+    * across boundaries (stride = width − overlap; the last chunk may be
+    * short). Emits (doc_id, chunk_id, n_tokens, chunk_hash) where the hash
+    * fingerprints the chunk's space-joined tokens — the id a packing or
+    * chunk-level dedup stage keys on downstream.
+    *
+    * Pure per-row explode: chunk count per doc is ⌈(n−overlap)/stride⌉-ish
+    * via the start grid 0, stride, 2·stride … < n, so the 100 TB plan is
+    * map-only input-split parallelism; output rows ≈ corpus tokens /
+    * stride × size amplification is the caller's packing budget, not a
+    * shuffle. Empty documents produce no chunks. */
+  def chunk(docs: DataFrame, width: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < width, "need 0 <= overlap < width")
+    val stride = width - overlap
+    val starts = sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+      lit(stride))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"),
+        posexplode(transform(starts,
+          s => slice(col("toks"), s + lit(1), lit(width)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("n_tokens"),
+        VecOps.hash60(concat_ws(" ", col("col"))).as("chunk_hash"))
+  }
+
+  /** SQL oracle dual of [[chunk]]. */
+  def chunkSql(table: String, width: Int = 32, overlap: Int = 8): String = {
+    val stride = width - overlap
+    s"""WITH d AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $table),
+       |c AS (SELECT doc_id, (s // $stride)::BIGINT AS chunk_id,
+       |        list_slice(toks, s + 1, s + $width) AS ck
+       |      FROM d, unnest(generate_series(0, greatest(len(toks) - 1, 0),
+       |                                     $stride)) AS u(s)
+       |      WHERE len(toks) >= 1)
+       |SELECT doc_id, chunk_id, len(ck)::BIGINT AS n_tokens,
+       |       ${VecOps.hash60Sql("array_to_string(ck, ' ')")} AS chunk_hash
+       |FROM c""".stripMargin
+  }
+
   /** Rolling-hash document fingerprint: min over stride-4-sampled 8-char
     * windows of the normalized text of a 60-bit md5 hash (min-hash
     * winnowing; the stride cuts the dominant md5 cost 4× while min-of-

@@ -23,13 +23,18 @@ object MediaQueries {
     // the resize verb: nearest-neighbor 4x4 thumbnail sampled straight
     // from the parsed raster bytes
     "media_thumbs" -> ((s, dir) =>
-      Multimodal.ppmThumbs(Tables.documents(s, dir)))
+      Multimodal.ppmThumbs(Tables.documents(s, dir))),
+    // the AUDIO modality: synthesized RIFF/WAVE PCM16 payloads parsed by
+    // a genuine header+sample decoder, graded on integer-exact stats
+    "media_audio" -> ((s, dir) =>
+      Multimodal.wavFeatures(Tables.documents(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
     "media_features" -> Multimodal.mediaFeaturesSql("documents"),
     "media_frames" -> Multimodal.frameSamplesSql("documents"),
     "media_features_real" -> Multimodal.ppmFeaturesSql("documents"),
-    "media_thumbs" -> Multimodal.ppmThumbsSql("documents")
+    "media_thumbs" -> Multimodal.ppmThumbsSql("documents"),
+    "media_audio" -> Multimodal.wavFeaturesSql("documents")
   )
 }

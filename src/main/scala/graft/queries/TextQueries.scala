@@ -222,7 +222,8 @@ object TextQueries {
     "top_terms" -> ((s, dir) => topTerms(docs(s, dir))),
     "vocab_sketch" -> ((s, dir) => vocabSketch(docs(s, dir))),
     "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
-    "quality_logprob" -> ((s, dir) => unigramLogProb(docs(s, dir)))
+    "quality_logprob" -> ((s, dir) => unigramLogProb(docs(s, dir))),
+    "docs_chunks" -> ((s, dir) => TextOps.chunk(docs(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -236,6 +237,7 @@ object TextQueries {
     "top_terms" -> topTermsOracle(),
     "vocab_sketch" -> vocabSketchOracle,
     "text_repetition" -> TextOps.repetitionSql("documents"),
-    "quality_logprob" -> unigramLogProbOracle
+    "quality_logprob" -> unigramLogProbOracle,
+    "docs_chunks" -> TextOps.chunkSql("documents")
   )
 }

@@ -62,6 +62,26 @@ class KernelEdgeSpec extends AnyFunSuite {
     assert(Multimodal.decodePpm(commented) == ((1, 1, 1L, 2L, 3L)))
   }
 
+  test("WAV parser rejects malformed payloads instead of zero-filling") {
+    val good = Multimodal.wavPayload(5L)
+    val (sr, n, sumAbs, peak) = Multimodal.decodeWav(good)
+    assert(sr == 8000 + (5 % 4) * 4000 && n == 64 + 5 % 33)
+    assert(peak <= 2048 && sumAbs >= peak, "amplitude stats inconsistent")
+    // wrong magic
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("OGGS".getBytes ++ good.drop(4))
+    }
+    // truncated data (header dataSize no longer matches)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(good.dropRight(2))
+    }
+    // stereo/float formats refused, not mis-read as mono PCM
+    val stereo = good.clone(); stereo(22) = 2
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(stereo) }
+    val floatFmt = good.clone(); floatFmt(20) = 3
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(floatFmt) }
+  }
+
   test("hamming: a short/corrupt sketch counts missing words as all-differing") {
     val full = new GenericArrayData(Array[Any](0L, 0L, 0L, 0L))
     val short = new GenericArrayData(Array[Any](0L))

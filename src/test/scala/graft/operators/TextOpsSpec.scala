@@ -37,6 +37,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(top2 < 0.25 && dup2 == 0.0 && keep2, "varied prose passes")
   }
 
+  test("chunking: overlap carried across boundaries, short tail kept, empty doc skipped") {
+    // 10 tokens, width 4, overlap 1 -> stride 3 -> starts 0,3,6,9:
+    // chunks [t0..t3] [t3..t6] [t6..t9] [t9] — boundary tokens shared,
+    // final chunk short, never empty
+    val d = Seq((0L, (1 to 10).map(i => s"t$i").mkString(" ")), (1L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunk(d, width = 4, overlap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 4L, (0L, 1L) -> 4L, (0L, 2L) -> 4L,
+      (0L, 3L) -> 1L), s"unexpected chunk grid: $got")
+  }
+
   test("repetition edges: single-token and empty docs don't divide by zero") {
     val got = TextOps.repetition(docs).collect().map { r =>
       r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))
