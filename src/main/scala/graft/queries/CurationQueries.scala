@@ -99,6 +99,46 @@ object CurationQueries {
        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
        |FROM r WHERE rank <= $WsK""".stripMargin
 
+  /** TEMPERATURE resampling — the multilingual source-rebalancing recipe
+    * (sample languages ∝ p^α, α = 1/2): the keep rate for language l is
+    * √(n_min/n_l) (the smallest language keeps everything; a language 4×
+    * larger keeps half), realized through the same deterministic per-mille
+    * hash-Bernoulli as `sample_stratified` — but with rates COMPUTED from
+    * the corpus composition instead of pinned. Cross-engine determinism:
+    * n_min/n_l is an exact integer-ratio double and IEEE sqrt is correctly
+    * rounded, so both engines floor identical doubles into identical
+    * per-mille rates; the per-lang count aggregation broadcasts as a
+    * handful of rows, and the filter itself is map-only. */
+  private def temperatureSample(d: DataFrame): DataFrame = {
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("n_min"))))
+      .withColumn("rate_pm",
+        floor(sqrt(col("n_min").cast("double") / col("n_docs")) * 1000)
+          .cast("long"))
+    d.join(broadcast(rates), "lang")
+      .filter(
+        VecOps.hash60(concat(lit("temp:"), col("doc_id").cast("string")))
+          % 1000 < col("rate_pm"))
+      .groupBy(col("lang"), col("n_docs"), col("rate_pm"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("rate_pm"), col("n_kept"))
+  }
+
+  private val temperatureOracle =
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |m AS (SELECT min(n_docs) AS n_min FROM c),
+       |r AS (SELECT lang, n_docs,
+       |        CAST(floor(sqrt(n_min::DOUBLE / n_docs) * 1000) AS BIGINT)
+       |          AS rate_pm
+       |      FROM c, m),
+       |k AS (SELECT d.lang, count(*) AS n_kept
+       |      FROM documents d JOIN r USING (lang)
+       |      WHERE ${VecOps.hash60Sql("'temp:' || CAST(doc_id AS VARCHAR)")}
+       |            % 1000 < rate_pm
+       |      GROUP BY d.lang)
+       |SELECT lang, n_docs, rate_pm, n_kept FROM r JOIN k USING (lang)""".stripMargin
+
   /** END-TO-END curation pipeline — the composition a corpus run actually
     * executes: quality filter (C4/Gopher-style keep) ∧ decontamination
     * (no eval-set 8-gram leak; the eval slice itself is excluded from the
@@ -153,6 +193,7 @@ object CurationQueries {
     "decontaminate" -> ((s, dir) => Decontaminate.flag(docs(s, dir))),
     "sample_stratified" -> ((s, dir) => stratifiedSample(docs(s, dir))),
     "sample_weighted" -> ((s, dir) => weightedSample(s, docs(s, dir))),
+    "sample_temperature" -> ((s, dir) => temperatureSample(docs(s, dir))),
     "docs_topk_lang" -> ((s, dir) => topKPerLang(docs(s, dir))),
     "corpus_curated" -> curatedCounts _
   )
@@ -161,6 +202,7 @@ object CurationQueries {
     "decontaminate" -> Decontaminate.flagSql("documents"),
     "sample_stratified" -> stratifiedOracle,
     "sample_weighted" -> weightedOracle,
+    "sample_temperature" -> temperatureOracle,
     "docs_topk_lang" -> topKOracle,
     "corpus_curated" -> curatedOracle
   )

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
 
 import graft.operators.Dedup
 import graft.sources.Tables
@@ -41,7 +41,18 @@ object DedupQueries {
     // files, each micro-batch runs admitCounts against the prebuilt
     // corpus index — graded against the identical one-shot oracle
     "docs_ingest_stream" -> ((s, dir) =>
-      graft.streaming.StreamingOps.dedupIngestStream(s, dir))
+      graft.streaming.StreamingOps.dedupIngestStream(s, dir)),
+    // SUB-document dedup: fixed-width token chunks repeated across
+    // distinct documents (the paragraph/boilerplate-dedup granularity —
+    // doc-level LSH can't see a shared 32-token run inside two otherwise
+    // different docs). Map-only chunking into one map-side-combined
+    // hash groupBy — the fine-grained dedup shape that scales to 100 TB.
+    "dedup_chunks" -> ((s, dir) =>
+      graft.operators.TextOps.chunk(docs(s, dir))
+        .groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2))
   )
 
   private val minhashPairsOracle = {
@@ -69,6 +80,12 @@ object DedupQueries {
     "dedup_clusters" -> Dedup.dedupClustersSql("documents"),
     "dedup_corpus" -> Dedup.dedupCorpusSql("documents"),
     "dedup_incremental" -> Dedup.incrementalDedupSql("documents"),
-    "docs_ingest_stream" -> Dedup.incrementalDedupSql("documents")
+    "docs_ingest_stream" -> Dedup.incrementalDedupSql("documents"),
+    "dedup_chunks" ->
+      s"""WITH c AS (${graft.operators.TextOps.chunkSql("documents")})
+         |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+         |       count(*) AS n_occ
+         |FROM c GROUP BY chunk_hash
+         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
   )
 }
