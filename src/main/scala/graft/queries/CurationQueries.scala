@@ -110,7 +110,9 @@ object CurationQueries {
     * per-mille rates; the per-lang count aggregation broadcasts as a
     * handful of rows, and the filter itself is map-only. */
   private def temperatureSample(d: DataFrame): DataFrame = {
-    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    // cached: the per-lang count table feeds BOTH the rate computation and
+    // its own min aggregate — uncached, the full corpus scan+agg runs twice
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")).cache()
     val rates = counts
       .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("n_min"))))
       .withColumn("rate_pm",

@@ -185,19 +185,28 @@ object TextQueries {
     * the frequency table is one token-keyed map-side-combined shuffle and
     * is vocabulary-sized — broadcast here (at a vocabulary too large to
     * broadcast the same plan is a shuffle equi-join on token, still never
-    * corpus×corpus); the per-doc mean is one doc_id-keyed shuffle. Per-token
-    * log-probs are quantized at 1e-6 in both engines before averaging
-    * (same stance as the tf-idf idf), the mean at 1e-4. */
+    * corpus×corpus); the per-doc mean is one doc_id-keyed shuffle.
+    * Cross-engine determinism: per-token log-probs are quantized to
+    * INTEGER micro-units (floor(ln·1e6 + ½) as long) so the per-doc
+    * accumulation is an exact, order-independent LONG sum — a double sum
+    * differs in final ulps between Spark's partition order and DuckDB's
+    * sequential scan, and at sf0.1 one document's mean landed exactly on
+    * the 1e-4 rounding boundary (caught by the dev-loop oracle, round 5).
+    * The one double division per doc runs on identical operands. */
   private def unigramLogProb(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("token"))
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
     val total = freq.agg(sum(col("tf")).cast("double").as("n_total"))
-    val lp = VecOps.qround(log(col("tf").cast("double") / col("n_total")), 6)
+    val lpMicro = floor(log(col("tf").cast("double") / col("n_total")) * 1e6
+      + lit(0.5)).cast("long")
     toks.join(broadcast(freq), "token").crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        VecOps.qround(avg(lp), 4).as("mean_logp"))
+      .agg(count(lit(1)).as("n_tokens"), sum(lpMicro).as("lp_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        VecOps.qround(
+          col("lp_sum").cast("double") / (col("n_tokens") * lit(1e6)), 4)
+          .as("mean_logp"))
   }
 
   private val unigramLogProbOracle =
@@ -205,10 +214,10 @@ object TextQueries {
        |f AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
        |n AS (SELECT sum(tf)::DOUBLE AS n_total FROM f),
        |lp AS (SELECT doc_id,
-       |         ${VecOps.qroundSql("ln(tf::DOUBLE / n_total)", 6)} AS l
+       |         CAST(floor(ln(tf::DOUBLE / n_total) * 1e6 + 0.5) AS BIGINT) AS lm
        |       FROM t JOIN f USING (token), n)
        |SELECT doc_id, count(*) AS n_tokens,
-       |  ${VecOps.qroundSql("avg(l)", 4)} AS mean_logp
+       |  ${VecOps.qroundSql("sum(lm)::DOUBLE / (count(*) * 1e6)", 4)} AS mean_logp
        |FROM lp GROUP BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
