@@ -324,8 +324,29 @@ object StreamQueries {
        |  ${VecOps.qroundSql("covar_pop(value, CAST(hour(ts) AS DOUBLE))", 4)} AS covar_vh
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** Fixed-width value HISTOGRAM per event type — the distribution
+    * sketch behind dashboards and drift monitors. One map-side-combined
+    * shuffle carrying types×bins rows regardless of event count; the bin
+    * id is floor(value/width) on identical doubles in both engines
+    * (width a small exact constant ⇒ bin and bin_lo bit-deterministic). */
+  private val HistBinW = 50.0
+
+  private def eventsHistogram(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"),
+        floor(col("value") / HistBinW).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"),
+        (col("bin").cast("double") * HistBinW).as("bin_lo"), col("n"))
+
+  private val eventsHistogramOracle =
+    s"""SELECT event_type, CAST(floor(value / $HistBinW) AS BIGINT) AS bin,
+       |       CAST(floor(value / $HistBinW) AS BIGINT) * $HistBinW AS bin_lo,
+       |       count(*) AS n
+       |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window" -> ((s, dir) => StreamingOps.windowedAgg(Tables.events(s, dir))),
+    "events_histogram" -> ((s, dir) => eventsHistogram(Tables.events(s, dir))),
     "events_trailing" -> ((s, dir) => userTrailing(Tables.events(s, dir))),
     "events_corr" -> ((s, dir) => typeCorr(Tables.events(s, dir))),
     // the SAME aggregation actually run as a stream: file source →
@@ -369,6 +390,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "events_window" -> StreamingOps.windowedAggSql("events"),
+    "events_histogram" -> eventsHistogramOracle,
     "events_trailing" -> userTrailingOracle,
     "events_corr" -> typeCorrOracle,
     "events_window_stream" -> StreamingOps.windowedAggSql("events"),

@@ -220,6 +220,73 @@ object TextQueries {
        |  ${VecOps.qroundSql("sum(lm)::DOUBLE / (count(*) * 1e6)", 4)} AS mean_logp
        |FROM lp GROUP BY doc_id""".stripMargin
 
+  /** Token COLLOCATIONS — adjacent-pair counts with PMI, the corpus
+    * statistic behind phrase mining and embedding-training diagnostics.
+    * Pairs are canonicalized (lexicographic order) so direction doesn't
+    * split counts; the pair table is one map-side-combined shuffle, the
+    * unigram counts broadcast (vocabulary-sized). RANKING is by the exact
+    * integer pair count (desc, then pair) — zero float risk; PMI
+    * ln(c_ab·N²/(P·n_a·n_b)) rides along as a quantized metric column
+    * computed from identical integer-ratio doubles in both engines. */
+  private val CoocMinCount = 5
+  private val CoocK = 20
+
+  private def tokenCooc(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = toks.select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => {
+          val a = element_at(col("toks"), i)
+          val b = element_at(col("toks"), i + 1)
+          struct(least(a, b).as("ta"), greatest(a, b).as("tb"))
+        })).as("p"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .filter(col("ta") =!= col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= CoocMinCount)
+    val uni = d.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val totals = pairs.agg(sum(col("n_pair")).cast("double").as("p_total"))
+      .crossJoin(uni.agg(sum(col("n_tok")).cast("double").as("n_total")))
+    val w = Window.orderBy(desc("n_pair"), col("ta"), col("tb"))
+    val pmi = log(col("n_pair").cast("double") * col("n_total") * col("n_total") /
+      (col("p_total") * col("n_a") * col("n_b")))
+    pairs
+      .join(broadcast(uni.select(col("token").as("ta"),
+        col("n_tok").cast("double").as("n_a"))), "ta")
+      .join(broadcast(uni.select(col("token").as("tb"),
+        col("n_tok").cast("double").as("n_b"))), "tb")
+      .crossJoin(broadcast(totals))
+      .orderBy(desc("n_pair"), col("ta"), col("tb")).limit(CoocK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("ta"), col("tb"), col("n_pair"),
+        VecOps.qround(pmi, 4).as("pmi"))
+  }
+
+  private val tokenCoocOracle =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |b AS (SELECT CASE WHEN toks[i] < toks[i+1] THEN toks[i] ELSE toks[i+1] END AS ta,
+       |             CASE WHEN toks[i] < toks[i+1] THEN toks[i+1] ELSE toks[i] END AS tb
+       |      FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+       |      WHERE len(toks) >= 2),
+       |p AS (SELECT ta, tb, count(*) AS n_pair FROM b WHERE ta <> tb
+       |      GROUP BY ta, tb HAVING count(*) >= $CoocMinCount),
+       |u1 AS (SELECT token, count(*) AS n_tok
+       |       FROM (SELECT unnest($toksSql) AS token FROM documents) GROUP BY token),
+       |t AS (SELECT (SELECT sum(n_pair)::DOUBLE FROM p) AS p_total,
+       |             (SELECT sum(n_tok)::DOUBLE FROM u1) AS n_total),
+       |r AS (SELECT ta, tb, n_pair,
+       |        row_number() OVER (ORDER BY n_pair DESC, ta, tb) AS rank
+       |      FROM p)
+       |SELECT CAST(rank AS BIGINT) AS rank, ta, tb, n_pair,
+       |  ${VecOps.qroundSql(
+            "ln(n_pair::DOUBLE * n_total * n_total" +
+              " / (p_total * ua.n_tok::DOUBLE * ub.n_tok::DOUBLE))", 4)} AS pmi
+       |FROM r JOIN u1 ua ON ua.token = ta
+       |       JOIN u1 ub ON ub.token = tb, t
+       |WHERE rank <= $CoocK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) => TextOps.textStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.textQuality(docs(s, dir))),
@@ -232,7 +299,8 @@ object TextQueries {
     "vocab_sketch" -> ((s, dir) => vocabSketch(docs(s, dir))),
     "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     "quality_logprob" -> ((s, dir) => unigramLogProb(docs(s, dir))),
-    "docs_chunks" -> ((s, dir) => TextOps.chunk(docs(s, dir)))
+    "docs_chunks" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
+    "token_cooc" -> ((s, dir) => tokenCooc(docs(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,6 +315,7 @@ object TextQueries {
     "vocab_sketch" -> vocabSketchOracle,
     "text_repetition" -> TextOps.repetitionSql("documents"),
     "quality_logprob" -> unigramLogProbOracle,
-    "docs_chunks" -> TextOps.chunkSql("documents")
+    "docs_chunks" -> TextOps.chunkSql("documents"),
+    "token_cooc" -> tokenCoocOracle
   )
 }

@@ -75,4 +75,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val plan = physicalPlan(Attention.attentionBlocked(q, kv))
     assert(plan.contains("CartesianProduct"), s"expected CartesianProduct in:\n$plan")
   }
+
+  test("supplier_waiting plan shape: decorrelated — ONE lineitem scan, no self-join") {
+    // the Q21 claim: the EXISTS + NOT EXISTS formulation would scan/shuffle
+    // lineitem three times; the aggregation form scans it exactly once
+    val df = graft.SparkEntry.queries("supplier_waiting")(
+      spark, "/root/testdata/sf0.001")
+    val plan = physicalPlan(df)
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(lineitemScans == 1,
+      s"expected exactly 1 lineitem scan, found $lineitemScans in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "no cartesian anywhere")
+  }
 }
