@@ -326,24 +326,44 @@ object StreamingOps {
     * ordinal conversion (`row_number` over start_s per user) runs on the
     * session table — thousands of times smaller than the event stream. */
   def sessionizeFileStream(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val out = Files.createTempDirectory("graft_sess_out").toString
     val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
-    val ev = graft.sources.Tables.eventsStream(spark, dir)
+    val q = startSessionStream(spark,
+      graft.sources.Tables.eventsStream(spark, dir), out, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination()
+    readSessionSink(spark, out)
+  }
+
+  /** Start the sessionizer upsert pipeline over any streaming `events`
+    * source. Factored out of [[sessionizeFileStream]] so the
+    * checkpoint-restart proof (StreamingParitySpec) drives the exact
+    * production pipeline — flatMapGroupsWithState state recovery is the
+    * hardest thing a checkpoint has to get right: a session spanning the
+    * outage must resume its fold, keep its first-seen identity, and merge
+    * run-2 events into the recovered extent. */
+  def startSessionStream(spark: SparkSession, source: DataFrame, out: String,
+                         ckpt: String, trigger: Trigger): StreamingQuery = {
+    import spark.implicits._
+    val ev = source
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
         unix_timestamp(col("ts")).as("ts_s"))
       .as[SessEvent]
-    val q = Sessionize.sessions(ev)(spark).toDF().writeStream
+    Sessionize.sessions(ev)(spark).toDF().writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(out)
       }
       .start()
-    q.awaitTermination()
+  }
+
+  /** Latest-batch-per-(user, stable identity) read-back, converted to the
+    * batch dual's per-user ordinal session ids. */
+  def readSessionSink(spark: SparkSession, out: String): DataFrame = {
     val latest = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(desc("batch_id"))
     val ord = Window.partitionBy(col("user_id")).orderBy(col("start_s"))

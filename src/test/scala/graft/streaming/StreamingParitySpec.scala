@@ -238,6 +238,50 @@ class StreamingParitySpec extends AnyFunSuite {
       (t0 + 30000, 1L, t0 + 30000, t0 + 30000)))
   }
 
+  test("sessionizer restart: recovered flatMapGroupsWithState resumes sessions across the outage") {
+    // the hardest checkpoint property: arbitrary per-group state. Events
+    // split at the median EVENT TIME (the realistic outage: files land
+    // roughly in time order, so run-2 data is above run-1's watermark —
+    // a row split would instead deliver half the stream below the
+    // watermark, where timeout-finalized sessions legitimately reopen and
+    // batch equality CANNOT hold for any streaming sessionizer). Every
+    // session open at the cut must resume from RECOVERED state: keep its
+    // first-seen identity and fold run-2 events into the recovered extent.
+    // Combined upsert sink == batch dual exactly (lost state under-counts
+    // n_events; a reset identity splits boundary sessions in two).
+    val staging = java.nio.file.Files.createTempDirectory("graft_sessres_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_sessres_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sessres_ckpt").toString
+    val cutMs = events.map(_.ts.getTime).sorted.apply(events.size / 2)
+    val (half1, half2) = events.partition(_.ts.getTime < cutMs)
+    // sanity: the cut leaves sessions spanning the outage (users active on
+    // both sides within the session gap) — else recovery isn't exercised
+    assert(half1.nonEmpty && half2.nonEmpty)
+    half1.toDF().coalesce(1).write.parquet(s"$staging/wave_a")
+    val schema = spark.read.parquet(s"$staging/wave_a").schema
+    def source = spark.readStream.schema(schema)
+      .option("basePath", staging.toString)
+      .parquet(s"$staging/wave_*")
+    val trig = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+
+    val q1 = StreamingOps.startSessionStream(spark, source, out, ckpt, trig)
+    try q1.awaitTermination() finally q1.stop()
+    assert(spark.read.parquet(out).count() > 0, "run 1 sank nothing")
+
+    half2.toDF().coalesce(1).write.parquet(s"$staging/wave_b")
+    val q2 = StreamingOps.startSessionStream(spark, source, out, ckpt, trig)
+    try q2.awaitTermination() finally q2.stop()
+
+    def tup5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val streamed = tup5(StreamingOps.readSessionSink(spark, out))
+    val batch = tup5(StreamQueries.sessionsBatch(events.toDF()))
+    assert(streamed == batch,
+      s"restart sessions diverge: ${(streamed -- batch).take(3)} extra, " +
+        s"${(batch -- streamed).take(3)} missing")
+  }
+
   test("ingest dedup restart: resumed batches extend the sink, never re-count") {
     // restart proof for the SECOND streaming edge family (additive-count
     // sink with per-batch-id overwrite paths, vs the windowed edge's
