@@ -298,9 +298,12 @@ object RelationalQueries {
     * `tpch_q4_late`.) */
   private def supplierWaiting(s: SparkSession, dir: String): DataFrame = {
     val k = 10
+    // no broadcast hint on orders: it is a FACT table (≈ lineitem/4), not
+    // a dimension — at 100 TB this must be a shuffle join on orderkey;
+    // AQE picks broadcast at fixture scale on its own
     val flagged = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_orderdate"))),
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("okey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))

@@ -245,8 +245,10 @@ object TextQueries {
       .filter(col("ta") =!= col("tb"))
       .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= CoocMinCount)
+      .cache() // referenced by the ranking AND its own p_total aggregate
     val uni = d.select(explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+      .cache() // referenced by both pair-side joins and the n_total aggregate
     val totals = pairs.agg(sum(col("n_pair")).cast("double").as("p_total"))
       .crossJoin(uni.agg(sum(col("n_tok")).cast("double").as("n_total")))
     val w = Window.orderBy(desc("n_pair"), col("ta"), col("tb"))

@@ -49,6 +49,25 @@ class TextOpsSpec extends AnyFunSuite {
       (0L, 3L) -> 1L), s"unexpected chunk grid: $got")
   }
 
+  test("chunk geometry matches the reference grid for every doc length") {
+    // reference: starts 0, stride, 2*stride, ... < n; chunk k holds
+    // min(width, n - start) tokens; n = 0 emits nothing
+    for (overlap <- Seq(0, 3)) {
+      val width = 8
+      val stride = width - overlap
+      val docs = (0 to 40).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = TextOps.chunk(docs, width, overlap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expected = (for {
+        n <- 0 to 40
+        if n >= 1
+        (start, k) <- (0 until n by stride).zipWithIndex
+      } yield (n.toLong, k.toLong) -> math.min(width, n - start).toLong).toMap
+      assert(got == expected, s"grid mismatch at overlap=$overlap")
+    }
+  }
+
   test("repetition edges: single-token and empty docs don't divide by zero") {
     val got = TextOps.repetition(docs).collect().map { r =>
       r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))
