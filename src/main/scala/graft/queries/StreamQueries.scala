@@ -344,9 +344,54 @@ object StreamQueries {
        |       count(*) AS n
        |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** Per-type 3σ OUTLIER detection — the monitoring/data-validation query
+    * over an event stream. Two passes: a map-side-combined moment
+    * aggregate (types×1 rows, broadcast back), then a map-only flag —
+    * better at scale than a type-partitioned window, which would shuffle
+    * the full stream by a skewed key. Cross-engine determinism: values
+    * are 0.01-grid, so moments come from EXACT long sums of penny units
+    * (floor(value·100 + ½)); mean/σ/thresholds then derive from identical
+    * doubles in both engines — no order-dependent float sum anywhere. */
+  private def eventsAnomaly(ev: DataFrame): DataFrame = {
+    val pennies = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val mean = col("s1").cast("double") / col("n")
+    val stats = ev.select(col("event_type"), pennies.as("p"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("s1"),
+        sum(col("p") * col("p")).as("s2"))
+      .select(col("event_type"), col("n"), mean.as("mean_p"),
+        sqrt(col("s2").cast("double") / col("n") - mean * mean).as("sd_p"))
+    ev.select(col("event_type"), pennies.as("p"))
+      .join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"), col("n"), col("mean_p"), col("sd_p"))
+      .agg(count(when(
+        abs(col("p").cast("double") - col("mean_p")) > lit(3.0) * col("sd_p"),
+        1)).as("n_out"))
+      .select(col("event_type"), col("n"), col("n_out"),
+        VecOps.qround(col("mean_p") / 100.0, 4).as("mean_value"),
+        VecOps.qround(col("sd_p") / 100.0, 4).as("sd_value"))
+  }
+
+  private val eventsAnomalyOracle =
+    s"""WITH p AS (SELECT event_type,
+       |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS p FROM events),
+       |s AS (SELECT event_type, count(*) AS n, sum(p)::DOUBLE AS s1,
+       |             sum(p * p)::DOUBLE AS s2
+       |      FROM p GROUP BY event_type),
+       |t AS (SELECT event_type, n, s1 / n AS mean_p,
+       |             sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd_p
+       |      FROM s)
+       |SELECT p.event_type, t.n, count(CASE WHEN
+       |         abs(p::DOUBLE - mean_p) > 3.0 * sd_p THEN 1 END) AS n_out,
+       |       ${VecOps.qroundSql("mean_p / 100.0", 4)} AS mean_value,
+       |       ${VecOps.qroundSql("sd_p / 100.0", 4)} AS sd_value
+       |FROM p JOIN t USING (event_type)
+       |GROUP BY p.event_type, t.n, mean_p, sd_p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window" -> ((s, dir) => StreamingOps.windowedAgg(Tables.events(s, dir))),
     "events_histogram" -> ((s, dir) => eventsHistogram(Tables.events(s, dir))),
+    "events_anomaly" -> ((s, dir) => eventsAnomaly(Tables.events(s, dir))),
     "events_trailing" -> ((s, dir) => userTrailing(Tables.events(s, dir))),
     "events_corr" -> ((s, dir) => typeCorr(Tables.events(s, dir))),
     // the SAME aggregation actually run as a stream: file source →
@@ -391,6 +436,7 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "events_window" -> StreamingOps.windowedAggSql("events"),
     "events_histogram" -> eventsHistogramOracle,
+    "events_anomaly" -> eventsAnomalyOracle,
     "events_trailing" -> userTrailingOracle,
     "events_corr" -> typeCorrOracle,
     "events_window_stream" -> StreamingOps.windowedAggSql("events"),
