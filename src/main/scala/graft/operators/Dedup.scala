@@ -112,17 +112,22 @@ object Dedup {
         col("col").as("key"))
   }
 
-  def minhashBandsSql(sigSql: String): String = {
+  /** Band rows (doc_id, band, key) from a named sig CTE/table — the ONE
+    * place the SQL band-key format lives (mirrors [[minhashBands]]). */
+  def bandRowsSql(sigCte: String): String = {
     val keys = (0 until B).map { b =>
       (0 until R).map(r => s"CAST(sig[${b * R + r + 1}] AS VARCHAR)")
         .mkString("concat_ws(':', ", ", ", ")")
     }
-    val rows = keys.zipWithIndex
-      .map { case (k, b) => s"SELECT doc_id, CAST($b AS BIGINT) AS band, $k AS key FROM sig" }
+    keys.zipWithIndex
+      .map { case (k, b) =>
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, $k AS key FROM $sigCte" }
       .mkString("\n UNION ALL ")
-    s"""WITH sig AS ($sigSql)
-       |$rows""".stripMargin
   }
+
+  def minhashBandsSql(sigSql: String): String =
+    s"""WITH sig AS ($sigSql)
+       |${bandRowsSql("sig")}""".stripMargin
 
   /** Candidate near-dup pairs (a < b, sharing ≥1 LSH band) with estimated
     * jaccard = fraction of matching minhashes. Band equi-join, no
@@ -361,9 +366,18 @@ object Dedup {
     * pipeline — also the foreachBatch body of the streaming ingest edge
     * ([[graft.streaming.StreamingOps]]). */
   def admitCounts(newDocs: DataFrame, index: DataFrame,
-                  minEst: Double = 0.5): DataFrame = {
-    // cached: band explode + the verification join both read the batch sigs
-    val sigNew = minhashSig(newDocs).cache()
+                  minEst: Double = 0.5): DataFrame =
+    // cached: band explode + the verification join both read the batch
+    // sigs. One-shot callers leave cleanup to session clearCache; the
+    // STREAMING edge must use [[admitCountsFromSig]] + unpersist per batch
+    // or the cache grows by one signature table per micro-batch forever.
+    admitCountsFromSig(newDocs, minhashSig(newDocs).cache(), index, minEst)
+
+  /** [[admitCounts]] over an externally-managed signature table — the
+    * foreachBatch body of the streaming ingest edge builds/caches the
+    * batch sigs itself and unpersists them after the sink write. */
+  def admitCountsFromSig(newDocs: DataFrame, sigNew: DataFrame,
+                         index: DataFrame, minEst: Double = 0.5): DataFrame = {
     val est = aggregate(
       zip_with(col("sig"), col("sig_rep"),
         (x, y) => when(x === y, 1.0).otherwise(0.0)),
@@ -390,14 +404,6 @@ object Dedup {
   /** SQL dual of [[incrementalDedup]] over the doc_id-parity split of
     * `table` (even = existing corpus, odd = new batch). */
   def incrementalDedupSql(table: String, minEst: Double = 0.5): String = {
-    val keys = (0 until B).map { b =>
-      (0 until R).map(r => s"CAST(sig[${b * R + r + 1}] AS VARCHAR)")
-        .mkString("concat_ws(':', ", ", ", ")")
-    }
-    def bands(sigCte: String) = keys.zipWithIndex
-      .map { case (k, b) =>
-        s"SELECT doc_id, CAST($b AS BIGINT) AS band, $k AS key FROM $sigCte" }
-      .mkString("\n UNION ALL ")
     val est = (1 to K)
       .map(j => s"(CASE WHEN sn.sig[$j] = so.sig[$j] THEN 1.0 ELSE 0.0 END)")
       .mkString(" + ")
@@ -405,8 +411,8 @@ object Dedup {
        |old_docs AS (SELECT * FROM $table WHERE doc_id % 2 = 0),
        |sig_new AS (${minhashSigSql("new_docs")}),
        |sig_old AS (${minhashSigSql("old_docs")}),
-       |bnd_new AS (${bands("sig_new")}),
-       |bnd_old AS (${bands("sig_old")}),
+       |bnd_new AS (${bandRowsSql("sig_new")}),
+       |bnd_old AS (${bandRowsSql("sig_old")}),
        |idx AS (SELECT band, key, min(doc_id) AS rep_id
        |        FROM bnd_old GROUP BY band, key),
        |cand AS (SELECT DISTINCT n.doc_id, i.rep_id

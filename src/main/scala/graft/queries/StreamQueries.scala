@@ -355,10 +355,15 @@ object StreamQueries {
   private def eventsAnomaly(ev: DataFrame): DataFrame = {
     val pennies = floor(col("value") * 100 + lit(0.5)).cast("long")
     val mean = col("s1").cast("double") / col("n")
+    // p² sums as DECIMAL(38,0): a long sum of ~1e9-sized squares overflows
+    // past ~9e9 rows per type — exactly the at-scale regime this query
+    // targets (DuckDB's BIGINT sum promotes to HUGEINT; both engines then
+    // round the same exact integer to the same double)
     val stats = ev.select(col("event_type"), pennies.as("p"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("p")).as("s1"),
-        sum(col("p") * col("p")).as("s2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast("decimal(38,0)")).as("s1"),
+        sum((col("p") * col("p")).cast("decimal(38,0)")).as("s2"))
       .select(col("event_type"), col("n"), mean.as("mean_p"),
         sqrt(col("s2").cast("double") / col("n") - mean * mean).as("sd_p"))
     ev.select(col("event_type"), pennies.as("p"))

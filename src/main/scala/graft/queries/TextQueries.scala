@@ -197,6 +197,7 @@ object TextQueries {
     val toks = d.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("token"))
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .cache() // referenced by the broadcast join AND the total aggregate
     val total = freq.agg(sum(col("tf")).cast("double").as("n_total"))
     val lpMicro = floor(log(col("tf").cast("double") / col("n_total")) * 1e6
       + lit(0.5)).cast("long")

@@ -300,8 +300,17 @@ object StreamingOps {
       .option("checkpointLocation", ckpt)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup.admitCounts(batch, index)
-          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        // batch sigs cached for the explode+verify double read, then
+        // RELEASED — a long-running ingest stream must not accumulate one
+        // cached signature table per micro-batch
+        val sigNew = graft.operators.Dedup.minhashSig(batch).cache()
+        try {
+          graft.operators.Dedup.admitCountsFromSig(batch, sigNew, index)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        } finally {
+          sigNew.unpersist(blocking = false)
+          ()
+        }
       }
       .start()
 

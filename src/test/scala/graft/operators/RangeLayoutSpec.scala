@@ -41,9 +41,13 @@ class RangeLayoutSpec extends AnyFunSuite {
           s"file ranges overlap: [.., $hiA] vs [$loB, ..] — min/max skip broken")
       case _ =>
     }
-    // and the range filter the graded query uses really excludes files
-    val (lo, hi) = (ranges.head._2 + 1, ranges.last._1 - 1)
+    // and a mid-band predicate (middle third of the GLOBAL value range —
+    // independent of any file's min/max, so an interleaved non-clustered
+    // layout where every file spans the whole range would fail) really
+    // excludes files
+    val (gmin, gmax) = (ranges.map(_._1).min, ranges.map(_._2).max)
+    val (lo, hi) = (gmin + (gmax - gmin) / 3, gmin + 2 * (gmax - gmin) / 3)
     assert(ranges.count { case (mn, mx) => mx >= lo && mn <= hi } < files.length,
-      "a mid-range predicate should not need every file")
+      "a mid-band predicate should not need every file")
   }
 }

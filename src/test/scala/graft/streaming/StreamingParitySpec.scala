@@ -254,9 +254,17 @@ class StreamingParitySpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sessres_ckpt").toString
     val cutMs = events.map(_.ts.getTime).sorted.apply(events.size / 2)
     val (half1, half2) = events.partition(_.ts.getTime < cutMs)
-    // sanity: the cut leaves sessions spanning the outage (users active on
-    // both sides within the session gap) — else recovery isn't exercised
-    assert(half1.nonEmpty && half2.nonEmpty)
+    // sanity: sessions actually SPAN the outage — some user's last run-1
+    // event and first run-2 event fall within one session gap, so the
+    // resumed query must merge across the cut (else recovery isn't
+    // load-bearing and the test silently weakens if the fixture changes)
+    val spanning = events.map(_.user_id).distinct.count { u =>
+      val before = half1.filter(_.user_id == u).map(_.ts.getTime)
+      val after = half2.filter(_.user_id == u).map(_.ts.getTime)
+      before.nonEmpty && after.nonEmpty &&
+        after.min - before.max <= Sessionize.GapSec * 1000L
+    }
+    assert(spanning > 0, "no session spans the outage — recovery untested")
     half1.toDF().coalesce(1).write.parquet(s"$staging/wave_a")
     val schema = spark.read.parquet(s"$staging/wave_a").schema
     def source = spark.readStream.schema(schema)
