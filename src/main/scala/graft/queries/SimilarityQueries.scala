@@ -315,8 +315,41 @@ object SimilarityQueries {
        |      FROM embeddings)
        |GROUP BY label, i""".stripMargin
 
+  /** int8 QUANTIZATION of the embedding column — the storage-compression
+    * step before a vector index is persisted (4× smaller than float32;
+    * dot products run in integer SIMD). Per-vector symmetric scaling:
+    * scale = 127/max|x|, q_d = floor(x_d·scale + ½) ∈ [−127, 127]. Pure
+    * per-row expressions, map-only at any corpus size. Cross-engine
+    * determinism: the float→double widening is exact, max/divide/multiply
+    * run on identical doubles, and the explicit floor(·+½) sidesteps
+    * engine-specific round() tie rules; q is integer-exact, the scale is
+    * quantized for grading. */
+  private def embedQuantize(e: DataFrame): DataFrame = {
+    val mx = greatest(array_max(transform(col("vec"), x => abs(x))), lit(1e-12))
+    e.select(col("vec_id"), col("vec"), mx.as("mx"))
+      .select(col("vec_id"),
+        VecOps.qround(lit(127.0) / col("mx"), 6).as("scale_q"),
+        posexplode(transform(col("vec"),
+          x => floor(x * (lit(127.0) / col("mx")) + lit(0.5)).cast("long"))))
+      .select(col("vec_id"), col("scale_q"), col("pos").cast("long").as("d"),
+        col("col").as("q"))
+  }
+
+  private val embedQuantizeOracle =
+    s"""WITH v AS (SELECT vec_id,
+       |             list_transform(embedding, x -> x::DOUBLE) AS vec
+       |           FROM embeddings),
+       |m AS (SELECT vec_id, vec,
+       |        greatest(list_max(list_transform(vec, x -> abs(x))), 1e-12) AS mx
+       |      FROM v)
+       |SELECT vec_id, ${VecOps.qroundSql("127.0 / mx", 6)} AS scale_q,
+       |       CAST(i - 1 AS BIGINT) AS d,
+       |       CAST(floor(vec[i] * (127.0 / mx) + 0.5) AS BIGINT) AS q
+       |FROM m, unnest(generate_series(1, len(vec))) AS u(i)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_centroids" -> ((s, dir) => centroids(emb(s, dir))),
+    "embed_quantize" -> ((s, dir) => embedQuantize(emb(s, dir))),
     "similar_topk" -> ((s, dir) =>
       Similarity.cosineTopK(qSide(s, dir), kvSide(s, dir), TopK)),
     "similar_ann" -> ((s, dir) =>
@@ -350,6 +383,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "embed_centroids" -> centroidsOracle,
+    "embed_quantize" -> embedQuantizeOracle,
     "similar_topk" -> topkOracle,
     "similar_ann" -> annOracle,
     "similar_ann_recall" -> annRecallOracle,
