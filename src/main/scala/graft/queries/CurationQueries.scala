@@ -190,6 +190,55 @@ object CurationQueries {
        |GROUP BY d.lang""".stripMargin
   }
 
+  /** Corpus DATASHEET — the per-(lang, source) report card a data team
+    * publishes with a release: document/byte/token volumes and the
+    * quality-filter keep rate per stratum. All accumulations are exact
+    * LONG sums (counts, n_chars, token counts, keep flags) so the two
+    * final ratios divide identical operands in both engines — no
+    * order-dependent float sum anywhere. One doc_id equi-join (quality
+    * signals back onto the metadata) and one 25-group aggregate. */
+  private def corpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val q = TextOps.textQuality(d)
+      .select(col("doc_id"), col("n_tokens"), col("keep"))
+    d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(q, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .select(col("lang"), col("source"), col("n_docs"), col("sum_chars"),
+        VecOps.qround(col("sum_tokens").cast("double") / col("n_docs"), 4)
+          .as("mean_tokens"),
+        VecOps.qround(col("n_keep").cast("double") / col("n_docs"), 4)
+          .as("keep_rate"))
+  }
+
+  private val corpusDatasheetOracle: String = {
+    val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val punct = VecOps.qroundSql(
+      "(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE" +
+        " / greatest(length(text), 1)", 4)
+    val stop = VecOps.qroundSql(
+      s"len(list_filter(toks, t -> list_contains($stopList, t)))::DOUBLE" +
+        " / greatest(len(toks), 1)", 4)
+    s"""WITH qd AS (SELECT doc_id, text, ${TextOps.tokensSql("text")} AS toks
+       |            FROM documents),
+       |q AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |        (len(toks) >= 10 AND $punct < 0.3 AND $stop < 0.6) AS keep
+       |      FROM qd)
+       |SELECT d.lang, d.source, count(*) AS n_docs,
+       |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       |       ${VecOps.qroundSql(
+                  "sum(q.n_tokens)::DOUBLE / count(*)", 4)} AS mean_tokens,
+       |       ${VecOps.qroundSql(
+                  "sum(CASE WHEN q.keep THEN 1 ELSE 0 END)::DOUBLE / count(*)",
+                  4)} AS keep_rate
+       |FROM documents d JOIN q USING (doc_id)
+       |GROUP BY d.lang, d.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // eval-set n-gram leakage flags over the training slice
     "decontaminate" -> ((s, dir) => Decontaminate.flag(docs(s, dir))),
@@ -197,7 +246,8 @@ object CurationQueries {
     "sample_weighted" -> ((s, dir) => weightedSample(s, docs(s, dir))),
     "sample_temperature" -> ((s, dir) => temperatureSample(docs(s, dir))),
     "docs_topk_lang" -> ((s, dir) => topKPerLang(docs(s, dir))),
-    "corpus_curated" -> curatedCounts _
+    "corpus_curated" -> curatedCounts _,
+    "corpus_datasheet" -> corpusDatasheet _
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,6 +256,7 @@ object CurationQueries {
     "sample_weighted" -> weightedOracle,
     "sample_temperature" -> temperatureOracle,
     "docs_topk_lang" -> topKOracle,
-    "corpus_curated" -> curatedOracle
+    "corpus_curated" -> curatedOracle,
+    "corpus_datasheet" -> corpusDatasheetOracle
   )
 }
