@@ -239,6 +239,42 @@ object CurationQueries {
        |GROUP BY d.lang, d.source""".stripMargin
   }
 
+  /** Table PROFILING — the ANALYZE/stats-collection pass every pipeline
+    * runs before trusting a new dataset: per column, row/null/exact
+    * distinct counts plus the HyperLogLog estimate graded within tolerance
+    * (at 100 TB the HLL IS the distinct plan; the exact count anchors the
+    * row, same grading stance as `vocab_sketch`). ONE scan: Spark plans
+    * the five countDistincts through a single Expand, and the HLL sketches
+    * are ordinary mergeable aggregates — no per-column re-read. The melt
+    * to (column, …) rows is a post-aggregate stack of one row. */
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+  private val ProfileHllRsd = 0.02
+  private val ProfileHllTol = 0.10
+
+  private def docsProfile(d: DataFrame): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        approx_count_distinct(col(c), ProfileHllRsd).as(s"ha_$c"))
+    }
+    val stacked = ProfileCols
+      .map(c => s"'$c', nn_$c, nd_$c, ha_$c").mkString(", ")
+    d.agg(count(lit(1)).as("n"), aggs: _*)
+      .selectExpr("n",
+        s"stack(${ProfileCols.size}, $stacked) AS (column, n_nonnull, n_distinct, hll_raw)")
+      .select(col("column"), col("n"),
+        (col("n") - col("n_nonnull")).as("n_null"), col("n_distinct"),
+        (abs(col("hll_raw") - col("n_distinct")) <=
+          lit(ProfileHllTol) * col("n_distinct")).as("hll_ok"))
+  }
+
+  private val docsProfileOracle = ProfileCols.map { c =>
+    s"""SELECT '$c' AS "column", count(*) AS n,
+       |  count(*) - count($c) AS n_null,
+       |  count(DISTINCT $c) AS n_distinct, TRUE AS hll_ok
+       |FROM documents""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // eval-set n-gram leakage flags over the training slice
     "decontaminate" -> ((s, dir) => Decontaminate.flag(docs(s, dir))),
@@ -247,7 +283,8 @@ object CurationQueries {
     "sample_temperature" -> ((s, dir) => temperatureSample(docs(s, dir))),
     "docs_topk_lang" -> ((s, dir) => topKPerLang(docs(s, dir))),
     "corpus_curated" -> curatedCounts _,
-    "corpus_datasheet" -> corpusDatasheet _
+    "corpus_datasheet" -> corpusDatasheet _,
+    "docs_profile" -> ((s, dir) => docsProfile(docs(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -257,6 +294,7 @@ object CurationQueries {
     "sample_temperature" -> temperatureOracle,
     "docs_topk_lang" -> topKOracle,
     "corpus_curated" -> curatedOracle,
-    "corpus_datasheet" -> corpusDatasheetOracle
+    "corpus_datasheet" -> corpusDatasheetOracle,
+    "docs_profile" -> docsProfileOracle
   )
 }
