@@ -76,6 +76,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(plan.contains("CartesianProduct"), s"expected CartesianProduct in:\n$plan")
   }
 
+  test("docs_profile plan shape: ONE documents scan feeds all five countDistincts") {
+    // the ANALYZE-pass claim: multi-column exact distincts share a single
+    // Expand over a single scan — a per-column formulation would re-read
+    // the table five times
+    val df = graft.SparkEntry.queries("docs_profile")(
+      spark, "/root/testdata/sf0.001")
+    val plan = physicalPlan(df)
+    val scans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 documents scan, found $scans in:\n$plan")
+    assert(plan.contains("Expand"), "multi-distinct should plan through Expand")
+  }
+
   test("supplier_waiting plan shape: decorrelated — ONE lineitem scan, no self-join") {
     // the Q21 claim: the EXISTS + NOT EXISTS formulation would scan/shuffle
     // lineitem three times; the aggregation form scans it exactly once
