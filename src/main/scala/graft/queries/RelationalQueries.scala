@@ -339,6 +339,48 @@ object RelationalQueries {
        |SELECT CAST(rank AS BIGINT) AS rank, s_name, n_waiting
        |FROM r WHERE rank <= 10""".stripMargin
 
+  /** MERGE / upsert as a JOIN REWRITE — SCD-1 dimension maintenance on
+    * immutable parquet (what `MERGE INTO` does in table formats, expressed
+    * Spark-first): base snapshot FULL OUTER JOIN the change batch on the
+    * key, changed rows take the update, unmatched updates insert, the rest
+    * carry forward; each row labeled updated/inserted/unchanged. ONE
+    * key-shuffled join at any scale — and with both sides bucketBy(key)
+    * (see `bucketed_join`) the rewrite runs with zero Exchange. The change
+    * batch is derived deterministically from the fixture (every 10th key
+    * gets +100 balance; every 100th key spawns a new key+1e6 row). */
+  private def customerUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val updates = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"))
+      .union(base.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_acctbal")))
+    val b = base.select(col("c_custkey"), col("c_acctbal").as("bal_b"))
+    val u = updates.select(col("c_custkey"), col("c_acctbal").as("bal_u"))
+    b.join(u, Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"),
+        VecOps.qround(coalesce(col("bal_u"), col("bal_b")), 2).as("c_acctbal"),
+        when(col("bal_b").isNull, "inserted")
+          .when(col("bal_u").isNull, "unchanged")
+          .otherwise("updated").as("status"))
+  }
+
+  private val customerUpsertOracle =
+    s"""WITH b AS (SELECT c_custkey, c_acctbal FROM customer),
+       |u AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+       |      FROM customer WHERE c_custkey % 10 = 0
+       |      UNION ALL
+       |      SELECT c_custkey + 1000000, c_acctbal
+       |      FROM customer WHERE c_custkey % 100 = 0)
+       |SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+       |       ${VecOps.qroundSql("coalesce(u.c_acctbal, b.c_acctbal)", 2)}
+       |         AS c_acctbal,
+       |       CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+       |            WHEN u.c_custkey IS NULL THEN 'unchanged'
+       |            ELSE 'updated' END AS status
+       |FROM b FULL OUTER JOIN u ON b.c_custkey = u.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> q1,
     "tpch_q6" -> q6,
@@ -349,7 +391,8 @@ object RelationalQueries {
     "region_revenue" -> regionRevenue,
     "part_profit" -> partProfit,
     "shipping_priority" -> shippingPriority,
-    "supplier_waiting" -> supplierWaiting
+    "supplier_waiting" -> supplierWaiting,
+    "customer_upsert" -> customerUpsert _
   )
 
   val oracles: Map[String, String] = Map(
@@ -362,6 +405,7 @@ object RelationalQueries {
     "region_revenue" -> regionRevenueOracle,
     "part_profit" -> partProfitOracle,
     "shipping_priority" -> shippingPriorityOracle,
-    "supplier_waiting" -> supplierWaitingOracle
+    "supplier_waiting" -> supplierWaitingOracle,
+    "customer_upsert" -> customerUpsertOracle
   )
 }
