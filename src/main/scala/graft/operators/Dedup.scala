@@ -48,13 +48,9 @@ object Dedup {
     * so without this every md5-heavy map runs in ONE task (measured: 1.0
     * cores busy of 32 for the whole of minhash_sig). On a real cluster the
     * input has thousands of splits and this is a no-op — the shuffle only
-    * triggers when partitions < cores. */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    if (df.rdd.getNumPartitions < sc.defaultParallelism)
-      df.repartition(sc.defaultParallelism)
-    else df
-  }
+    * triggers when partitions < cores. (Shared home: [[PairPlan.fanOut]],
+    * which the blocked tile grid also uses.) */
+  private def fanOut(df: DataFrame): DataFrame = PairPlan.fanOut(df)
 
   /** (doc_id, sig array<long> length K): per-doc minhash signature —
     * sig[j] = min over shingles of hash_j(shingle), where the K hash

@@ -34,11 +34,34 @@ object PairPlan {
   def cross(big: DataFrame, small: DataFrame, mode: Mode = Auto): DataFrame =
     mode match {
       case Broadcast => big.crossJoin(broadcast(small))
-      case Blocked   => big.crossJoin(small.hint("SHUFFLE_REPLICATE_NL"))
+      case Blocked =>
+        // CartesianProductExec's task grid is (left parts × right parts):
+        // the 2-D tile loop only parallelizes if BOTH sides have splits.
+        // Single-split inputs (local fixtures, any compacted table) would
+        // otherwise run the whole M×N pair stream in ONE task. Each side
+        // needs only ~√cores partitions for a cores-sized grid; on a
+        // many-split cluster input this is a no-op.
+        val side = math.max(1, math.ceil(math.sqrt(
+          big.sparkSession.sparkContext.defaultParallelism.toDouble)).toInt)
+        fanOut(big, side).crossJoin(
+          fanOut(small, side).hint("SHUFFLE_REPLICATE_NL"))
       case Auto =>
         if (fitsBroadcast(small)) cross(big, small, Broadcast)
         else cross(big, small, Blocked)
     }
+
+  /** Fan a small scan out to at least `target` partitions before a
+    * CPU-bound kernel: local fixtures are single parquet splits, so
+    * without this a per-row-expensive map (or a blocked tile grid) runs
+    * in one task. No-op whenever the input already has enough splits —
+    * i.e. on any real cluster read. */
+  def fanOut(df: DataFrame, target: Int): DataFrame =
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+
+  /** [[fanOut]] to the session's full default parallelism — the right
+    * target for map-only kernels, where tasks don't multiply. */
+  def fanOut(df: DataFrame): DataFrame =
+    fanOut(df, df.sparkSession.sparkContext.defaultParallelism)
 
   /** Catalyst's plan-time size estimate vs the session's broadcast
     * threshold ("-1" disables broadcasting entirely, as for joins). */

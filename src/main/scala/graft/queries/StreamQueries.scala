@@ -193,8 +193,10 @@ object StreamQueries {
       .na.fill(0L, EventTypes)
 
   private val userTypePivotOracle = {
+    // CAST to BIGINT: DuckDB's sum over integers is HUGEINT, which the
+    // driver harness floats and hash-mismatches against Spark's BIGINT.
     val cols = EventTypes.map(t =>
-      s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t").mkString(",\n|  ")
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t").mkString(",\n|  ")
     s"""SELECT user_id,
        |  $cols
        |FROM events GROUP BY user_id""".stripMargin
@@ -299,8 +301,8 @@ object StreamQueries {
        |  ${VecOps.qroundSql(
           """sum(v) OVER (PARTITION BY user_id ORDER BY day_n
             |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin, 4)} AS trail_value,
-       |  sum(n) OVER (PARTITION BY user_id ORDER BY day_n
-       |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trail_n
+       |  CAST(sum(n) OVER (PARTITION BY user_id ORDER BY day_n
+       |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_n
        |FROM b""".stripMargin
 
   /** Bivariate co-moments per type: Pearson correlation and population
@@ -340,7 +342,7 @@ object StreamQueries {
 
   private val eventsHistogramOracle =
     s"""SELECT event_type, CAST(floor(value / $HistBinW) AS BIGINT) AS bin,
-       |       CAST(floor(value / $HistBinW) AS BIGINT) * $HistBinW AS bin_lo,
+       |       CAST(CAST(floor(value / $HistBinW) AS BIGINT) * $HistBinW AS DOUBLE) AS bin_lo,
        |       count(*) AS n
        |FROM events GROUP BY 1, 2, 3""".stripMargin
 
@@ -363,7 +365,9 @@ object StreamQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("p").cast("decimal(38,0)")).as("s1"),
-        sum((col("p") * col("p")).cast("decimal(38,0)")).as("s2"))
+        // cast BEFORE multiplying: p*p in LONG overflows (throws under
+        // ANSI) for a single penny value past ~3e9 (|value| ≳ $30M)
+        sum(col("p").cast("decimal(38,0)") * col("p")).as("s2"))
       .select(col("event_type"), col("n"), mean.as("mean_p"),
         sqrt(col("s2").cast("double") / col("n") - mean * mean).as("sd_p"))
     ev.select(col("event_type"), pennies.as("p"))
