@@ -43,6 +43,30 @@ object Attention {
   def attentionBlocked(q: DataFrame, kv: DataFrame, scale: Boolean = false): DataFrame =
     attention(q, kv, scale, PairPlan.Blocked)
 
+  /** BATCHED attention (reference custom_attention.cpp:9-24: the C++ SDPA
+    * accepts ≥2-D inputs and iterates the leading batch dims; each batch
+    * attends only within itself). q: (batch_id, q_id, qvec); kv:
+    * (batch_id, k_id, kvec, vvec). Returns (batch_id, q_id, z, out).
+    *
+    * Relationally the batch axis turns the cross join into an EQUI-join on
+    * batch_id — strictly better at scale than B independent single-batch
+    * runs: one shuffle co-partitions both sides by batch, every batch's
+    * M_b×N_b pair stream reduces map-side into per-(batch,q) monoid
+    * buffers, and Catalyst picks broadcast vs shuffle from the q side's
+    * size. A skewed giant batch degrades to the single-batch profile, no
+    * worse (AQE skew-join splits its partitions). */
+  def attentionBatched(q: DataFrame, kv: DataFrame,
+                       scale: Boolean = false): DataFrame = {
+    val raw = VecOps.dot(col("qvec"), col("kvec"))
+    val sc = if (scale) raw / sqrt(size(col("qvec")).cast("double")) else raw
+    q.join(kv, "batch_id")
+      .select(col("batch_id"), col("q_id"), sc.as("sc"), col("vvec"))
+      .groupBy("batch_id", "q_id")
+      .agg(GraftAggs.logWeightedVec(col("sc"), col("vvec")).as("lw"))
+      .select(col("batch_id"), col("q_id"),
+        col("lw.z").as("z"), col("lw.v").as("out"))
+  }
+
   private def plan(pairs: DataFrame, scale: Boolean): DataFrame = {
     val raw = VecOps.dot(col("qvec"), col("kvec"))
     val sc = if (scale) raw / sqrt(size(col("qvec")).cast("double")) else raw

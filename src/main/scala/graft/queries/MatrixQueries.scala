@@ -45,6 +45,22 @@ object MatrixQueries {
       .select(col("q_id"), col("pos").cast("long").as("d"),
         VecOps.qround(col("col"), 4).as("v"))
 
+  /** Batched SDPA (VERDICT r5 #3): `label` slices the embeddings fixture
+    * into 10 batches; each (B, M_b, F) query block attends only within its
+    * batch, matching the C++ batched semantics (custom_attention.cpp:9-24).
+    * Scaled (÷√F) like the C++ kernel. */
+  private def sdpaBatchedQuery(s: SparkSession, dir: String): DataFrame =
+    Attention.attentionBatched(
+      emb(s, dir).select(col("label").cast("long").as("batch_id"),
+        col("vec_id").as("q_id"), col("vec").as("qvec")),
+      emb(s, dir).select(col("label").cast("long").as("batch_id"),
+        col("vec_id").as("k_id"), col("vec").as("kvec"),
+        slice(col("vec"), 1, D).as("vvec")),
+      scale = true)
+      .select(col("batch_id"), col("q_id"), posexplode(col("out")))
+      .select(col("batch_id"), col("q_id"), col("pos").cast("long").as("d"),
+        VecOps.qround(col("col"), 4).as("v"))
+
   private def mlpQuery(s: SparkSession, dir: String): DataFrame =
     Mlp.mlp(
       qSide(s, dir).select(col("q_id").as("b_id"), col("qvec").as("xvec")),
@@ -134,6 +150,25 @@ object MatrixQueries {
        |FROM e GROUP BY q_id, d""".stripMargin
   }
 
+  private val sdpaBatchedOracle = {
+    val v = VecOps.qroundSql("sum(wt * x) / sum(wt)", 4)
+    s"""WITH q AS (SELECT CAST(label AS BIGINT) AS batch_id, vec_id AS q_id,
+       |                  embedding::DOUBLE[] AS qv FROM embeddings),
+       |k AS (SELECT CAST(label AS BIGINT) AS batch_id, vec_id AS k_id,
+       |             embedding::DOUBLE[] AS kv,
+       |             (embedding::DOUBLE[])[1:$D] AS vv FROM embeddings),
+       |s AS (SELECT batch_id, q_id, k_id,
+       |             list_dot_product(qv, kv) / sqrt(len(qv)) AS sc, vv
+       |      FROM q JOIN k USING (batch_id)),
+       |m AS (SELECT batch_id, q_id, max(sc) AS mx FROM s GROUP BY batch_id, q_id),
+       |w AS (SELECT s.batch_id, s.q_id, exp(sc - mx) AS wt, vv
+       |      FROM s JOIN m USING (batch_id, q_id)),
+       |e AS (SELECT batch_id, q_id, d, wt, vv[d] AS x
+       |      FROM w CROSS JOIN (SELECT unnest(generate_series(1, $D)) AS d) ds)
+       |SELECT batch_id, q_id, CAST(d - 1 AS BIGINT) AS d, $v AS v
+       |FROM e GROUP BY batch_id, q_id, d""".stripMargin
+  }
+
   private def mlpOracle(mWhere: String = s" WHERE vec_id < $M") = {
     val v = VecOps.qroundSql("sum(h * x)", 4)
     s"""${qkPrefixWhere(mWhere)},
@@ -188,6 +223,7 @@ object MatrixQueries {
     "attention" -> attentionQuery(scale = false),
     "attention_big" -> (attentionBigQuery _),
     "sdpa_scaled" -> attentionQuery(scale = true),
+    "sdpa_batched" -> (sdpaBatchedQuery _),
     "mlp" -> mlpQuery,
     "mlp_big" -> (mlpBigQuery _),
     "relu_matmul" -> reluMatmulQuery,
@@ -205,6 +241,7 @@ object MatrixQueries {
     // scale derived from the data (len(qv)) exactly like the Spark side's
     // sqrt(size(qvec)) — no hard-coded embedding width (ADVICE.md round 1)
     "sdpa_scaled" -> attentionOracle(" / sqrt(fdim)"),
+    "sdpa_batched" -> sdpaBatchedOracle,
     "mlp" -> mlpOracle(),
     "mlp_big" -> mlpOracle(mWhere = ""),
     "relu_matmul" -> reluMatmulOracle,

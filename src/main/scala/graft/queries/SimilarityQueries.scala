@@ -194,12 +194,13 @@ object SimilarityQueries {
     * plan's struct(−cos, list_id) argmin — then exact-cosine rerank of the
     * probed lists' union. Centroid quantization (4 decimals, both engines)
     * is what makes the Voronoi assignment hash-stable cross-engine. */
-  private def ivfTopkSql(k: Int, nprobe: Int = Similarity.NProbe) = {
+  private def ivfTopkSql(k: Int, nprobe: Int = Similarity.NProbe,
+                         centWhere: String = "") = {
     def cosOf(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
     s"""WITH c0 AS (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
        |            FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
-       |                    unnest(range(len(embedding))) AS i FROM embeddings)
+       |                    unnest(range(len(embedding))) AS i FROM embeddings$centWhere)
        |            GROUP BY label, i),
        |cents AS (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
        |          FROM c0 GROUP BY label),
@@ -371,6 +372,20 @@ object SimilarityQueries {
     "similar_ivf_pruned" -> ((s, dir) =>
       Similarity.ivfTopKPersisted(perturbedQSide(s, dir), kvSide(s, dir),
         Similarity.ivfCentroids(emb(s, dir)), AnnK)),
+    // incremental ingest (VERDICT r5 #4): quantizer trained on the even-id
+    // corpus only, persisted; the odd-id batch is assigned map-only against
+    // those FROZEN centroids (localCheckpoint truncates the aggregation
+    // out of the ingest plan) and appended; the search covers old ∪ batch
+    "similar_ivf_ingest" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val cents = Similarity
+        .ivfCentroids(all.filter(col("vec_id") % 2 === 0))
+        .localCheckpoint(true)
+      def side(parity: Int) = all.filter(col("vec_id") % 2 === parity)
+        .select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+      Similarity.ivfTopKIngested(perturbedQSide(s, dir),
+        side(0), side(1), cents, AnnK)
+    }),
     // one full k-means iteration (re-assign + recompute means) — the IVF
     // quantizer's training loop, graded
     "kmeans_step" -> ((s, dir) =>
@@ -392,6 +407,10 @@ object SimilarityQueries {
     "similar_ivf" -> ivfTopkSql(AnnK),
     "similar_ivf_recall" -> ivfRecallOracle,
     "similar_ivf_pruned" -> ivfTopkSql(AnnK),
+    // from-scratch oracle for the ingest path: identical result must come
+    // out of (frozen even-corpus quantizer, full-corpus assignment)
+    "similar_ivf_ingest" -> ivfTopkSql(AnnK,
+      centWhere = " WHERE vec_id % 2 = 0"),
     "kmeans_step" -> kmeansStepOracle,
     "dedup_embed" -> nearDupOracle
   )

@@ -105,6 +105,39 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rec >= 0.9, f"IVF recall@1 $rec%.3f below target")
   }
 
+  test("IVF ingest: no centroid recompute in the ingest plan, pruned read, from-scratch parity") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    def side(parity: Int) = emb.filter(col("vec_id") % 2 === parity)
+      .select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+    val q = perturbedQ(dir)
+    // frozen quantizer: trained on the existing (even) corpus, materialized
+    val cents = Similarity.ivfCentroids(emb.filter(col("vec_id") % 2 === 0))
+      .localCheckpoint(true)
+    // the ingest assignment plan must NOT recompute centroids from the
+    // corpus: the only parquet scan is the batch itself; the centroid side
+    // is a scan of checkpoint-materialized rows (logicalrdd). (One
+    // collect_list aggregate over those 10 materialized rows packs them
+    // into the broadcast row — that is not a corpus aggregation.)
+    val ingestPlan = Similarity.ivfIndex(side(1), cents)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    val parquetScans = "relation \\[".r.findAllIn(ingestPlan).size
+    assert(parquetScans == 1 && ingestPlan.contains("logicalrdd"),
+      s"ingest assignment re-reads the corpus ($parquetScans scans):\n${ingestPlan.take(2000)}")
+    val res = Similarity.ivfTopKIngested(q, side(0), side(1), cents, 10)
+    res.collect()
+    // search over (old ∪ batch) reads the index pruned to the probed lists
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no partition pruning on the ingested index scan:\n${plan.take(2000)}")
+    // and the append-based index answers exactly like a from-scratch search
+    // over the full corpus with the same frozen quantizer
+    val kvAll = emb.select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+    val direct = Similarity.ivfTopK(q, kvAll, cents, 10)
+    assert(res.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(res).count() == 0)
+  }
+
   test("persisted IVF index: scan is partition-pruned to the probed lists") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, dir)
