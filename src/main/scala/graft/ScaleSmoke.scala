@@ -74,10 +74,10 @@ object ScaleSmoke {
       // quality ∧ decontamination — the curation half of the pipeline
       // (same composition as the graded `corpus_curated`)
       "curate" -> { d =>
-        val q = TextOps.textQuality(d).select(col("doc_id"), col("keep"))
+        val q = TextOps.textQuality(d, carry = Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("keep"))
         val f = Decontaminate.flag(d).select(col("doc_id"), col("contaminated"))
-        d.select(col("doc_id"), col("lang"))
-          .join(q, "doc_id").join(f, "doc_id")
+        q.join(f, "doc_id")
           .filter(col("keep") && !col("contaminated"))
           .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
           .count()

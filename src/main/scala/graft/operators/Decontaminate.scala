@@ -34,17 +34,26 @@ object Decontaminate {
   val N = 8
 
   /** 60-bit hashes of the doc's word-level N-gram shingles; documents
-    * shorter than N tokens contribute their single full-text shingle. */
+    * shorter than N tokens contribute their single full-text shingle.
+    * Codegen'd native kernel (VERDICT r5 #7: the interpreted
+    * `transform`+hash60 HOF made `curate` the one ScaleSmoke stage whose
+    * cost tracked data — same interpreter-overhead profile the minhash and
+    * simhash kernels already shed). Bit-identical to the previous
+    * `transform(sequence(1, greatest(n-${N - 1}, 1)),
+    * i -> hash60(concat_ws(' ', slice(toks, i, $N))))` form. */
   private def shingleHashes(toks: org.apache.spark.sql.Column) =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (N - 1), lit(1))),
-      i => VecOps.hash60(concat_ws(" ", slice(toks, i, lit(N)))))
+    graft.functions.NativeExprs.ngramHashes(toks, N)
 
   /** For every training document (`doc_id % evalMod != 0`): the number of
     * shingle positions whose hash appears in the eval slice
     * (`doc_id % evalMod == 0`), and the keep/drop flag. */
   def flag(docs: DataFrame, evalMod: Int = 41): DataFrame = {
-    val sh = docs
+    // fan the scan out before the tokenize+md5 shingle kernel — same
+    // few-splits guard as every other corpus-linear kernel (Dedup.fanOut):
+    // no-op on a many-split cluster, keeps the per-byte work off 1-2 cores
+    // on compacted/fixture inputs (VERDICT r5 #7: `curate` was the one
+    // ScaleSmoke stage without it, and the one superlinear ratio)
+    val sh = PairPlan.fanOut(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(shingleHashes(col("toks"))).as("sh"))
     val evalSet = sh.filter(col("doc_id") % evalMod === 0)

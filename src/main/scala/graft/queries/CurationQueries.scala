@@ -150,11 +150,15 @@ object CurationQueries {
     * joins at 100 TB — both correct, no operator-specific glue. */
   private def curatedCounts(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val q = TextOps.textQuality(d).select(col("doc_id"), col("keep"))
+    // quality + lang ride ONE corpus scan (textQuality is per-row; the old
+    // d⋈quality join on doc_id re-shuffled the corpus for nothing —
+    // VERDICT r5 #7); only the decontamination flag, which aggregates at
+    // shingle level, genuinely needs its own scan + doc_id join
+    val q = TextOps.textQuality(d, carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("keep"))
     val f = Decontaminate.flag(d).select(col("doc_id"), col("contaminated"))
     val rate = when(col("lang") === "en", EnRatePm).otherwise(RestRatePm)
-    d.select(col("doc_id"), col("lang"))
-      .join(q, "doc_id").join(f, "doc_id")
+    q.join(f, "doc_id")
       .filter(col("keep") && !col("contaminated") &&
         VecOps.hash60(concat(lit("strat:"), col("doc_id").cast("string")))
           % 1000 < rate)

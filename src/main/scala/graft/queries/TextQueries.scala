@@ -303,6 +303,11 @@ object TextQueries {
     "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     "quality_logprob" -> ((s, dir) => unigramLogProb(docs(s, dir))),
     "docs_chunks" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
+    // sequence packing (VERDICT r5 #5): chunks ⋈ lang → capacity-exact
+    // training windows; the join is broadcast-sized (doc_id → lang only)
+    "docs_packed" -> ((s, dir) =>
+      TextOps.pack(TextOps.chunk(docs(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id"))),
     "token_cooc" -> ((s, dir) => tokenCooc(docs(s, dir)))
   )
 
@@ -319,6 +324,7 @@ object TextQueries {
     "text_repetition" -> TextOps.repetitionSql("documents"),
     "quality_logprob" -> unigramLogProbOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),
+    "docs_packed" -> TextOps.packSql("documents"),
     "token_cooc" -> tokenCoocOracle
   )
 }
