@@ -48,4 +48,17 @@ object Mlp {
     PairPlan.cross(b, a, mode)
       .select(col("a_id"), col("b_id"),
         greatest(VecOps.dot(col("avec"), col("bvec")), lit(0.0)).as("v"))
+
+  /** [[reluMatmul]] at FLOAT32 — the precision the reference's smoke test
+    * actually runs (test_custom_op.py:22-23; every other kernel here
+    * widens to double). Single-precision multiply-accumulate at every
+    * step via the codegen'd [[graft.functions.DotProductFloat]], graded
+    * bit-exactly against a per-step-rounded DuckDB float fold. Inputs:
+    * a (a_id, avec array<float>), b (b_id, bvec array<float>). */
+  def reluMatmulF32(a: DataFrame, b: DataFrame,
+                    mode: PairPlan.Mode = PairPlan.Auto): DataFrame =
+    PairPlan.cross(b, a, mode)
+      .select(col("a_id"), col("b_id"),
+        greatest(graft.functions.NativeExprs.dotF32(col("avec"), col("bvec")),
+          lit(0.0f)).as("v"))
 }

@@ -82,6 +82,17 @@ object MatrixQueries {
       kvSide(s, dir).select(col("k_id").as("b_id"), col("kvec").as("bvec")))
       .select(col("a_id"), col("b_id"), VecOps.qround(col("v"), 4).as("v"))
 
+  /** float32 kernel parity (VERDICT r5 stretch #9): the fused relu-matmul
+    * at the parquet file's native float width, no double widening
+    * anywhere. */
+  private def reluMatmulF32Query(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddingsF32(s, dir)
+    Mlp.reluMatmulF32(
+      e.filter(col("vec_id") < M)
+        .select(col("vec_id").as("a_id"), col("vec32").as("avec")),
+      e.select(col("vec_id").as("b_id"), col("vec32").as("bvec")))
+  }
+
   private def xentropyQuery(s: SparkSession, dir: String): DataFrame =
     XEntropy.xentropy(
       qSide(s, dir).select(col("q_id").as("m_id"), col("qvec").as("mvec"), col("label")),
@@ -185,6 +196,20 @@ object MatrixQueries {
        |SELECT q_id AS a_id, k_id AS b_id, $v AS v FROM s""".stripMargin
   }
 
+  /** float32 dual: per-step FLOAT rounding (multiply then fold) — a
+    * float×float product and float+float sum are both exact in double, so
+    * rounding each step to FLOAT reproduces JVM float arithmetic bit for
+    * bit (verified: matches a numpy float32 sequential fold). */
+  private val reluMatmulF32Oracle =
+    s"""WITH q AS (SELECT vec_id AS a_id, embedding AS av FROM embeddings
+       |           WHERE vec_id < $M),
+       |k AS (SELECT vec_id AS b_id, embedding AS bv FROM embeddings)
+       |SELECT a_id, b_id,
+       |  greatest(list_reduce(
+       |    list_transform(range(len(av)), i -> CAST(av[i+1] * bv[i+1] AS FLOAT)),
+       |    (x, y) -> CAST(x + y AS FLOAT)), CAST(0 AS FLOAT)) AS v
+       |FROM q CROSS JOIN k""".stripMargin
+
   private def xentropyOracle(mWhere: String = s" WHERE vec_id < $M") = {
     val loss = VecOps.qroundSql("p - n", 4)
     s"""${qkPrefixWhere(mWhere)},
@@ -227,6 +252,7 @@ object MatrixQueries {
     "mlp" -> mlpQuery,
     "mlp_big" -> (mlpBigQuery _),
     "relu_matmul" -> reluMatmulQuery,
+    "relu_matmul_f32" -> (reluMatmulF32Query _),
     "xentropy" -> xentropyQuery,
     "xentropy_big" -> (xentropyBigQuery _),
     "entropy" -> entropyQuery,
@@ -245,6 +271,7 @@ object MatrixQueries {
     "mlp" -> mlpOracle(),
     "mlp_big" -> mlpOracle(mWhere = ""),
     "relu_matmul" -> reluMatmulOracle,
+    "relu_matmul_f32" -> reluMatmulF32Oracle,
     "xentropy" -> xentropyOracle(),
     "xentropy_big" -> xentropyOracle(mWhere = ""),
     "entropy" -> entropyOracle(),

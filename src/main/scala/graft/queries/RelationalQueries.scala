@@ -347,14 +347,17 @@ object RelationalQueries {
     * key-shuffled join at any scale — and with both sides bucketBy(key)
     * (see `bucketed_join`) the rewrite runs with zero Exchange. The change
     * batch is derived deterministically from the fixture (every 10th key
-    * gets +100 balance; every 100th key spawns a new key+1e6 row). */
+    * gets +100 balance; every 100th key spawns a NEW row whose key is the
+    * NEGATED source key — TPC-H custkeys are strictly positive, so the
+    * insert namespace is disjoint at ANY scale factor; the previous
+    * key+1e6 scheme collided with real custkeys past sf≈7, ADVICE r5). */
   private def customerUpsert(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_acctbal"))
     val updates = base.filter(col("c_custkey") % 10 === 0)
       .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"))
       .union(base.filter(col("c_custkey") % 100 === 0)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        .select((-col("c_custkey")).as("c_custkey"),
           col("c_acctbal")))
     val b = base.select(col("c_custkey"), col("c_acctbal").as("bal_b"))
     val u = updates.select(col("c_custkey"), col("c_acctbal").as("bal_u"))
@@ -371,7 +374,7 @@ object RelationalQueries {
        |u AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
        |      FROM customer WHERE c_custkey % 10 = 0
        |      UNION ALL
-       |      SELECT c_custkey + 1000000, c_acctbal
+       |      SELECT -c_custkey, c_acctbal
        |      FROM customer WHERE c_custkey % 100 = 0)
        |SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
        |       ${VecOps.qroundSql("coalesce(u.c_acctbal, b.c_acctbal)", 2)}

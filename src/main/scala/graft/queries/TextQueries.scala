@@ -192,7 +192,15 @@ object TextQueries {
     * differs in final ulps between Spark's partition order and DuckDB's
     * sequential scan, and at sf0.1 one document's mean landed exactly on
     * the 1e-4 rounding boundary (caught by the dev-loop oracle, round 5).
-    * The one double division per doc runs on identical operands. */
+    * The one double division per doc runs on identical operands.
+    *
+    * RESIDUAL libm dependence (ADVICE r5): the micro-unit quantization
+    * assumes JVM `Math.log` and DuckDB's `ln` agree on the rounded double —
+    * ln() is not a correctly-rounded IEEE op, so a 1-ulp disagreement at a
+    * .5 micro-unit boundary COULD flip one unit for some frequency ratio
+    * (same exposure in token_cooc's PMI). Passes exactly at both fixture
+    * SFs; if an input ever hits the boundary, grade mean_logp with a
+    * tolerance (the vocab_sketch pattern) rather than widening qround. */
   private def unigramLogProb(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("token"))

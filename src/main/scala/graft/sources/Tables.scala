@@ -37,6 +37,18 @@ object Tables {
       col("label").cast("long").as("label"))
   }
 
+  /** [[embeddings]] at the parquet file's NATIVE float32 width (no widening
+    * cast) — the input to the float32 kernel parity path (the reference's
+    * smoke test runs torch.float32, test_custom_op.py:22-23). */
+  def embeddingsF32(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "embeddings")
+    requireCols(df, "embeddings", Set("vec_id", "embedding", "label"))
+    df.select(
+      col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<float>").as("vec32"),
+      col("label").cast("long").as("label"))
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "documents")
     requireCols(df, "documents", Set("doc_id", "text", "lang", "source", "n_chars"))
