@@ -49,6 +49,12 @@ object ScaleSmoke {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // let AQE coalesce INSIDE cached plans (off by default): without it a
+      // cached tiny table materializes all 32 configured shuffle partitions
+      // and every downstream stage pays 32-64 per-task fixed costs -- measured
+      // 2.3x of dedup_clusters' warm process CPU. Values are unchanged; at
+      // scale AQE still targets its normal partition sizes.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
