@@ -89,6 +89,9 @@ object Bench {
 
     // optional args = query-name subset for quick dev timing; the
     // committed artifact only ever comes from a full (arg-less) run
+    val unknown = args.toSet -- SparkEntry.benchQueries.toSet
+    require(unknown.isEmpty,
+      s"unknown bench query name(s): ${unknown.mkString(", ")}")
     val selected =
       if (args.nonEmpty) SparkEntry.benchQueries.filter(args.toSet)
       else SparkEntry.benchQueries

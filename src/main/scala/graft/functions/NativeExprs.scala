@@ -376,9 +376,17 @@ object NgramHashKernel {
       digest.reset()
       val end = math.min(s + n, len)
       var i = s
+      var first = true
       while (i < end) {
-        if (i > s) digest.update(' '.toByte)
-        digest.update(toks.getUTF8String(i).getBytes)
+        // null elements are skipped WITH their separator, matching the
+        // concat_ws semantics of the HOF form this kernel replaced (the
+        // tokenizer never yields nulls, but the expression is public and
+        // typed array<string> containsNull=true)
+        if (!toks.isNullAt(i)) {
+          if (!first) digest.update(' '.toByte)
+          digest.update(toks.getUTF8String(i).getBytes)
+          first = false
+        }
         i += 1
       }
       val d = digest.digest()

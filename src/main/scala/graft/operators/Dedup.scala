@@ -250,8 +250,12 @@ object Dedup {
     // per-iteration check is one aggregate over the just-checkpointed
     // table — no prev⋈next join. decimal(38,0) so the sum is exact at any
     // node count (long ids × billions of nodes would overflow BIGINT).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    // sum(...) over ZERO rows is null — an empty edge list (no near-dup
+    // pairs at all) must converge via 0 == 0, not NPE in compareTo
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0

@@ -400,6 +400,15 @@ object Similarity {
     ivfIndex(batch, cents).write.mode("append")
       .partitionBy("list_id").parquet(path)
     val inv = spark.read.parquet(path)
+    ivfSearchIndex(inv, q, cents, k, nprobe)
+  }
+
+  /** Search a prebuilt (persisted/read-back) IVF index `(k_id, kvec,
+    * list_id)`: probe-join pruned to the probed lists, exact-cosine rerank
+    * against the index's co-located vectors — the read half shared by the
+    * persisted, batch-ingested, and stream-ingested index paths. */
+  def ivfSearchIndex(inv: DataFrame, q: DataFrame, cents: DataFrame, k: Int,
+                     nprobe: Int = NProbe): DataFrame = {
     val cand = inv.join(broadcast(ivfProbes(q, cents, nprobe)), "list_id")
       .filter(col("k_id") =!= col("q_id"))
       .select(col("q_id"), col("k_id"))

@@ -301,6 +301,12 @@ object TextOps {
     val cap = lit(capacity.toLong)
     chunks
       .withColumn("s", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // a zero-token chunk occupies no window (the SQL dual's
+      // generate_series is empty for it); without this filter Spark's
+      // sequence(lo, lo-1) would auto-step BACKWARD and emit two phantom
+      // rows when such a chunk lands exactly on a capacity boundary.
+      // [[chunk]] never produces them, but pack's input contract allows 0.
+      .filter(col("n_tokens") >= 1)
       .select(col("lang"), col("doc_id"), col("chunk_id"), col("n_tokens"),
         col("s"),
         explode(sequence(floor(col("s") / cap).cast("long"),

@@ -376,6 +376,14 @@ object SimilarityQueries {
     // corpus only, persisted; the odd-id batch is assigned map-only against
     // those FROZEN centroids (localCheckpoint truncates the aggregation
     // out of the ingest plan) and appended; the search covers old ∪ batch
+    // the SAME ingest at ARRIVAL TIME: embedding batches land as files,
+    // each micro-batch is assigned against the frozen quantizer and
+    // appended as an idempotent batch=<id> delta partition; the search
+    // over the full streamed-in index grades against the identical
+    // from-scratch oracle (the ANN twin of docs_ingest_stream)
+    "embeds_ingest_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.ivfIngestStream(s, dir,
+        perturbedQSide(s, dir), AnnK)),
     "similar_ivf_ingest" -> ((s, dir) => {
       val all = emb(s, dir)
       val cents = Similarity
@@ -410,6 +418,8 @@ object SimilarityQueries {
     // from-scratch oracle for the ingest path: identical result must come
     // out of (frozen even-corpus quantizer, full-corpus assignment)
     "similar_ivf_ingest" -> ivfTopkSql(AnnK,
+      centWhere = " WHERE vec_id % 2 = 0"),
+    "embeds_ingest_stream" -> ivfTopkSql(AnnK,
       centWhere = " WHERE vec_id % 2 = 0"),
     "kmeans_step" -> kmeansStepOracle,
     "dedup_embed" -> nearDupOracle

@@ -322,6 +322,62 @@ object StreamingOps {
       .agg(sum(col("n_new")).as("n_new"), sum(col("n_dup")).as("n_dup"),
         sum(col("n_admitted")).as("n_admitted"))
 
+  /** STREAMING IVF INDEX INGEST — the arrival-time edge of
+    * [[graft.operators.Similarity.ivfTopKIngested]], completing the pair
+    * with [[dedupIngestStream]]: new embedding batches land as files,
+    * stream through a checkpointed foreachBatch that assigns each batch
+    * map-only against the FROZEN existing-corpus quantizer (materialized
+    * once outside the stream — micro-batches never recompute centroids)
+    * and appends it to the partitioned index layout. The search then runs
+    * over the full streamed-in index (old ∪ all batches) and must equal
+    * the from-scratch build — graded against the same DuckDB oracle as
+    * `similar_ivf_ingest`.
+    *
+    * Idempotency under foreachBatch's at-least-once contract: each batch
+    * OVERWRITES its own `batch=<id>` subtree (itself PARTITIONED BY
+    * list_id), so a replayed batch rewrites identical files instead of
+    * double-appending vectors into the shared list directories. The
+    * reader discovers (batch, list_id) as two partition levels; probe
+    * joins still prune on list_id — at 100 TB this is the standard
+    * "append-only index delta dirs + partition pruning" layout, and a
+    * compaction pass can fold deltas into the base at leisure. */
+  def ivfIngestStream(spark: SparkSession, dir: String, queries: DataFrame,
+                      k: Int): DataFrame = {
+    import graft.operators.Similarity
+    val staging = Files.createTempDirectory("graft_ivf_src").toString
+    val indexPath = Files.createTempDirectory("graft_ivf_stream_index").toString
+    val ckpt = Files.createTempDirectory("graft_ivf_stream_ckpt").toString
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    def side(parity: Int) = emb.filter(col("vec_id") % 2 === parity)
+      .select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+    // frozen quantizer (existing corpus only), materialized once
+    val cents = Similarity.ivfCentroids(emb.filter(col("vec_id") % 2 === 0))
+      .localCheckpoint(true)
+    // base index: the already-ingested corpus
+    Similarity.ivfIndex(side(0), cents).write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$indexPath/batch=base")
+    // the new embeddings land as 4 files → 2 micro-batches at 2/trigger
+    side(1).repartition(4).write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(staging)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.ivfIndex(batch, cents).write.mode("overwrite")
+          .partitionBy("list_id").parquet(s"$indexPath/batch=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+    // search over the full streamed-in index; same probe-join + rerank as
+    // the batch ingest path, pruned on the list_id partition level
+    val inv = spark.read.parquet(indexPath)
+    Similarity.ivfSearchIndex(inv, queries, cents, k)
+  }
+
   /** The deployable streaming edge for [[Sessionize]]: file-stream source →
     * flatMapGroupsWithState sessionizer → checkpointed foreachBatch parquet
     * sink (Update-mode upsert keyed on the session's stable identity), read

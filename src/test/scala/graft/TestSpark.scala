@@ -11,10 +11,10 @@ object TestSpark {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       // let AQE coalesce INSIDE cached plans (off by default): without it a
-      // cached tiny table materializes all 32 configured shuffle partitions
-      // and every downstream stage pays 32-64 per-task fixed costs -- measured
-      // 2.3x of dedup_clusters' warm process CPU. Values are unchanged; at
-      // scale AQE still targets its normal partition sizes.
+      // cached tiny table materializes every configured shuffle partition
+      // and each downstream stage pays per-task fixed costs for all of
+      // them (measured 2.3x of dedup_clusters' warm process CPU at 32
+      // partitions). Values are unchanged.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
