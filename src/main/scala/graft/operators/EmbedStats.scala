@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+
+/** Distributed matrix statistics over the embedding corpus — the reference's
+  * GeMM-as-MapReduce fold (core.py:15-64) applied to the matrix the corpus
+  * itself forms. Two operators:
+  *
+  *  - [[gram]]: the Gram matrix `XᵀX` (D×D) of the N×D embedding table —
+  *    the covariance/PCA/whitening input. Each row contributes its outer
+  *    product; the monoid is elementwise add. Spark shape: generate the
+  *    upper-triangle (i, j, xᵢ·xⱼ) terms row-by-row and let one map-side-
+  *    combined hash aggregation reduce them — the shuffle carries only
+  *    D(D+1)/2 cells per map partition, never the terms. The D²N/2
+  *    multiply-adds are the Gram FLOPs themselves; nothing is
+  *    materialized between the generator and the partial aggregate.
+  *  - [[powerStep]]: one power-iteration step `v₁ = Xᵀ(X v₀)` toward the
+  *    top eigenvector (the PCA direction), plus its Rayleigh quotient.
+  *    Two map-only passes over the corpus fused into one: per row the
+  *    scalar s = x·v₀ (v₀ is a closed-form deterministic vector, no
+  *    broadcast needed), then per-dimension sums of s·x — again a
+  *    map-side-combined aggregation whose shuffle carries D rows per
+  *    partition. This is exactly `attention` without the softmax: a GeMM
+  *    folded through a commutative monoid.
+  *
+  * Cross-engine determinism (the driver hash-compares against DuckDB):
+  * every float is quantized to integer 1e-4 units up front, all
+  * accumulation is exact integer arithmetic (order-free), and the only
+  * float ops after aggregation are correctly-rounded IEEE double ops
+  * (cast / divide / sqrt) that both engines agree on bit-for-bit.
+  *
+  * Overflow envelope (documented, not silent): with |x| ≤ 1 the quantized
+  * products are ≤ 1e8, so LONG partial sums hold ≥ 9·10¹⁰ rows — ~20 TB
+  * of float32 D=64 embeddings; beyond that, lift the sums to
+  * decimal(38,0) as [[powerStep]] already does for its norm terms.
+  */
+object EmbedStats {
+
+  /** integer quantization scale for embedding coordinates. */
+  val Q = 10000.0
+
+  /** Q² — the scale of a quantized coordinate product. */
+  val Q2 = 1e8
+
+  /** `floor(x·Q + ½)` per coordinate — exact LONG micro-units. */
+  def qvec(v: Column): Column =
+    transform(v, x => floor(x * lit(Q) + lit(0.5)).cast("long"))
+
+  /** SQL dual of [[qvec]] as a list_transform body. */
+  def qvecSql(e: String): String =
+    s"list_transform($e, x -> CAST(floor(x::DOUBLE * $Q + 0.5) AS BIGINT))"
+
+  /** deterministic start vector for [[powerStep]]: v₀(d) from the md5 u01
+    * stream, quantized to the same 1e-4 units. Closed form — both the
+    * per-row fold and the final Rayleigh terms recompute it from `d`
+    * alone, so no side table ships anywhere. */
+  private def v0q(d: Column): Column =
+    floor((VecOps.u01(concat(lit("pi:"), d.cast("string"))) - lit(0.5)) *
+      lit(Q) + lit(0.5)).cast("long")
+
+  private def v0qSql(e: String): String =
+    s"CAST(floor((${VecOps.u01Sql(s"'pi:' || ($e)")} - 0.5) * $Q + 0.5) AS BIGINT)"
+
+  /** Upper-triangle Gram matrix: (i, j, s = Σ xqᵢ·xqⱼ, g = s/Q²).
+    * `vecs` must expose `vec: array<double>` of width `dim`. */
+  def gram(vecs: DataFrame, dim: Int): DataFrame =
+    PairPlan.fanOut(vecs) // corpus-linear CPU: don't serialize on 1 split
+      .select(qvec(col("vec")).as("xq"))
+      .select(posexplode(col("xq")).as(Seq("i", "xi")), col("xq"))
+      // j ≥ i only: slice the tail instead of generating D² and filtering
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("xq"), col("i") + 1, lit(dim) - col("i")))
+          .as(Seq("dj", "xj")))
+      .groupBy(col("i").cast("long").as("i"),
+        (col("i") + col("dj")).cast("long").as("j"))
+      .agg(sum(col("xi") * col("xj")).as("s"), count(lit(1)).as("n"))
+      .select(col("i"), col("j"), col("s"), col("n"),
+        VecOps.qround(col("s").cast("double") / lit(Q2), 6).as("g"))
+
+  /** One power-iteration step over the corpus: per-dimension v₁ (normalized,
+    * quantized) and the Rayleigh quotient λ = v₀ᵀv₁ / (Q·v₀ᵀv₀) — constant
+    * across the D output rows. The s→s3 rescale (floor(s/Q)) keeps the
+    * second-pass products inside LONG exactly; the norm and Rayleigh
+    * accumulations square 1e14-scale values, so they lift to decimal(38,0)
+    * (exact to 10³⁸ — any corpus size). */
+  def powerStep(vecs: DataFrame): DataFrame = {
+    val rows = PairPlan.fanOut(vecs)
+      .select(qvec(col("vec")).as("xq"))
+      .select(col("xq"),
+        aggregate(
+          zip_with(col("xq"),
+            transform(col("xq"), (_, d) => v0q(d)), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("s"))
+      .select(col("xq"),
+        floor(col("s").cast("double") / lit(Q)).cast("long").as("s3"))
+
+    val v1 = rows
+      .select(posexplode(col("xq")).as(Seq("pos", "xq")), col("s3"))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(sum(col("s3") * col("xq")).as("v1raw"))
+      .withColumn("v0q", v0q(col("pos")))
+
+    val stats = v1.agg(
+      sum(col("v1raw").cast("decimal(38,0)") * col("v1raw")).as("nrm2"),
+      sum(col("v0q").cast("decimal(38,0)") * col("v1raw")).as("d01"),
+      sum(col("v0q") * col("v0q")).as("d00"))
+
+    v1.crossJoin(broadcast(stats))
+      .select(col("pos"),
+        VecOps.qround(col("v1raw").cast("double") /
+          greatest(sqrt(col("nrm2").cast("double")), lit(1e-12)), 6).as("v1n"),
+        VecOps.qround(col("d01").cast("double") /
+          (col("d00").cast("double") * lit(Q)), 4).as("lam"))
+  }
+
+  /** DuckDB oracle dual of [[gram]] on `embeddings`. */
+  def gramOracleSql: String =
+    s"""WITH v AS (SELECT ${qvecSql("embedding")} AS xq FROM embeddings),
+       |a AS (SELECT xq, unnest(xq) AS xi, unnest(range(len(xq))) AS i FROM v),
+       |p AS (SELECT a.i, u.j, a.xi, a.xq[u.j + 1] AS xj
+       |      FROM a, unnest(range(len(a.xq))) AS u(j)
+       |      WHERE u.j >= a.i)
+       |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       |       CAST(sum(xi * xj) AS BIGINT) AS s, count(*) AS n,
+       |       ${VecOps.qroundSql(s"CAST(sum(xi * xj) AS DOUBLE) / $Q2", 6)} AS g
+       |FROM p GROUP BY i, j""".stripMargin
+
+  /** DuckDB oracle dual of [[powerStep]] on `embeddings`. */
+  def powerOracleSql: String =
+    s"""WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS d,
+       |             CAST(floor(e::DOUBLE * $Q + 0.5) AS BIGINT) AS xq
+       |           FROM (SELECT vec_id, unnest(embedding) AS e,
+       |                   unnest(range(len(embedding))) AS i FROM embeddings)),
+       |v0 AS (SELECT d, ${v0qSql("d")} AS v0q
+       |       FROM (SELECT unnest(range(${Similarity.Dim})) AS d)),
+       |s AS (SELECT vec_id, CAST(sum(xq * v0q) AS BIGINT) AS s
+       |      FROM x JOIN v0 USING (d) GROUP BY vec_id),
+       |s3 AS (SELECT vec_id, CAST(floor(s::DOUBLE / $Q) AS BIGINT) AS s3 FROM s),
+       |v1 AS (SELECT d AS pos, CAST(sum(s3 * xq) AS BIGINT) AS v1raw
+       |       FROM x JOIN s3 USING (vec_id) GROUP BY d),
+       |v1v AS (SELECT pos, v1raw, ${v0qSql("pos")} AS v0q FROM v1),
+       |st AS (SELECT CAST(sum(v1raw::HUGEINT * v1raw::HUGEINT) AS DOUBLE) AS nrm2,
+       |              CAST(sum(v0q::HUGEINT * v1raw::HUGEINT) AS DOUBLE) AS d01,
+       |              CAST(sum(v0q * v0q) AS DOUBLE) AS d00
+       |       FROM v1v)
+       |SELECT pos,
+       |  ${VecOps.qroundSql("v1raw::DOUBLE / greatest(sqrt(nrm2), 1e-12)", 6)} AS v1n,
+       |  ${VecOps.qroundSql(s"d01 / (d00 * $Q)", 4)} AS lam
+       |FROM v1v CROSS JOIN st""".stripMargin
+}

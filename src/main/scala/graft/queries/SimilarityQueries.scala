@@ -349,6 +349,14 @@ object SimilarityQueries {
        |FROM m, unnest(generate_series(1, len(vec))) AS u(i)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GeMM-as-MapReduce over the corpus matrix itself: the Gram matrix
+    // XᵀX (PCA/whitening input) and one power-iteration step toward the
+    // top eigenvector — see graft.operators.EmbedStats
+    "embed_gram" -> ((s, dir) =>
+      graft.operators.EmbedStats.gram(
+        emb(s, dir).select(col("vec")), Similarity.Dim)),
+    "embed_power" -> ((s, dir) =>
+      graft.operators.EmbedStats.powerStep(emb(s, dir).select(col("vec")))),
     "embed_centroids" -> ((s, dir) => centroids(emb(s, dir))),
     "embed_quantize" -> ((s, dir) => embedQuantize(emb(s, dir))),
     "similar_topk" -> ((s, dir) =>
@@ -405,6 +413,8 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "embed_gram" -> graft.operators.EmbedStats.gramOracleSql,
+    "embed_power" -> graft.operators.EmbedStats.powerOracleSql,
     "embed_centroids" -> centroidsOracle,
     "embed_quantize" -> embedQuantizeOracle,
     "similar_topk" -> topkOracle,

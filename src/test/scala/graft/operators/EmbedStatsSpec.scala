@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.spark
+
+/** Differential tests for [[EmbedStats]]: the distributed Gram matrix and
+  * power-iteration step must agree with a straightforward local
+  * computation on the same quantized integers. */
+class EmbedStatsSpec extends AnyFunSuite {
+
+  import spark.implicits._
+
+  private val dim = 4
+  private val n = 50
+  // deterministic small corpus, |x| < 1
+  private val vecs: Seq[Array[Double]] = (0 until n).map { r =>
+    Array.tabulate(dim)(d => math.sin(r * 7 + d * 3) * 0.9)
+  }
+  private def df = vecs.map(v => Tuple1(v)).toDF("vec")
+
+  private def q(x: Double): Long = math.floor(x * EmbedStats.Q + 0.5).toLong
+
+  test("gram matches the local quantized outer-product sum") {
+    val got = EmbedStats.gram(df, dim).collect()
+      .map { case Row(i: Long, j: Long, s: Long, cnt: Long, g: Double) =>
+        ((i, j), (s, cnt, g))
+      }.toMap
+    assert(got.size === dim * (dim + 1) / 2)
+    for (i <- 0 until dim; j <- i until dim) {
+      val expS = vecs.map(v => q(v(i)) * q(v(j))).sum
+      val (s, cnt, g) = got((i.toLong, j.toLong))
+      assert(s === expS, s"cell ($i,$j)")
+      assert(cnt === n.toLong)
+      assert(g === math.floor(expS / EmbedStats.Q2 * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("powerStep output is unit-norm and matches the local fold") {
+    val rows = EmbedStats.powerStep(df).collect()
+      .map { case Row(pos: Long, v1n: Double, lam: Double) => (pos, v1n, lam) }
+      .sortBy(_._1)
+    assert(rows.length === dim)
+    // local replay of the exact integer pipeline
+    def u01(s: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble + 0.5) /
+        1152921504606846976.0
+    }
+    val v0 = Array.tabulate(dim)(d =>
+      math.floor((u01(s"pi:$d") - 0.5) * EmbedStats.Q + 0.5).toLong)
+    val v1raw = Array.fill(dim)(0L)
+    vecs.foreach { v =>
+      val xq = v.map(q)
+      val s = xq.zip(v0).map { case (a, b) => a * b }.sum
+      val s3 = math.floor(s.toDouble / EmbedStats.Q).toLong
+      for (d <- 0 until dim) v1raw(d) += s3 * xq(d)
+    }
+    val nrm = math.sqrt(v1raw.map(x => x.toDouble * x.toDouble).sum) max 1e-12
+    for (d <- 0 until dim) {
+      val exp = math.floor(v1raw(d) / nrm * 1e6 + 0.5) / 1e6
+      assert(rows(d)._2 === exp, s"v1n($d)")
+    }
+    // the normalized vector is unit-norm up to quantization
+    val gotNorm = math.sqrt(rows.map(r => r._2 * r._2).sum)
+    assert(math.abs(gotNorm - 1.0) < 1e-3)
+    // Rayleigh quotient: identical across rows, sane magnitude
+    assert(rows.map(_._3).distinct.length === 1)
+  }
+}
