@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NativeExprs, VecOps}
+
+/** Duplicated-SPAN detection — the "exact substring dedup" signal: for every
+  * document, how much of it is covered by ≥W-token runs that appear verbatim
+  * in OTHER documents. Document-level LSH can't see this (a clean doc that
+  * embeds one boilerplate paragraph still hashes unique); span coverage is
+  * the per-doc filter signal large-scale dedup pipelines act on.
+  *
+  * Spark shape, sized for 100 TB:
+  *   1. stride-1 window hashes per doc via the codegen'd
+  *      `graft_ngram_hashes` kernel — map-only, one row per token;
+  *   2. cross-doc duplicated hashes = groupBy(hash) with a partial-agg
+  *      count-distinct(doc) — never a doc×doc pair join, so a span shared
+  *      by a million documents costs a count, not 10¹² pairs;
+  *   3. positions of duplicated windows shuffle back on hash (equi-join)
+  *      and reduce per doc through ONE ordered window pass that merges
+  *      overlapping [p, p+W) intervals into islands (gaps-and-islands) —
+  *      exact covered-token counts, not window counts.
+  *
+  * All arithmetic is integer (positions, token counts), so the DuckDB
+  * oracle hash-compare is exact; the only double is the final coverage
+  * fraction, quantized identically in both engines.
+  */
+object SpanDedup {
+
+  /** span window width in tokens: wide enough that shared idioms don't
+    * flag, narrow enough to catch lifted sentences. */
+  val W = 12
+
+  /** drop threshold on the covered-token fraction. */
+  val MaxDupFrac = 0.3
+
+  private def winHashes(toks: Column): Column = NativeExprs.ngramHashes(toks, W)
+
+  /** Per document: token/window counts, windows duplicated cross-doc,
+    * exact duplicated-token coverage (interval union), coverage fraction,
+    * and the keep decision. Every input doc appears (clean docs with
+    * zeros). */
+  def spanCoverage(docs: DataFrame): DataFrame = {
+    // corpus-linear tokenize+hash work: fan out few-split inputs
+    val toks = PairPlan.fanOut(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val base = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      greatest(size(col("toks")) - lit(W - 1), lit(1)).cast("long")
+        .as("n_windows"))
+    val wins = toks.select(col("doc_id"),
+      posexplode(winHashes(col("toks"))).as(Seq("p", "h")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("h"))
+    // a window is duplicated iff its hash occurs in >= 2 distinct docs
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("h"))
+    val marked = wins.join(dup, "h").select(col("doc_id"), col("p"))
+    // gaps-and-islands: a new island starts when the previous duplicated
+    // window can no longer touch this one (p - prev > W)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val islands = marked
+      .withColumn("brk",
+        when(lag(col("p"), 1).over(byDoc).isNull ||
+          col("p") - lag(col("p"), 1).over(byDoc) > W, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("nw"), min(col("p")).as("p0"),
+        max(col("p")).as("p1"))
+    val perDoc = islands.join(base.select(col("doc_id"), col("n_tokens")),
+        "doc_id")
+      // island coverage: [p0, min(p1 + W, n_tokens)) — the n_tokens clamp
+      // makes the short-doc single full-text window cover exactly the doc
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nw")).as("dup_windows"),
+        sum(least(col("p1") + lit(W), col("n_tokens")) - col("p0"))
+          .as("covered"))
+    val frac = VecOps.qround(
+      coalesce(col("covered"), lit(0L)).cast("double") /
+        greatest(col("n_tokens"), lit(1L)).cast("double"), 4)
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        frac.as("dup_frac"),
+        (frac < lit(MaxDupFrac)).as("keep"))
+  }
+
+  /** DuckDB oracle dual of [[spanCoverage]] (same tokens, hash stream,
+    * island logic). */
+  def oracleSql(table: String): String =
+    s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM $table),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |        CAST(greatest(len(toks) - ${W - 1}, 1) AS BIGINT) AS n_windows
+       |      FROM t),
+       |w AS (SELECT doc_id,
+       |        CAST(unnest(generate_series(1, greatest(len(toks) - ${W - 1}, 1))) - 1 AS BIGINT) AS p,
+       |        unnest(list_transform(generate_series(1, greatest(len(toks) - ${W - 1}, 1)),
+       |          i -> ${VecOps.hash60Sql(s"array_to_string(toks[i:i+${W - 1}], ' ')")})) AS h
+       |      FROM t),
+       |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |m AS (SELECT w.doc_id, w.p FROM w JOIN dup USING (h)),
+       |br AS (SELECT doc_id, p,
+       |         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+       |                OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $W
+       |              THEN 1 ELSE 0 END AS brk
+       |       FROM m),
+       |isl AS (SELECT doc_id, p,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+       |        FROM br),
+       |ic AS (SELECT doc_id, isl, count(*) AS nw, min(p) AS p0, max(p) AS p1
+       |       FROM isl GROUP BY doc_id, isl),
+       |cv AS (SELECT ic.doc_id,
+       |         CAST(sum(nw) AS BIGINT) AS dup_windows,
+       |         CAST(sum(least(p1 + $W, d.n_tokens) - p0) AS BIGINT) AS covered
+       |       FROM ic JOIN d USING (doc_id) GROUP BY ic.doc_id)
+       |SELECT d.doc_id, d.n_tokens, d.n_windows,
+       |  COALESCE(cv.dup_windows, 0) AS dup_windows,
+       |  COALESCE(cv.covered, 0) AS covered,
+       |  ${VecOps.qroundSql("COALESCE(cv.covered, 0)::DOUBLE / greatest(d.n_tokens, 1)::DOUBLE", 4)} AS dup_frac,
+       |  ${VecOps.qroundSql("COALESCE(cv.covered, 0)::DOUBLE / greatest(d.n_tokens, 1)::DOUBLE", 4)} < $MaxDupFrac AS keep
+       |FROM d LEFT JOIN cv ON cv.doc_id = d.doc_id""".stripMargin
+}

@@ -42,6 +42,11 @@ object DedupQueries {
     // corpus index — graded against the identical one-shot oracle
     "docs_ingest_stream" -> ((s, dir) =>
       graft.streaming.StreamingOps.dedupIngestStream(s, dir)),
+    // duplicated-SPAN coverage: per-doc fraction of tokens covered by
+    // stride-1 W-token runs appearing verbatim in other docs — the
+    // exact-substring-dedup filter signal (see graft.operators.SpanDedup)
+    "dedup_spans" -> ((s, dir) =>
+      graft.operators.SpanDedup.spanCoverage(docs(s, dir))),
     // SUB-document dedup: fixed-width token chunks repeated across
     // distinct documents (the paragraph/boilerplate-dedup granularity —
     // doc-level LSH can't see a shared 32-token run inside two otherwise
@@ -71,6 +76,7 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_spans" -> graft.operators.SpanDedup.oracleSql("documents"),
     "dedup_exact" -> Dedup.exactClustersSql("documents"),
     "minhash_sig" -> Dedup.minhashSigExplodedSql("documents"),
     "dedup_minhash" -> minhashPairsOracle,
