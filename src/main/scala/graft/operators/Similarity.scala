@@ -215,6 +215,37 @@ object Similarity {
         VecOps.qround(col("cos"), 4).as("cos"))
   }
 
+  /** EMBEDDING-space decontamination — the semantic twin of
+    * [[Decontaminate.flag]]: the drop list of training vectors whose
+    * embedding sits within cosine ≥ `tau` of ANY held-out eval vector
+    * (paraphrased/near-verbatim benchmark leakage that token-shingle
+    * decontamination can't see).
+    *
+    * Scale shape (100 TB train, MB-scale eval): the eval side — vectors,
+    * sketches — broadcasts once; the train side is ONE map-only streamed
+    * pass (sketch hamming ≤ [[HammingMax]] prunes the non-neighbor mass
+    * via 4-long XOR+popcount before any cosine is computed, exact cosine
+    * only on survivors); the only shuffle carries the already-filtered
+    * hits into a per-train-vector count. No train-side join-back: the
+    * vector rides the same scan row its sketch was computed from.
+    *
+    * Returns (k_id, n_evals, max_cos) for flagged train vectors only. */
+  def embedDecontaminate(eval: DataFrame, train: DataFrame,
+                         tau: Double): DataFrame = {
+    val qs = eval.select(col("q_id"), col("qvec"),
+      sketch(col("qvec")).as("qsig"))
+    PairPlan.fanOut(train)
+      .select(col("k_id"), col("kvec"), sketch(col("kvec")).as("ksig"))
+      .crossJoin(broadcast(qs))
+      .filter(NativeExprs.hamming(col("ksig"), col("qsig")) <= lit(HammingMax))
+      .select(col("k_id"), col("q_id"),
+        VecOps.cosine(col("kvec"), col("qvec")).as("cos"))
+      .filter(col("cos") >= lit(tau))
+      .groupBy(col("k_id"))
+      .agg(count(lit(1)).as("n_evals"),
+        VecOps.qround(max(col("cos")), 4).as("max_cos"))
+  }
+
   /** Measured recall of [[annTopK]] against [[cosineTopK]] on the same
     * query set: (q_id, recall) with recall = |ann∩brute| / |brute| per
     * query. Graded end-to-end (both pipelines have exact DuckDB duals). */

@@ -114,6 +114,38 @@ object SimilarityQueries {
        |WHERE rank <= $AnnK""".stripMargin
   }
 
+  /** cosine threshold for the embedding decontamination drop list: the
+    * perturbed eval copies sit at cos ≈ 0.945 to their source vectors;
+    * 0.9 flags exactly the leaked sources and nothing else (max unrelated
+    * pairwise cosine ≈ 0.51 in the fixture). */
+  private val EmbedDecontamTau = 0.9
+
+  /** Oracle dual of [[Similarity.embedDecontaminate]]: same plane/sketch
+    * CTEs as the ANN oracle (hamming over 0/1 bit lists), same raw-double
+    * threshold compares, aggregated per train vector. */
+  private val embedDecontamOracle = {
+    val planeVec =
+      s"list_transform(generate_series(0, ${Similarity.Dim - 1}), d -> ${VecOps.u01Sql("'plane:' || p || ':' || d")} - 0.5)"
+    s"""WITH pl AS (SELECT list(pv ORDER BY p) AS pls
+       |            FROM (SELECT p, $planeVec AS pv
+       |                  FROM (SELECT unnest(generate_series(0, ${Similarity.SketchBits - 1})) AS p))),
+       |q AS ($perturbedQCte),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |qb AS (SELECT q_id, qv, list_transform(pls, w -> CASE WHEN list_dot_product(qv, w) > 0 THEN 1 ELSE 0 END) AS qbits
+       |       FROM q CROSS JOIN pl),
+       |kb AS (SELECT k_id, kv, list_transform(pls, w -> CASE WHEN list_dot_product(kv, w) > 0 THEN 1 ELSE 0 END) AS kbits
+       |       FROM k CROSS JOIN pl),
+       |h AS (SELECT q_id, k_id, $cosSql AS cos,
+       |        CAST(list_sum(list_transform(generate_series(1, ${Similarity.SketchBits}),
+       |               i -> CASE WHEN qbits[i] <> kbits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |      FROM qb CROSS JOIN kb)
+       |SELECT k_id, count(*) AS n_evals,
+       |       ${VecOps.qroundSql("max(cos)", 4)} AS max_cos
+       |FROM h
+       |WHERE hamming <= ${Similarity.HammingMax} AND cos >= $EmbedDecontamTau
+       |GROUP BY k_id""".stripMargin
+  }
+
   /** Oracle dual of the prefix-bucketed probe path on the perturbed query
     * set. The Spark plan probes buckets via the 697-mask equi-join; the
     * oracle filters on prefix-hamming ≤ radius over the first PrefixBits
@@ -409,7 +441,13 @@ object SimilarityQueries {
         Similarity.ivfCentroids(emb(s, dir)))),
     "dedup_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
-        emb(s, dir).select(col("vec_id"), col("vec")), MinCos))
+        emb(s, dir).select(col("vec_id"), col("vec")), MinCos)),
+    // embedding-space decontamination: the drop list of train vectors
+    // within cos >= tau of any (perturbed) eval vector — semantic leakage
+    // the token-shingle decontaminate can't see
+    "decontaminate_embed" -> ((s, dir) =>
+      Similarity.embedDecontaminate(
+        perturbedQSide(s, dir), kvSide(s, dir), EmbedDecontamTau))
   )
 
   val oracles: Map[String, String] = Map(
@@ -432,6 +470,7 @@ object SimilarityQueries {
     "embeds_ingest_stream" -> ivfTopkSql(AnnK,
       centWhere = " WHERE vec_id % 2 = 0"),
     "kmeans_step" -> kmeansStepOracle,
-    "dedup_embed" -> nearDupOracle
+    "dedup_embed" -> nearDupOracle,
+    "decontaminate_embed" -> embedDecontamOracle
   )
 }
