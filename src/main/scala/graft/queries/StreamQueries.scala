@@ -413,6 +413,11 @@ object StreamQueries {
     // by the watermarked time-range condition
     "events_join_stream" -> ((s, dir) =>
       StreamingOps.viewPurchaseJoinStream(s, dir)),
+    // stream-stream LEFT OUTER join: unmatched views are EMITTED by
+    // watermark-driven state eviction (null-padded), not just dropped —
+    // a sentinel past the horizon releases the tail, see StreamingOps
+    "events_left_stream" -> ((s, dir) =>
+      StreamingOps.viewPurchaseLeftJoinStream(s, dir)),
     // stream-STATIC dimension enrich (purchases x customer segment),
     // stateless per micro-batch
     "events_enrich_stream" -> ((s, dir) =>
@@ -451,6 +456,7 @@ object StreamQueries {
     "events_window_stream" -> StreamingOps.windowedAggSql("events"),
     "events_dedup_stream" -> StreamingOps.dedupStreamSql("events"),
     "events_join_stream" -> StreamingOps.viewPurchaseJoinSql("events"),
+    "events_left_stream" -> StreamingOps.viewPurchaseLeftJoinSql("events"),
     "events_enrich_stream" -> StreamingOps.segmentSpendSql("events"),
     "events_resample" -> graft.operators.Resample.dailyValueSql("events"),
     "events_sessions" -> sessionsOracle,

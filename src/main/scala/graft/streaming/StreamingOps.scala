@@ -230,6 +230,96 @@ object StreamingOps {
         countDistinct(col("purchase_id")).as("n_purchases"))
   }
 
+  /** STREAM-STREAM LEFT OUTER join — the hard half of the join family:
+    * matched (view, purchase) pairs emit like the inner join, but a view
+    * with NO purchase within 1 h must ALSO emit (null-padded) — and only
+    * once BOTH watermarks prove no future purchase can still match it.
+    * This is the semantics that needs watermark-driven state expiry to be
+    * load-bearing, not just bounded: unmatched rows are PRODUCED by
+    * eviction.
+    *
+    * Harness: events stage as 3 landing files plus a SENTINEL pair (one
+    * view + one purchase, user_id = −1) timestamped 90 days past the
+    * corpus horizon, written last so it arrives in the final micro-batch.
+    * The sentinel pushes both sides' watermarks past every real view's
+    * [v_ts + 1 h] expiry, so the terminating no-data batch (Spark's
+    * noDataMicroBatches, on by default) evicts-and-emits every surviving
+    * unmatched view. This mirrors production: an idle stream's tail
+    * unmatched rows wait for the watermark, and any heartbeat/next-day
+    * event releases them. Sentinels are filtered out of the read-back
+    * (they exist only to move event time).
+    *
+    * Graded against the DuckDB batch LEFT JOIN — the streaming run must
+    * converge to the batch answer exactly. */
+  def viewPurchaseLeftJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val staging = Files.createTempDirectory("graft_sslj_src").toString
+    val out = Files.createTempDirectory("graft_sslj_out").toString
+    val ckpt = Files.createTempDirectory("graft_sslj_ckpt").toString
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    ev.repartition(3).write.mode("overwrite").parquet(staging)
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val sentinel = spark.range(1)
+      .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+        lit("view").as("event_type"),
+        (lit(maxTs) + expr("INTERVAL 90 DAYS")).as("ts"))
+      .union(spark.range(1)
+        .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+          lit("purchase").as("event_type"),
+          (lit(maxTs) + expr("INTERVAL 90 DAYS")).as("ts")))
+    sentinel.coalesce(1).write.mode("append").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    def side(t: String, uid: String, eid: String, tsc: String) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(staging)
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(uid), col("event_id").as(eid),
+          col("ts").as(tsc))
+        .withWatermark(tsc, "30 days")
+    val views = side("view", "user_id", "view_id", "v_ts")
+    val purchases = side("purchase", "p_user", "purchase_id", "p_ts")
+    val q = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("view_id")).as("n_views"),
+        count(col("purchase_id")).as("n_matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"))
+  }
+
+  /** DuckDB oracle dual of [[viewPurchaseLeftJoinStream]]: the batch LEFT
+    * JOIN aggregated per user — one row per match plus one null-padded row
+    * per unmatched view, exactly the streaming append-mode output. */
+  def viewPurchaseLeftJoinSql(table: String): String =
+    s"""WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+       |           FROM $table WHERE event_type = 'view'),
+       |p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+       |      FROM $table WHERE event_type = 'purchase'),
+       |j AS (SELECT v.user_id, v.view_id, p.purchase_id
+       |      FROM v LEFT JOIN p ON v.user_id = p.p_user
+       |        AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+       |SELECT user_id, count(*) AS n_rows,
+       |       count(DISTINCT view_id) AS n_views,
+       |       count(purchase_id) AS n_matched,
+       |       CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+       |FROM j GROUP BY user_id""".stripMargin
+
   /** DuckDB oracle dual of [[viewPurchaseJoinStream]] (batch join —
     * stream-stream inner join must converge to it). */
   def viewPurchaseJoinSql(table: String): String =
