@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, min}
 
 import graft.operators.Dedup
 import graft.sources.Tables
@@ -57,6 +57,16 @@ object DedupQueries {
         .groupBy(col("chunk_hash"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)),
+    // CONTENT-DEFINED chunk dedup: boundaries from a rolling-hash modulus
+    // test re-synchronize on content, so an insertion shifts one chunk,
+    // not every following fingerprint (graft.operators.TextOps.chunkCdc)
+    "dedup_cdc" -> ((s, dir) =>
+      graft.operators.TextOps.chunkCdc(docs(s, dir))
+        .groupBy(col("chunk_hash"))
+        .agg(min(col("tok_n")).as("tok_n"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
         .filter(col("n_docs") >= 2))
   )
 
@@ -77,6 +87,11 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_spans" -> graft.operators.SpanDedup.oracleSql("documents"),
+    "dedup_cdc" ->
+      s"""WITH ch AS (${graft.operators.TextOps.chunkCdcSql("documents")})
+         |SELECT chunk_hash, CAST(min(tok_n) AS BIGINT) AS tok_n,
+         |       count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "dedup_exact" -> Dedup.exactClustersSql("documents"),
     "minhash_sig" -> Dedup.minhashSigExplodedSql("documents"),
     "dedup_minhash" -> minhashPairsOracle,
