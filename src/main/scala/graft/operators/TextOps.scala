@@ -341,6 +341,92 @@ object TextOps {
        |       ${VecOps.hash60Sql("ctext")} AS chunk_hash
        |FROM ch""".stripMargin
 
+  /** One BPE TRAINING ITERATION over the corpus — the inner loop of
+    * byte-pair-encoding vocabulary induction: count every adjacent token
+    * pair, pick the most frequent (deterministic tie-break), and apply the
+    * merge greedily left-to-right, reporting per-doc token counts
+    * before/after. The merged-pair choice and the greedy application are
+    * what a distributed BPE trainer iterates; everything here is one
+    * corpus-token-linear explode + two map-side-combined aggregations +
+    * one TakeOrdered(1) — no driver-side loop over documents.
+    *
+    * Greedy self-overlap, exactly: occurrences of pair (a,b) at adjacent
+    * positions only happen when a = b (…aaa…), and left-to-right greedy
+    * merging takes ⌈m/2⌉ merges from an island of m consecutive
+    * occurrence positions (a run of k a's has m = k−1, ⌈m/2⌉ = ⌊k/2⌋).
+    * Distinct pairs never overlap, and their islands are singletons, so
+    * ONE island rule — Σ ⌈island/2⌉ over consecutive occurrence-position
+    * islands — is the greedy count for every pair shape, in both engines.
+    *
+    * Returns one row per document (docs without the pair report 0):
+    * (doc_id, a, b, pair_n, n_before, n_merges, n_after). */
+  def bpeStep(docs: DataFrame): DataFrame = {
+    val tok = PairPlan.fanOut(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val base = tok.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_before"))
+    val prs = tok.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        posexplode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as(Seq("i", "p")))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        col("p.a").as("a"), col("p.b").as("b"))
+    val top = prs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .orderBy(desc("pair_n"), col("a"), col("b"))
+      .limit(1)
+    val occ = prs.join(broadcast(top), Seq("a", "b"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val merges = occ
+      .withColumn("brk",
+        when(lag(col("i"), 1).over(byDoc).isNull ||
+          col("i") - lag(col("i"), 1).over(byDoc) > 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("(m + 1) div 2")).as("n_merges"))
+    base.join(merges, Seq("doc_id"), "left")
+      .crossJoin(broadcast(top))
+      .select(col("doc_id"), col("a"), col("b"), col("pair_n"),
+        col("n_before"),
+        coalesce(col("n_merges"), lit(0L)).as("n_merges"),
+        (col("n_before") - coalesce(col("n_merges"), lit(0L))).as("n_after"))
+  }
+
+  /** SQL oracle dual of [[bpeStep]] (same pair grid, tie-break, island
+    * rule). */
+  def bpeStepSql(table: String): String =
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $table),
+       |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before FROM tt),
+       |pr AS (SELECT doc_id,
+       |         CAST(unnest(generate_series(1, len(toks) - 1)) AS BIGINT) AS i,
+       |         unnest(toks[1:len(toks)-1]) AS a,
+       |         unnest(toks[2:len(toks)]) AS b
+       |       FROM tt WHERE len(toks) >= 2),
+       |top AS (SELECT a, b, count(*) AS pair_n FROM pr GROUP BY a, b
+       |        ORDER BY pair_n DESC, a, b LIMIT 1),
+       |occ AS (SELECT pr.doc_id, pr.i FROM pr JOIN top USING (a, b)),
+       |br AS (SELECT doc_id, i,
+       |         CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+       |                OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 1
+       |              THEN 1 ELSE 0 END AS brk
+       |       FROM occ),
+       |isl AS (SELECT doc_id, i,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+       |        FROM br),
+       |ic AS (SELECT doc_id, isl, count(*) AS m FROM isl GROUP BY doc_id, isl),
+       |mg AS (SELECT doc_id, CAST(sum((m + 1) // 2) AS BIGINT) AS n_merges
+       |       FROM ic GROUP BY doc_id)
+       |SELECT base.doc_id, top.a, top.b, top.pair_n, base.n_before,
+       |       COALESCE(mg.n_merges, 0) AS n_merges,
+       |       base.n_before - COALESCE(mg.n_merges, 0) AS n_after
+       |FROM base LEFT JOIN mg ON mg.doc_id = base.doc_id CROSS JOIN top""".stripMargin
+
   /** SEQUENCE PACKING (VERDICT r5 #5) — the bin-fill step between chunking
     * and tokenization: concatenate chunks in a deterministic order (lang,
     * doc_id, chunk_id) and split the token stream at exact

@@ -316,7 +316,10 @@ object TextQueries {
     "docs_packed" -> ((s, dir) =>
       TextOps.pack(TextOps.chunk(docs(s, dir))
         .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id"))),
-    "token_cooc" -> ((s, dir) => tokenCooc(docs(s, dir)))
+    "token_cooc" -> ((s, dir) => tokenCooc(docs(s, dir))),
+    // one BPE vocabulary-induction iteration: global top adjacent pair +
+    // greedy merge application counts per doc (TextOps.bpeStep)
+    "bpe_step" -> ((s, dir) => TextOps.bpeStep(docs(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -333,6 +336,7 @@ object TextQueries {
     "quality_logprob" -> unigramLogProbOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),
     "docs_packed" -> TextOps.packSql("documents"),
+    "bpe_step" -> TextOps.bpeStepSql("documents"),
     "token_cooc" -> tokenCoocOracle
   )
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.spark
+
+/** Pins [[TextOps.bpeStep]]'s greedy merge count, especially the
+  * self-overlapping pair case (…aaa… under pair (a,a)), where
+  * left-to-right greedy takes ⌊k/2⌋ merges from a run of k tokens. */
+class BpeStepSpec extends AnyFunSuite {
+
+  import spark.implicits._
+
+  test("self-overlapping pair merges greedily (floor(run/2) per run)") {
+    val docs = Seq(
+      (1L, "x a a a a a y"), // run of 5 a's -> 2 merges
+      (2L, "a a a"),         // run of 3 -> 1 merge
+      (3L, "p q r s")        // no a-pair at all -> 0
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpeStep(docs).collect()
+      .map { case Row(id: Long, a: String, b: String, pn: Long,
+        nb: Long, nm: Long, na: Long) => id -> ((a, b, pn, nb, nm, na)) }
+      .toMap
+    // global top pair is (a,a): 4 occurrences in doc 1 + 2 in doc 2
+    assert(got(1L) === (("a", "a", 6L, 7L, 2L, 5L)))
+    assert(got(2L) === (("a", "a", 6L, 3L, 1L, 2L)))
+    assert(got(3L) === (("a", "a", 6L, 4L, 0L, 4L)))
+  }
+
+  test("distinct pair merges count every occurrence") {
+    val docs = Seq(
+      (1L, "u v u v u v"), // (u,v) x3, non-overlapping by construction
+      (2L, "v u v")        // (u,v) x1
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpeStep(docs).collect()
+      .map { case Row(id: Long, a: String, b: String, pn: Long,
+        nb: Long, nm: Long, na: Long) => id -> ((a, b, pn, nb, nm, na)) }
+      .toMap
+    assert(got(1L) === (("u", "v", 4L, 6L, 3L, 3L)))
+    assert(got(2L) === (("u", "v", 4L, 3L, 1L, 2L)))
+  }
+}
