@@ -87,7 +87,19 @@ object ScaleSmoke {
           .filter(col("keep") && !col("contaminated"))
           .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
           .count()
-      })
+      },
+      // duplicated-span coverage under maximal dup pressure: with R
+      // near-identical replicas EVERY window is cross-doc duplicated, so
+      // the dup-hash table and the island windows both run at full load
+      "spans" -> (d => graft.operators.SpanDedup.spanCoverage(d).count()),
+      // content-defined chunking + cross-doc chunk counts (corpus-linear
+      // tokenize/hash + per-doc windows + chunk-hash groupBy)
+      "cdc" -> (d => TextOps.chunkCdc(d)
+        .groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2).count()),
+      // one BPE iteration (pair-count groupBy + greedy-apply windows)
+      "bpe" -> (d => TextOps.bpeStep(d).count()))
 
     def run(corpus: DataFrame): Map[String, (Double, Long)] = {
       corpus.cache().count() // isolate replication cost from stage timing
@@ -119,7 +131,11 @@ object ScaleSmoke {
       .select(col("k_id").as("q_id"), col("kvec").as("qvec"))
     val annStages: Seq[(String, DataFrame => Long)] = Seq(
       "ann_brute" -> (kv => Similarity.cosineTopK(qSide, kv, 10).count()),
-      "ann_probe" -> (kv => Similarity.annTopKProbed(qSide, kv, 10).count()))
+      "ann_probe" -> (kv => Similarity.annTopKProbed(qSide, kv, 10).count()),
+      // Gram matrix: corpus-linear by construction (D²/2 terms per row
+      // into a 2080-cell map-side-combined aggregate)
+      "gram" -> (kv => graft.operators.EmbedStats.gram(
+        kv.select(col("kvec").as("vec")), Similarity.Dim).count()))
     def runAnn(kv: DataFrame): Map[String, (Double, Long)] = {
       kv.cache().count()
       val out = annStages.map { case (name, f) =>

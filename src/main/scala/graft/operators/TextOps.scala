@@ -291,27 +291,34 @@ object TextOps {
     * are single documents — no cross-doc shuffle of token rows beyond the
     * doc_id hash partitioning. Emits (doc_id, cid, tok_n, chunk_hash). */
   def chunkCdc(docs: DataFrame): DataFrame = {
-    val tok = PairPlan.fanOut(docs)
+    val n = size(col("toks"))
+    // boundary-BEFORE positions (0-based): t >= CdcN and the CdcN-gram
+    // ending at t-1 (hash index t-CdcN 0-based) hits the modulus; the
+    // t >= CdcN guard keeps element_at in range under ANSI. Computed
+    // ARRAY-side so chunk assembly is pure map work — a token-level
+    // explode + per-doc window + collect_list did the same thing with a
+    // full token-row sort per document (ScaleSmoke measured it the worst
+    // ratio of the corpus-linear stages; this form removes every
+    // pre-aggregation shuffle).
+    val bpos = filter(sequence(lit(0), n - 1),
+      t => t >= CdcN &&
+        element_at(col("hs"), t - lit(CdcN - 1)) % CdcMod === 0)
+    PairPlan.fanOut(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"),
+        graft.functions.NativeExprs.ngramHashes(col("toks"), CdcN).as("hs"))
+      .select(col("doc_id"), col("toks"),
+        concat(array(lit(0)), bpos).as("starts"),
+        concat(bpos, array(n)).as("ends"))
       .select(col("doc_id"),
-        graft.functions.NativeExprs.ngramHashes(col("toks"), CdcN).as("hs"),
-        posexplode(col("toks")).as(Seq("t", "token")))
-      // boundary BEFORE token t iff the CdcN-gram ending at t-1 hits the
-      // modulus (hash index t-CdcN, 0-based; guarded so element_at never
-      // sees an out-of-range index under ANSI)
-      .select(col("doc_id"), col("t"), col("token"),
-        when(col("t") >= CdcN &&
-          element_at(col("hs"), col("t") - lit(CdcN - 1)) % CdcMod === 0,
-          1L).otherwise(0L).as("brk"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("t"))
-    tok.withColumn("cid", sum(col("brk")).over(w))
-      .groupBy(col("doc_id"), col("cid"))
-      .agg(count(lit(1)).as("tok_n"),
-        array_sort(collect_list(struct(col("t"), col("token")))).as("st"))
-      .select(col("doc_id"), col("cid"), col("tok_n"),
-        VecOps.hash60(concat_ws(" ",
-          transform(col("st"), s => s.getField("token")))).as("chunk_hash"))
+        posexplode(zip_with(col("starts"), col("ends"), (s, e) =>
+          struct((e - s).cast("long").as("tok_n"),
+            concat_ws(" ", slice(col("toks"), s + 1, e - s)).as("ctext"))))
+          .as(Seq("cid", "c")))
+      .select(col("doc_id"), col("cid").cast("long").as("cid"),
+        col("c.tok_n").as("tok_n"),
+        VecOps.hash60(col("c.ctext")).as("chunk_hash"))
   }
 
   /** SQL oracle dual of [[chunkCdc]] (same tokens, hash stream, boundary
