@@ -58,6 +58,16 @@ object DedupQueries {
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"))
         .filter(col("n_docs") >= 2)),
+    // Bloom-filter membership prefilter for ingest: the corpus summarized
+    // into a fixed 8 KB bitmap, batch membership = K broadcast bit probes;
+    // FPR measured against exact fingerprints, not claimed. Batch = odd
+    // docs + every 20th corpus doc re-submitted (guaranteed true dups)
+    "dedup_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.BloomDedup.bloomAdmit(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1 || col("doc_id") % 20 === 0))
+    }),
     // CONTENT-DEFINED chunk dedup: boundaries from a rolling-hash modulus
     // test re-synchronize on content, so an insertion shifts one chunk,
     // not every following fingerprint (graft.operators.TextOps.chunkCdc)
@@ -87,6 +97,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_spans" -> graft.operators.SpanDedup.oracleSql("documents"),
+    "dedup_bloom" -> graft.operators.BloomDedup.oracleSql("documents"),
     "dedup_cdc" ->
       s"""WITH ch AS (${graft.operators.TextOps.chunkCdcSql("documents")})
          |SELECT chunk_hash, CAST(min(tok_n) AS BIGINT) AS tok_n,
