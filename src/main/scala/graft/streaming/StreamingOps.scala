@@ -21,6 +21,27 @@ import graft.functions.{GraftAggs, VecOps}
   */
 object StreamingOps {
 
+  /** Streaming state-store partition count for the fixture-scale
+    * harnesses. Unlike batch plans (where AQE coalesces tiny shuffles at
+    * runtime), a stream's STATE partitioning is frozen by the first
+    * micro-batch of its checkpoint and every micro-batch pays a fixed
+    * per-partition state-store commit — a stream-stream join keeps 4
+    * stores per partition, so 32 partitions × 4 stores × N batches is
+    * pure overhead on KB-scale state. Production sizes this from expected
+    * state volume; the query SEMANTICS are partition-count-invariant. */
+  val StreamStatePartitions = 8
+
+  /** Run `body` (build + start + drain a streaming query) with
+    * spark.sql.shuffle.partitions pinned to [[StreamStatePartitions]],
+    * restoring the session value after — batch read-backs outside still
+    * see the session default. */
+  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamStatePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling 1-hour window per event_type: count, sum(value),
     * logsumexp(value). Input may be a batch DataFrame or a streaming one
     * (caller adds the watermark for streams). */
@@ -62,10 +83,12 @@ object StreamingOps {
   def windowedAggFileStream(spark: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft_ews_out").toString
     val ckpt = Files.createTempDirectory("graft_ews_ckpt").toString
-    val q = startWindowedAggStream(
-      graft.sources.Tables.eventsStream(spark, dir), out, ckpt,
-      Trigger.AvailableNow())
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = startWindowedAggStream(
+        graft.sources.Tables.eventsStream(spark, dir), out, ckpt,
+        Trigger.AvailableNow())
+      q.awaitTermination()
+    }
     readWindowedSink(spark, out)
   }
 
@@ -118,19 +141,21 @@ object StreamingOps {
     Files.copy(srcFile, staging.resolve("copy_a.parquet"))
     Files.copy(srcFile, staging.resolve("copy_b.parquet"))
     val schema = spark.read.parquet(staging.toString).schema
-    val q = graft.sources.Tables.fixEventTs(
-        spark.readStream.schema(schema).parquet(staging.toString))
-      .withWatermark("ts", "30 days")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = graft.sources.Tables.fixEventTs(
+          spark.readStream.schema(schema).parquet(staging.toString))
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_uniq"))
@@ -209,20 +234,22 @@ object StreamingOps {
         .withWatermark(tsc, "30 days")
     val views = side("view", "user_id", "view_id", "v_ts")
     val purchases = side("purchase", "p_user", "purchase_id", "p_ts")
-    val q = views.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
-      .select(col("user_id"), col("view_id"), col("purchase_id"))
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = views.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -278,21 +305,23 @@ object StreamingOps {
         .withWatermark(tsc, "30 days")
     val views = side("view", "user_id", "view_id", "v_ts")
     val purchases = side("purchase", "p_user", "purchase_id", "p_ts")
-    val q = views.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
-        "left_outer")
-      .select(col("user_id"), col("view_id"), col("purchase_id"))
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = views.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("user_id"), col("view_id"), col("purchase_id"))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .filter(col("user_id") >= 0)
       .groupBy(col("user_id"))
@@ -483,10 +512,12 @@ object StreamingOps {
   def sessionizeFileStream(spark: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft_sess_out").toString
     val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
-    val q = startSessionStream(spark,
-      graft.sources.Tables.eventsStream(spark, dir), out, ckpt,
-      Trigger.AvailableNow())
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = startSessionStream(spark,
+        graft.sources.Tables.eventsStream(spark, dir), out, ckpt,
+        Trigger.AvailableNow())
+      q.awaitTermination()
+    }
     readSessionSink(spark, out)
   }
 
