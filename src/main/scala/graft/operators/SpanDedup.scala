@@ -43,7 +43,11 @@ object SpanDedup {
     * and the keep decision. Every input doc appears (clean docs with
     * zeros). */
   def spanCoverage(docs: DataFrame): DataFrame = {
-    // corpus-linear tokenize+hash work: fan out few-split inputs
+    // corpus-linear tokenize+hash work: fan out few-split inputs. The
+    // window table feeds THREE plan references (dup counts, the join-back,
+    // and base stats ride the same tokenize) — cache it so the corpus is
+    // tokenized+hashed once, not per reference (the same sized-band-table
+    // pattern the LSH path uses; at 100 TB this is a persisted artifact)
     val toks = PairPlan.fanOut(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     val base = toks.select(col("doc_id"),
@@ -53,6 +57,7 @@ object SpanDedup {
     val wins = toks.select(col("doc_id"),
       posexplode(winHashes(col("toks"))).as(Seq("p", "h")))
       .select(col("doc_id"), col("p").cast("long").as("p"), col("h"))
+      .cache()
     // a window is duplicated iff its hash occurs in >= 2 distinct docs
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))

@@ -229,6 +229,35 @@ object TextQueries {
        |  ${VecOps.qroundSql("sum(lm)::DOUBLE / (count(*) * 1e6)", 4)} AS mean_logp
        |FROM lp GROUP BY doc_id""".stripMargin
 
+  /** CCNet-style QUALITY BUCKETS — the head/middle/tail split curation
+    * pipelines act on: rank every document within its language by the
+    * unigram-LM score and cut into terciles (head = most fluent third,
+    * kept; tail = dropped or down-weighted). Exact ntile over the
+    * already-quantized scores with a doc_id tiebreak — fully
+    * deterministic cross-engine. The per-lang sort is a range-partitioned
+    * sort at scale (languages sort in parallel); a 100 TB deployment can
+    * swap the exact rank for the GK-sketch percentile thresholds already
+    * graded in `events_quantiles_sketch` when one pass matters more than
+    * exact tercile boundaries. */
+  private def qualityBuckets(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(desc("mean_logp"), col("doc_id"))
+    unigramLogProb(d)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("mean_logp"), col("bucket"),
+        (col("bucket") <= 2).as("keep"))
+  }
+
+  private val qualityBucketsOracle =
+    s"""WITH lpq AS ($unigramLogProbOracle)
+       |SELECT lpq.doc_id, d.lang, lpq.mean_logp,
+       |  CAST(ntile(3) OVER (PARTITION BY d.lang
+       |         ORDER BY lpq.mean_logp DESC, lpq.doc_id) AS BIGINT) AS bucket,
+       |  ntile(3) OVER (PARTITION BY d.lang
+       |    ORDER BY lpq.mean_logp DESC, lpq.doc_id) <= 2 AS keep
+       |FROM lpq JOIN documents d ON d.doc_id = lpq.doc_id""".stripMargin
+
   /** Token COLLOCATIONS — adjacent-pair counts with PMI, the corpus
     * statistic behind phrase mining and embedding-training diagnostics.
     * Pairs are canonicalized (lexicographic order) so direction doesn't
@@ -310,6 +339,8 @@ object TextQueries {
     "vocab_sketch" -> ((s, dir) => vocabSketch(docs(s, dir))),
     "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     "quality_logprob" -> ((s, dir) => unigramLogProb(docs(s, dir))),
+    // CCNet head/middle/tail terciles per lang over the LM score
+    "quality_buckets" -> ((s, dir) => qualityBuckets(docs(s, dir))),
     "docs_chunks" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
     // sequence packing (VERDICT r5 #5): chunks ⋈ lang → capacity-exact
     // training windows; the join is broadcast-sized (doc_id → lang only)
@@ -334,6 +365,7 @@ object TextQueries {
     "vocab_sketch" -> vocabSketchOracle,
     "text_repetition" -> TextOps.repetitionSql("documents"),
     "quality_logprob" -> unigramLogProbOracle,
+    "quality_buckets" -> qualityBucketsOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),
     "docs_packed" -> TextOps.packSql("documents"),
     "bpe_step" -> TextOps.bpeStepSql("documents"),

@@ -88,6 +88,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), "multi-distinct should plan through Expand")
   }
 
+  test("embed_gram plan shape: one embeddings scan into a partial-final hash agg, no join") {
+    // the GeMM-fold claim: outer-product terms reduce through ONE
+    // map-side-combined aggregation; nothing is joined or re-scanned
+    val df = graft.SparkEntry.queries("embed_gram")(
+      spark, "/root/testdata/sf0.001")
+    val plan = physicalPlan(df)
+    val scans = "embeddings\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 embeddings scan, found $scans in:\n$plan")
+    assert(plan.contains("HashAggregate"), "terms must reduce through hash aggregation")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "gram fold must not join")
+  }
+
+  test("decontaminate_embed plan shape: eval side broadcasts, train side never sort-merges") {
+    // the 100 TB claim: the train corpus is ONE streamed map pass against
+    // a broadcast eval set — any SortMergeJoin means the corpus shuffled
+    val df = graft.SparkEntry.queries("decontaminate_embed")(
+      spark, "/root/testdata/sf0.001")
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastExchange"), s"expected broadcast eval side in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "train side must not shuffle for the join")
+  }
+
   test("supplier_waiting plan shape: decorrelated — ONE lineitem scan, no self-join") {
     // the Q21 claim: the EXISTS + NOT EXISTS formulation would scan/shuffle
     // lineitem three times; the aggregation form scans it exactly once
