@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecOps
@@ -22,6 +23,8 @@ case class PpmFeatures(doc_id: Long, width: Long, height: Long,
                        n_bytes: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
 /** Output of the nearest-neighbor resize: thumb dims + channel sums. */
+case class PpmPhash(doc_id: Long, phash: Long, phash_shift: Long)
+
 case class PpmThumb(doc_id: Long, width: Long, height: Long,
                     sum_r: Long, sum_g: Long, sum_b: Long)
 
@@ -266,6 +269,106 @@ object Multimodal {
        |       CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
        |       CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
        |FROM px GROUP BY doc_id""".stripMargin
+
+  /** Nearest-neighbor thumb raster as per-pixel GRAY sums (r+g+b), with a
+    * uniform brightness shift applied at decode (each source byte
+    * v → min(v+delta, 255)) — the "same image, re-exposed re-encode"
+    * variant the perceptual hash must survive. Same sample positions as
+    * [[resizePpm]]. */
+  def thumbGray(payload: Array[Byte], tw: Int, th: Int, delta: Int): Array[Int] = {
+    val (w, h, pos) = ppmHeader(payload)
+    Array.tabulate(th * tw) { t =>
+      val y = t / tw
+      val x = t % tw
+      val base = pos + 3 * ((y * h / th) * w + x * w / tw)
+      (0 until 3).map(c =>
+        math.min((payload(base + c) & 0xff) + delta, 255)).sum
+    }
+  }
+
+  /** 24-bit dHash (difference hash) over a tw×th gray raster: row bits
+    * compare horizontal neighbors (bit y·(tw−1)+x set iff g(x,y) <
+    * g(x+1,y)), column bits vertical neighbors (offset th·(tw−1)).
+    * Gradient SIGNS are invariant under uniform brightness shifts (until
+    * clipping at 255), which is the property that makes dHash the
+    * standard near-dup image fingerprint. */
+  def dhash(g: Array[Int], tw: Int, th: Int): Long = {
+    var bits = 0L
+    for (y <- 0 until th; x <- 0 until tw - 1)
+      if (g(y * tw + x) < g(y * tw + x + 1)) bits |= 1L << (y * (tw - 1) + x)
+    val off = th * (tw - 1)
+    for (x <- 0 until tw; y <- 0 until th - 1)
+      if (g(y * tw + x) < g((y + 1) * tw + x)) bits |= 1L << (off + x * (th - 1) + y)
+    bits
+  }
+
+  /** PERCEPTUAL-HASH image dedup — the image twin of document MinHash:
+    * synthesize → parse (real byte codec) → 4×4 gray thumb → 24-bit
+    * dHash, computed for the image AND its brightness-shifted (+16,
+    * clipped) re-encode. Emits per doc: both hashes, their hamming
+    * distance (invariance MEASURED, not claimed — clipping can flip
+    * gradient signs on near-saturated pixels), and the perceptual dup
+    * group size (count over identical phash — the grouping an image
+    * dedup pipeline drops on). Map-only plus one phash-keyed window. */
+  def ppmPhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ShiftDelta = 16
+    val hashes = docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val p = ppmPayload(id)
+          PpmPhash(id,
+            dhash(thumbGray(p, ThumbW, ThumbH, 0), ThumbW, ThumbH),
+            dhash(thumbGray(p, ThumbW, ThumbH, ShiftDelta), ThumbW, ThumbH))
+        }
+      }
+      .toDF()
+    val grp = Window.partitionBy(col("phash"))
+    hashes
+      .withColumn("dist",
+        expr("cast(bit_count(phash ^ phash_shift) as bigint)"))
+      .withColumn("invariant", col("dist") === 0L)
+      .withColumn("n_same", count(lit(1)).over(grp))
+  }
+
+  /** DuckDB oracle dual of [[ppmPhash]]: thumb gray sums in closed form
+    * over the pixel formula (same sample positions as [[ppmThumbsSql]]),
+    * dHash bits via self-joins on neighbor cells, hamming via xor. */
+  def ppmPhashSql(table: String): String = {
+    val (tw, th) = (ThumbW, ThumbH)
+    s"""WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+       |              FROM $table),
+       |px AS (SELECT doc_id, (i // 3) % $tw AS x, (i // 3) // $tw AS y,
+       |         (doc_id * 7 +
+       |          3 * ((((i // 3) // $tw) * h // $th) * w
+       |               + (((i // 3) % $tw) * w // $tw)) + i % 3) % 256 AS v
+       |       FROM dims, unnest(generate_series(0, ${3 * tw * th - 1})) AS u(i)),
+       |g AS (SELECT doc_id, x, y, sum(v) AS g,
+       |        sum(least(v + 16, 255)) AS gs
+       |      FROM px GROUP BY doc_id, x, y),
+       |bits AS (
+       |  SELECT a.doc_id, a.y * ${tw - 1} + a.x AS bit,
+       |         CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS s0,
+       |         CASE WHEN a.gs < b.gs THEN 1 ELSE 0 END AS s1
+       |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < ${tw - 1}
+       |  UNION ALL
+       |  SELECT a.doc_id, ${th * (tw - 1)} + a.x * ${th - 1} + a.y AS bit,
+       |         CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS s0,
+       |         CASE WHEN a.gs < b.gs THEN 1 ELSE 0 END AS s1
+       |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.x = a.x AND b.y = a.y + 1
+       |  WHERE a.y < ${th - 1}),
+       |ph AS (SELECT doc_id,
+       |         CAST(sum(s0 * (1::BIGINT << CAST(bit AS INTEGER))) AS BIGINT) AS phash,
+       |         CAST(sum(s1 * (1::BIGINT << CAST(bit AS INTEGER))) AS BIGINT) AS phash_shift
+       |       FROM bits GROUP BY doc_id)
+       |SELECT doc_id, phash, phash_shift,
+       |       CAST(bit_count(xor(phash, phash_shift)) AS BIGINT) AS dist,
+       |       bit_count(xor(phash, phash_shift)) = 0 AS invariant,
+       |       count(*) OVER (PARTITION BY phash) AS n_same
+       |FROM ph""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // REAL codec #2: canonical RIFF/WAVE PCM16 — the AUDIO modality (the

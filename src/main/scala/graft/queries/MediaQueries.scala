@@ -27,7 +27,11 @@ object MediaQueries {
     // the AUDIO modality: synthesized RIFF/WAVE PCM16 payloads parsed by
     // a genuine header+sample decoder, graded on integer-exact stats
     "media_audio" -> ((s, dir) =>
-      Multimodal.wavFeatures(Tables.documents(s, dir)))
+      Multimodal.wavFeatures(Tables.documents(s, dir))),
+    // perceptual-hash image dedup: 24-bit dHash over the 4x4 gray thumb,
+    // brightness-shift invariance MEASURED, dup group sizes emitted
+    "media_phash" -> ((s, dir) =>
+      Multimodal.ppmPhash(Tables.documents(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -35,6 +39,7 @@ object MediaQueries {
     "media_frames" -> Multimodal.frameSamplesSql("documents"),
     "media_features_real" -> Multimodal.ppmFeaturesSql("documents"),
     "media_thumbs" -> Multimodal.ppmThumbsSql("documents"),
-    "media_audio" -> Multimodal.wavFeaturesSql("documents")
+    "media_audio" -> Multimodal.wavFeaturesSql("documents"),
+    "media_phash" -> Multimodal.ppmPhashSql("documents")
   )
 }
