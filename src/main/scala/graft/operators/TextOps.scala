@@ -373,6 +373,10 @@ object TextOps {
       .filter(size(col("toks")) >= 1)
     val base = tok.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_before"))
+    // the pair table feeds TWO plan references (global count + the
+    // occurrence scan for the chosen pair) — cache it so the corpus
+    // tokenizes and explodes once per iteration, not twice; a 100 TB
+    // trainer persists this table across its merge iterations anyway
     val prs = tok.filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         posexplode(zip_with(
@@ -381,6 +385,7 @@ object TextOps {
           (x, y) => struct(x.as("a"), y.as("b")))).as(Seq("i", "p")))
       .select(col("doc_id"), col("i").cast("long").as("i"),
         col("p.a").as("a"), col("p.b").as("b"))
+      .cache()
     val top = prs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("pair_n"))
       .orderBy(desc("pair_n"), col("a"), col("b"))

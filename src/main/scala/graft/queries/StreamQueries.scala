@@ -418,6 +418,10 @@ object StreamQueries {
     // a sentinel past the horizon releases the tail, see StreamingOps
     "events_left_stream" -> ((s, dir) =>
       StreamingOps.viewPurchaseLeftJoinStream(s, dir)),
+    // FULL OUTER completes the stream-stream family: both sides' tails
+    // emit null-padded on eviction (purchase-only rows too)
+    "events_full_stream" -> ((s, dir) =>
+      StreamingOps.viewPurchaseFullJoinStream(s, dir)),
     // stream-STATIC dimension enrich (purchases x customer segment),
     // stateless per micro-batch
     "events_enrich_stream" -> ((s, dir) =>
@@ -457,6 +461,7 @@ object StreamQueries {
     "events_dedup_stream" -> StreamingOps.dedupStreamSql("events"),
     "events_join_stream" -> StreamingOps.viewPurchaseJoinSql("events"),
     "events_left_stream" -> StreamingOps.viewPurchaseLeftJoinSql("events"),
+    "events_full_stream" -> StreamingOps.viewPurchaseFullJoinSql("events"),
     "events_enrich_stream" -> StreamingOps.segmentSpendSql("events"),
     "events_resample" -> graft.operators.Resample.dailyValueSql("events"),
     "events_sessions" -> sessionsOracle,

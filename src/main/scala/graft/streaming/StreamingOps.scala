@@ -278,7 +278,40 @@ object StreamingOps {
     *
     * Graded against the DuckDB batch LEFT JOIN — the streaming run must
     * converge to the batch answer exactly. */
-  def viewPurchaseLeftJoinStream(spark: SparkSession, dir: String): DataFrame = {
+  def viewPurchaseLeftJoinStream(spark: SparkSession, dir: String): DataFrame =
+    viewPurchaseOuterStream(spark, dir, "left_outer")
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("view_id")).as("n_views"),
+        count(col("purchase_id")).as("n_matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"))
+
+  /** STREAM-STREAM FULL OUTER join — both tails: unmatched views AND
+    * unmatched purchases emit null-padded on watermark eviction. The user
+    * key must coalesce across sides (a purchase-only row has a null view
+    * side). Same sentinel/eviction harness as the left join. */
+  def viewPurchaseFullJoinStream(spark: SparkSession, dir: String): DataFrame =
+    viewPurchaseOuterStream(spark, dir, "full_outer")
+      .select(coalesce(col("user_id"), col("p_user")).as("uid"),
+        col("view_id"), col("purchase_id"))
+      .filter(col("uid") >= 0)
+      .groupBy(col("uid").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("view_id").isNotNull && col("purchase_id").isNotNull,
+          1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_view_only"),
+        sum(when(col("view_id").isNull, 1L).otherwise(0L))
+          .as("n_purchase_only"))
+
+  /** Shared harness for the outer stream-stream joins: stage events as 3
+    * landing files + the watermark sentinel pair, run the watermarked
+    * time-range join in the given mode, drain with AvailableNow, return
+    * the raw appended rows (user_id, p_user, view_id, purchase_id). */
+  private def viewPurchaseOuterStream(spark: SparkSession, dir: String,
+                                      joinType: String): DataFrame = {
     val staging = Files.createTempDirectory("graft_sslj_src").toString
     val out = Files.createTempDirectory("graft_sslj_out").toString
     val ckpt = Files.createTempDirectory("graft_sslj_ckpt").toString
@@ -310,8 +343,9 @@ object StreamingOps {
           col("user_id") === col("p_user") &&
             col("p_ts") >= col("v_ts") &&
             col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
-          "left_outer")
-        .select(col("user_id"), col("view_id"), col("purchase_id"))
+          joinType)
+        .select(col("user_id"), col("p_user"), col("view_id"),
+          col("purchase_id"))
         .writeStream
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt)
@@ -323,13 +357,6 @@ object StreamingOps {
       q.awaitTermination()
     }
     spark.read.parquet(out)
-      .filter(col("user_id") >= 0)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("view_id")).as("n_views"),
-        count(col("purchase_id")).as("n_matched"),
-        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
-          .as("n_unmatched"))
   }
 
   /** DuckDB oracle dual of [[viewPurchaseLeftJoinStream]]: the batch LEFT
@@ -348,6 +375,25 @@ object StreamingOps {
        |       count(purchase_id) AS n_matched,
        |       CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
        |FROM j GROUP BY user_id""".stripMargin
+
+  /** DuckDB oracle dual of [[viewPurchaseFullJoinStream]]: the batch FULL
+    * JOIN aggregated per coalesced user key. */
+  def viewPurchaseFullJoinSql(table: String): String =
+    s"""WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+       |           FROM $table WHERE event_type = 'view'),
+       |p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+       |      FROM $table WHERE event_type = 'purchase'),
+       |j AS (SELECT v.user_id, p.p_user, v.view_id, p.purchase_id
+       |      FROM v FULL JOIN p ON v.user_id = p.p_user
+       |        AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+       |SELECT COALESCE(user_id, p_user) AS user_id, count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN view_id IS NOT NULL AND purchase_id IS NOT NULL
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |  CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_view_only,
+       |  CAST(sum(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_purchase_only
+       |FROM j GROUP BY COALESCE(user_id, p_user)""".stripMargin
 
   /** DuckDB oracle dual of [[viewPurchaseJoinStream]] (batch join —
     * stream-stream inner join must converge to it). */
