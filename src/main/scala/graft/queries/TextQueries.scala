@@ -229,6 +229,23 @@ object TextQueries {
        |  ${VecOps.qroundSql("sum(lm)::DOUBLE / (count(*) * 1e6)", 4)} AS mean_logp
        |FROM lp GROUP BY doc_id""".stripMargin
 
+  /** windows per training batch for `docs_batches`. */
+  private val TrainB = 16
+
+  private val docsBatchesOracle =
+    s"""WITH pk AS (${TextOps.packSql("documents")}),
+       |wins AS (SELECT lang, window_id, CAST(sum(n_in_window) AS BIGINT) AS n_tok,
+       |           ${VecOps.u01Sql("'bat:' || lang || ':' || window_id")} AS h
+       |         FROM pk GROUP BY lang, window_id),
+       |rk AS (SELECT lang, window_id, n_tok,
+       |         row_number() OVER (ORDER BY h, lang, window_id) AS rn
+       |       FROM wins)
+       |SELECT CAST((rn - 1) // $TrainB AS BIGINT) AS batch_id,
+       |       count(*) AS n_windows,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       count(DISTINCT lang) AS n_langs
+       |FROM rk GROUP BY (rn - 1) // $TrainB""".stripMargin
+
   /** CCNet-style QUALITY BUCKETS — the head/middle/tail split curation
     * pipelines act on: rank every document within its language by the
     * unigram-LM score and cut into terciles (head = most fluent third,
@@ -347,6 +364,30 @@ object TextQueries {
     "docs_packed" -> ((s, dir) =>
       TextOps.pack(TextOps.chunk(docs(s, dir))
         .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id"))),
+    // TRAINING-BATCH assembly — the last step before the trainer: packed
+    // windows land in exact-B batches in a deterministic SHUFFLED order
+    // (md5 hash of the window key), decorrelating adjacent documents and
+    // mixing languages. Per-batch report: window count (== B except the
+    // tail), token volume, language mix. The global rank is a distributed
+    // sort + one final rank pass; at 100 TB the rank becomes the standard
+    // two-pass per-partition-count + prefix-offset (zipWithIndex) — the
+    // batch assignment itself is unchanged.
+    "docs_batches" -> ((s, dir) => {
+      val wins = TextOps
+        .pack(TextOps.chunk(docs(s, dir))
+          .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id"))
+        .groupBy(col("lang"), col("window_id"))
+        .agg(sum(col("n_in_window")).as("n_tok"))
+        .withColumn("h", VecOps.u01(concat(lit("bat:"), col("lang"),
+          lit(":"), col("window_id").cast("string"))))
+      wins
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col("h"), col("lang"), col("window_id"))))
+        .withColumn("batch_id", expr(s"(rn - 1) div $TrainB").cast("long"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_windows"), sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
     "token_cooc" -> ((s, dir) => tokenCooc(docs(s, dir))),
     // one BPE vocabulary-induction iteration: global top adjacent pair +
     // greedy merge application counts per doc (TextOps.bpeStep)
@@ -368,6 +409,7 @@ object TextQueries {
     "quality_buckets" -> qualityBucketsOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),
     "docs_packed" -> TextOps.packSql("documents"),
+    "docs_batches" -> docsBatchesOracle,
     "bpe_step" -> TextOps.bpeStepSql("documents"),
     "token_cooc" -> tokenCoocOracle
   )
