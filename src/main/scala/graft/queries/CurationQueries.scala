@@ -194,6 +194,64 @@ object CurationQueries {
        |GROUP BY d.lang""".stripMargin
   }
 
+  /** END-TO-END curation pipeline as ONE graded composition — the "a user
+    * runs their whole pipeline on this engine" query: near-dup cluster
+    * filter (MinHash LSH → connected components → keep one per cluster)
+    * ∧ duplicated-span filter (coverage < 0.3) ∧ quality heuristics
+    * ∧ benchmark decontamination, reported as per-lang kept doc and token
+    * volumes. Each stage is independently graded elsewhere; this grades
+    * their composition (flag/join plumbing included). Plan shape: quality
+    * + lang ride one corpus scan; decon and the two drop lists join on
+    * doc_id; the drop-list anti-joins have no broadcast hint — at heavy
+    * dup rates the drop list is corpus-sized and AQE must pick. */
+  private def pipelineCounts(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val q = TextOps.textQuality(d, carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("keep"), col("n_tokens"))
+    val f = Decontaminate.flag(d).select(col("doc_id"), col("contaminated"))
+    val dropDup = graft.operators.Dedup.dedupClusters(d)
+      .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+    val spanDrop = graft.operators.SpanDedup.spanCoverage(d)
+      .filter(!col("keep")).select(col("doc_id"))
+    q.join(f, "doc_id")
+      .join(dropDup, Seq("doc_id"), "left_anti")
+      .join(spanDrop, Seq("doc_id"), "left_anti")
+      .filter(col("keep") && !col("contaminated"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+  }
+
+  private val pipelineOracle: String = {
+    val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val punct = VecOps.qroundSql(
+      "(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE" +
+        " / greatest(length(text), 1)", 4)
+    val stop = VecOps.qroundSql(
+      s"len(list_filter(toks, t -> list_contains($stopList, t)))::DOUBLE" +
+        " / greatest(len(toks), 1)", 4)
+    s"""WITH ${Decontaminate.flagCtes("documents")},
+       |decon AS (${Decontaminate.flagSelect}),
+       |clusters AS (${graft.operators.Dedup.dedupClustersSql("documents")}),
+       |spans AS (${graft.operators.SpanDedup.oracleSql("documents")}),
+       |qd AS (SELECT doc_id, lang, text, ${TextOps.tokensSql("text")} AS toks
+       |       FROM documents),
+       |q AS (SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
+       |        $punct AS punct_ratio, $stop AS stopword_ratio
+       |      FROM qd)
+       |SELECT q.lang, count(*) AS n_kept,
+       |       CAST(sum(q.n_tokens) AS BIGINT) AS tokens_kept
+       |FROM q
+       |JOIN decon USING (doc_id)
+       |JOIN spans USING (doc_id)
+       |WHERE q.n_tokens >= 10 AND q.punct_ratio < 0.3
+       |  AND q.stopword_ratio < 0.6
+       |  AND NOT decon.contaminated
+       |  AND spans.keep
+       |  AND q.doc_id NOT IN
+       |    (SELECT doc_id FROM clusters WHERE doc_id <> cluster)
+       |GROUP BY q.lang""".stripMargin
+  }
+
   /** Corpus DATASHEET — the per-(lang, source) report card a data team
     * publishes with a release: document/byte/token volumes and the
     * quality-filter keep rate per stratum. All accumulations are exact
@@ -287,6 +345,7 @@ object CurationQueries {
     "sample_temperature" -> ((s, dir) => temperatureSample(docs(s, dir))),
     "docs_topk_lang" -> ((s, dir) => topKPerLang(docs(s, dir))),
     "corpus_curated" -> curatedCounts _,
+    "corpus_pipeline" -> pipelineCounts _,
     "corpus_datasheet" -> corpusDatasheet _,
     "docs_profile" -> ((s, dir) => docsProfile(docs(s, dir)))
   )
@@ -298,6 +357,7 @@ object CurationQueries {
     "sample_temperature" -> temperatureOracle,
     "docs_topk_lang" -> topKOracle,
     "corpus_curated" -> curatedOracle,
+    "corpus_pipeline" -> pipelineOracle,
     "corpus_datasheet" -> corpusDatasheetOracle,
     "docs_profile" -> docsProfileOracle
   )
