@@ -63,8 +63,15 @@ object SpanDedup {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2).select(col("h"))
     val marked = wins.join(dup, "h").select(col("doc_id"), col("p"))
-    // gaps-and-islands: a new island starts when the previous duplicated
-    // window can no longer touch this one (p - prev > W)
+    coverage(base, marked)
+  }
+
+  /** Shared island-merge core: `base` = per-doc (doc_id, n_tokens,
+    * n_windows, + any carry columns), `marked` = duplicated window start
+    * positions (doc_id, p). Gaps-and-islands — a new island starts when
+    * the previous duplicated window can no longer touch this one
+    * (p − prev > W) — then exact covered-token counts per doc. */
+  private def coverage(base: DataFrame, marked: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val islands = marked
       .withColumn("brk",
@@ -86,12 +93,84 @@ object SpanDedup {
       coalesce(col("covered"), lit(0L)).cast("double") /
         greatest(col("n_tokens"), lit(1L)).cast("double"), 4)
     base.join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
-        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
-        coalesce(col("covered"), lit(0L)).as("covered"),
-        frac.as("dup_frac"),
-        (frac < lit(MaxDupFrac)).as("keep"))
+      .withColumn("dup_windows", coalesce(col("dup_windows"), lit(0L)))
+      .withColumn("covered", coalesce(col("covered"), lit(0L)))
+      .withColumn("dup_frac", frac)
+      .withColumn("keep", frac < lit(MaxDupFrac))
+      .drop("nw", "p0", "p1")
   }
+
+  /** INGEST-time span dedup — the incremental path (the span analog of
+    * the MinHash `dedup_incremental` and the Bloom prefilter): the
+    * existing corpus is reduced to its DISTINCT window-hash set (the
+    * persisted span index — at 100 TB an append-only hash table; new
+    * batches extend it with their own hashes after admission), and an
+    * arriving batch's windows are marked by ONE equi-join against it —
+    * the corpus text is never re-tokenized per batch. Per-lang admission
+    * report: a batch doc is blocked when ≥ [[MaxDupFrac]] of its tokens
+    * are covered by spans already in the corpus. */
+  def spanIngest(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val index = PairPlan.fanOut(corpus)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(explode(winHashes(col("toks"))).as("h"))
+      .distinct()
+    val toks = PairPlan.fanOut(batch)
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+    val base = toks.select(col("doc_id"), col("lang"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      greatest(size(col("toks")) - lit(W - 1), lit(1)).cast("long")
+        .as("n_windows"))
+    val marked = toks.select(col("doc_id"),
+        posexplode(winHashes(col("toks"))).as(Seq("p", "h")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("h"))
+      .join(index, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    coverage(base, marked)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_admitted"))
+  }
+
+  /** DuckDB oracle dual of [[spanIngest]] over the parity split of
+    * `table` (even = corpus, odd = batch). */
+  def ingestOracleSql(table: String): String =
+    s"""WITH c AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+       |           FROM $table WHERE doc_id % 2 = 0),
+       |idx AS (SELECT DISTINCT
+       |          unnest(list_transform(generate_series(1, greatest(len(toks) - ${W - 1}, 1)),
+       |            i -> ${VecOps.hash60Sql(s"array_to_string(toks[i:i+${W - 1}], ' ')")})) AS h
+       |        FROM c),
+       |b AS (SELECT doc_id, lang, ${TextOps.tokensSql("text")} AS toks
+       |      FROM $table WHERE doc_id % 2 = 1),
+       |d AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens FROM b),
+       |w AS (SELECT doc_id,
+       |        CAST(unnest(generate_series(1, greatest(len(toks) - ${W - 1}, 1))) - 1 AS BIGINT) AS p,
+       |        unnest(list_transform(generate_series(1, greatest(len(toks) - ${W - 1}, 1)),
+       |          i -> ${VecOps.hash60Sql(s"array_to_string(toks[i:i+${W - 1}], ' ')")})) AS h
+       |      FROM b),
+       |m AS (SELECT w.doc_id, w.p FROM w WHERE w.h IN (SELECT h FROM idx)),
+       |br AS (SELECT doc_id, p,
+       |         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+       |                OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $W
+       |              THEN 1 ELSE 0 END AS brk
+       |       FROM m),
+       |isl AS (SELECT doc_id, p,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+       |        FROM br),
+       |ic AS (SELECT doc_id, isl, min(p) AS p0, max(p) AS p1
+       |       FROM isl GROUP BY doc_id, isl),
+       |cv AS (SELECT ic.doc_id,
+       |         CAST(sum(least(p1 + $W, d.n_tokens) - p0) AS BIGINT) AS covered
+       |       FROM ic JOIN d USING (doc_id) GROUP BY ic.doc_id),
+       |pd AS (SELECT d.doc_id, d.lang,
+       |         ${VecOps.qroundSql("COALESCE(cv.covered, 0)::DOUBLE / greatest(d.n_tokens, 1)::DOUBLE", 4)}
+       |           < $MaxDupFrac AS keep
+       |       FROM d LEFT JOIN cv ON cv.doc_id = d.doc_id)
+       |SELECT lang, count(*) AS n_batch,
+       |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+       |FROM pd GROUP BY lang""".stripMargin
 
   /** DuckDB oracle dual of [[spanCoverage]] (same tokens, hash stream,
     * island logic). */

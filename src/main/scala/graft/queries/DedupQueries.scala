@@ -58,6 +58,15 @@ object DedupQueries {
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"))
         .filter(col("n_docs") >= 2)),
+    // ingest-time span dedup: batch windows marked by ONE equi-join
+    // against the corpus's distinct window-hash index (the persisted span
+    // index — corpus text never re-tokenized per batch); per-lang
+    // admission counts at the coverage threshold
+    "dedup_spans_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.SpanDedup.spanIngest(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
     // Bloom-filter membership prefilter for ingest: the corpus summarized
     // into a fixed 8 KB bitmap, batch membership = K broadcast bit probes;
     // FPR measured against exact fingerprints, not claimed. Batch = odd
@@ -98,6 +107,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dedup_spans" -> graft.operators.SpanDedup.oracleSql("documents"),
     "dedup_bloom" -> graft.operators.BloomDedup.oracleSql("documents"),
+    "dedup_spans_ingest" -> graft.operators.SpanDedup.ingestOracleSql("documents"),
     "dedup_cdc" ->
       s"""WITH ch AS (${graft.operators.TextOps.chunkCdcSql("documents")})
          |SELECT chunk_hash, CAST(min(tok_n) AS BIGINT) AS tok_n,
