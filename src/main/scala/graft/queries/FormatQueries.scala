@@ -194,6 +194,29 @@ object FormatQueries {
       |FROM documents WHERE n_chars >= 200 AND n_chars < 400
       |GROUP BY lang""".stripMargin
 
+  /** 2-D Z-ORDER layout round trip: documents clustered on the Morton
+    * code of (n_chars, doc_id), read back through a 2-D box predicate —
+    * footer stats prune files on BOTH dimensions (proved file-level in
+    * ZOrderLayoutSpec; `docs_layout_range` is the 1-D special case). */
+  private def docsLayoutZ(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_docs_z").toString
+    graft.operators.ZOrder.writeClustered(
+      Tables.documents(spark, dir), col("n_chars"), col("doc_id"), out, 8)
+    spark.read.parquet(out)
+      .filter(col("n_chars") >= 200 && col("n_chars") < 400 &&
+        col("doc_id") >= 100 && col("doc_id") < 400)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val docsLayoutZOracle =
+    """SELECT lang, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE n_chars >= 200 AND n_chars < 400
+      |  AND doc_id >= 100 AND doc_id < 400
+      |GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_sink_partitioned" -> docsSinkPartitioned _,
     "events_json_source" -> eventsJsonSource _,
@@ -201,7 +224,8 @@ object FormatQueries {
     "events_orc_source" -> eventsOrcSource _,
     "docs_schema_evolution" -> docsSchemaEvolution _,
     "bucketed_join" -> bucketedJoin _,
-    "docs_layout_range" -> docsLayoutRange _
+    "docs_layout_range" -> docsLayoutRange _,
+    "docs_layout_z" -> docsLayoutZ _
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,6 +235,7 @@ object FormatQueries {
     "events_orc_source" -> eventsJsonOracle, // same agg, same source table
     "docs_schema_evolution" -> docsSchemaEvolutionOracle,
     "bucketed_join" -> bucketedJoinOracle,
-    "docs_layout_range" -> docsLayoutRangeOracle
+    "docs_layout_range" -> docsLayoutRangeOracle,
+    "docs_layout_z" -> docsLayoutZOracle
   )
 }
