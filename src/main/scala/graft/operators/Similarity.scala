@@ -196,8 +196,8 @@ object Similarity {
     * The query side broadcasts unless the caller chose the Blocked path
     * (ADVICE r3: annTopK previously hard-coded `broadcast(q)` with no
     * blocked escape for a query side exceeding executor memory). */
-  private def rerankExact(cand: DataFrame, q: DataFrame, kv: DataFrame,
-                          k: Int, mode: PairPlan.Mode): DataFrame = {
+  private[operators] def rerankExact(cand: DataFrame, q: DataFrame, kv: DataFrame,
+                                     k: Int, mode: PairPlan.Mode): DataFrame = {
     val cos = VecOps.cosine(col("qvec"), col("kvec"))
     val wC = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("k_id"))
     val qSide = mode match {
@@ -257,8 +257,8 @@ object Similarity {
   def annProbeRecall(q: DataFrame, kv: DataFrame, k: Int): DataFrame =
     recallVsBrute(annTopKProbed(q, kv, k), q, kv, k)
 
-  private def recallVsBrute(annResult: DataFrame, q: DataFrame,
-                            kv: DataFrame, k: Int): DataFrame = {
+  private[operators] def recallVsBrute(annResult: DataFrame, q: DataFrame,
+                                       kv: DataFrame, k: Int): DataFrame = {
     val ann = annResult.select(col("q_id"), col("k_id"))
     val brute = cosineTopK(q, kv, k).select(col("q_id"), col("k_id"))
     val hits = brute.join(ann, Seq("q_id", "k_id"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecOps
-import graft.operators.Similarity
+import graft.operators.{Pq, Similarity}
 import graft.sources.Tables
 
 /** Driver-facing similarity-search queries over `embeddings`: exact cosine
@@ -380,6 +380,94 @@ object SimilarityQueries {
        |       CAST(floor(vec[i] * (127.0 / mx) + 0.5) AS BIGINT) AS q
        |FROM m, unnest(generate_series(1, len(vec))) AS u(i)""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Product quantization (graft.operators.Pq) oracle duals: codebook cells
+  // qrounded before anything reads them, d2 via the dot identity with the
+  // same fixed-precedence arithmetic, argmin/rank tie-break on the id, ADC
+  // sums explicitly left-assoc (DuckDB SUM order is unspecified — the
+  // per-subspace pivot makes the 4-term fold order literal).
+  // -------------------------------------------------------------------
+
+  /** shared CTE text: per-subspace codebook + full-corpus PQ encoding. */
+  private val pqEncCtes = {
+    val s = Pq.S
+    def sub(v: String) = s"list_slice($v, cb.m*$s + 1, cb.m*$s + $s)"
+    s"""cell AS (SELECT label AS j, i AS pos, ${VecOps.qroundSql("sum(e) / count(*)", 4)} AS c
+       |         FROM (SELECT label, unnest(embedding)::DOUBLE AS e,
+       |                 unnest(range(len(embedding))) AS i FROM embeddings)
+       |         GROUP BY label, i),
+       |cb AS (SELECT pos // $s AS m, j, list(c ORDER BY pos) AS cv
+       |       FROM cell GROUP BY 1, 2),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |scdist AS (SELECT v.vec_id, cb.m, cb.j,
+       |             list_dot_product(${sub("v.vec")}, ${sub("v.vec")})
+       |               - 2.0 * list_dot_product(${sub("v.vec")}, cb.cv)
+       |               + list_dot_product(cb.cv, cb.cv) AS d2
+       |           FROM v CROSS JOIN cb),
+       |enc AS (SELECT vec_id, m, j AS code, d2,
+       |          row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+       |        FROM scdist)""".stripMargin
+  }
+
+  private val pqCodesOracle =
+    s"""WITH $pqEncCtes
+       |SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code,
+       |       ${VecOps.qroundSql("d2", 4)} AS err2
+       |FROM enc WHERE rn = 1""".stripMargin
+
+  /** ADC search dual, parameterized on the query CTE (standard or
+    * perturbed): LUT join on (m, code), 4-term pivot sums, approximate
+    * cosine rank → top-C candidates → exact-cosine rerank top-k. */
+  private def pqTopkSql(k: Int, qCte: String) = {
+    val s = Pq.S
+    def piv(src: String, alias: String) =
+      s"(((max(CASE WHEN e.m = 0 THEN $src END) + max(CASE WHEN e.m = 1 THEN $src END))" +
+        s" + max(CASE WHEN e.m = 2 THEN $src END)) + max(CASE WHEN e.m = 3 THEN $src END)) AS $alias"
+    s"""WITH $pqEncCtes,
+       |q AS ($qCte),
+       |kk AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |lut AS (SELECT q.q_id, cb.m, cb.j,
+       |          list_dot_product(list_slice(q.qv, cb.m*$s + 1, cb.m*$s + $s), cb.cv) AS ip,
+       |          list_dot_product(cb.cv, cb.cv) AS nn
+       |        FROM q CROSS JOIN cb),
+       |qn AS (SELECT q_id, sqrt(list_dot_product(qv, qv)) AS qn FROM q),
+       |sc2 AS (SELECT l.q_id, e.vec_id AS k_id,
+       |          ${piv("l.ip", "aip")},
+       |          ${piv("l.nn", "an2")}
+       |        FROM (SELECT vec_id, m, code FROM enc WHERE rn = 1) e
+       |        JOIN lut l ON l.m = e.m AND l.j = e.code
+       |        GROUP BY l.q_id, e.vec_id),
+       |cand AS (SELECT q_id, k_id FROM (
+       |           SELECT sc2.q_id, sc2.k_id,
+       |             row_number() OVER (PARTITION BY sc2.q_id
+       |               ORDER BY sc2.aip / (qn.qn * sqrt(sc2.an2)) DESC, sc2.k_id) AS rnk
+       |           FROM sc2 JOIN qn USING (q_id) WHERE sc2.k_id <> sc2.q_id)
+       |         WHERE rnk <= ${Pq.RerankC}),
+       |r AS (SELECT cand.q_id, cand.k_id,
+       |        list_dot_product(q.qv, kk.kv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(kk.kv, kk.kv))) AS cos
+       |      FROM cand JOIN q ON q.q_id = cand.q_id JOIN kk ON kk.k_id = cand.k_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, k_id,
+       |       ${VecOps.qroundSql("cos", 4)} AS cos
+       |FROM (SELECT q_id, k_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, k_id) AS rank
+       |      FROM r)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  private val pqStdQCte =
+    s"SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $MQ"
+
+  private val pqRecallOracle =
+    s"""WITH brute AS (SELECT * FROM (${probeBruteSql(1)}) tb),
+       |pq AS (SELECT * FROM (${pqTopkSql(1, perturbedQCte)}) tp),
+       |hits AS (SELECT brute.q_id, count(*) AS n_hit
+       |         FROM brute JOIN pq ON brute.q_id = pq.q_id AND brute.k_id = pq.k_id
+       |         GROUP BY brute.q_id),
+       |n AS (SELECT q_id, count(*) AS n FROM brute GROUP BY q_id)
+       |SELECT n.q_id,
+       |       ${VecOps.qroundSql("COALESCE(n_hit, 0)::DOUBLE / n.n::DOUBLE", 4)} AS recall
+       |FROM n LEFT JOIN hits ON hits.q_id = n.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // GeMM-as-MapReduce over the corpus matrix itself: the Gram matrix
     // XᵀX (PCA/whitening input) and one power-iteration step toward the
@@ -439,6 +527,21 @@ object SimilarityQueries {
     "kmeans_step" -> ((s, dir) =>
       Similarity.kmeansStep(kvSide(s, dir),
         Similarity.ivfCentroids(emb(s, dir)))),
+    // PRODUCT QUANTIZATION (graft.operators.Pq): per-subspace codebook
+    // encoding (the 128x index-footprint cut) and the ADC search over the
+    // codes table — approximate-score candidates, exact-cosine rerank;
+    // recall measured on the strong-neighbor perturbed-copy set
+    "embed_pq_codes" -> ((s, dir) =>
+      Pq.encode(
+        emb(s, dir).select(col("vec_id").as("k_id"), col("vec").as("kvec")),
+        Pq.codebook(emb(s, dir)))
+        .withColumnRenamed("k_id", "vec_id")),
+    "similar_pq" -> ((s, dir) =>
+      Pq.adcTopK(qSide(s, dir), kvSide(s, dir),
+        Pq.codebook(emb(s, dir)), TopK)),
+    "similar_pq_recall" -> ((s, dir) =>
+      Pq.adcRecall(perturbedQSide(s, dir), kvSide(s, dir),
+        Pq.codebook(emb(s, dir)), 1)),
     "dedup_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         emb(s, dir).select(col("vec_id"), col("vec")), MinCos)),
@@ -470,6 +573,9 @@ object SimilarityQueries {
     "embeds_ingest_stream" -> ivfTopkSql(AnnK,
       centWhere = " WHERE vec_id % 2 = 0"),
     "kmeans_step" -> kmeansStepOracle,
+    "embed_pq_codes" -> pqCodesOracle,
+    "similar_pq" -> pqTopkSql(TopK, pqStdQCte),
+    "similar_pq_recall" -> pqRecallOracle,
     "dedup_embed" -> nearDupOracle,
     "decontaminate_embed" -> embedDecontamOracle
   )
