@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecOps
-import graft.operators.{AsOfJoin, Funnel}
+import graft.operators.{AsOfJoin, Funnel, IntervalJoin}
 import graft.sources.Tables
 import graft.streaming.StreamingOps
 
@@ -397,7 +397,53 @@ object StreamQueries {
        |FROM p JOIN t USING (event_type)
        |GROUP BY p.event_type, t.n, mean_p, sd_p""".stripMargin
 
+  /** Views landing inside each purchase's trailing-hour window, per user —
+    * a point-in-interval containment join run through the binned
+    * [[IntervalJoin]] equi-join plan (never a nested-loop range join).
+    * View spend is accumulated in exact integer cents so the sum is
+    * order-free cross-engine. */
+  private val IvlWidthSec = 3600L
+
+  private def eventsInterval(e: DataFrame): DataFrame = {
+    val base = e.select(col("event_id"), col("user_id").as("key"),
+      unix_timestamp(col("ts")).as("t"), col("event_type"), col("value"))
+    val intervals = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("key"),
+        col("t").as("t0"), (col("t") + IvlWidthSec).as("t1"))
+    val points = base.filter(col("event_type") === "view")
+      .select(col("key"), col("t"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val agg = IntervalJoin.join(intervals, points, IvlWidthSec)
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_views"), sum(col("cents")).as("view_cents"))
+    intervals.select(col("p_id"))
+      .join(agg, Seq("p_id"), "left")
+      .select(col("p_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("view_cents"), lit(0L)).as("view_cents"))
+  }
+
+  private val eventsIntervalOracle =
+    s"""WITH e AS (SELECT event_id, user_id,
+       |             CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type, value
+       |           FROM events),
+       |p AS (SELECT event_id AS p_id, user_id, t AS t0, t + $IvlWidthSec AS t1
+       |      FROM e WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, t,
+       |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |      FROM e WHERE event_type = 'view'),
+       |j AS (SELECT p.p_id, count(*) AS n_views, sum(v.cents) AS view_cents
+       |      FROM p JOIN v ON v.user_id = p.user_id
+       |                   AND v.t >= p.t0 AND v.t < p.t1
+       |      GROUP BY p.p_id)
+       |SELECT p.p_id,
+       |       CAST(COALESCE(j.n_views, 0) AS BIGINT) AS n_views,
+       |       CAST(COALESCE(j.view_cents, 0) AS BIGINT) AS view_cents
+       |FROM p LEFT JOIN j USING (p_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // point-in-interval containment via the binned equi-join (IntervalJoin)
+    "events_interval" -> ((s, dir) => eventsInterval(Tables.events(s, dir))),
     "events_window" -> ((s, dir) => StreamingOps.windowedAgg(Tables.events(s, dir))),
     "events_histogram" -> ((s, dir) => eventsHistogram(Tables.events(s, dir))),
     "events_anomaly" -> ((s, dir) => eventsAnomaly(Tables.events(s, dir))),
@@ -452,6 +498,7 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_interval" -> eventsIntervalOracle,
     "events_window" -> StreamingOps.windowedAggSql("events"),
     "events_histogram" -> eventsHistogramOracle,
     "events_anomaly" -> eventsAnomalyOracle,
