@@ -229,6 +229,64 @@ object TextQueries {
        |  ${VecOps.qroundSql("sum(lm)::DOUBLE / (count(*) * 1e6)", 4)} AS mean_logp
        |FROM lp GROUP BY doc_id""".stripMargin
 
+  /** BIGRAM language-model scoring — the next-order CCNet quality signal
+    * after [[unigramLogProb]]: per-doc mean conditional log-prob
+    * ln p(b|a) with Laplace smoothing, p(b|a) = (c(a,b)+1)/(c(a·)+V).
+    * A fluent document's adjacent-token transitions are corpus-typical;
+    * boilerplate and shuffled text score low even when its unigrams are
+    * common — the signal the unigram model can't see.
+    *
+    * Scale shape: the bigram table is NOT broadcast (it grows with the
+    * corpus, unlike the vocabulary) — the bigram stream equi-joins it on
+    * (ta, tb), one map-side-combined shuffle each for counts; the prefix
+    * counts and the vocabulary scalar broadcast. Determinism: identical
+    * to the unigram path — integer-ratio doubles into ln, per-position
+    * log-probs quantized to LONG micro-units, exact order-free sum, one
+    * final division on identical operands (same residual libm caveat as
+    * [[unigramLogProb]]'s doc). */
+  private def bigramLogProb(d: DataFrame): DataFrame = {
+    val toksArr = d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = toksArr.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("ta"),
+          element_at(col("toks"), i + 1).as("tb")))).as("p"))
+      .select(col("doc_id"), col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .cache() // referenced by both count aggregates and the scoring join
+    val cab = bg.groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c_ab"))
+    val ca = bg.groupBy(col("ta")).agg(count(lit(1)).as("c_a"))
+    val vocab = d.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    val lpMicro = floor(log((col("c_ab") + lit(1L)).cast("double") /
+      (col("c_a") + col("v")).cast("double")) * 1e6 + lit(0.5)).cast("long")
+    bg.join(cab, Seq("ta", "tb"))
+      .join(broadcast(ca), Seq("ta"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(lpMicro).as("lp_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        VecOps.qround(
+          col("lp_sum").cast("double") / (col("n_bigrams") * lit(1e6)), 4)
+          .as("mean_logp"))
+  }
+
+  private val bigramLogProbOracle =
+    s"""WITH dd AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg AS (SELECT doc_id, toks[i] AS ta, toks[i+1] AS tb
+       |       FROM dd, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+       |       WHERE len(toks) >= 2),
+       |cab AS (SELECT ta, tb, count(*) AS c_ab FROM bg GROUP BY ta, tb),
+       |ca AS (SELECT ta, count(*) AS c_a FROM bg GROUP BY ta),
+       |vv AS (SELECT count(DISTINCT token) AS v
+       |       FROM (SELECT unnest($toksSql) AS token FROM documents)),
+       |lp AS (SELECT bg.doc_id,
+       |         CAST(floor(ln((cab.c_ab + 1)::DOUBLE / (ca.c_a + vv.v)::DOUBLE)
+       |                * 1e6 + 0.5) AS BIGINT) AS lm
+       |       FROM bg JOIN cab USING (ta, tb) JOIN ca USING (ta), vv)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  ${VecOps.qroundSql("sum(lm)::DOUBLE / (count(*) * 1e6)", 4)} AS mean_logp
+       |FROM lp GROUP BY doc_id""".stripMargin
+
   /** windows per training batch for `docs_batches`. */
   private val TrainB = 16
 
@@ -356,6 +414,9 @@ object TextQueries {
     "vocab_sketch" -> ((s, dir) => vocabSketch(docs(s, dir))),
     "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     "quality_logprob" -> ((s, dir) => unigramLogProb(docs(s, dir))),
+    // bigram conditional-LM score (Laplace-smoothed) — the transition-
+    // typicality signal unigrams can't see
+    "quality_bigram" -> ((s, dir) => bigramLogProb(docs(s, dir))),
     // CCNet head/middle/tail terciles per lang over the LM score
     "quality_buckets" -> ((s, dir) => qualityBuckets(docs(s, dir))),
     "docs_chunks" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
@@ -406,6 +467,7 @@ object TextQueries {
     "vocab_sketch" -> vocabSketchOracle,
     "text_repetition" -> TextOps.repetitionSql("documents"),
     "quality_logprob" -> unigramLogProbOracle,
+    "quality_bigram" -> bigramLogProbOracle,
     "quality_buckets" -> qualityBucketsOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),
     "docs_packed" -> TextOps.packSql("documents"),
