@@ -441,7 +441,37 @@ object StreamQueries {
        |       CAST(COALESCE(j.view_cents, 0) AS BIGINT) AS view_cents
        |FROM p LEFT JOIN j USING (p_id)""".stripMargin
 
+  /** KEY-SKEW PROFILER — the measurement that precedes a salted join
+    * (`events_salted_join` hard-codes its replication factor; a planner
+    * should derive it): per-key volume, parts-per-million share, and the
+    * integer salt factor ⌈n·K/total⌉ — how many times the key's partition
+    * exceeds the balanced share, i.e. the split count that levels it.
+    * One map-side-combined groupBy + a broadcast scalar; all-integer
+    * arithmetic (n·10⁶ stays inside the LONG envelope to ~9·10¹² rows per
+    * key — beyond any single key at 100 TB). */
+  private def skewProfile(e: DataFrame): DataFrame = {
+    val counts = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(desc("n"), col("event_type"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("event_type"), col("n"),
+        expr("n * 1000000 div total").as("ppm"),
+        expr("(n * n_keys + total - 1) div total").as("salt_r"))
+  }
+
+  private val skewProfileOracle =
+    s"""WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+       |t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c)
+       |SELECT CAST(row_number() OVER (ORDER BY n DESC, event_type) AS BIGINT) AS rank,
+       |       event_type, n,
+       |       CAST((n * 1000000) // total AS BIGINT) AS ppm,
+       |       CAST((n * n_keys + total - 1) // total AS BIGINT) AS salt_r
+       |FROM c, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // key-volume / skew diagnostic feeding the salted-join replication pick
+    "events_skew_profile" -> ((s, dir) => skewProfile(Tables.events(s, dir))),
     // point-in-interval containment via the binned equi-join (IntervalJoin)
     "events_interval" -> ((s, dir) => eventsInterval(Tables.events(s, dir))),
     "events_window" -> ((s, dir) => StreamingOps.windowedAgg(Tables.events(s, dir))),
@@ -498,6 +528,7 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_skew_profile" -> skewProfileOracle,
     "events_interval" -> eventsIntervalOracle,
     "events_window" -> StreamingOps.windowedAggSql("events"),
     "events_histogram" -> eventsHistogramOracle,

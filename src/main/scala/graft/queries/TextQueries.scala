@@ -287,6 +287,36 @@ object TextQueries {
        |  ${VecOps.qroundSql("sum(lm)::DOUBLE / (count(*) * 1e6)", 4)} AS mean_logp
        |FROM lp GROUP BY doc_id""".stripMargin
 
+  /** FEATURE HASHING (the "hashing trick", Weinberger et al. 2009) — the
+    * vectorizer that needs NO vocabulary state at any corpus size: each
+    * token maps to dimension hash(token) mod D with a hash-derived ±1 sign
+    * (the signed construction keeps collision noise zero-mean), and a
+    * document's vector is the per-dimension signed count. Contrast with
+    * TF-IDF: no vocabulary table, no second corpus pass, no join — ONE
+    * map-side-combined groupBy per doc is the whole plan, output bounded
+    * at D rows per doc. This is the featurizer that still works when the
+    * vocabulary itself is too large to materialize. All-integer values —
+    * zero float risk cross-engine (the hash is the shared md5 60-bit
+    * stream; both engines bucket with % on the same positive longs). */
+  private val HashDim = 64L
+
+  private def hashVec(d: DataFrame): DataFrame = {
+    val h = VecOps.hash60(col("token"))
+    d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), pmod(h, lit(HashDim)).as("dim"),
+        (shiftrightunsigned(h, 6).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+          .as("sgn"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("val"))
+  }
+
+  private val hashVecOracle =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |h AS (SELECT doc_id, ${VecOps.hash60Sql("token")} AS hv FROM t)
+       |SELECT doc_id, CAST(hv % $HashDim AS BIGINT) AS dim,
+       |       CAST(sum(((hv >> 6) & 1) * 2 - 1) AS BIGINT) AS val
+       |FROM h GROUP BY doc_id, hv % $HashDim""".stripMargin
+
   /** windows per training batch for `docs_batches`. */
   private val TrainB = 16
 
@@ -417,6 +447,8 @@ object TextQueries {
     // bigram conditional-LM score (Laplace-smoothed) — the transition-
     // typicality signal unigrams can't see
     "quality_bigram" -> ((s, dir) => bigramLogProb(docs(s, dir))),
+    // hashing-trick featurizer: fixed-D signed counts, zero vocabulary state
+    "text_hashvec" -> ((s, dir) => hashVec(docs(s, dir))),
     // CCNet head/middle/tail terciles per lang over the LM score
     "quality_buckets" -> ((s, dir) => qualityBuckets(docs(s, dir))),
     "docs_chunks" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
@@ -468,6 +500,7 @@ object TextQueries {
     "text_repetition" -> TextOps.repetitionSql("documents"),
     "quality_logprob" -> unigramLogProbOracle,
     "quality_bigram" -> bigramLogProbOracle,
+    "text_hashvec" -> hashVecOracle,
     "quality_buckets" -> qualityBucketsOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),
     "docs_packed" -> TextOps.packSql("documents"),
