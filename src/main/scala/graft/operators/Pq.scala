@@ -118,28 +118,65 @@ object Pq {
         lut.as("lut"), rn2.as("rn2"))
   }
 
-  /** ADC top-k: approximate cosine = Σ_m lut[m][code_m] / (‖q‖ · ‖x̂‖)
-    * with ‖x̂‖² = Σ_m rn2[m][code_m] (x̂ = the reconstructed vector — exact
-    * because PQ subspaces are orthogonal by construction), explicit
-    * left-assoc sums; top-[[RerankC]] per query by (acos desc, k_id) then
+  /** one ADC table lookup: tbl[m][codes[m]] (1-based element_at). */
+  private def cell(tbl: String, m: Int): Column =
+    element_at(element_at(col(tbl), m + 1),
+      element_at(col("codes"), m + 1).cast("int") + 1)
+
+  /** approximate cosine over a (codes, lut, rn2, qn) row: Σ_m lut[m][c_m]
+    * / (‖q‖ · √Σ_m rn2[m][c_m]) — explicit left-assoc m-order sums, the
+    * reconstructed norm exact because PQ subspaces are orthogonal. */
+  private def acosExpr: Column = {
+    val aip = (0 until M).map(cell("lut", _)).reduce(_ + _)
+    val an2 = (0 until M).map(cell("rn2", _)).reduce(_ + _)
+    aip / (col("qn") * sqrt(an2))
+  }
+
+  /** ADC top-k: approximate-cosine rank over the full codes table,
+    * top-[[RerankC]] per query (acos desc, k_id tie-break), then
     * exact-cosine rerank of only those rows. */
   def adcTopK(q: DataFrame, kv: DataFrame, cb: DataFrame, k: Int,
               rerankC: Int = RerankC): DataFrame = {
-    def cell(tbl: String, m: Int): Column =
-      element_at(element_at(col(tbl), m + 1),
-        element_at(col("codes"), m + 1).cast("int") + 1)
-    val aip = (0 until M).map(cell("lut", _)).reduce(_ + _)
-    val an2 = (0 until M).map(cell("rn2", _)).reduce(_ + _)
     val w = Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("k_id"))
     val cand = PairPlan.cross(codes(kv, cb), qlut(q, cb), PairPlan.Auto)
       .filter(col("k_id") =!= col("q_id"))
-      .select(col("q_id"), col("k_id"),
-        (aip / (col("qn") * sqrt(an2))).as("acos"))
+      .select(col("q_id"), col("k_id"), acosExpr.as("acos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= rerankC)
       .select(col("q_id"), col("k_id"))
     Similarity.rerankExact(cand, q, kv, k, PairPlan.Auto)
   }
+
+  /** IVF×PQ — the deployable composition (the FAISS IVFPQ / ScaNN index
+    * architecture, non-residual variant): the coarse quantizer restricts
+    * each query to its nprobe probed lists ([[Similarity.ivfProbes]]), the
+    * ADC scan scores ONLY those lists' code rows (nprobe/nlist of the
+    * corpus × 4 table lookups per row — no float vector touched), and the
+    * exact-cosine rerank reads full vectors for the top-C survivors. At
+    * 100 TB the persisted index is (k_id, codes) parquet PARTITIONED BY
+    * list_id — the probe join prunes partitions at the scan exactly as
+    * `similar_ivf_pruned` proved, and the scanned bytes are 1/128th of
+    * the raw vectors. */
+  def ivfAdcTopK(q: DataFrame, kv: DataFrame, cents: DataFrame,
+                 cb: DataFrame, k: Int, nprobe: Int = Similarity.NProbe,
+                 rerankC: Int = RerankC): DataFrame = {
+    val kcodes = codes(kv, cb).join(Similarity.ivfAssign(kv, cents), "k_id")
+    val probes = Similarity.ivfProbes(q, cents, nprobe)
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("k_id"))
+    val cand = kcodes.join(broadcast(probes), "list_id")
+      .join(broadcast(qlut(q, cb)), "q_id")
+      .filter(col("k_id") =!= col("q_id"))
+      .select(col("q_id"), col("k_id"), acosExpr.as("acos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= rerankC)
+      .select(col("q_id"), col("k_id"))
+    Similarity.rerankExact(cand, q, kv, k, PairPlan.Auto)
+  }
+
+  /** Measured IVF×PQ recall against the exact top-k on the same queries. */
+  def ivfAdcRecall(q: DataFrame, kv: DataFrame, cents: DataFrame,
+                   cb: DataFrame, k: Int): DataFrame =
+    Similarity.recallVsBrute(ivfAdcTopK(q, kv, cents, cb, k), q, kv, k)
 
   /** Measured ADC recall against the exact top-k on the same query set. */
   def adcRecall(q: DataFrame, kv: DataFrame, cb: DataFrame, k: Int): DataFrame =

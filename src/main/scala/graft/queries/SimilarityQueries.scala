@@ -457,6 +457,76 @@ object SimilarityQueries {
   private val pqStdQCte =
     s"SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $MQ"
 
+  /** IVF×PQ dual: the PQ encoding CTEs + the IVF centroid/assignment/probe
+    * CTEs, with the ADC scan's pair set restricted to (query, probed-list)
+    * matches before scoring — the oracle of the composed index. */
+  private def ivfPqTopkSql(k: Int, qCte: String) = {
+    val s = Pq.S
+    def cosOf(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def piv(src: String, alias: String) =
+      s"(((max(CASE WHEN e.m = 0 THEN $src END) + max(CASE WHEN e.m = 1 THEN $src END))" +
+        s" + max(CASE WHEN e.m = 2 THEN $src END)) + max(CASE WHEN e.m = 3 THEN $src END)) AS $alias"
+    s"""WITH $pqEncCtes,
+       |c0i AS (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
+       |        FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+       |                unnest(range(len(embedding))) AS i FROM embeddings)
+       |        GROUP BY label, i),
+       |centsi AS (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
+       |           FROM c0i GROUP BY label),
+       |kk AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |asn AS (SELECT k_id, list_id FROM (
+       |          SELECT k_id, list_id,
+       |            row_number() OVER (PARTITION BY k_id
+       |              ORDER BY ${cosOf("kv", "cvec")} DESC, list_id) AS rn
+       |          FROM kk CROSS JOIN centsi) WHERE rn = 1),
+       |q AS ($qCte),
+       |pr AS (SELECT q_id, list_id FROM (
+       |         SELECT q_id, list_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY ${cosOf("qv", "cvec")} DESC, list_id) AS rn
+       |         FROM q CROSS JOIN centsi) WHERE rn <= ${Similarity.NProbe}),
+       |lut AS (SELECT q.q_id, cb.m, cb.j,
+       |          list_dot_product(list_slice(q.qv, cb.m*$s + 1, cb.m*$s + $s), cb.cv) AS ip,
+       |          list_dot_product(cb.cv, cb.cv) AS nn
+       |        FROM q CROSS JOIN cb),
+       |qn AS (SELECT q_id, sqrt(list_dot_product(qv, qv)) AS qn FROM q),
+       |sc2 AS (SELECT l.q_id, e.vec_id AS k_id,
+       |          ${piv("l.ip", "aip")},
+       |          ${piv("l.nn", "an2")}
+       |        FROM (SELECT vec_id, m, code FROM enc WHERE rn = 1) e
+       |        JOIN asn ON asn.k_id = e.vec_id
+       |        JOIN lut l ON l.m = e.m AND l.j = e.code
+       |        JOIN pr ON pr.q_id = l.q_id AND pr.list_id = asn.list_id
+       |        GROUP BY l.q_id, e.vec_id),
+       |cand AS (SELECT q_id, k_id FROM (
+       |           SELECT sc2.q_id, sc2.k_id,
+       |             row_number() OVER (PARTITION BY sc2.q_id
+       |               ORDER BY sc2.aip / (qn.qn * sqrt(sc2.an2)) DESC, sc2.k_id) AS rnk
+       |           FROM sc2 JOIN qn USING (q_id) WHERE sc2.k_id <> sc2.q_id)
+       |         WHERE rnk <= ${Pq.RerankC}),
+       |r AS (SELECT cand.q_id, cand.k_id,
+       |        ${cosOf("q.qv", "kk.kv")} AS cos
+       |      FROM cand JOIN q ON q.q_id = cand.q_id JOIN kk ON kk.k_id = cand.k_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, k_id,
+       |       ${VecOps.qroundSql("cos", 4)} AS cos
+       |FROM (SELECT q_id, k_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, k_id) AS rank
+       |      FROM r)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  private val ivfPqRecallOracle =
+    s"""WITH brute AS (SELECT * FROM (${probeBruteSql(1)}) tb),
+       |ipq AS (SELECT * FROM (${ivfPqTopkSql(1, perturbedQCte)}) tp),
+       |hits AS (SELECT brute.q_id, count(*) AS n_hit
+       |         FROM brute JOIN ipq ON brute.q_id = ipq.q_id AND brute.k_id = ipq.k_id
+       |         GROUP BY brute.q_id),
+       |n AS (SELECT q_id, count(*) AS n FROM brute GROUP BY q_id)
+       |SELECT n.q_id,
+       |       ${VecOps.qroundSql("COALESCE(n_hit, 0)::DOUBLE / n.n::DOUBLE", 4)} AS recall
+       |FROM n LEFT JOIN hits ON hits.q_id = n.q_id""".stripMargin
+
   private val pqRecallOracle =
     s"""WITH brute AS (SELECT * FROM (${probeBruteSql(1)}) tb),
        |pq AS (SELECT * FROM (${pqTopkSql(1, perturbedQCte)}) tp),
@@ -542,6 +612,15 @@ object SimilarityQueries {
     "similar_pq_recall" -> ((s, dir) =>
       Pq.adcRecall(perturbedQSide(s, dir), kvSide(s, dir),
         Pq.codebook(emb(s, dir)), 1)),
+    // IVF x PQ: coarse-quantizer probe restriction + ADC scan of only the
+    // probed lists' codes + exact rerank -- the FAISS-IVFPQ-shaped
+    // deployable index (partition-pruned scan of 1/128th-size code rows)
+    "similar_ivfpq" -> ((s, dir) =>
+      Pq.ivfAdcTopK(perturbedQSide(s, dir), kvSide(s, dir),
+        Similarity.ivfCentroids(emb(s, dir)), Pq.codebook(emb(s, dir)), AnnK)),
+    "similar_ivfpq_recall" -> ((s, dir) =>
+      Pq.ivfAdcRecall(perturbedQSide(s, dir), kvSide(s, dir),
+        Similarity.ivfCentroids(emb(s, dir)), Pq.codebook(emb(s, dir)), 1)),
     "dedup_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         emb(s, dir).select(col("vec_id"), col("vec")), MinCos)),
@@ -576,6 +655,8 @@ object SimilarityQueries {
     "embed_pq_codes" -> pqCodesOracle,
     "similar_pq" -> pqTopkSql(TopK, pqStdQCte),
     "similar_pq_recall" -> pqRecallOracle,
+    "similar_ivfpq" -> ivfPqTopkSql(AnnK, perturbedQCte),
+    "similar_ivfpq_recall" -> ivfPqRecallOracle,
     "dedup_embed" -> nearDupOracle,
     "decontaminate_embed" -> embedDecontamOracle
   )

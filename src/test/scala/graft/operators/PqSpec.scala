@@ -79,6 +79,22 @@ class PqSpec extends AnyFunSuite {
     assert(rec >= 0.95, f"ADC recall@1 $rec%.3f below target")
   }
 
+  test("IVFxPQ probes strictly reduce the ADC scan: candidates come only from probed lists") {
+    val cents = Similarity.ivfCentroids(emb)
+    val cb = Pq.codebook(emb)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
+    // k = RerankC exposes the candidate set (rank filter keeps all of it);
+    // every candidate's assigned list must be among its query's probes
+    val cand = Pq.ivfAdcTopK(q, kv, cents, cb, Pq.RerankC)
+      .select(col("q_id"), col("k_id"))
+    val asn = Similarity.ivfAssign(kv, cents)
+    val probes = Similarity.ivfProbes(q, cents, Similarity.NProbe)
+    val outside = cand.join(asn, "k_id")
+      .join(probes, Seq("q_id", "list_id"), "left_anti").count()
+    assert(outside == 0, s"$outside candidates from un-probed lists")
+  }
+
   test("ADC candidate stage is bounded: <= RerankC rows per query") {
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
