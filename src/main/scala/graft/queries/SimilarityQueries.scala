@@ -621,6 +621,11 @@ object SimilarityQueries {
     "similar_ivfpq_recall" -> ((s, dir) =>
       Pq.ivfAdcRecall(perturbedQSide(s, dir), kvSide(s, dir),
         Similarity.ivfCentroids(emb(s, dir)), Pq.codebook(emb(s, dir)), 1)),
+    // the same search through the persisted (k_id, codes) layout
+    // PARTITIONED BY list_id -- grades the code-index round trip
+    "similar_ivfpq_pruned" -> ((s, dir) =>
+      Pq.ivfAdcTopKPersisted(perturbedQSide(s, dir), kvSide(s, dir),
+        Similarity.ivfCentroids(emb(s, dir)), Pq.codebook(emb(s, dir)), AnnK)),
     "dedup_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         emb(s, dir).select(col("vec_id"), col("vec")), MinCos)),
@@ -657,6 +662,7 @@ object SimilarityQueries {
     "similar_pq_recall" -> pqRecallOracle,
     "similar_ivfpq" -> ivfPqTopkSql(AnnK, perturbedQCte),
     "similar_ivfpq_recall" -> ivfPqRecallOracle,
+    "similar_ivfpq_pruned" -> ivfPqTopkSql(AnnK, perturbedQCte),
     "dedup_embed" -> nearDupOracle,
     "decontaminate_embed" -> embedDecontamOracle
   )

@@ -95,6 +95,18 @@ class PqSpec extends AnyFunSuite {
     assert(outside == 0, s"$outside candidates from un-probed lists")
   }
 
+  test("persisted PQ code index: scan is partition-pruned to the probed lists") {
+    val cents = Similarity.ivfCentroids(emb)
+    val cb = Pq.codebook(emb)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
+    val res = Pq.ivfAdcTopKPersisted(q, kv, cents, cb, 10)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no partition pruning on the code-index scan:\n${plan.take(2000)}")
+  }
+
   test("ADC candidate stage is bounded: <= RerankC rows per query") {
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
