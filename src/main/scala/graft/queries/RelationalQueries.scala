@@ -384,7 +384,53 @@ object RelationalQueries {
        |            ELSE 'updated' END AS status
        |FROM b FULL OUTER JOIN u ON b.c_custkey = u.c_custkey""".stripMargin
 
+  /** TPC-H Q5-style local-supplier volume: the six-table join with the
+    * non-key correlation condition `c_nationkey = s_nationkey` (revenue
+    * only counts when the customer and supplier share a nation) — the
+    * shape that exercises join ORDER mattering. Plan: the region filter
+    * reduces region→nation to a handful of broadcast rows, supplier is
+    * dimension-sized and broadcast, the date filter pushes into the
+    * orders scan, and the only real shuffles are the two fact joins
+    * (orders⋈customer, lineitem⋈orders) plus the final n_name
+    * aggregation. Revenue follows the `region_revenue` determinism
+    * pattern (sum then qround −2). */
+  private def localSupplierVolume(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        VecOps.qround(
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), -2)
+          .as("revenue"),
+        count(lit(1)).as("n"))
+
+  private val localSupplierVolumeOracle =
+    s"""SELECT n_name,
+       |  ${VecOps.qroundSql("sum(l_extendedprice * (1.0 - l_discount))", -2)} AS revenue,
+       |  count(*) AS n
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "local_supplier_volume" -> (localSupplierVolume _),
     "tpch_q1" -> q1,
     "tpch_q6" -> q6,
     "tpch_q4_late" -> latePriority,
@@ -399,6 +445,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "local_supplier_volume" -> localSupplierVolumeOracle,
     "tpch_q1" -> q1Oracle,
     "tpch_q6" -> q6Oracle,
     "tpch_q4_late" -> latePriorityOracle,

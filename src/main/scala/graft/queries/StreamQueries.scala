@@ -469,7 +469,53 @@ object StreamQueries {
        |       CAST((n * n_keys + total - 1) // total AS BIGINT) AS salt_r
        |FROM c, t""".stripMargin
 
+  /** WINSORIZATION — the robust-stats curation step: clamp each type's
+    * values into its exact [p01, p99] percentile band and report clip
+    * counts + the winsorized mean (the outlier-insensitive location
+    * estimate that feeds normalization). Two passes, both scale-safe: the
+    * per-type percentile aggregation (type-count-sized result) broadcasts
+    * back over a map-only clamp — never a per-type window over the fact
+    * stream. Determinism: thresholds are aggregate-derived doubles, so
+    * they are quantized to 1e-4 in BOTH engines before any row compares
+    * against them (the `nation_top_balance` precedent — boundary rows
+    * can't flip on an interpolation ulp); clamped values then sum in
+    * exact 1e-4 micro-units (values are 2-decimal, thresholds 4-decimal —
+    * both land on exact micro-unit grid points). */
+  private def eventsWinsorized(events: DataFrame): DataFrame = {
+    val thr = events.groupBy(col("event_type"))
+      .agg(VecOps.qround(percentile(col("value"), lit(0.01)), 4).as("lo"),
+        VecOps.qround(percentile(col("value"), lit(0.99)), 4).as("hi"))
+    val wv = greatest(col("lo"), least(col("hi"), col("value")))
+    events.join(broadcast(thr), "event_type")
+      .select(col("event_type"), col("value"), col("lo"), col("hi"),
+        floor(wv * lit(1e4) + lit(0.5)).cast("long").as("wu"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        VecOps.qround(
+          sum(col("wu")).cast("double") / (count(lit(1)) * lit(1e4)), 4)
+          .as("wmean"))
+  }
+
+  private val eventsWinsorizedOracle =
+    s"""WITH thr AS (SELECT event_type,
+       |               ${VecOps.qroundSql("quantile_cont(value, 0.01)", 4)} AS lo,
+       |               ${VecOps.qroundSql("quantile_cont(value, 0.99)", 4)} AS hi
+       |             FROM events GROUP BY event_type),
+       |w AS (SELECT e.event_type, e.value, thr.lo, thr.hi,
+       |        CAST(floor(greatest(thr.lo, least(thr.hi, e.value)) * 1e4 + 0.5)
+       |          AS BIGINT) AS wu
+       |      FROM events e JOIN thr USING (event_type))
+       |SELECT event_type, count(*) AS n,
+       |       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       |       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       |       ${VecOps.qroundSql("sum(wu)::DOUBLE / (count(*) * 1e4)", 4)} AS wmean
+       |FROM w GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // percentile-band clamp + clip accounting (robust-stats curation)
+    "events_winsorized" -> ((s, dir) => eventsWinsorized(Tables.events(s, dir))),
     // key-volume / skew diagnostic feeding the salted-join replication pick
     "events_skew_profile" -> ((s, dir) => skewProfile(Tables.events(s, dir))),
     // point-in-interval containment via the binned equi-join (IntervalJoin)
@@ -528,6 +574,7 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_winsorized" -> eventsWinsorizedOracle,
     "events_skew_profile" -> skewProfileOracle,
     "events_interval" -> eventsIntervalOracle,
     "events_window" -> StreamingOps.windowedAggSql("events"),
