@@ -337,7 +337,55 @@ object CurationQueries {
        |FROM documents""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** SNAPSHOT DIFF — the dataset-release report: what changed between two
+    * corpus versions, per language. Snapshots are derived deterministically
+    * from the fixture (A drops doc_id ≡ 0 mod 7, B drops ≡ 0 mod 5 and
+    * rewrites text for ≡ 0 mod 11 — simulated with a version-salted
+    * fingerprint), then FULL-OUTER joined on doc_id and bucketed into
+    * added / removed / changed / same by fingerprint compare.
+    *
+    * Scale: one key shuffle (the full-outer join on doc_id); fingerprints
+    * are computed in the scan projection, so the join carries 60-bit
+    * hashes, never text. This is the audit a release pipeline runs before
+    * publishing corpus v(N+1) — and the summary a training team reads to
+    * decide whether re-tokenization is needed. */
+  private def docsDiff(d: DataFrame): DataFrame = {
+    val a = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        VecOps.hash60(col("text")).as("fp_a"))
+    val b = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("lang").as("lang_b"),
+        VecOps.hash60(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(":v2")))
+            .otherwise(col("text"))).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang"), col("lang_b")).as("lang"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy(col("lang"), col("status"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val docsDiffOracle =
+    s"""WITH a AS (SELECT doc_id, lang, ${VecOps.hash60Sql("text")} AS fp_a
+       |           FROM documents WHERE doc_id % 7 <> 0),
+       |b AS (SELECT doc_id, lang AS lang_b,
+       |        ${VecOps.hash60Sql(
+                  "CASE WHEN doc_id % 11 = 0 THEN text || ':v2' ELSE text END")} AS fp_b
+       |      FROM documents WHERE doc_id % 5 <> 0)
+       |SELECT coalesce(a.lang, b.lang_b) AS lang,
+       |       CASE WHEN a.fp_a IS NULL THEN 'added'
+       |            WHEN b.fp_b IS NULL THEN 'removed'
+       |            WHEN a.fp_a <> b.fp_b THEN 'changed'
+       |            ELSE 'same' END AS status,
+       |       count(*) AS n
+       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_diff" -> ((s, dir) => docsDiff(docs(s, dir))),
     // eval-set n-gram leakage flags over the training slice
     "decontaminate" -> ((s, dir) => Decontaminate.flag(docs(s, dir))),
     "sample_stratified" -> ((s, dir) => stratifiedSample(docs(s, dir))),
@@ -351,6 +399,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "docs_diff" -> docsDiffOracle,
     "decontaminate" -> Decontaminate.flagSql("documents"),
     "sample_stratified" -> stratifiedOracle,
     "sample_weighted" -> weightedOracle,

@@ -384,6 +384,70 @@ object RelationalQueries {
        |            ELSE 'updated' END AS status
        |FROM b FULL OUTER JOIN u ON b.c_custkey = u.c_custkey""".stripMargin
 
+  /** MERGE-ON-READ — the other half of the lakehouse upsert trade
+    * ([[customerUpsert]] is merge-on-WRITE: one full-outer rewrite per
+    * batch, write-amplified, read-cheap). Here the writes are append-only
+    * versioned deltas — base as `version=0`, each change batch appended
+    * as its own partition, deletes as TOMBSTONE rows — and the READ view
+    * reconciles: latest version per key wins, tombstoned keys drop. This
+    * is the write-cheap/read-amplified shape streaming CDC sinks use
+    * until `docs_compact`-style maintenance folds the deltas down.
+    *
+    * Scale: reconciliation is ONE key shuffle (the row_number window);
+    * the version column is the partition column, so time travel (`WHERE
+    * version <= v`) is partition pruning, and compaction is the graded
+    * compact verb applied to this layout. The plan never rewrites the
+    * base — exactly the point. */
+  private def customerUpsertMor(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_mor").toString
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    def write(df: DataFrame, v: Int): Unit =
+      df.withColumn("version", lit(v.toLong))
+        .write.mode("append").partitionBy("version").parquet(root)
+    write(base.withColumn("del", lit(false)), 0)
+    write(base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"))
+      .union(base.filter(col("c_custkey") % 100 === 0)
+        .select((-col("c_custkey")).as("c_custkey"), col("c_acctbal")))
+      .withColumn("del", lit(false)), 1)
+    write(base
+      .filter(col("c_custkey") % 20 === 0 && col("c_custkey") % 500 =!= 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 150.0).as("c_acctbal"),
+        lit(false).as("del"))
+      .union(base.filter(col("c_custkey") % 500 === 0)
+        .select(col("c_custkey"), col("c_acctbal"), lit(true).as("del"))), 2)
+    val w = Window.partitionBy(col("c_custkey")).orderBy(desc("version"))
+    s.read.parquet(root)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("del"))
+      .select(col("c_custkey"),
+        VecOps.qround(col("c_acctbal"), 2).as("c_acctbal"),
+        col("version").cast("long").as("version"))
+  }
+
+  private val customerUpsertMorOracle =
+    s"""WITH v0 AS (SELECT c_custkey, c_acctbal, 0 AS version, FALSE AS del
+       |            FROM customer),
+       |v1 AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, 1 AS version,
+       |              FALSE AS del
+       |       FROM customer WHERE c_custkey % 10 = 0
+       |       UNION ALL
+       |       SELECT -c_custkey, c_acctbal, 1, FALSE
+       |       FROM customer WHERE c_custkey % 100 = 0),
+       |v2 AS (SELECT c_custkey, c_acctbal + 150.0, 2, FALSE
+       |       FROM customer WHERE c_custkey % 20 = 0 AND c_custkey % 500 <> 0
+       |       UNION ALL
+       |       SELECT c_custkey, c_acctbal, 2, TRUE
+       |       FROM customer WHERE c_custkey % 500 = 0),
+       |a AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+       |      UNION ALL SELECT * FROM v2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+       |        ORDER BY version DESC) AS rn FROM a)
+       |SELECT c_custkey, ${VecOps.qroundSql("c_acctbal", 2)} AS c_acctbal,
+       |       CAST(version AS BIGINT) AS version
+       |FROM r WHERE rn = 1 AND NOT del""".stripMargin
+
   /** TPC-H Q5-style local-supplier volume: the six-table join with the
     * non-key correlation condition `c_nationkey = s_nationkey` (revenue
     * only counts when the customer and supplier share a nation) — the
@@ -441,11 +505,13 @@ object RelationalQueries {
     "part_profit" -> partProfit,
     "shipping_priority" -> shippingPriority,
     "supplier_waiting" -> supplierWaiting,
-    "customer_upsert" -> customerUpsert _
+    "customer_upsert" -> customerUpsert _,
+    "customer_upsert_mor" -> customerUpsertMor _
   )
 
   val oracles: Map[String, String] = Map(
     "local_supplier_volume" -> localSupplierVolumeOracle,
+    "customer_upsert_mor" -> customerUpsertMorOracle,
     "tpch_q1" -> q1Oracle,
     "tpch_q6" -> q6Oracle,
     "tpch_q4_late" -> latePriorityOracle,
