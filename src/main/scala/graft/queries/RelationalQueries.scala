@@ -493,7 +493,50 @@ object RelationalQueries {
        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
        |GROUP BY n_name""".stripMargin
 
+  /** TPC-H Q10-style returned-item revenue: which customers returned the
+    * most value in a quarter — the churn-risk report. Filters push to BOTH
+    * fact scans (`l_returnflag = 'R'` into lineitem, the date window into
+    * orders), the one fact⋈fact shuffle joins them on orderkey, customer
+    * and nation broadcast, and the top-20 is a distributed
+    * TakeOrderedAndProject on the RAW revenue (rank before rounding, the
+    * `top_customers` determinism pattern). */
+  private def returnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(desc("revenue_raw"), col("c_custkey"))
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue_raw"))
+      .orderBy(desc("revenue_raw"), col("c_custkey")).limit(20)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("c_custkey"), col("c_name"), col("n_name"),
+        VecOps.qround(col("revenue_raw"), 2).as("revenue"))
+  }
+
+  private val returnedRevenueOracle =
+    s"""WITH a AS (SELECT c_custkey, c_name, n_name,
+       |             sum(l_extendedprice * (1.0 - l_discount)) AS revenue_raw
+       |           FROM lineitem
+       |           JOIN orders ON l_orderkey = o_orderkey
+       |           JOIN customer ON o_custkey = c_custkey
+       |           JOIN nation ON c_nationkey = n_nationkey
+       |           WHERE l_returnflag = 'R'
+       |             AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |             AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+       |           GROUP BY c_custkey, c_name, n_name),
+       |r AS (SELECT *, row_number() OVER (ORDER BY revenue_raw DESC, c_custkey) AS rank
+       |      FROM a)
+       |SELECT CAST(rank AS BIGINT) AS rank, c_custkey, c_name, n_name,
+       |       ${VecOps.qroundSql("revenue_raw", 2)} AS revenue
+       |FROM r WHERE rank <= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "returned_revenue" -> (returnedRevenue _),
     "local_supplier_volume" -> (localSupplierVolume _),
     "tpch_q1" -> q1,
     "tpch_q6" -> q6,
@@ -511,6 +554,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "local_supplier_volume" -> localSupplierVolumeOracle,
+    "returned_revenue" -> returnedRevenueOracle,
     "customer_upsert_mor" -> customerUpsertMorOracle,
     "tpch_q1" -> q1Oracle,
     "tpch_q6" -> q6Oracle,

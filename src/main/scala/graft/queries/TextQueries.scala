@@ -317,6 +317,61 @@ object TextQueries {
        |       CAST(sum(((hv >> 6) & 1) * 2 - 1) AS BIGINT) AS val
        |FROM h GROUP BY doc_id, hv % $HashDim""".stripMargin
 
+  /** ZIPF FIT — the corpus-health diagnostic: natural text's
+    * rank-frequency curve is a power law (slope ≈ −1 on log-log);
+    * machine-generated or heavily-duplicated corpora bend it, so release
+    * pipelines chart this next to the datasheet. OLS over (ln rank,
+    * ln count) of the top [[ZipfR]] tokens. Scale shape: the frequency
+    * table is one map-side-combined shuffle, the top-R cut is a
+    * TakeOrdered, and the regression aggregates R rows.
+    *
+    * Determinism: ln values quantize to LONG micro-units per rank, the
+    * four OLS power sums accumulate EXACTLY in LONG (bounds: |x_u|,|y_u|
+    * ≤ 1.4e7 ⇒ Σx_u·y_u ≤ 2e17 ≪ 2^63), and the closed-form slope/
+    * intercept then divide identical doubles in both engines (the exact
+    * integer sums cast to double round identically). */
+  private val ZipfR = 1000
+
+  private def vocabZipf(d: DataFrame): DataFrame = {
+    val freq = d.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("token")).limit(ZipfR)
+    val wr = Window.orderBy(desc("c"), col("token"))
+    val ranked = freq.withColumn("r", row_number().over(wr).cast("long"))
+      .select(
+        floor(log(col("r").cast("double")) * 1e6 + lit(0.5)).cast("long").as("xu"),
+        floor(log(col("c").cast("double")) * 1e6 + lit(0.5)).cast("long").as("yu"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("xu")).cast("double") / lit(1e6)
+    val sy = sum(col("yu")).cast("double") / lit(1e6)
+    val sxy = sum(col("xu") * col("yu")).cast("double") / lit(1e12)
+    val sxx = sum(col("xu") * col("xu")).cast("double") / lit(1e12)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    ranked.agg(count(lit(1)).as("n_ranks"),
+      VecOps.qround(slope, 4).as("slope"),
+      VecOps.qround((sy - slope * sx) / n, 4).as("intercept"))
+  }
+
+  private val vocabZipfOracle =
+    s"""WITH f AS (SELECT token, count(*) AS c
+       |           FROM (SELECT unnest($toksSql) AS token FROM documents)
+       |           GROUP BY token ORDER BY c DESC, token LIMIT $ZipfR),
+       |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r FROM f),
+       |u AS (SELECT CAST(floor(ln(r::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xu,
+       |             CAST(floor(ln(c::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS yu
+       |      FROM rk),
+       |s AS (SELECT count(*)::DOUBLE AS n,
+       |        sum(xu)::DOUBLE / 1e6 AS sx, sum(yu)::DOUBLE / 1e6 AS sy,
+       |        sum(xu * yu)::DOUBLE / 1e12 AS sxy,
+       |        sum(xu * xu)::DOUBLE / 1e12 AS sxx
+       |      FROM u)
+       |SELECT CAST(n AS BIGINT) AS n_ranks,
+       |       ${VecOps.qroundSql(
+                "(n * sxy - sx * sy) / (n * sxx - sx * sx)", 4)} AS slope,
+       |       ${VecOps.qroundSql(
+                "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 4)} AS intercept
+       |FROM s""".stripMargin
+
   /** windows per training batch for `docs_batches`. */
   private val TrainB = 16
 
@@ -449,6 +504,8 @@ object TextQueries {
     "quality_bigram" -> ((s, dir) => bigramLogProb(docs(s, dir))),
     // hashing-trick featurizer: fixed-D signed counts, zero vocabulary state
     "text_hashvec" -> ((s, dir) => hashVec(docs(s, dir))),
+    // rank-frequency power-law fit (corpus-health diagnostic)
+    "vocab_zipf" -> ((s, dir) => vocabZipf(docs(s, dir))),
     // CCNet head/middle/tail terciles per lang over the LM score
     "quality_buckets" -> ((s, dir) => qualityBuckets(docs(s, dir))),
     "docs_chunks" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
@@ -501,6 +558,7 @@ object TextQueries {
     "quality_logprob" -> unigramLogProbOracle,
     "quality_bigram" -> bigramLogProbOracle,
     "text_hashvec" -> hashVecOracle,
+    "vocab_zipf" -> vocabZipfOracle,
     "quality_buckets" -> qualityBucketsOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),
     "docs_packed" -> TextOps.packSql("documents"),
