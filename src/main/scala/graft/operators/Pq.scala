@@ -74,6 +74,14 @@ object Pq {
       .agg(transform(array_sort(collect_list(struct(col("m"), col("ents")))),
         s => s.getField("ents")).as("cb"))
 
+  /** [[cbRow]] MATERIALIZED (eager localCheckpoint of the single row):
+    * search paths reference the codebook from ≥2 plan subtrees (the codes
+    * side and the query LUT side) — without this each reference re-runs
+    * the corpus codebook aggregation. One tiny job, then every consumer
+    * broadcasts the cached row. */
+  private def cbRowMaterialized(cb: DataFrame): DataFrame =
+    cbRow(cb).localCheckpoint(true)
+
   /** squared L2 distance via the dot identity ‖x−c‖² = x·x − 2·x·c + c·c —
     * three sequential-fold dots and fixed-precedence arithmetic, so both
     * engines produce the identical double. */
@@ -84,7 +92,10 @@ object Pq {
     * centroid (tie-break on code id via the struct-min trick) and the
     * quantization error it leaves. The input never shuffles; the codebook
     * rides in as one broadcast row. */
-  def encode(kv: DataFrame, cb: DataFrame): DataFrame = {
+  def encode(kv: DataFrame, cb: DataFrame): DataFrame =
+    encodeWith(kv, cbRow(cb))
+
+  private def encodeWith(kv: DataFrame, cbr: DataFrame): DataFrame = {
     val perM = (0 until M).map { m =>
       val sub = slice(col("kvec"), m * S + 1, S)
       val best = array_min(transform(element_at(col("cb"), m + 1),
@@ -92,7 +103,7 @@ object Pq {
       struct(lit(m.toLong).as("m"), best.getField("j").as("code"),
         best.getField("d").as("err2"))
     }
-    kv.crossJoin(broadcast(cbRow(cb)))
+    kv.crossJoin(broadcast(cbr))
       .select(col("k_id"), explode(array(perM: _*)).as("e"))
       .select(col("k_id"), col("e.m").as("m"), col("e.code").as("code"),
         VecOps.qround(col("e.err2"), 4).as("err2"))
@@ -100,20 +111,23 @@ object Pq {
 
   /** the persisted-index shape: (k_id, codes[M]) — M small ints per vector. */
   def codes(kv: DataFrame, cb: DataFrame): DataFrame =
-    encode(kv, cb)
+    codesWith(kv, cbRow(cb))
+
+  private def codesWith(kv: DataFrame, cbr: DataFrame): DataFrame =
+    encodeWith(kv, cbr)
       .groupBy(col("k_id"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         s => s.getField("code")).as("codes"))
 
   /** Query-side ADC tables, one row per query: lut[m][j] = q_m · c_mj,
     * rn2[m][j] = c_mj · c_mj (reconstructed-norm² cells), plus ‖q‖. */
-  private def qlut(q: DataFrame, cb: DataFrame): DataFrame = {
+  private def qlutWith(q: DataFrame, cbr: DataFrame): DataFrame = {
     val lut = transform(col("cb"), (ents, mi) =>
       transform(ents, cv =>
         VecOps.dot(slice(col("qvec"), mi * lit(S) + lit(1), lit(S)), cv)))
     val rn2 = transform(col("cb"), ents =>
       transform(ents, cv => VecOps.dot(cv, cv)))
-    q.crossJoin(broadcast(cbRow(cb)))
+    q.crossJoin(broadcast(cbr))
       .select(col("q_id"), VecOps.norm2(col("qvec")).as("qn"),
         lut.as("lut"), rn2.as("rn2"))
   }
@@ -137,8 +151,9 @@ object Pq {
     * exact-cosine rerank of only those rows. */
   def adcTopK(q: DataFrame, kv: DataFrame, cb: DataFrame, k: Int,
               rerankC: Int = RerankC): DataFrame = {
+    val cbr = cbRowMaterialized(cb)
     val w = Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("k_id"))
-    val cand = PairPlan.cross(codes(kv, cb), qlut(q, cb), PairPlan.Auto)
+    val cand = PairPlan.cross(codesWith(kv, cbr), qlutWith(q, cbr), PairPlan.Auto)
       .filter(col("k_id") =!= col("q_id"))
       .select(col("q_id"), col("k_id"), acosExpr.as("acos"))
       .withColumn("rnk", row_number().over(w))
@@ -160,11 +175,12 @@ object Pq {
   def ivfAdcTopK(q: DataFrame, kv: DataFrame, cents: DataFrame,
                  cb: DataFrame, k: Int, nprobe: Int = Similarity.NProbe,
                  rerankC: Int = RerankC): DataFrame = {
-    val kcodes = codes(kv, cb).join(Similarity.ivfAssign(kv, cents), "k_id")
+    val cbr = cbRowMaterialized(cb)
+    val kcodes = codesWith(kv, cbr).join(Similarity.ivfAssign(kv, cents), "k_id")
     val probes = Similarity.ivfProbes(q, cents, nprobe)
     val w = Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("k_id"))
     val cand = kcodes.join(broadcast(probes), "list_id")
-      .join(broadcast(qlut(q, cb)), "q_id")
+      .join(broadcast(qlutWith(q, cbr)), "q_id")
       .filter(col("k_id") =!= col("q_id"))
       .select(col("q_id"), col("k_id"), acosExpr.as("acos"))
       .withColumn("rnk", row_number().over(w))
@@ -192,13 +208,14 @@ object Pq {
                           rerankC: Int = RerankC): DataFrame = {
     val spark = kv.sparkSession
     val path = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
-    codes(kv, cb).join(Similarity.ivfAssign(kv, cents), "k_id")
+    val cbr = cbRowMaterialized(cb)
+    codesWith(kv, cbr).join(Similarity.ivfAssign(kv, cents), "k_id")
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     val inv = spark.read.parquet(path)
     val probes = Similarity.ivfProbes(q, cents, nprobe)
     val w = Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("k_id"))
     val cand = inv.join(broadcast(probes), "list_id")
-      .join(broadcast(qlut(q, cb)), "q_id")
+      .join(broadcast(qlutWith(q, cbr)), "q_id")
       .filter(col("k_id") =!= col("q_id"))
       .select(col("q_id"), col("k_id"), acosExpr.as("acos"))
       .withColumn("rnk", row_number().over(w))
