@@ -67,7 +67,12 @@ object ScaleSmoke {
     // each stage runs the pipeline from the raw corpus up to its own
     // output (cumulative cost — what a user of that stage actually pays)
     val stages: Seq[(String, DataFrame => Long)] = Seq(
-      "sig" -> (d => Dedup.minhashSig(d).count()),
+      // force the signature kernel through an aggregate sink — a bare
+      // count() lets Catalyst prune the minhash computation entirely and
+      // times an empty scan
+      "sig" -> (d => Dedup.minhashSig(d)
+        .agg(sum(element_at(col("sig"), 1).cast("double")).as("s"),
+          count(lit(1)).as("n")).head().getLong(1)),
       "pairs" -> (d => Dedup.minhashPairsCapped(d).count()),
       "corpus" -> (d => Dedup.dedupCorpus(d).count()),
       // incremental ingest against the heavy-near-dup corpus: under R×
@@ -129,13 +134,27 @@ object ScaleSmoke {
         .select((col("k_id") * r + col("rep")).as("k_id"), col("kvec"))
     val qSide = kvBase.filter(col("k_id") < 64)
       .select(col("k_id").as("q_id"), col("kvec").as("qvec"))
+    // PQ probes run against the FROZEN 1× codebook (the real ingest path:
+    // a new batch encodes against the existing quantizer, never retrains)
+    val pqCb = graft.operators.Pq.codebook(Tables.embeddings(spark, sfDir))
+      .localCheckpoint(true)
     val annStages: Seq[(String, DataFrame => Long)] = Seq(
       "ann_brute" -> (kv => Similarity.cosineTopK(qSide, kv, 10).count()),
       "ann_probe" -> (kv => Similarity.annTopKProbed(qSide, kv, 10).count()),
       // Gram matrix: corpus-linear by construction (D²/2 terms per row
       // into a 2080-cell map-side-combined aggregate)
       "gram" -> (kv => graft.operators.EmbedStats.gram(
-        kv.select(col("kvec").as("vec")), Similarity.Dim).count()))
+        kv.select(col("kvec").as("vec")), Similarity.Dim).count()),
+      // PQ encode: map-only argmin against the broadcast codebook — must
+      // track corpus size linearly. Aggregate sink on `code` forces the
+      // argmin (a bare count() would let Catalyst prune it away)
+      "pq_encode" -> (kv => graft.operators.Pq.encode(kv, pqCb)
+        .agg(sum(col("code")).as("s"), count(lit(1)).as("n"))
+        .head().getLong(1)),
+      // ADC scan: linear in N like ann_brute but over 4-code rows with
+      // M table lookups instead of a 64-dim dot per pair
+      "pq_adc" -> (kv =>
+        graft.operators.Pq.adcTopK(qSide, kv, pqCb, 10).count()))
     def runAnn(kv: DataFrame): Map[String, (Double, Long)] = {
       kv.cache().count()
       val out = annStages.map { case (name, f) =>
@@ -152,6 +171,41 @@ object ScaleSmoke {
     spark.catalog.clearCache()
     val annBig = runAnn(kvRep(rep))
 
+    // interval-join scaling: replicas get DISJOINT user populations
+    // (user_id remapped per replica) so qualifying pairs grow linearly —
+    // the fair probe for a binned equi-join; pure replication would
+    // measure the R² semantic blow-up of duplicated keys, not the plan
+    val evBase = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    def evRep(r: Int): DataFrame =
+      evBase.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .select((col("event_id") * r + col("rep")).as("event_id"),
+          (col("user_id") * r + col("rep")).as("user_id"),
+          col("ts"), col("event_type"), col("value"))
+    def intervalCount(e: DataFrame): Long = {
+      val b = e.select(col("event_id"), col("user_id").as("key"),
+        unix_timestamp(col("ts")).as("t"), col("event_type"))
+      graft.operators.IntervalJoin.join(
+        b.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("key"),
+            col("t").as("t0"), (col("t") + 3600L).as("t1")),
+        b.filter(col("event_type") === "view")
+          .select(col("key"), col("t")), 3600L).count()
+    }
+    def runEv(e: DataFrame): Map[String, (Double, Long)] = {
+      e.cache().count()
+      val t0 = System.nanoTime()
+      val n = intervalCount(e)
+      e.unpersist(blocking = true)
+      Map("interval" -> (((System.nanoTime() - t0) / 1e9, n)))
+    }
+    runEv(evBase.limit(2000)) // warmup
+    spark.catalog.clearCache()
+    val evOne = runEv(evBase)
+    spark.catalog.clearCache()
+    val evBig = runEv(evRep(rep))
+
     val nDocs = base.count()
     def fmt(name: String, o: (Double, Long), b: (Double, Long)): String = {
       val ((w1, n1), (wr, nr)) = (o, b)
@@ -159,7 +213,8 @@ object ScaleSmoke {
         s""""ratio":${r3(wr / math.max(w1, 1e-9))},"rows_1x":$n1,"rows_${rep}x":$nr}"""
     }
     val qs = (stages.map { case (name, _) => fmt(name, one(name), big(name)) } ++
-      annStages.map { case (name, _) => fmt(name, annOne(name), annBig(name)) })
+      annStages.map { case (name, _) => fmt(name, annOne(name), annBig(name)) } ++
+      Seq(fmt("interval", evOne("interval"), evBig("interval"))))
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_smoke","rep":$rep,"docs_1x":$nDocs,"stages":$qs,"sf":"$sfDir"}"""

@@ -585,7 +585,11 @@ object Dedup {
     * pairing path, so a duplicate-heavy corpus cannot go quadratic inside
     * one band key (skew-free fixtures: identical rows to the uncapped
     * join). */
-  def ngramJaccardPairs(docs: DataFrame, cap: Int = BucketCap): DataFrame = {
+  /** shared verification input: the capped LSH candidate pairs joined to
+    * both sides' distinct shingle sets (sets built ONLY for candidate
+    * docs via the broadcast semi-join prefilter — verification cost
+    * tracks candidates, not corpus). */
+  private def shingleCandPairs(docs: DataFrame, cap: Int): DataFrame = {
     val sig = eager(minhashSig(docs))
     val cand = eager(cappedBandPairs(minhashBands(sig), cap))
     // shingle sets are built ONLY for docs that appear in a candidate pair
@@ -602,13 +606,56 @@ object Dedup {
       // eager: referenced by BOTH sides of the verification join, which AQE
       // turns into two concurrent broadcast branches — lazily cached they
       // would each re-shingle
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, cap: Int = BucketCap): DataFrame = {
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    shingleCandPairs(docs, cap)
       .select(col("doc_a"), col("doc_b"),
         VecOps.qround(inter / greatest(uni, lit(1.0)), 4).as("jaccard"))
+  }
+
+  /** CONTAINMENT verification of the same capped LSH candidates —
+    * asymmetric near-dup: |A∩B| / min(|A|,|B|) is high when one document
+    * CONTAINS the other (quotes, aggregator pages, boilerplate-wrapped
+    * copies) even when symmetric Jaccard is diluted by the container's
+    * extra length. The exact-substring analog of this signal is
+    * `dedup_spans`; this is the shingle-set form at candidate cost. */
+  def ngramContainmentPairs(docs: DataFrame, cap: Int = BucketCap): DataFrame = {
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val mn = least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+    shingleCandPairs(docs, cap)
+      .select(col("doc_a"), col("doc_b"),
+        VecOps.qround(inter / greatest(mn, lit(1.0)), 4).as("containment"))
+  }
+
+  /** oracle dual of [[ngramContainmentPairs]]. */
+  def ngramContainmentPairsSql(table: String, cap: Int = BucketCap): String = {
+    val inter = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE"
+    s"""WITH bnd AS (${minhashBandsSql(minhashSigSql(table))}),
+       |sized AS (SELECT doc_id, band, key,
+       |            count(*) OVER (PARTITION BY band, key) AS bucket_n,
+       |            min(doc_id) OVER (PARTITION BY band, key) AS bucket_min
+       |          FROM bnd),
+       |cold AS (SELECT * FROM sized WHERE bucket_n <= $cap),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |           FROM cold a JOIN cold b
+       |             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |           UNION
+       |           SELECT bucket_min AS doc_a, doc_id AS doc_b
+       |           FROM sized WHERE bucket_n > $cap AND doc_id <> bucket_min)),
+       |sets AS (SELECT doc_id, list_distinct(${shinglesSql(TextOps.tokensSql("text"))}) AS sh
+       |         FROM $table)
+       |SELECT doc_a, doc_b,
+       |  ${VecOps.qroundSql(
+            s"$inter / greatest(least(len(sa.sh), len(sb.sh))::DOUBLE, 1.0)", 4)} AS containment
+       |FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |          JOIN sets sb ON sb.doc_id = doc_b""".stripMargin
   }
 
   def ngramJaccardPairsSql(table: String, cap: Int = BucketCap): String = {

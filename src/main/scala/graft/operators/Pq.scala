@@ -65,71 +65,94 @@ object Pq {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cvec"))
 
-  /** the codebook collapsed to ONE broadcastable row:
-    * cb[m][j] = centroid subvector (m, j dense ascending). */
-  private def cbRow(cb: DataFrame): DataFrame =
-    cb.groupBy(col("m"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("cvec")))),
-        s => s.getField("cvec")).as("ents"))
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("ents")))),
-        s => s.getField("ents")).as("cb"))
+  /** The codebook COLLECTED to the driver: cb[m] = (j, centroid) ordered
+    * by j. M×K 16-dim qrounded vectors ≈ 640 doubles — broadcast-literal
+    * sized (the `Similarity.lshBucket` typedLit regime, far under the
+    * megabyte-plan hazard its 256×64 cousin hit). Collecting it lets the
+    * encode/LUT expressions UNROLL over literal centroids: codegen'd
+    * native dots instead of interpreted higher-order-function lambdas —
+    * the "hoist if assignment CPU dominates" note on
+    * [[Similarity.nearestList]], applied (ScaleSmoke: the HOF form spent
+    * 4.5 s encoding 80k vectors; the driver-side fold in PqSpec already
+    * proved Scala and engine dots produce identical doubles). */
+  private def collectCb(cb: DataFrame): IndexedSeq[IndexedSeq[(Long, Array[Double])]] = {
+    val rows = cb.collect().map { r =>
+      (r.getLong(r.fieldIndex("m")), r.getLong(r.fieldIndex("j")),
+        r.getSeq[Double](r.fieldIndex("cvec")).toArray)
+    }
+    (0 until M).map(m =>
+      rows.filter(_._1 == m).sortBy(_._2).map(t => (t._2, t._3)).toIndexedSeq)
+  }
 
-  /** [[cbRow]] MATERIALIZED (eager localCheckpoint of the single row):
-    * search paths reference the codebook from ≥2 plan subtrees (the codes
-    * side and the query LUT side) — without this each reference re-runs
-    * the corpus codebook aggregation. One tiny job, then every consumer
-    * broadcasts the cached row. */
-  private def cbRowMaterialized(cb: DataFrame): DataFrame =
-    cbRow(cb).localCheckpoint(true)
-
-  /** squared L2 distance via the dot identity ‖x−c‖² = x·x − 2·x·c + c·c —
-    * three sequential-fold dots and fixed-precedence arithmetic, so both
-    * engines produce the identical double. */
-  private def d2(sub: Column, cv: Column): Column =
-    VecOps.dot(sub, sub) - lit(2.0) * VecOps.dot(sub, cv) + VecOps.dot(cv, cv)
+  /** sequential-fold dot — identical op order to [[VecOps.dot]] and DuckDB
+    * `list_dot_product`, so driver-side values equal engine values. */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+  }
 
   /** Map-only PQ encoding: (k_id, m, code, err2) — per subspace the argmin
     * centroid (tie-break on code id via the struct-min trick) and the
     * quantization error it leaves. The input never shuffles; the codebook
-    * rides in as one broadcast row. */
+    * rides in as plan literals. */
   def encode(kv: DataFrame, cb: DataFrame): DataFrame =
-    encodeWith(kv, cbRow(cb))
+    encodeWith(kv, collectCb(cb))
 
-  private def encodeWith(kv: DataFrame, cbr: DataFrame): DataFrame = {
+  /** Map-only encoding, UNROLLED over the literal codebook. Work per row:
+    * the subvector and its self-dot are hoisted into their own projection
+    * (referenced K times each, so CollapseProject keeps them materialized
+    * once), the centroid self-dot c·c folds to a driver-side literal
+    * ([[dotSeq]] ≡ engine fold), and each of the K struct cells is ONE
+    * codegen'd 16-dim native dot plus two flops: ‖x−c‖² =
+    * (x·x − 2·x·c) + c·c with identical op order to the oracle. */
+  private def encodeWith(kv: DataFrame,
+                         cbl: IndexedSeq[IndexedSeq[(Long, Array[Double])]]): DataFrame = {
+    val withSubs = (0 until M).foldLeft(kv) { (df, m) =>
+      df.withColumn(s"_sub$m", slice(col("kvec"), m * S + 1, S))
+        .withColumn(s"_ss$m", VecOps.dot(col(s"_sub$m"), col(s"_sub$m")))
+    }
     val perM = (0 until M).map { m =>
-      val sub = slice(col("kvec"), m * S + 1, S)
-      val best = array_min(transform(element_at(col("cb"), m + 1),
-        (cv, ji) => struct(d2(sub, cv).as("d"), ji.cast("long").as("j"))))
+      val scored = array(cbl(m).map { case (j, cv) =>
+        val d = col(s"_ss$m") -
+          lit(2.0) * VecOps.dot(col(s"_sub$m"), typedLit(cv.toSeq)) +
+          lit(dotSeq(cv, cv))
+        struct(d.as("d"), lit(j).as("j"))
+      }: _*)
+      val best = array_min(scored)
       struct(lit(m.toLong).as("m"), best.getField("j").as("code"),
         best.getField("d").as("err2"))
     }
-    kv.crossJoin(broadcast(cbr))
-      .select(col("k_id"), explode(array(perM: _*)).as("e"))
+    withSubs.select(col("k_id"), explode(array(perM: _*)).as("e"))
       .select(col("k_id"), col("e.m").as("m"), col("e.code").as("code"),
         VecOps.qround(col("e.err2"), 4).as("err2"))
   }
 
   /** the persisted-index shape: (k_id, codes[M]) — M small ints per vector. */
   def codes(kv: DataFrame, cb: DataFrame): DataFrame =
-    codesWith(kv, cbRow(cb))
+    codesWith(kv, collectCb(cb))
 
-  private def codesWith(kv: DataFrame, cbr: DataFrame): DataFrame =
-    encodeWith(kv, cbr)
+  private def codesWith(kv: DataFrame,
+                        cbl: IndexedSeq[IndexedSeq[(Long, Array[Double])]]): DataFrame =
+    encodeWith(kv, cbl)
       .groupBy(col("k_id"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         s => s.getField("code")).as("codes"))
 
-  /** Query-side ADC tables, one row per query: lut[m][j] = q_m · c_mj,
-    * rn2[m][j] = c_mj · c_mj (reconstructed-norm² cells), plus ‖q‖. */
-  private def qlutWith(q: DataFrame, cbr: DataFrame): DataFrame = {
-    val lut = transform(col("cb"), (ents, mi) =>
-      transform(ents, cv =>
-        VecOps.dot(slice(col("qvec"), mi * lit(S) + lit(1), lit(S)), cv)))
-    val rn2 = transform(col("cb"), ents =>
-      transform(ents, cv => VecOps.dot(cv, cv)))
-    q.crossJoin(broadcast(cbr))
-      .select(col("q_id"), VecOps.norm2(col("qvec")).as("qn"),
-        lut.as("lut"), rn2.as("rn2"))
+  /** Query-side ADC tables, one row per query: lut[m][j] = q_m · c_mj
+    * (codegen'd dots against literal centroids), rn2[m][j] = c_mj · c_mj
+    * — a PURE LITERAL (driver-side sequential fold ≡ engine fold, proved
+    * in PqSpec's independent-fold test), plus ‖q‖. */
+  private def qlutWith(q: DataFrame,
+                       cbl: IndexedSeq[IndexedSeq[(Long, Array[Double])]]): DataFrame = {
+    val lut = array((0 until M).map { m =>
+      array(cbl(m).map { case (_, cv) =>
+        VecOps.dot(slice(col("qvec"), m * S + 1, S), typedLit(cv.toSeq))
+      }: _*)
+    }: _*)
+    val rn2 = typedLit((0 until M).map(m =>
+      cbl(m).map { case (_, cv) => dotSeq(cv, cv) }.toSeq).toSeq)
+    q.select(col("q_id"), VecOps.norm2(col("qvec")).as("qn"),
+      lut.as("lut"), rn2.as("rn2"))
   }
 
   /** one ADC table lookup: tbl[m][codes[m]] (1-based element_at). */
@@ -151,9 +174,9 @@ object Pq {
     * exact-cosine rerank of only those rows. */
   def adcTopK(q: DataFrame, kv: DataFrame, cb: DataFrame, k: Int,
               rerankC: Int = RerankC): DataFrame = {
-    val cbr = cbRowMaterialized(cb)
+    val cbl = collectCb(cb)
     val w = Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("k_id"))
-    val cand = PairPlan.cross(codesWith(kv, cbr), qlutWith(q, cbr), PairPlan.Auto)
+    val cand = PairPlan.cross(codesWith(kv, cbl), qlutWith(q, cbl), PairPlan.Auto)
       .filter(col("k_id") =!= col("q_id"))
       .select(col("q_id"), col("k_id"), acosExpr.as("acos"))
       .withColumn("rnk", row_number().over(w))
@@ -175,12 +198,12 @@ object Pq {
   def ivfAdcTopK(q: DataFrame, kv: DataFrame, cents: DataFrame,
                  cb: DataFrame, k: Int, nprobe: Int = Similarity.NProbe,
                  rerankC: Int = RerankC): DataFrame = {
-    val cbr = cbRowMaterialized(cb)
-    val kcodes = codesWith(kv, cbr).join(Similarity.ivfAssign(kv, cents), "k_id")
+    val cbl = collectCb(cb)
+    val kcodes = codesWith(kv, cbl).join(Similarity.ivfAssign(kv, cents), "k_id")
     val probes = Similarity.ivfProbes(q, cents, nprobe)
     val w = Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("k_id"))
     val cand = kcodes.join(broadcast(probes), "list_id")
-      .join(broadcast(qlutWith(q, cbr)), "q_id")
+      .join(broadcast(qlutWith(q, cbl)), "q_id")
       .filter(col("k_id") =!= col("q_id"))
       .select(col("q_id"), col("k_id"), acosExpr.as("acos"))
       .withColumn("rnk", row_number().over(w))
@@ -208,14 +231,14 @@ object Pq {
                           rerankC: Int = RerankC): DataFrame = {
     val spark = kv.sparkSession
     val path = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
-    val cbr = cbRowMaterialized(cb)
-    codesWith(kv, cbr).join(Similarity.ivfAssign(kv, cents), "k_id")
+    val cbl = collectCb(cb)
+    codesWith(kv, cbl).join(Similarity.ivfAssign(kv, cents), "k_id")
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     val inv = spark.read.parquet(path)
     val probes = Similarity.ivfProbes(q, cents, nprobe)
     val w = Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("k_id"))
     val cand = inv.join(broadcast(probes), "list_id")
-      .join(broadcast(qlutWith(q, cbr)), "q_id")
+      .join(broadcast(qlutWith(q, cbl)), "q_id")
       .filter(col("k_id") =!= col("q_id"))
       .select(col("q_id"), col("k_id"), acosExpr.as("acos"))
       .withColumn("rnk", row_number().over(w))

@@ -24,6 +24,8 @@ object DedupQueries {
     "dedup_minhash_capped" -> ((s, dir) => Dedup.minhashPairsCapped(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    // asymmetric containment |A∩B|/min(|A|,|B|) over the same candidates
+    "dedup_containment" -> ((s, dir) => Dedup.ngramContainmentPairs(docs(s, dir))),
     // LSH pairs -> connected components: the cluster assignment a dedup
     // pipeline actually applies (keep one doc per cluster)
     "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(docs(s, dir))),
@@ -119,6 +121,7 @@ object DedupQueries {
     "dedup_minhash_capped" -> Dedup.minhashPairsCappedSql("documents"),
     "dedup_simhash" -> Dedup.simhashPairsSql("documents"),
     "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents"),
+    "dedup_containment" -> Dedup.ngramContainmentPairsSql("documents"),
     "dedup_clusters" -> Dedup.dedupClustersSql("documents"),
     "dedup_corpus" -> Dedup.dedupCorpusSql("documents"),
     "dedup_incremental" -> Dedup.incrementalDedupSql("documents"),
