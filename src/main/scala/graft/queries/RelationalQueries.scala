@@ -448,6 +448,72 @@ object RelationalQueries {
        |       CAST(version AS BIGINT) AS version
        |FROM r WHERE rn = 1 AND NOT del""".stripMargin
 
+  /** SCD TYPE 2 — the history-preserving third member of the upsert family
+    * ([[customerUpsert]] = SCD-1 overwrite, [[customerUpsertMor]] = SCD-1
+    * deferred to read time): every version of a key's value becomes a row
+    * with a [valid_from, valid_to) version interval, current rows open
+    * (valid_to NULL). Built from the same versioned deltas as the MOR
+    * path — ONE key-partitioned lead() window converts the version stream
+    * into intervals; tombstoned rows close their interval and emit no
+    * successor. This is the dimension-table shape an auditable warehouse
+    * keeps ("what was this customer's balance when the order shipped" —
+    * join on version BETWEEN valid_from AND valid_to − 1). */
+  private def customerScd2(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val v0 = base.select(col("c_custkey"), col("c_acctbal"),
+      lit(0L).as("version"), lit(false).as("del"))
+    val v1 = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
+        lit(1L).as("version"), lit(false).as("del"))
+      .union(base.filter(col("c_custkey") % 100 === 0)
+        .select((-col("c_custkey")).as("c_custkey"), col("c_acctbal"),
+          lit(1L).as("version"), lit(false).as("del")))
+    val v2 = base
+      .filter(col("c_custkey") % 20 === 0 && col("c_custkey") % 500 =!= 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 150.0).as("c_acctbal"),
+        lit(2L).as("version"), lit(false).as("del"))
+      .union(base.filter(col("c_custkey") % 500 === 0)
+        .select(col("c_custkey"), col("c_acctbal"),
+          lit(2L).as("version"), lit(true).as("del")))
+    // tiebreak on c_acctbal: key 0 is its own negation, so its v1 update
+    // and v1 "insert" share (key, version) — without a total order the
+    // two engines hand valid_to to different rows
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("version"), col("c_acctbal"))
+    v0.union(v1).union(v2)
+      .withColumn("valid_to", lead(col("version"), 1).over(w))
+      .filter(!col("del"))
+      .select(col("c_custkey"),
+        VecOps.qround(col("c_acctbal"), 2).as("c_acctbal"),
+        col("version").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  private val customerScd2Oracle =
+    s"""WITH v0 AS (SELECT c_custkey, c_acctbal, 0 AS version, FALSE AS del
+       |            FROM customer),
+       |v1 AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, 1 AS version,
+       |              FALSE AS del
+       |       FROM customer WHERE c_custkey % 10 = 0
+       |       UNION ALL
+       |       SELECT -c_custkey, c_acctbal, 1, FALSE
+       |       FROM customer WHERE c_custkey % 100 = 0),
+       |v2 AS (SELECT c_custkey, c_acctbal + 150.0, 2, FALSE
+       |       FROM customer WHERE c_custkey % 20 = 0 AND c_custkey % 500 <> 0
+       |       UNION ALL
+       |       SELECT c_custkey, c_acctbal, 2, TRUE
+       |       FROM customer WHERE c_custkey % 500 = 0),
+       |a AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+       |      UNION ALL SELECT * FROM v2),
+       |iv AS (SELECT *, lead(version) OVER (PARTITION BY c_custkey
+       |         ORDER BY version, c_acctbal) AS valid_to FROM a)
+       |SELECT c_custkey, ${VecOps.qroundSql("c_acctbal", 2)} AS c_acctbal,
+       |       CAST(version AS BIGINT) AS valid_from,
+       |       CAST(valid_to AS BIGINT) AS valid_to,
+       |       valid_to IS NULL AS is_current
+       |FROM iv WHERE NOT del""".stripMargin
+
   /** TPC-H Q5-style local-supplier volume: the six-table join with the
     * non-key correlation condition `c_nationkey = s_nationkey` (revenue
     * only counts when the customer and supplier share a nation) — the
@@ -549,13 +615,15 @@ object RelationalQueries {
     "shipping_priority" -> shippingPriority,
     "supplier_waiting" -> supplierWaiting,
     "customer_upsert" -> customerUpsert _,
-    "customer_upsert_mor" -> customerUpsertMor _
+    "customer_upsert_mor" -> customerUpsertMor _,
+    "customer_scd2" -> customerScd2 _
   )
 
   val oracles: Map[String, String] = Map(
     "local_supplier_volume" -> localSupplierVolumeOracle,
     "returned_revenue" -> returnedRevenueOracle,
     "customer_upsert_mor" -> customerUpsertMorOracle,
+    "customer_scd2" -> customerScd2Oracle,
     "tpch_q1" -> q1Oracle,
     "tpch_q6" -> q6Oracle,
     "tpch_q4_late" -> latePriorityOracle,

@@ -513,7 +513,35 @@ object StreamQueries {
        |       ${VecOps.qroundSql("sum(wu)::DOUBLE / (count(*) * 1e4)", 4)} AS wmean
        |FROM w GROUP BY event_type""".stripMargin
 
+  /** Per-window DISTINCT users — the audience metric whose exact form is
+    * the expensive one at scale (count-distinct re-shuffles raw user ids
+    * per window): the exact count anchors the row, the HyperLogLog++
+    * estimate rides beside it graded against a relative tolerance (the
+    * `vocab_sketch` stance — at 100 TB the HLL column IS the plan, one
+    * mergeable sketch per window partial, and the anchor is what makes
+    * its error a measured fact rather than a claim). */
+  private def eventsWindowUsers(e: DataFrame): DataFrame =
+    e.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("hll_raw"))
+      .select(unix_timestamp(col("w.start")).as("w_start"),
+        col("n_events"), col("n_users"),
+        // relative band for real windows, absolute floor for tiny ones:
+        // HLL++ at n ≈ 10 can be off by 2-3 regardless of configured rsd
+        (abs(col("hll_raw") - col("n_users")) <=
+          greatest(lit(0.1) * col("n_users"), lit(4.0))).as("hll_ok"))
+
+  private val eventsWindowUsersOracle =
+    s"""SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS w_start,
+       |       count(*) AS n_events,
+       |       count(DISTINCT user_id) AS n_users,
+       |       TRUE AS hll_ok
+       |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-window exact distinct users + tolerance-graded HLL estimate
+    "events_window_users" -> ((s, dir) => eventsWindowUsers(Tables.events(s, dir))),
     // percentile-band clamp + clip accounting (robust-stats curation)
     "events_winsorized" -> ((s, dir) => eventsWinsorized(Tables.events(s, dir))),
     // key-volume / skew diagnostic feeding the salted-join replication pick
@@ -574,6 +602,7 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_window_users" -> eventsWindowUsersOracle,
     "events_winsorized" -> eventsWinsorizedOracle,
     "events_skew_profile" -> skewProfileOracle,
     "events_interval" -> eventsIntervalOracle,
