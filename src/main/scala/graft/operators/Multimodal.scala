@@ -30,6 +30,10 @@ case class PpmThumb(doc_id: Long, width: Long, height: Long,
 
 /** Output of the REAL (WAV/PCM16) decoder: parsed header fields +
   * integer-exact amplitude statistics. */
+case class PpmPatch(doc_id: Long, py: Long, px: Long, psum: Long)
+
+case class WavFrame(doc_id: Long, frame_id: Long, n_smp: Long, sum_sq: Long)
+
 case class WavFeatures(doc_id: Long, sample_rate: Long, n_samples: Long,
                        sum_abs: Long, peak: Long)
 
@@ -445,6 +449,106 @@ object Multimodal {
     }
     (sr, n, sumAbs, peak)
   }
+
+  /** PATCH EXTRACTION (the ViT patchify step — an image becomes a grid of
+    * P×P token patches before a vision encoder sees it): parse the PPM
+    * raster, crop to the ⌊h/P⌋×⌊w/P⌋ whole-patch grid (standard ragged-
+    * edge crop), and emit one row per patch with its integer channel-byte
+    * sum — the checksum that grades every byte of the patch against the
+    * oracle's closed-form pixel formula. Map-only over the binary column;
+    * at 100 TB the patch rows are the unit the embedding stage consumes. */
+  def ppmPatches(docs: DataFrame, p: Int = PatchP): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val payload = ppmPayload(id)
+          val (w, h, pos) = ppmHeader(payload)
+          for (py <- 0 until h / p; px <- 0 until w / p) yield {
+            var s = 0L
+            var y = py * p
+            while (y < py * p + p) {
+              var x = px * p
+              while (x < px * p + p) {
+                val base = pos + 3 * (y * w + x)
+                s += (payload(base) & 0xffL) + (payload(base + 1) & 0xffL) +
+                  (payload(base + 2) & 0xffL)
+                x += 1
+              }
+              y += 1
+            }
+            PpmPatch(id, py.toLong, px.toLong, s)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  val PatchP = 4
+
+  /** closed-form oracle of [[ppmPatches]]: the pixel formula summed over
+    * each patch's (dy, dx, ch) cube. */
+  def ppmPatchesSql(table: String, p: Int = PatchP): String =
+    s"""WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+       |              FROM $table),
+       |g AS (SELECT doc_id, w, py, px
+       |      FROM dims,
+       |           unnest(generate_series(0, h // $p - 1)) AS a(py),
+       |           unnest(generate_series(0, w // $p - 1)) AS b(px)),
+       |cell AS (SELECT doc_id, py, px,
+       |           (doc_id * 7 + 3 * ((py*$p + dy) * w + (px*$p + dx)) + ch) % 256 AS v
+       |         FROM g,
+       |              unnest(generate_series(0, ${p - 1})) AS dd(dy),
+       |              unnest(generate_series(0, ${p - 1})) AS ee(dx),
+       |              unnest(generate_series(0, 2)) AS ff(ch))
+       |SELECT doc_id, CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
+       |       CAST(sum(v) AS BIGINT) AS psum
+       |FROM cell GROUP BY doc_id, py, px""".stripMargin
+
+  /** AUDIO FRAMING — the feature-extraction step between the raw PCM
+    * stream and any audio model (energy/VAD/fingerprint all start here):
+    * the validated int16 stream splits into fixed [[FrameN]]-sample
+    * frames (ragged tail kept with its true count) and each frame reports
+    * its exact integer energy Σv². Map-only; the decode is the REAL byte
+    * parser ([[decodeWav]]'s header validation runs first). */
+  def wavFrames(docs: DataFrame, frame: Int = FrameN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val payload = wavPayload(id)
+          decodeWav(payload) // full header + consistency validation
+          val bb = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bb.getInt(40) / 2
+          (0 until (n + frame - 1) / frame).map { f =>
+            var (s, i) = (0L, f * frame)
+            val end = math.min((f + 1) * frame, n)
+            var cnt = 0L
+            while (i < end) {
+              val v = bb.getShort(44 + 2 * i).toLong
+              s += v * v; cnt += 1; i += 1
+            }
+            WavFrame(id, f.toLong, cnt, s)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  val FrameN = 32
+
+  /** closed-form oracle of [[wavFrames]] over the sample formula. */
+  def wavFramesSql(table: String, frame: Int = FrameN): String =
+    s"""WITH nn AS (SELECT doc_id, 64 + doc_id % 33 AS n FROM $table),
+       |s AS (SELECT doc_id, i // $frame AS frame_id,
+       |        ((doc_id * 31 + i * 17) % 4096) - 2048 AS v
+       |      FROM nn, unnest(generate_series(0, n - 1)) AS u(i))
+       |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+       |       count(*) AS n_smp, CAST(sum(v * v) AS BIGINT) AS sum_sq
+       |FROM s GROUP BY doc_id, frame_id""".stripMargin
 
   /** Graded end-to-end AUDIO query: synthesize binary WAV payloads →
     * batched per-partition decode (same mapPartitions shape as

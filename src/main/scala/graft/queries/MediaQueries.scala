@@ -31,7 +31,14 @@ object MediaQueries {
     // perceptual-hash image dedup: 24-bit dHash over the 4x4 gray thumb,
     // brightness-shift invariance MEASURED, dup group sizes emitted
     "media_phash" -> ((s, dir) =>
-      Multimodal.ppmPhash(Tables.documents(s, dir)))
+      Multimodal.ppmPhash(Tables.documents(s, dir))),
+    // ViT patchify: the whole-patch grid of the parsed raster, one row
+    // per PxP patch with its byte-exact channel checksum
+    "media_patches" -> ((s, dir) =>
+      Multimodal.ppmPatches(Tables.documents(s, dir))),
+    // audio framing: fixed-width int16 frames with exact integer energy
+    "media_audio_frames" -> ((s, dir) =>
+      Multimodal.wavFrames(Tables.documents(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -40,6 +47,8 @@ object MediaQueries {
     "media_features_real" -> Multimodal.ppmFeaturesSql("documents"),
     "media_thumbs" -> Multimodal.ppmThumbsSql("documents"),
     "media_audio" -> Multimodal.wavFeaturesSql("documents"),
-    "media_phash" -> Multimodal.ppmPhashSql("documents")
+    "media_phash" -> Multimodal.ppmPhashSql("documents"),
+    "media_patches" -> Multimodal.ppmPatchesSql("documents"),
+    "media_audio_frames" -> Multimodal.wavFramesSql("documents")
   )
 }
