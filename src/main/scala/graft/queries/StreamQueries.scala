@@ -513,6 +513,49 @@ object StreamQueries {
        |       ${VecOps.qroundSql("sum(wu)::DOUBLE / (count(*) * 1e4)", 4)} AS wmean
        |FROM w GROUP BY event_type""".stripMargin
 
+  /** COHORT RETENTION — the user-lifecycle matrix product analytics runs
+    * weekly: users grouped by first-seen week (their cohort), then each
+    * (cohort, week-offset) cell counts how many of that cohort were
+    * active offset weeks later. Two shuffles total: the per-user min
+    * (first-seen) aggregation, then the (user, week)-distinct activity
+    * joined back on user_id — the join carries (user, week) pairs, never
+    * events. Retention rate reported in exact integer per-mille (cell
+    * count and cohort size are both exact LONGs — no float division
+    * risk). */
+  private def eventsRetention(e: DataFrame): DataFrame = {
+    val wk = expr("epoch div 604800")
+    val base = e.select(col("user_id"),
+      unix_timestamp(col("ts")).as("epoch"))
+      .select(col("user_id"), wk.as("week"))
+    val activity = base.distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_n"))
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("offset_w"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("offset_w"), col("n_active"),
+        col("cohort_n"),
+        expr("n_active * 1000 div cohort_n").as("retained_pm"))
+  }
+
+  private val eventsRetentionOracle =
+    s"""WITH a AS (SELECT DISTINCT user_id,
+       |             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+       |           FROM events),
+       |c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id),
+       |sz AS (SELECT cohort_week, count(*) AS cohort_n FROM c GROUP BY cohort_week),
+       |m AS (SELECT c.cohort_week, a.week - c.cohort_week AS offset_w,
+       |             count(*) AS n_active
+       |      FROM a JOIN c USING (user_id)
+       |      GROUP BY c.cohort_week, a.week - c.cohort_week)
+       |SELECT m.cohort_week, m.offset_w, m.n_active, sz.cohort_n,
+       |       CAST((m.n_active * 1000) // sz.cohort_n AS BIGINT) AS retained_pm
+       |FROM m JOIN sz USING (cohort_week)""".stripMargin
+
   /** Per-window DISTINCT users — the audience metric whose exact form is
     * the expensive one at scale (count-distinct re-shuffles raw user ids
     * per window): the exact count anchors the row, the HyperLogLog++
@@ -542,6 +585,8 @@ object StreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-window exact distinct users + tolerance-graded HLL estimate
     "events_window_users" -> ((s, dir) => eventsWindowUsers(Tables.events(s, dir))),
+    // weekly cohort retention matrix (first-seen cohorts x week offset)
+    "events_retention" -> ((s, dir) => eventsRetention(Tables.events(s, dir))),
     // percentile-band clamp + clip accounting (robust-stats curation)
     "events_winsorized" -> ((s, dir) => eventsWinsorized(Tables.events(s, dir))),
     // key-volume / skew diagnostic feeding the salted-join replication pick
@@ -603,6 +648,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "events_window_users" -> eventsWindowUsersOracle,
+    "events_retention" -> eventsRetentionOracle,
     "events_winsorized" -> eventsWinsorizedOracle,
     "events_skew_profile" -> skewProfileOracle,
     "events_interval" -> eventsIntervalOracle,
