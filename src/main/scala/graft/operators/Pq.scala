@@ -217,6 +217,42 @@ object Pq {
                    cb: DataFrame, k: Int): DataFrame =
     Similarity.recallVsBrute(ivfAdcTopK(q, kv, cents, cb, k), q, kv, k)
 
+  /** INCREMENTAL PQ-index ingest — the code-index twin of
+    * [[Similarity.ivfTopKIngested]]: a new embedding batch is encoded and
+    * list-assigned against the FROZEN existing-corpus quantizers (both the
+    * coarse centroids and the PQ codebook train on the existing side only
+    * — no retrain, the whole point of the persisted index) and APPENDED to
+    * the partitioned (k_id, codes, list_id) layout; the search reads
+    * (old ∪ batch) through the probe-pruned code scan and reranks against
+    * the union's raw vectors. At 100 TB this is the daily-ingest write for
+    * the 128×-compressed index — rebuild-free by construction. */
+  def ivfAdcTopKIngested(q: DataFrame, existing: DataFrame, batch: DataFrame,
+                         cents: DataFrame, cb: DataFrame, k: Int,
+                         nprobe: Int = Similarity.NProbe,
+                         rerankC: Int = RerankC): DataFrame = {
+    val spark = existing.sparkSession
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_ingest").toString
+    val cbl = collectCb(cb)
+    codesWith(existing, cbl)
+      .join(Similarity.ivfAssign(existing, cents), "k_id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    // the ingest: encode + assign ONLY the batch, append to the layout
+    codesWith(batch, cbl)
+      .join(Similarity.ivfAssign(batch, cents), "k_id")
+      .write.mode("append").partitionBy("list_id").parquet(path)
+    val inv = spark.read.parquet(path)
+    val probes = Similarity.ivfProbes(q, cents, nprobe)
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("k_id"))
+    val cand = inv.join(broadcast(probes), "list_id")
+      .join(broadcast(qlutWith(q, cbl)), "q_id")
+      .filter(col("k_id") =!= col("q_id"))
+      .select(col("q_id"), col("k_id"), acosExpr.as("acos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= rerankC)
+      .select(col("q_id"), col("k_id"))
+    Similarity.rerankExact(cand, q, existing.union(batch), k, PairPlan.Auto)
+  }
+
   /** [[ivfAdcTopK]] through the PERSISTED index layout — what a 100 TB
     * deployment actually reads: (k_id, codes) parquet PARTITIONED BY
     * list_id (the 1/128th-size code rows), probe-joined so the scan is

@@ -388,13 +388,16 @@ object SimilarityQueries {
   // per-subspace pivot makes the 4-term fold order literal).
   // -------------------------------------------------------------------
 
-  /** shared CTE text: per-subspace codebook + full-corpus PQ encoding. */
-  private val pqEncCtes = {
+  /** shared CTE text: per-subspace codebook + full-corpus PQ encoding.
+    * `cbWhere` restricts the codebook's TRAINING corpus (the frozen-
+    * quantizer ingest oracle trains on the existing side only); the
+    * encoding always covers the full corpus. */
+  private def pqEncCtes(cbWhere: String = "") = {
     val s = Pq.S
     def sub(v: String) = s"list_slice($v, cb.m*$s + 1, cb.m*$s + $s)"
     s"""cell AS (SELECT label AS j, i AS pos, ${VecOps.qroundSql("sum(e) / count(*)", 4)} AS c
        |         FROM (SELECT label, unnest(embedding)::DOUBLE AS e,
-       |                 unnest(range(len(embedding))) AS i FROM embeddings)
+       |                 unnest(range(len(embedding))) AS i FROM embeddings$cbWhere)
        |         GROUP BY label, i),
        |cb AS (SELECT pos // $s AS m, j, list(c ORDER BY pos) AS cv
        |       FROM cell GROUP BY 1, 2),
@@ -410,7 +413,7 @@ object SimilarityQueries {
   }
 
   private val pqCodesOracle =
-    s"""WITH $pqEncCtes
+    s"""WITH ${pqEncCtes()}
        |SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code,
        |       ${VecOps.qroundSql("d2", 4)} AS err2
        |FROM enc WHERE rn = 1""".stripMargin
@@ -423,7 +426,7 @@ object SimilarityQueries {
     def piv(src: String, alias: String) =
       s"(((max(CASE WHEN e.m = 0 THEN $src END) + max(CASE WHEN e.m = 1 THEN $src END))" +
         s" + max(CASE WHEN e.m = 2 THEN $src END)) + max(CASE WHEN e.m = 3 THEN $src END)) AS $alias"
-    s"""WITH $pqEncCtes,
+    s"""WITH ${pqEncCtes()},
        |q AS ($qCte),
        |kk AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
        |lut AS (SELECT q.q_id, cb.m, cb.j,
@@ -460,17 +463,18 @@ object SimilarityQueries {
   /** IVF×PQ dual: the PQ encoding CTEs + the IVF centroid/assignment/probe
     * CTEs, with the ADC scan's pair set restricted to (query, probed-list)
     * matches before scoring — the oracle of the composed index. */
-  private def ivfPqTopkSql(k: Int, qCte: String) = {
+  private def ivfPqTopkSql(k: Int, qCte: String, centWhere: String = "",
+                           cbWhere: String = "") = {
     val s = Pq.S
     def cosOf(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
     def piv(src: String, alias: String) =
       s"(((max(CASE WHEN e.m = 0 THEN $src END) + max(CASE WHEN e.m = 1 THEN $src END))" +
         s" + max(CASE WHEN e.m = 2 THEN $src END)) + max(CASE WHEN e.m = 3 THEN $src END)) AS $alias"
-    s"""WITH $pqEncCtes,
+    s"""WITH ${pqEncCtes(cbWhere)},
        |c0i AS (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
        |        FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
-       |                unnest(range(len(embedding))) AS i FROM embeddings)
+       |                unnest(range(len(embedding))) AS i FROM embeddings$centWhere)
        |        GROUP BY label, i),
        |centsi AS (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
        |           FROM c0i GROUP BY label),
@@ -626,6 +630,18 @@ object SimilarityQueries {
     "similar_ivfpq_pruned" -> ((s, dir) =>
       Pq.ivfAdcTopKPersisted(perturbedQSide(s, dir), kvSide(s, dir),
         Similarity.ivfCentroids(emb(s, dir)), Pq.codebook(emb(s, dir)), AnnK)),
+    // incremental PQ-index ingest: the odd-id batch encoded + assigned
+    // against quantizers FROZEN on the even-id corpus, appended to the
+    // partitioned code layout, searched over old-union-batch
+    "similar_ivfpq_ingest" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val even = all.filter(col("vec_id") % 2 === 0)
+      val cents = Similarity.ivfCentroids(even).localCheckpoint(true)
+      def side(parity: Int) = all.filter(col("vec_id") % 2 === parity)
+        .select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+      Pq.ivfAdcTopKIngested(perturbedQSide(s, dir), side(0), side(1),
+        cents, Pq.codebook(even), AnnK)
+    }),
     "dedup_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         emb(s, dir).select(col("vec_id"), col("vec")), MinCos)),
@@ -663,6 +679,8 @@ object SimilarityQueries {
     "similar_ivfpq" -> ivfPqTopkSql(AnnK, perturbedQCte),
     "similar_ivfpq_recall" -> ivfPqRecallOracle,
     "similar_ivfpq_pruned" -> ivfPqTopkSql(AnnK, perturbedQCte),
+    "similar_ivfpq_ingest" -> ivfPqTopkSql(AnnK, perturbedQCte,
+      centWhere = " WHERE vec_id % 2 = 0", cbWhere = " WHERE vec_id % 2 = 0"),
     "dedup_embed" -> nearDupOracle,
     "decontaminate_embed" -> embedDecontamOracle
   )
