@@ -32,6 +32,18 @@ object Attention {
                 mode: PairPlan.Mode = PairPlan.Auto): DataFrame =
     plan(PairPlan.cross(kv, q, mode), scale)
 
+  /** CAUSAL (masked) attention — the autoregressive-TRAINING variant (the
+    * brief's "beyond the reference" mandate: a causal LM's SDPA masks
+    * future positions; the reference kernel is unmasked). Each query
+    * attends to keys with k_id ≤ q_id only. Relationally the mask is a
+    * pair-stream FILTER ahead of the monoid fold — no new machinery, and
+    * it prunes ~half the M×N pair stream BEFORE any score is computed
+    * (at 100 TB the mask is free work-avoidance, not a post-hoc −∞
+    * add the way dense kernels implement it). */
+  def attentionCausal(q: DataFrame, kv: DataFrame, scale: Boolean = false,
+                      mode: PairPlan.Mode = PairPlan.Auto): DataFrame =
+    plan(PairPlan.cross(kv, q, mode).filter(col("k_id") <= col("q_id")), scale)
+
   /** Blocked 2-D path for LARGE M, where broadcasting the query side is
     * impossible (the round-1 gap: every plan assumed q fits a broadcast).
     * `SHUFFLE_REPLICATE_NL` forces `CartesianProductExec`, whose

@@ -149,10 +149,11 @@ object MatrixQueries {
 
   private val qkPrefix = qkPrefixWhere(s" WHERE vec_id < $M")
 
-  private def attentionOracle(scaleExpr: String, mWhere: String = s" WHERE vec_id < $M"): String = {
+  private def attentionOracle(scaleExpr: String, mWhere: String = s" WHERE vec_id < $M",
+                              pairWhere: String = ""): String = {
     val v = VecOps.qroundSql("sum(wt * x) / sum(wt)", 4)
     s"""${qkPrefixWhere(mWhere)},
-       |ss AS (SELECT q_id, sc$scaleExpr AS sc, vv FROM s),
+       |ss AS (SELECT q_id, sc$scaleExpr AS sc, vv FROM s$pairWhere),
        |m AS (SELECT q_id, max(sc) AS mx FROM ss GROUP BY q_id),
        |w AS (SELECT ss.q_id, exp(sc - mx) AS wt, vv FROM ss JOIN m USING (q_id)),
        |e AS (SELECT q_id, d, wt, vv[d] AS x
@@ -246,6 +247,13 @@ object MatrixQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attention" -> attentionQuery(scale = false),
+    // autoregressive mask: k_id <= q_id filtered BEFORE the monoid fold
+    "attention_causal" -> ((s: SparkSession, dir: String) =>
+      Attention.attentionCausal(qSide(s, dir).drop("label"), kvSide(s, dir),
+        scale = true)
+        .select(col("q_id"), posexplode(col("out")))
+        .select(col("q_id"), col("pos").cast("long").as("d"),
+          graft.functions.VecOps.qround(col("col"), 4).as("v"))),
     "attention_big" -> (attentionBigQuery _),
     "sdpa_scaled" -> attentionQuery(scale = true),
     "sdpa_batched" -> (sdpaBatchedQuery _),
@@ -263,6 +271,8 @@ object MatrixQueries {
 
   val oracles: Map[String, String] = Map(
     "attention" -> attentionOracle(""),
+    "attention_causal" -> attentionOracle(" / sqrt(fdim)",
+      pairWhere = " WHERE k_id <= q_id"),
     "attention_big" -> attentionOracle("", mWhere = ""),
     // scale derived from the data (len(qv)) exactly like the Spark side's
     // sqrt(size(qvec)) — no hard-coded embedding width (ADVICE.md round 1)
