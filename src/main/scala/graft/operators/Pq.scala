@@ -217,6 +217,78 @@ object Pq {
                    cb: DataFrame, k: Int): DataFrame =
     Similarity.recallVsBrute(ivfAdcTopK(q, kv, cents, cb, k), q, kv, k)
 
+  /** Residual table (k_id, list_id, rvec): each vector minus its assigned
+    * coarse centroid — exact double subtraction against the qrounded
+    * centroid, identical in both engines. */
+  private def residualIndex(kv: DataFrame, cents: DataFrame): DataFrame =
+    Similarity.ivfIndex(kv, cents)
+      .join(broadcast(cents), "list_id")
+      .select(col("k_id"), col("list_id"),
+        zip_with(col("kvec"), col("cvec"), (a, b) => a - b).as("rvec"))
+
+  /** number of residual-codebook entries per subspace (seeded by
+    * k_id mod K — k-means random init; iterate [[Similarity.kmeansStep]]'s
+    * shape per subspace to train further). */
+  val ResK = 10
+
+  /** RESIDUAL IVF×PQ — the faithful FAISS-IVFPQ formulation: PQ encodes
+    * the RESIDUAL x − c_list (what's left after the coarse quantizer),
+    * so the codebook spends its bits on within-cell variation instead of
+    * re-describing the cell location. The query builds ONE lookup table
+    * per probed list (its residual q − c_l changes per list), candidates
+    * are scored by ADC over squared L2 — ‖q_res‖² − 2·Σ_m lut[m][code]
+    * + Σ_m ‖c_code‖² — ranked ascending, then exact-cosine reranked.
+    * Same scan economics as [[ivfAdcTopK]] (nprobe/nlist of the code rows,
+    * M lookups per row); the extra cost is nprobe LUT builds per query
+    * (M×K 16-dim dots each — microscopic next to the scan).
+    *
+    * Honest regime note: on the isotropic fixture the coarse cells are
+    * noise directions, so residuals ≈ the vectors themselves and recall
+    * matches the non-residual path; on a real clustered corpus the
+    * residual codebook's quantization error — and with it ADC ranking
+    * noise — only shrinks. */
+  def ivfPqResTopK(q: DataFrame, kv: DataFrame, cents: DataFrame, k: Int,
+                   nprobe: Int = Similarity.NProbe,
+                   rerankC: Int = RerankC): DataFrame = {
+    val res = residualIndex(kv, cents)
+    val rcb = codebook(res.select((col("k_id") % ResK).cast("int").as("label"),
+      col("rvec").as("vec")))
+    val cbl = collectCb(rcb)
+    val kcodes = codesWith(
+      res.select(col("k_id"), col("rvec").as("kvec")), cbl)
+      .join(res.select(col("k_id"), col("list_id")), "k_id")
+    val qres = Similarity.ivfProbes(q, cents, nprobe)
+      .join(q, "q_id").join(broadcast(cents), "list_id")
+      .select(col("q_id"), col("list_id"),
+        zip_with(col("qvec"), col("cvec"), (a, b) => a - b).as("qrvec"))
+    val lut = array((0 until M).map { m =>
+      array(cbl(m).map { case (_, cv) =>
+        VecOps.dot(slice(col("qrvec"), m * S + 1, S), typedLit(cv.toSeq))
+      }: _*)
+    }: _*)
+    val rn2 = typedLit((0 until M).map(m =>
+      cbl(m).map { case (_, cv) => dotSeq(cv, cv) }.toSeq).toSeq)
+    val ql = qres.select(col("q_id"), col("list_id"),
+      VecOps.dot(col("qrvec"), col("qrvec")).as("qn2"),
+      lut.as("lut"), rn2.as("rn2"))
+    val aip = (0 until M).map(cell("lut", _)).reduce(_ + _)
+    val an2 = (0 until M).map(cell("rn2", _)).reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("k_id"))
+    val cand = kcodes.join(broadcast(ql), "list_id")
+      .filter(col("k_id") =!= col("q_id"))
+      .select(col("q_id"), col("k_id"),
+        (col("qn2") - lit(2.0) * aip + an2).as("ad2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= rerankC)
+      .select(col("q_id"), col("k_id"))
+    Similarity.rerankExact(cand, q, kv, k, PairPlan.Auto)
+  }
+
+  /** Measured residual-IVFPQ recall against the exact top-k. */
+  def ivfPqResRecall(q: DataFrame, kv: DataFrame, cents: DataFrame,
+                     k: Int): DataFrame =
+    Similarity.recallVsBrute(ivfPqResTopK(q, kv, cents, k), q, kv, k)
+
   /** INCREMENTAL PQ-index ingest — the code-index twin of
     * [[Similarity.ivfTopKIngested]]: a new embedding batch is encoded and
     * list-assigned against the FROZEN existing-corpus quantizers (both the

@@ -520,6 +520,100 @@ object SimilarityQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** RESIDUAL IVF×PQ dual: residuals against the qrounded coarse
+    * centroids, a k_id%K-seeded residual codebook, per-probed-list query
+    * LUTs, squared-L2 ADC ranked ascending, exact rerank. Arithmetic
+    * mirrors graft.operators.Pq.ivfPqResTopK op for op. */
+  private def ivfPqResTopkSql(k: Int, qCte: String) = {
+    val s = Pq.S
+    val kk = Pq.ResK
+    def cosOf(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def piv(src: String, alias: String) =
+      s"(((max(CASE WHEN e.m = 0 THEN $src END) + max(CASE WHEN e.m = 1 THEN $src END))" +
+        s" + max(CASE WHEN e.m = 2 THEN $src END)) + max(CASE WHEN e.m = 3 THEN $src END)) AS $alias"
+    s"""WITH c0i AS (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
+       |             FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+       |                     unnest(range(len(embedding))) AS i FROM embeddings)
+       |             GROUP BY label, i),
+       |centsi AS (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
+       |           FROM c0i GROUP BY label),
+       |kvt AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |asn AS (SELECT k_id, list_id FROM (
+       |          SELECT k_id, list_id,
+       |            row_number() OVER (PARTITION BY k_id
+       |              ORDER BY ${cosOf("kv", "cvec")} DESC, list_id) AS rn
+       |          FROM kvt CROSS JOIN centsi) WHERE rn = 1),
+       |res AS (SELECT asn.k_id, asn.list_id,
+       |          list_transform(generate_series(1, ${Similarity.Dim}),
+       |            i -> kvt.kv[i] - centsi.cvec[i]) AS rv
+       |        FROM asn JOIN kvt USING (k_id) JOIN centsi USING (list_id)),
+       |rcell AS (SELECT k_id % $kk AS j, i AS pos,
+       |            ${VecOps.qroundSql("sum(e) / count(*)", 4)} AS c
+       |          FROM (SELECT k_id, unnest(rv)::DOUBLE AS e,
+       |                  unnest(range(len(rv))) AS i FROM res)
+       |          GROUP BY j, i),
+       |rcb AS (SELECT pos // $s AS m, j, list(c ORDER BY pos) AS cv
+       |        FROM rcell GROUP BY 1, 2),
+       |renc AS (SELECT k_id, m, j AS code FROM (
+       |           SELECT res.k_id, rcb.m, rcb.j,
+       |             row_number() OVER (PARTITION BY res.k_id, rcb.m ORDER BY
+       |               list_dot_product(list_slice(res.rv, rcb.m*$s + 1, rcb.m*$s + $s),
+       |                                list_slice(res.rv, rcb.m*$s + 1, rcb.m*$s + $s))
+       |                 - 2.0 * list_dot_product(list_slice(res.rv, rcb.m*$s + 1, rcb.m*$s + $s), rcb.cv)
+       |                 + list_dot_product(rcb.cv, rcb.cv), rcb.j) AS rn
+       |           FROM res CROSS JOIN rcb) WHERE rn = 1),
+       |q AS ($qCte),
+       |pr AS (SELECT q_id, list_id FROM (
+       |         SELECT q_id, list_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY ${cosOf("qv", "cvec")} DESC, list_id) AS rn
+       |         FROM q CROSS JOIN centsi) WHERE rn <= ${Similarity.NProbe}),
+       |qres AS (SELECT pr.q_id, pr.list_id,
+       |           list_transform(generate_series(1, ${Similarity.Dim}),
+       |             i -> q.qv[i] - centsi.cvec[i]) AS qrv
+       |         FROM pr JOIN q USING (q_id) JOIN centsi USING (list_id)),
+       |rlut AS (SELECT q_id, list_id, rcb.m, rcb.j,
+       |           list_dot_product(list_slice(qrv, rcb.m*$s + 1, rcb.m*$s + $s), rcb.cv) AS ip,
+       |           list_dot_product(rcb.cv, rcb.cv) AS nn
+       |         FROM qres CROSS JOIN rcb),
+       |qn2 AS (SELECT q_id, list_id, list_dot_product(qrv, qrv) AS qn2 FROM qres),
+       |sc2 AS (SELECT l.q_id, e.k_id, l.list_id,
+       |          ${piv("l.ip", "aip")},
+       |          ${piv("l.nn", "an2")}
+       |        FROM renc e
+       |        JOIN asn a ON a.k_id = e.k_id
+       |        JOIN rlut l ON l.m = e.m AND l.j = e.code AND l.list_id = a.list_id
+       |        GROUP BY l.q_id, e.k_id, l.list_id),
+       |cand AS (SELECT q_id, k_id FROM (
+       |           SELECT sc2.q_id, sc2.k_id,
+       |             row_number() OVER (PARTITION BY sc2.q_id
+       |               ORDER BY qn2.qn2 - 2.0 * sc2.aip + sc2.an2, sc2.k_id) AS rnk
+       |           FROM sc2 JOIN qn2 ON qn2.q_id = sc2.q_id AND qn2.list_id = sc2.list_id
+       |           WHERE sc2.k_id <> sc2.q_id)
+       |         WHERE rnk <= ${Pq.RerankC}),
+       |r AS (SELECT cand.q_id, cand.k_id,
+       |        ${cosOf("q.qv", "kvt.kv")} AS cos
+       |      FROM cand JOIN q ON q.q_id = cand.q_id JOIN kvt ON kvt.k_id = cand.k_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, k_id,
+       |       ${VecOps.qroundSql("cos", 4)} AS cos
+       |FROM (SELECT q_id, k_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, k_id) AS rank
+       |      FROM r)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  private val ivfPqResRecallOracle =
+    s"""WITH brute AS (SELECT * FROM (${probeBruteSql(1)}) tb),
+       |rpq AS (SELECT * FROM (${ivfPqResTopkSql(1, perturbedQCte)}) tp),
+       |hits AS (SELECT brute.q_id, count(*) AS n_hit
+       |         FROM brute JOIN rpq ON brute.q_id = rpq.q_id AND brute.k_id = rpq.k_id
+       |         GROUP BY brute.q_id),
+       |n AS (SELECT q_id, count(*) AS n FROM brute GROUP BY q_id)
+       |SELECT n.q_id,
+       |       ${VecOps.qroundSql("COALESCE(n_hit, 0)::DOUBLE / n.n::DOUBLE", 4)} AS recall
+       |FROM n LEFT JOIN hits ON hits.q_id = n.q_id""".stripMargin
+
   private val ivfPqRecallOracle =
     s"""WITH brute AS (SELECT * FROM (${probeBruteSql(1)}) tb),
        |ipq AS (SELECT * FROM (${ivfPqTopkSql(1, perturbedQCte)}) tp),
@@ -630,6 +724,14 @@ object SimilarityQueries {
     "similar_ivfpq_pruned" -> ((s, dir) =>
       Pq.ivfAdcTopKPersisted(perturbedQSide(s, dir), kvSide(s, dir),
         Similarity.ivfCentroids(emb(s, dir)), Pq.codebook(emb(s, dir)), AnnK)),
+    // RESIDUAL IVFxPQ (the faithful FAISS formulation): PQ over
+    // x - c_list residuals, per-probed-list query LUTs, L2 ADC ranking
+    "similar_ivfpq_res" -> ((s, dir) =>
+      Pq.ivfPqResTopK(perturbedQSide(s, dir), kvSide(s, dir),
+        Similarity.ivfCentroids(emb(s, dir)).localCheckpoint(true), AnnK)),
+    "similar_ivfpq_res_recall" -> ((s, dir) =>
+      Pq.ivfPqResRecall(perturbedQSide(s, dir), kvSide(s, dir),
+        Similarity.ivfCentroids(emb(s, dir)).localCheckpoint(true), 1)),
     // incremental PQ-index ingest: the odd-id batch encoded + assigned
     // against quantizers FROZEN on the even-id corpus, appended to the
     // partitioned code layout, searched over old-union-batch
@@ -681,6 +783,8 @@ object SimilarityQueries {
     "similar_ivfpq_pruned" -> ivfPqTopkSql(AnnK, perturbedQCte),
     "similar_ivfpq_ingest" -> ivfPqTopkSql(AnnK, perturbedQCte,
       centWhere = " WHERE vec_id % 2 = 0", cbWhere = " WHERE vec_id % 2 = 0"),
+    "similar_ivfpq_res" -> ivfPqResTopkSql(AnnK, perturbedQCte),
+    "similar_ivfpq_res_recall" -> ivfPqResRecallOracle,
     "dedup_embed" -> nearDupOracle,
     "decontaminate_embed" -> embedDecontamOracle
   )
