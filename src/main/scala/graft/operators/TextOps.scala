@@ -527,4 +527,104 @@ object TextOps {
        |    generate_series(1, greatest(length(t) - 7, 1), 4),
        |    i -> ${VecOps.hash60Sql("substr(t, i, 8)")})) AS fp
        |FROM (SELECT doc_id, ${normTextSql("text")} AS t FROM $table)""".stripMargin
+
+  /** TWO BPE training iterations — [[bpeStep]] finds and counts merge 1;
+    * this APPLIES it (the actual token-stream rewrite, relationally) and
+    * finds merge 2 from the post-merge adjacencies — proving the trainer
+    * loop composes beyond one step with no driver-side token munging.
+    *
+    * The rewrite, as windows over the exploded stream: merge positions =
+    * odd ranks within each island of consecutive (a,b) occurrences (the
+    * same greedy-overlap rule [[bpeStep]] proved equals left-to-right
+    * greedy); each merged position's successor is CONSUMED (anti-joined
+    * out), the merged position's token becomes the concatenation, and
+    * merge 2 is the top pair of the surviving stream's new adjacencies.
+    * One token explode, four window passes, two map-side-combined pair
+    * counts — corpus-linear, no collect of any token stream.
+    *
+    * Returns ONE row: (a, b, pair_n, a2, b2, pair_n2). */
+  def bpeStep2(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+    val tok = PairPlan.fanOut(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("j", "tok")))
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("tok"))
+      .cache() // feeds the pair count, the occurrence scan, and the rewrite
+    val pairs1 = tok.withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+    val top1 = pairs1.groupBy(col("tok").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .orderBy(desc("pair_n"), col("a"), col("b")).limit(1)
+    val occ = pairs1.join(broadcast(top1),
+        col("tok") === col("a") && col("nxt") === col("b"))
+      .select(col("doc_id"), col("j"))
+    val cum = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = occ
+      .withColumn("brk", when(lag(col("j"), 1).over(byDoc).isNull ||
+        col("j") - lag(col("j"), 1).over(byDoc) > 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(cum))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"), col("isl")).orderBy(col("j"))))
+      .filter(col("rk") % 2 === 1)
+      .select(col("doc_id"), col("j").as("mj"))
+    val newStream = tok
+      .join(merged.select(col("doc_id"), col("mj").as("j"),
+        lit(true).as("is_m")), Seq("doc_id", "j"), "left")
+      .join(merged.select(col("doc_id"), (col("mj") + 1).as("j"),
+        lit(true).as("consumed")), Seq("doc_id", "j"), "left")
+      .filter(col("consumed").isNull)
+      .crossJoin(broadcast(top1.select(col("a").as("m_a"), col("b").as("m_b"))))
+      .select(col("doc_id"), col("j"),
+        when(col("is_m"), concat(col("m_a"), col("m_b")))
+          .otherwise(col("tok")).as("tok"))
+    val top2 = newStream
+      .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("a2"), col("nxt").as("b2"))
+      .agg(count(lit(1)).as("pair_n2"))
+      .orderBy(desc("pair_n2"), col("a2"), col("b2")).limit(1)
+    top1.crossJoin(top2)
+  }
+
+  /** SQL oracle dual of [[bpeStep2]] (same islands, parity, rewrite). */
+  def bpeStep2Sql(table: String): String =
+    s"""WITH tt AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $table),
+       |t2 AS (SELECT doc_id, toks FROM tt WHERE len(toks) >= 2),
+       |pr1 AS (SELECT doc_id, CAST(i AS BIGINT) AS j,
+       |          toks[i] AS tok, toks[i + 1] AS nxt
+       |        FROM t2, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+       |top1 AS (SELECT tok AS a, nxt AS b, count(*) AS pair_n
+       |         FROM pr1 GROUP BY 1, 2 ORDER BY pair_n DESC, a, b LIMIT 1),
+       |occ AS (SELECT pr1.doc_id, pr1.j FROM pr1 JOIN top1
+       |          ON pr1.tok = top1.a AND pr1.nxt = top1.b),
+       |br AS (SELECT doc_id, j,
+       |         CASE WHEN lag(j) OVER w IS NULL OR j - lag(j) OVER w > 1
+       |              THEN 1 ELSE 0 END AS brk
+       |       FROM occ WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
+       |il AS (SELECT doc_id, j,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY j
+       |                        ROWS UNBOUNDED PRECEDING) AS isl
+       |       FROM br),
+       |m AS (SELECT doc_id, j AS mj FROM (
+       |        SELECT doc_id, j, isl,
+       |          row_number() OVER (PARTITION BY doc_id, isl ORDER BY j) AS rk
+       |        FROM il) WHERE rk % 2 = 1),
+       |ts AS (SELECT doc_id, CAST(i AS BIGINT) AS j, toks[i] AS tok
+       |       FROM t2, unnest(generate_series(1, len(toks))) AS u(i)),
+       |ns AS (SELECT ts.doc_id, ts.j,
+       |         CASE WHEN m1.mj IS NOT NULL
+       |              THEN (SELECT a FROM top1) || (SELECT b FROM top1)
+       |              ELSE ts.tok END AS tok
+       |       FROM ts
+       |       LEFT JOIN m m1 ON m1.doc_id = ts.doc_id AND m1.mj = ts.j
+       |       LEFT JOIN m m2 ON m2.doc_id = ts.doc_id AND m2.mj + 1 = ts.j
+       |       WHERE m2.mj IS NULL),
+       |pr2 AS (SELECT doc_id, tok,
+       |          lead(tok) OVER (PARTITION BY doc_id ORDER BY j) AS nxt
+       |        FROM ns),
+       |top2 AS (SELECT tok AS a2, nxt AS b2, count(*) AS pair_n2
+       |         FROM pr2 WHERE nxt IS NOT NULL
+       |         GROUP BY 1, 2 ORDER BY pair_n2 DESC, a2, b2 LIMIT 1)
+       |SELECT a, b, pair_n, a2, b2, pair_n2 FROM top1, top2""".stripMargin
 }

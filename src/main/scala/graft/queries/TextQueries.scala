@@ -541,7 +541,10 @@ object TextQueries {
     "token_cooc" -> ((s, dir) => tokenCooc(docs(s, dir))),
     // one BPE vocabulary-induction iteration: global top adjacent pair +
     // greedy merge application counts per doc (TextOps.bpeStep)
-    "bpe_step" -> ((s, dir) => TextOps.bpeStep(docs(s, dir)))
+    "bpe_step" -> ((s, dir) => TextOps.bpeStep(docs(s, dir))),
+    // two trainer iterations: merge 1 APPLIED (relational token-stream
+    // rewrite), merge 2 found from the post-merge adjacencies
+    "bpe_step2" -> ((s, dir) => TextOps.bpeStep2(docs(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -564,6 +567,7 @@ object TextQueries {
     "docs_packed" -> TextOps.packSql("documents"),
     "docs_batches" -> docsBatchesOracle,
     "bpe_step" -> TextOps.bpeStepSql("documents"),
+    "bpe_step2" -> TextOps.bpeStep2Sql("documents"),
     "token_cooc" -> tokenCoocOracle
   )
 }

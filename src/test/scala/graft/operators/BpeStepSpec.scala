@@ -40,4 +40,23 @@ class BpeStepSpec extends AnyFunSuite {
     assert(got(1L) === (("u", "v", 4L, 6L, 3L, 3L)))
     assert(got(2L) === (("u", "v", 4L, 3L, 1L, 2L)))
   }
+
+  test("bpeStep2 rewrites the stream (overlap consumed) and recounts for merge 2") {
+    // tokens [x,x,x,y,y]: top1 = (x,x) n=2; greedy merges j=1, consumes
+    // j=2 -> stream [xx, x, y, y]; new pairs (xx,x),(x,y),(y,y) all 1 ->
+    // top2 tie-break lexicographic = (x,y)
+    val docs = Seq((1L, "x x x y y")).toDF("doc_id", "text")
+    val r = TextOps.bpeStep2(docs).head()
+    assert((r.getString(0), r.getString(1), r.getLong(2)) === (("x", "x", 2L)))
+    assert((r.getString(3), r.getString(4), r.getLong(5)) === (("x", "y", 1L)))
+  }
+
+  test("bpeStep2 merged token participates in merge-2 counts") {
+    // [p,q,p,q]: top1 = (p,q) n=2, both merged (distinct-pair islands are
+    // singletons) -> stream [pq, pq]; merge 2 = (pq, pq) n=1
+    val docs = Seq((1L, "p q p q")).toDF("doc_id", "text")
+    val r = TextOps.bpeStep2(docs).head()
+    assert((r.getString(0), r.getString(1), r.getLong(2)) === (("p", "q", 2L)))
+    assert((r.getString(3), r.getString(4), r.getLong(5)) === (("pq", "pq", 1L)))
+  }
 }
