@@ -200,15 +200,17 @@ object MatrixQueries {
   /** float32 dual: per-step FLOAT rounding (multiply then fold) — a
     * float×float product and float+float sum are both exact in double, so
     * rounding each step to FLOAT reproduces JVM float arithmetic bit for
-    * bit (verified: matches a numpy float32 sequential fold). */
+    * bit (verified: matches a numpy float32 sequential fold). The outer
+    * CAST is load-bearing: DuckDB's greatest() promotes FLOAT args to
+    * DOUBLE, which would type-mismatch Spark's FLOAT column. */
   private val reluMatmulF32Oracle =
     s"""WITH q AS (SELECT vec_id AS a_id, embedding AS av FROM embeddings
        |           WHERE vec_id < $M),
        |k AS (SELECT vec_id AS b_id, embedding AS bv FROM embeddings)
        |SELECT a_id, b_id,
-       |  greatest(list_reduce(
+       |  CAST(greatest(list_reduce(
        |    list_transform(range(len(av)), i -> CAST(av[i+1] * bv[i+1] AS FLOAT)),
-       |    (x, y) -> CAST(x + y AS FLOAT)), CAST(0 AS FLOAT)) AS v
+       |    (x, y) -> CAST(x + y AS FLOAT)), CAST(0 AS FLOAT)) AS FLOAT) AS v
        |FROM q CROSS JOIN k""".stripMargin
 
   private def xentropyOracle(mWhere: String = s" WHERE vec_id < $M") = {
