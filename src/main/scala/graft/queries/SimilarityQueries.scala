@@ -297,6 +297,80 @@ object SimilarityQueries {
        |GROUP BY list_id, i""".stripMargin
   }
 
+  /** Training iterations graded by `kmeans_train`/`similar_ivf_trained` —
+    * matches [[Similarity.kmeansTrain]]'s composition depth. */
+  private val KmIters = 3
+
+  /** Chained-CTE dual of the k-means training LOOP: seed centroids
+    * `cents0` (per-label qrounded means), then `iters` rounds of
+    * (argmax re-assign `asn_i` under `cents_{i-1}`, re-mean `st_i`,
+    * rebuild `cents_i`). Each round's means are 4-decimal quantized —
+    * exactly what [[Similarity.kmeansStep]] emits and
+    * [[Similarity.centroidsFromStep]] reassembles — so every round's
+    * Voronoi argmax sees bit-identical centroids cross-engine. */
+  private def kmeansChainSqlPrefix(iters: Int): String = {
+    def cosOf(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val sb = new StringBuilder
+    sb ++= s"""WITH c0 AS (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
+       |            FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+       |                    unnest(range(len(embedding))) AS i FROM embeddings)
+       |            GROUP BY label, i),
+       |cents0 AS (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
+       |           FROM c0 GROUP BY label),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings)""".stripMargin
+    for (i <- 1 to iters) sb ++= s""",
+       |asn$i AS (SELECT k_id, list_id FROM (
+       |           SELECT k_id, list_id,
+       |             row_number() OVER (PARTITION BY k_id
+       |               ORDER BY ${cosOf("kv", "cvec")} DESC, list_id) AS rn
+       |           FROM k CROSS JOIN cents${i - 1}) WHERE rn = 1),
+       |st$i AS (SELECT list_id, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c, count(*) AS n
+       |         FROM (SELECT asn$i.list_id, unnest(kv)::DOUBLE AS x,
+       |                 unnest(range(len(kv))) AS i
+       |               FROM asn$i JOIN k USING (k_id))
+       |         GROUP BY list_id, i),
+       |cents$i AS (SELECT list_id, list(c ORDER BY i) AS cvec
+       |            FROM st$i GROUP BY list_id)""".stripMargin
+    sb.toString
+  }
+
+  /** Dual of the composed trainer: the LAST iteration's re-mean output. */
+  private val kmeansTrainOracle =
+    s"""${kmeansChainSqlPrefix(KmIters)}
+       |SELECT list_id, CAST(i AS BIGINT) AS pos, c, n FROM st$KmIters""".stripMargin
+
+  /** Dual of IVF search through the TRAINED quantizer: the training chain,
+    * then a fresh assignment + probe list under `cents$KmIters` and the
+    * usual exact-cosine rerank of the probed lists' union. */
+  private val ivfTrainedTopkOracle = {
+    def cosOf(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val nprobe = Similarity.NProbe
+    s"""${kmeansChainSqlPrefix(KmIters)},
+       |asnf AS (SELECT k_id, list_id FROM (
+       |           SELECT k_id, list_id,
+       |             row_number() OVER (PARTITION BY k_id
+       |               ORDER BY ${cosOf("kv", "cvec")} DESC, list_id) AS rn
+       |           FROM k CROSS JOIN cents$KmIters) WHERE rn = 1),
+       |q AS ($perturbedQCte),
+       |pr AS (SELECT q_id, list_id FROM (
+       |         SELECT q_id, list_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY ${cosOf("qv", "cvec")} DESC, list_id) AS rn
+       |         FROM q CROSS JOIN cents$KmIters) WHERE rn <= $nprobe),
+       |cand AS (SELECT q_id, k_id FROM pr JOIN asnf USING (list_id)
+       |         WHERE k_id <> q_id),
+       |r AS (SELECT cand.q_id, cand.k_id, $cosSql AS cos
+       |      FROM cand JOIN q ON q.q_id = cand.q_id JOIN k ON k.k_id = cand.k_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, k_id,
+       |       ${VecOps.qroundSql("cos", 4)} AS cos
+       |FROM (SELECT q_id, k_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, k_id) AS rank
+       |      FROM r)
+       |WHERE rank <= $AnnK""".stripMargin
+  }
+
   /** Capped-band dual mirroring [[Similarity.embeddingNearDupPairs]]'s
     * hot-bucket guard (identical output on the skew-free fixtures). */
   private val nearDupOracle = {
@@ -695,6 +769,19 @@ object SimilarityQueries {
     "kmeans_step" -> ((s, dir) =>
       Similarity.kmeansStep(kvSide(s, dir),
         Similarity.ivfCentroids(emb(s, dir)))),
+    // the training LOOP, composed (VERDICT r6 #2): three full
+    // re-assign/re-mean iterations from the label seed — grades the third
+    // iteration's step output, i.e. the whole chain (the quantizer twin of
+    // bpe_step2's trainer-loop composition proof)
+    "kmeans_train" -> ((s, dir) =>
+      Similarity.kmeansTrain(kvSide(s, dir),
+        Similarity.ivfCentroids(emb(s, dir)), 3)),
+    // ...and the index BUILT FROM the trained quantizer, searched: the
+    // full train -> build -> search pipeline as one graded query
+    "similar_ivf_trained" -> ((s, dir) =>
+      Similarity.ivfTopK(perturbedQSide(s, dir), kvSide(s, dir),
+        Similarity.kmeansTrainedCentroids(kvSide(s, dir),
+          Similarity.ivfCentroids(emb(s, dir)), 3), AnnK)),
     // PRODUCT QUANTIZATION (graft.operators.Pq): per-subspace codebook
     // encoding (the 128x index-footprint cut) and the ADC search over the
     // codes table — approximate-score candidates, exact-cosine rerank;
@@ -775,6 +862,8 @@ object SimilarityQueries {
     "embeds_ingest_stream" -> ivfTopkSql(AnnK,
       centWhere = " WHERE vec_id % 2 = 0"),
     "kmeans_step" -> kmeansStepOracle,
+    "kmeans_train" -> kmeansTrainOracle,
+    "similar_ivf_trained" -> ivfTrainedTopkOracle,
     "embed_pq_codes" -> pqCodesOracle,
     "similar_pq" -> pqTopkSql(TopK, pqStdQCte),
     "similar_pq_recall" -> pqRecallOracle,
