@@ -358,4 +358,103 @@ object Pq {
   /** Measured ADC recall against the exact top-k on the same query set. */
   def adcRecall(q: DataFrame, kv: DataFrame, cb: DataFrame, k: Int): DataFrame =
     Similarity.recallVsBrute(adcTopK(q, kv, cb, k), q, kv, k)
+
+  // -------------------------------------------------------------------
+  // LARGE-K PQ (K = 256 codes per subspace — the FAISS production shape,
+  // 8 bits/code). The K=16 path above unrolls the codebook into plan
+  // literals, which is exactly right at 640 doubles and exactly wrong at
+  // M×256×16 = 16k cells: its 256×64 cousin shipped megabyte task
+  // binaries and minutes of Janino compile. Here the codebook stays a
+  // DATAFRAME and every stage is a BROADCAST HASH JOIN against it —
+  // encode joins subvectors to centroids on m, the query LUT is a
+  // (q_id, m, j, ip) relation, and the ADC scan joins the long-format
+  // codes to the broadcast LUT on (m, code) with the 4-term subspace sum
+  // pivoted into an explicit left-assoc fold — the same shape the DuckDB
+  // oracle has always used, now on both engines. Plan size is O(plan),
+  // independent of K (asserted in PqSpec).
+  //
+  // 100 TB shape: the LUT is Q×M×K rows ≈ 16 MB for 1000 in-flight
+  // queries — broadcast-sized by construction; the scan stays map-only
+  // over the codes table with a partial (map-side-combined) pivot agg,
+  // and composes with the IVF probe join exactly as [[ivfAdcTopK]].
+  // -------------------------------------------------------------------
+
+  /** codes per subspace in the production-shape variant. */
+  val BigK = 256
+
+  /** K=256 codebook over the raw embeddings table: labels seeded
+    * j = vec_id % 256 (k-means random init, the [[ResK]] trick), cells
+    * qrounded by [[codebook]], plus the centroid self-dot `cn2` carried
+    * as a COLUMN (the literal-path folds it driver-side; here it rides
+    * the broadcast relation). */
+  def codebookBig(embTable: DataFrame): DataFrame =
+    codebook(embTable.select((col("vec_id") % BigK).as("label"), col("vec")))
+      .withColumn("cn2", VecOps.dot(col("cvec"), col("cvec")))
+
+  /** long-format subvectors (id, m, sub, ss): one row per subspace, with
+    * the subvector self-dot hoisted once (referenced K times post-join). */
+  private def subsLong(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(array((0 until M).map(m =>
+          slice(col(vecCol), m * S + 1, S)): _*)).as(Seq("m", "sub")))
+      .select(col(idCol), col("m").cast("long").as("m"), col("sub"),
+        VecOps.dot(col("sub"), col("sub")).as("ss"))
+
+  /** Relational PQ encoding — the large-K twin of [[encodeWith]]:
+    * subvectors ⨝_bcast codebook on m (K rows per subvector), d² by the
+    * same dot identity (x·x − 2·x·c) + c·c, argmin per (k_id, m) as
+    * `min(struct(d, j))` — struct ordering compares d then the id, the
+    * oracle's `ORDER BY d2, j … rn = 1` tie-break. */
+  def codesLongJoin(kv: DataFrame, cb: DataFrame): DataFrame =
+    subsLong(kv, "k_id", "kvec")
+      .join(broadcast(cb.select(col("m").as("cm"), col("j"), col("cvec"), col("cn2"))),
+        col("m") === col("cm"))
+      .select(col("k_id"), col("m"),
+        struct((col("ss") - lit(2.0) * VecOps.dot(col("sub"), col("cvec")) +
+          col("cn2")).as("d"), col("j")).as("dj"))
+      .groupBy(col("k_id"), col("m"))
+      .agg(min(col("dj")).as("best"))
+      .select(col("k_id"), col("m"), col("best.j").as("code"))
+
+  /** Query LUT as a relation: (q_id, m, j, ip = q_m·c_mj, nn = c_mj·c_mj)
+    * — Q×M×K rows, broadcast-sized for any bounded in-flight query set. */
+  private def lutJoin(q: DataFrame, cb: DataFrame): DataFrame =
+    subsLong(q, "q_id", "qvec")
+      .join(broadcast(cb.select(col("m").as("cm"), col("j"), col("cvec"), col("cn2"))),
+        col("m") === col("cm"))
+      .select(col("q_id"), col("m").as("lm"), col("j"),
+        VecOps.dot(col("sub"), col("cvec")).as("ip"), col("cn2").as("nn"))
+
+  /** the oracle's pivot fold, in Spark: ((Σ_{m=0} + Σ_{m=1}) + Σ_{m=2}) +
+    * Σ_{m=3}, each term the single matched LUT cell — explicit left-assoc
+    * order, immune to agg input order. */
+  private def pivotFold(src: String): Column =
+    (0 until M).map(m => max(when(col("lm") === lit(m.toLong), col(src)))).reduce(_ + _)
+
+  /** ADC top-k through the broadcast-join path: long codes ⨝_bcast LUT on
+    * (m, code = j), per-(q, k) pivoted approximate cosine, top-C rank,
+    * exact-cosine rerank. Same answer and oracle shape as [[adcTopK]];
+    * what changes is that NOTHING about K ever enters the plan text. */
+  def adcTopKJoin(q: DataFrame, kv: DataFrame, cb: DataFrame, k: Int,
+                  rerankC: Int = RerankC): DataFrame = {
+    val qn = q.select(col("q_id"), VecOps.norm2(col("qvec")).as("qn"))
+    val sc2 = codesLongJoin(kv, cb)
+      .join(broadcast(lutJoin(q, cb)),
+        col("m") === col("lm") && col("code") === col("j"))
+      .groupBy(col("q_id"), col("k_id"))
+      .agg(pivotFold("ip").as("aip"), pivotFold("nn").as("an2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("acos"), col("k_id"))
+    val cand = sc2.join(broadcast(qn), "q_id")
+      .filter(col("k_id") =!= col("q_id"))
+      .select(col("q_id"), col("k_id"),
+        (col("aip") / (col("qn") * sqrt(col("an2")))).as("acos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= rerankC)
+      .select(col("q_id"), col("k_id"))
+    Similarity.rerankExact(cand, q, kv, k, PairPlan.Auto)
+  }
+
+  /** Measured large-K ADC recall against the exact top-k. */
+  def adcRecallJoin(q: DataFrame, kv: DataFrame, cb: DataFrame, k: Int): DataFrame =
+    Similarity.recallVsBrute(adcTopKJoin(q, kv, cb, k), q, kv, k)
 }

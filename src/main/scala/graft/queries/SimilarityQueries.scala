@@ -464,13 +464,14 @@ object SimilarityQueries {
 
   /** shared CTE text: per-subspace codebook + full-corpus PQ encoding.
     * `cbWhere` restricts the codebook's TRAINING corpus (the frozen-
-    * quantizer ingest oracle trains on the existing side only); the
-    * encoding always covers the full corpus. */
-  private def pqEncCtes(cbWhere: String = "") = {
+    * quantizer ingest oracle trains on the existing side only); `jExpr`
+    * is the codebook-seed expression (`label` for the K=10 paths,
+    * `vec_id % 256` for the production-shape large-K path). */
+  private def pqEncCtes(cbWhere: String = "", jExpr: String = "label") = {
     val s = Pq.S
     def sub(v: String) = s"list_slice($v, cb.m*$s + 1, cb.m*$s + $s)"
     s"""cell AS (SELECT label AS j, i AS pos, ${VecOps.qroundSql("sum(e) / count(*)", 4)} AS c
-       |         FROM (SELECT label, unnest(embedding)::DOUBLE AS e,
+       |         FROM (SELECT $jExpr AS label, unnest(embedding)::DOUBLE AS e,
        |                 unnest(range(len(embedding))) AS i FROM embeddings$cbWhere)
        |         GROUP BY label, i),
        |cb AS (SELECT pos // $s AS m, j, list(c ORDER BY pos) AS cv
@@ -495,12 +496,12 @@ object SimilarityQueries {
   /** ADC search dual, parameterized on the query CTE (standard or
     * perturbed): LUT join on (m, code), 4-term pivot sums, approximate
     * cosine rank → top-C candidates → exact-cosine rerank top-k. */
-  private def pqTopkSql(k: Int, qCte: String) = {
+  private def pqTopkSql(k: Int, qCte: String, jExpr: String = "label") = {
     val s = Pq.S
     def piv(src: String, alias: String) =
       s"(((max(CASE WHEN e.m = 0 THEN $src END) + max(CASE WHEN e.m = 1 THEN $src END))" +
         s" + max(CASE WHEN e.m = 2 THEN $src END)) + max(CASE WHEN e.m = 3 THEN $src END)) AS $alias"
-    s"""WITH ${pqEncCtes()},
+    s"""WITH ${pqEncCtes(jExpr = jExpr)},
        |q AS ($qCte),
        |kk AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
        |lut AS (SELECT q.q_id, cb.m, cb.j,
@@ -699,9 +700,9 @@ object SimilarityQueries {
        |       ${VecOps.qroundSql("COALESCE(n_hit, 0)::DOUBLE / n.n::DOUBLE", 4)} AS recall
        |FROM n LEFT JOIN hits ON hits.q_id = n.q_id""".stripMargin
 
-  private val pqRecallOracle =
+  private def pqRecallOracleFor(jExpr: String) =
     s"""WITH brute AS (SELECT * FROM (${probeBruteSql(1)}) tb),
-       |pq AS (SELECT * FROM (${pqTopkSql(1, perturbedQCte)}) tp),
+       |pq AS (SELECT * FROM (${pqTopkSql(1, perturbedQCte, jExpr)}) tp),
        |hits AS (SELECT brute.q_id, count(*) AS n_hit
        |         FROM brute JOIN pq ON brute.q_id = pq.q_id AND brute.k_id = pq.k_id
        |         GROUP BY brute.q_id),
@@ -797,6 +798,15 @@ object SimilarityQueries {
     "similar_pq_recall" -> ((s, dir) =>
       Pq.adcRecall(perturbedQSide(s, dir), kvSide(s, dir),
         Pq.codebook(emb(s, dir)), 1)),
+    // LARGE-K PQ (K=256 per subspace, 8-bit codes — the FAISS production
+    // shape): the codebook is a broadcast RELATION, every stage a
+    // broadcast hash join against it; plan size independent of K
+    "similar_pq_k256" -> ((s, dir) =>
+      Pq.adcTopKJoin(qSide(s, dir), kvSide(s, dir),
+        Pq.codebookBig(emb(s, dir)), TopK)),
+    "similar_pq_k256_recall" -> ((s, dir) =>
+      Pq.adcRecallJoin(perturbedQSide(s, dir), kvSide(s, dir),
+        Pq.codebookBig(emb(s, dir)), 1)),
     // IVF x PQ: coarse-quantizer probe restriction + ADC scan of only the
     // probed lists' codes + exact rerank -- the FAISS-IVFPQ-shaped
     // deployable index (partition-pruned scan of 1/128th-size code rows)
@@ -866,7 +876,9 @@ object SimilarityQueries {
     "similar_ivf_trained" -> ivfTrainedTopkOracle,
     "embed_pq_codes" -> pqCodesOracle,
     "similar_pq" -> pqTopkSql(TopK, pqStdQCte),
-    "similar_pq_recall" -> pqRecallOracle,
+    "similar_pq_recall" -> pqRecallOracleFor("label"),
+    "similar_pq_k256" -> pqTopkSql(TopK, pqStdQCte, jExpr = s"vec_id % ${Pq.BigK}"),
+    "similar_pq_k256_recall" -> pqRecallOracleFor(s"vec_id % ${Pq.BigK}"),
     "similar_ivfpq" -> ivfPqTopkSql(AnnK, perturbedQCte),
     "similar_ivfpq_recall" -> ivfPqRecallOracle,
     "similar_ivfpq_pruned" -> ivfPqTopkSql(AnnK, perturbedQCte),

@@ -117,4 +117,31 @@ class PqSpec extends AnyFunSuite {
       .agg(max(col("n"))).head().getLong(0)
     assert(cands <= Pq.RerankC, s"per-query candidates $cands exceed RerankC")
   }
+
+  test("large-K join path matches the literal-unroll encoding on the same codebook") {
+    // same K=10 codebook fed to both paths: the broadcast-join argmin must
+    // pick exactly the codes the unrolled codegen picks — the parity that
+    // lets the K=256 path inherit the literal path's oracle arguments
+    val cb = Pq.codebook(emb).withColumn("cn2",
+      graft.functions.VecOps.dot(col("cvec"), col("cvec")))
+    val lit10 = Pq.encode(kv, Pq.codebook(emb)).select(col("k_id"), col("m"), col("code"))
+    val join10 = Pq.codesLongJoin(kv, cb)
+    assert(lit10.exceptAll(join10).count() == 0 && join10.exceptAll(lit10).count() == 0)
+  }
+
+  test("K=256 plan: broadcast LUT join, no K-proportional literal text") {
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
+    val res = Pq.adcTopKJoin(q, kv, Pq.codebookBig(emb), 10)
+    res.collect()
+    val physical = res.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"large-K ADC should broadcast-join the LUT:\n${physical.take(2000)}")
+    // the megabyte-plan hazard the K=16 literal path stops short of: with
+    // the codebook as data, plan TEXT stays O(plan) — a literal unroll of
+    // M x 256 centroids would put 16k doubles (>100 KB) into it
+    val logical = res.queryExecution.optimizedPlan.toString
+    assert(logical.length < 100 * 1024,
+      s"optimized plan text ${logical.length}B — codebook leaked into the plan?")
+  }
 }
