@@ -613,6 +613,10 @@ object StreamQueries {
     // a sentinel past the horizon releases the tail, see StreamingOps
     "events_left_stream" -> ((s, dir) =>
       StreamingOps.viewPurchaseLeftJoinStream(s, dir)),
+    // RIGHT OUTER: the symmetric fourth mode — unmatched purchases emit
+    // null-padded on the view side at watermark eviction
+    "events_right_stream" -> ((s, dir) =>
+      StreamingOps.viewPurchaseRightJoinStream(s, dir)),
     // FULL OUTER completes the stream-stream family: both sides' tails
     // emit null-padded on eviction (purchase-only rows too)
     "events_full_stream" -> ((s, dir) =>
@@ -661,6 +665,7 @@ object StreamQueries {
     "events_dedup_stream" -> StreamingOps.dedupStreamSql("events"),
     "events_join_stream" -> StreamingOps.viewPurchaseJoinSql("events"),
     "events_left_stream" -> StreamingOps.viewPurchaseLeftJoinSql("events"),
+    "events_right_stream" -> StreamingOps.viewPurchaseRightJoinSql("events"),
     "events_full_stream" -> StreamingOps.viewPurchaseFullJoinSql("events"),
     "events_enrich_stream" -> StreamingOps.segmentSpendSql("events"),
     "events_resample" -> graft.operators.Resample.dailyValueSql("events"),

@@ -306,6 +306,22 @@ object StreamingOps {
         sum(when(col("view_id").isNull, 1L).otherwise(0L))
           .as("n_purchase_only"))
 
+  /** STREAM-STREAM RIGHT OUTER join — the symmetric fourth mode: matched
+    * (view, purchase) pairs emit like the inner join, and a purchase with
+    * NO view in its preceding hour emits null-padded on the view side once
+    * the view watermark proves none can still arrive. Keyed by `p_user`
+    * (always present on the preserved side). Same sentinel/eviction
+    * harness as the left join; graded against the batch RIGHT JOIN. */
+  def viewPurchaseRightJoinStream(spark: SparkSession, dir: String): DataFrame =
+    viewPurchaseOuterStream(spark, dir, "right_outer")
+      .filter(col("p_user") >= 0)
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        count(col("view_id")).as("n_matched"),
+        sum(when(col("view_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"))
+
   /** Shared harness for the outer stream-stream joins: stage events as 3
     * landing files + the watermark sentinel pair, run the watermarked
     * time-range join in the given mode, drain with AvailableNow, return
@@ -375,6 +391,23 @@ object StreamingOps {
        |       count(purchase_id) AS n_matched,
        |       CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
        |FROM j GROUP BY user_id""".stripMargin
+
+  /** DuckDB oracle dual of [[viewPurchaseRightJoinStream]]: the batch
+    * RIGHT JOIN aggregated per purchase-side user — one row per match plus
+    * one null-padded row per unmatched purchase. */
+  def viewPurchaseRightJoinSql(table: String): String =
+    s"""WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+       |           FROM $table WHERE event_type = 'view'),
+       |p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+       |      FROM $table WHERE event_type = 'purchase'),
+       |j AS (SELECT p.p_user, v.view_id, p.purchase_id
+       |      FROM v RIGHT JOIN p ON v.user_id = p.p_user
+       |        AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+       |SELECT p_user AS user_id, count(*) AS n_rows,
+       |       count(DISTINCT purchase_id) AS n_purchases,
+       |       count(view_id) AS n_matched,
+       |       CAST(sum(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+       |FROM j GROUP BY p_user""".stripMargin
 
   /** DuckDB oracle dual of [[viewPurchaseFullJoinStream]]: the batch FULL
     * JOIN aggregated per coalesced user key. */
