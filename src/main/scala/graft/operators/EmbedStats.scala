@@ -35,7 +35,8 @@ import graft.functions.VecOps
   * Overflow envelope (documented, not silent): with |x| ≤ 1 the quantized
   * products are ≤ 1e8, so LONG partial sums hold ≥ 9·10¹⁰ rows — ~20 TB
   * of float32 D=64 embeddings; beyond that, lift the sums to
-  * decimal(38,0) as [[powerStep]] already does for its norm terms.
+  * decimal(38,0) as [[powerStep]] already does for every cross-row
+  * accumulation.
   */
 object EmbedStats {
 
@@ -82,10 +83,13 @@ object EmbedStats {
 
   /** One power-iteration step over the corpus: per-dimension v₁ (normalized,
     * quantized) and the Rayleigh quotient λ = v₀ᵀv₁ / (Q·v₀ᵀv₀) — constant
-    * across the D output rows. The s→s3 rescale (floor(s/Q)) keeps the
-    * second-pass products inside LONG exactly; the norm and Rayleigh
-    * accumulations square 1e14-scale values, so they lift to decimal(38,0)
-    * (exact to 10³⁸ — any corpus size). */
+    * across the D output rows. The s→s3 rescale (floor(s/Q)) keeps each
+    * second-pass PRODUCT inside LONG exactly (|s3·xq| ≤ D·Q³/Q = 6.4e9),
+    * but their cross-row SUM would overflow LONG at ~1.4e9 rows (~0.3 TB
+    * of D=64 f32 — far inside the documented 20 TB gram envelope), so the
+    * accumulation lifts to decimal(38,0) like the norm and Rayleigh terms
+    * (which square 1e14-scale values) — exact to 10³⁸, any corpus size
+    * (r6 ADVICE #5). */
   def powerStep(vecs: DataFrame): DataFrame = {
     val rows = PairPlan.fanOut(vecs)
       .select(qvec(col("vec")).as("xq"))
@@ -100,11 +104,11 @@ object EmbedStats {
     val v1 = rows
       .select(posexplode(col("xq")).as(Seq("pos", "xq")), col("s3"))
       .groupBy(col("pos").cast("long").as("pos"))
-      .agg(sum(col("s3") * col("xq")).as("v1raw"))
+      .agg(sum((col("s3") * col("xq")).cast("decimal(38,0)")).as("v1raw"))
       .withColumn("v0q", v0q(col("pos")))
 
     val stats = v1.agg(
-      sum(col("v1raw").cast("decimal(38,0)") * col("v1raw")).as("nrm2"),
+      sum(col("v1raw") * col("v1raw")).as("nrm2"),
       sum(col("v0q").cast("decimal(38,0)") * col("v1raw")).as("d01"),
       sum(col("v0q") * col("v0q")).as("d00"))
 

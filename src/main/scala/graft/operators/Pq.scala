@@ -303,7 +303,7 @@ object Pq {
                          nprobe: Int = Similarity.NProbe,
                          rerankC: Int = RerankC): DataFrame = {
     val spark = existing.sparkSession
-    val path = java.nio.file.Files.createTempDirectory("graft_pq_ingest").toString
+    val path = graft.sources.Scratch.dir("graft_pq_ingest")
     val cbl = collectCb(cb)
     codesWith(existing, cbl)
       .join(Similarity.ivfAssign(existing, cents), "k_id")
@@ -338,7 +338,7 @@ object Pq {
                           nprobe: Int = Similarity.NProbe,
                           rerankC: Int = RerankC): DataFrame = {
     val spark = kv.sparkSession
-    val path = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+    val path = graft.sources.Scratch.dir("graft_pq_index")
     val cbl = collectCb(cb)
     codesWith(kv, cbl).join(Similarity.ivfAssign(kv, cents), "k_id")
       .write.mode("overwrite").partitionBy("list_id").parquet(path)

@@ -436,7 +436,7 @@ object Similarity {
   def ivfTopKPersisted(q: DataFrame, kv: DataFrame, cents: DataFrame,
                        k: Int, nprobe: Int = NProbe): DataFrame = {
     val spark = kv.sparkSession
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+    val path = graft.sources.Scratch.dir("graft_ivf_index")
     ivfIndex(kv, cents).write.mode("overwrite")
       .partitionBy("list_id").parquet(path)
     val inv = spark.read.parquet(path)
@@ -464,7 +464,7 @@ object Similarity {
                       cents: DataFrame, k: Int,
                       nprobe: Int = NProbe): DataFrame = {
     val spark = existing.sparkSession
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_ingest").toString
+    val path = graft.sources.Scratch.dir("graft_ivf_ingest")
     ivfIndex(existing, cents).write.mode("overwrite")
       .partitionBy("list_id").parquet(path)
     // the ingest: assign ONLY the batch, append to the existing layout
@@ -506,12 +506,12 @@ object Similarity {
     * so a near-dup-heavy corpus cannot go quadratic inside one band key. */
   def embeddingNearDupPairs(vecs: DataFrame, minCos: Double,
                             cap: Int = EmbedBucketCap): DataFrame = {
-    // signature table cached (referenced by the band explode and both sides
-    // of the verification join); candidate dedup runs on bare id pairs so
-    // the distinct never hashes the 64-wide vectors
+    // signature table cached for the scope of this query (referenced by
+    // the band explode and both sides of the verification join);
+    // candidate dedup runs on bare id pairs so the distinct never hashes
+    // the 64-wide vectors
     val sig = vecs
       .select(col("vec_id"), col("vec"), lshBucket(col("vec"), P).as("sig"))
-      .cache()
     val bandCols = (0 until 2).map(b =>
       shiftrightunsigned(col("sig"), 4 * b).bitwiseAND(lit(15L)))
     val bnd = sig
@@ -521,11 +521,13 @@ object Similarity {
     val cand = Dedup.cappedBandPairs(bnd, cap)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
     val cos = VecOps.cosine(col("vec_a"), col("vec_b"))
-    cand
-      .join(sig.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(sig.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .select(col("id_a"), col("id_b"), cos.as("cos"))
-      .filter(col("cos") >= minCos)
-      .select(col("id_a"), col("id_b"), VecOps.qround(col("cos"), 4).as("cos"))
+    Caching.scoped(sig) {
+      cand
+        .join(sig.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), "id_a")
+        .join(sig.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), "id_b")
+        .select(col("id_a"), col("id_b"), cos.as("cos"))
+        .filter(col("cos") >= minCos)
+        .select(col("id_a"), col("id_b"), VecOps.qround(col("cos"), 4).as("cos"))
+    }
   }
 }

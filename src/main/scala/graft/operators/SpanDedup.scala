@@ -57,13 +57,12 @@ object SpanDedup {
     val wins = toks.select(col("doc_id"),
       posexplode(winHashes(col("toks"))).as(Seq("p", "h")))
       .select(col("doc_id"), col("p").cast("long").as("p"), col("h"))
-      .cache()
     // a window is duplicated iff its hash occurs in >= 2 distinct docs
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2).select(col("h"))
     val marked = wins.join(dup, "h").select(col("doc_id"), col("p"))
-    coverage(base, marked)
+    Caching.scoped(wins)(coverage(base, marked))
   }
 
   /** Shared island-merge core: `base` = per-doc (doc_id, n_tokens,

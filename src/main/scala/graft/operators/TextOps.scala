@@ -374,9 +374,10 @@ object TextOps {
     val base = tok.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_before"))
     // the pair table feeds TWO plan references (global count + the
-    // occurrence scan for the chosen pair) — cache it so the corpus
-    // tokenizes and explodes once per iteration, not twice; a 100 TB
-    // trainer persists this table across its merge iterations anyway
+    // occurrence scan for the chosen pair) — cache it for the scope of
+    // this step so the corpus tokenizes and explodes once per iteration,
+    // not twice; a 100 TB trainer persists this table across its merge
+    // iterations anyway
     val prs = tok.filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         posexplode(zip_with(
@@ -385,7 +386,6 @@ object TextOps {
           (x, y) => struct(x.as("a"), y.as("b")))).as(Seq("i", "p")))
       .select(col("doc_id"), col("i").cast("long").as("i"),
         col("p.a").as("a"), col("p.b").as("b"))
-      .cache()
     val top = prs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("pair_n"))
       .orderBy(desc("pair_n"), col("a"), col("b"))
@@ -401,12 +401,14 @@ object TextOps {
       .agg(count(lit(1)).as("m"))
       .groupBy(col("doc_id"))
       .agg(sum(expr("(m + 1) div 2")).as("n_merges"))
-    base.join(merges, Seq("doc_id"), "left")
-      .crossJoin(broadcast(top))
-      .select(col("doc_id"), col("a"), col("b"), col("pair_n"),
-        col("n_before"),
-        coalesce(col("n_merges"), lit(0L)).as("n_merges"),
-        (col("n_before") - coalesce(col("n_merges"), lit(0L))).as("n_after"))
+    Caching.scoped(prs) {
+      base.join(merges, Seq("doc_id"), "left")
+        .crossJoin(broadcast(top))
+        .select(col("doc_id"), col("a"), col("b"), col("pair_n"),
+          col("n_before"),
+          coalesce(col("n_merges"), lit(0L)).as("n_merges"),
+          (col("n_before") - coalesce(col("n_merges"), lit(0L))).as("n_after"))
+    }
   }
 
   /** SQL oracle dual of [[bpeStep]] (same pair grid, tie-break, island
@@ -550,7 +552,8 @@ object TextOps {
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("j", "tok")))
       .select(col("doc_id"), col("j").cast("long").as("j"), col("tok"))
-      .cache() // feeds the pair count, the occurrence scan, and the rewrite
+    // tok feeds the pair count, the occurrence scan, and the rewrite —
+    // cached for the scope of this step (Caching.scoped below)
     val pairs1 = tok.withColumn("nxt", lead(col("tok"), 1).over(byDoc))
       .filter(col("nxt").isNotNull)
     val top1 = pairs1.groupBy(col("tok").as("a"), col("nxt").as("b"))
@@ -584,7 +587,7 @@ object TextOps {
       .groupBy(col("tok").as("a2"), col("nxt").as("b2"))
       .agg(count(lit(1)).as("pair_n2"))
       .orderBy(desc("pair_n2"), col("a2"), col("b2")).limit(1)
-    top1.crossJoin(top2)
+    Caching.scoped(tok)(top1.crossJoin(top2))
   }
 
   /** SQL oracle dual of [[bpeStep2]] (same islands, parity, rewrite). */

@@ -399,7 +399,7 @@ object RelationalQueries {
     * compact verb applied to this layout. The plan never rewrites the
     * base — exactly the point. */
   private def customerUpsertMor(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_mor").toString
+    val root = graft.sources.Scratch.dir("graft_mor")
     val base = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_acctbal"))
     def write(df: DataFrame, v: Int): Unit =

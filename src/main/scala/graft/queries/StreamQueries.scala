@@ -397,7 +397,8 @@ object StreamQueries {
        |FROM p JOIN t USING (event_type)
        |GROUP BY p.event_type, t.n, mean_p, sd_p""".stripMargin
 
-  /** Views landing inside each purchase's trailing-hour window, per user —
+  /** Views landing in the hour FOLLOWING each purchase ([t, t+3600)), per
+    * user —
     * a point-in-interval containment join run through the binned
     * [[IntervalJoin]] equi-join plan (never a nested-loop range join).
     * View spend is accumulated in exact integer cents so the sum is

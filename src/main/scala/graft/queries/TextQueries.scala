@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecOps
-import graft.operators.TextOps
+import graft.operators.{Caching, TextOps}
 import graft.sources.Tables
 
 /** Driver-facing text-analysis queries over the `documents` fixture — the
@@ -205,17 +205,20 @@ object TextQueries {
     val toks = d.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("token"))
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-      .cache() // referenced by the broadcast join AND the total aggregate
+    // freq feeds the broadcast join AND the total aggregate — cached for
+    // the scope of this query (Caching.scoped below)
     val total = freq.agg(sum(col("tf")).cast("double").as("n_total"))
     val lpMicro = floor(log(col("tf").cast("double") / col("n_total")) * 1e6
       + lit(0.5)).cast("long")
-    toks.join(broadcast(freq), "token").crossJoin(broadcast(total))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(lpMicro).as("lp_sum"))
-      .select(col("doc_id"), col("n_tokens"),
-        VecOps.qround(
-          col("lp_sum").cast("double") / (col("n_tokens") * lit(1e6)), 4)
-          .as("mean_logp"))
+    Caching.scoped(freq) {
+      toks.join(broadcast(freq), "token").crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(lpMicro).as("lp_sum"))
+        .select(col("doc_id"), col("n_tokens"),
+          VecOps.qround(
+            col("lp_sum").cast("double") / (col("n_tokens") * lit(1e6)), 4)
+            .as("mean_logp"))
+    }
   }
 
   private val unigramLogProbOracle =
@@ -252,22 +255,25 @@ object TextQueries {
         i => struct(element_at(col("toks"), i).as("ta"),
           element_at(col("toks"), i + 1).as("tb")))).as("p"))
       .select(col("doc_id"), col("p.ta").as("ta"), col("p.tb").as("tb"))
-      .cache() // referenced by both count aggregates and the scoring join
+    // bg feeds both count aggregates and the scoring join — cached for
+    // the scope of this query (Caching.scoped below)
     val cab = bg.groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c_ab"))
     val ca = bg.groupBy(col("ta")).agg(count(lit(1)).as("c_a"))
     val vocab = d.select(explode(TextOps.tokens(col("text"))).as("token"))
       .agg(countDistinct(col("token")).as("v"))
     val lpMicro = floor(log((col("c_ab") + lit(1L)).cast("double") /
       (col("c_a") + col("v")).cast("double")) * 1e6 + lit(0.5)).cast("long")
-    bg.join(cab, Seq("ta", "tb"))
-      .join(broadcast(ca), Seq("ta"))
-      .crossJoin(broadcast(vocab))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(lpMicro).as("lp_sum"))
-      .select(col("doc_id"), col("n_bigrams"),
-        VecOps.qround(
-          col("lp_sum").cast("double") / (col("n_bigrams") * lit(1e6)), 4)
-          .as("mean_logp"))
+    Caching.scoped(bg) {
+      bg.join(cab, Seq("ta", "tb"))
+        .join(broadcast(ca), Seq("ta"))
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(lpMicro).as("lp_sum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          VecOps.qround(
+            col("lp_sum").cast("double") / (col("n_bigrams") * lit(1e6)), 4)
+            .as("mean_logp"))
+    }
   }
 
   private val bigramLogProbOracle =
@@ -443,25 +449,28 @@ object TextQueries {
       .filter(col("ta") =!= col("tb"))
       .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= CoocMinCount)
-      .cache() // referenced by the ranking AND its own p_total aggregate
+    // pairs: the ranking AND its own p_total aggregate; uni: both
+    // pair-side joins and the n_total aggregate — cached for the scope of
+    // this query (Caching.scoped below)
     val uni = d.select(explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
-      .cache() // referenced by both pair-side joins and the n_total aggregate
     val totals = pairs.agg(sum(col("n_pair")).cast("double").as("p_total"))
       .crossJoin(uni.agg(sum(col("n_tok")).cast("double").as("n_total")))
     val w = Window.orderBy(desc("n_pair"), col("ta"), col("tb"))
     val pmi = log(col("n_pair").cast("double") * col("n_total") * col("n_total") /
       (col("p_total") * col("n_a") * col("n_b")))
-    pairs
-      .join(broadcast(uni.select(col("token").as("ta"),
-        col("n_tok").cast("double").as("n_a"))), "ta")
-      .join(broadcast(uni.select(col("token").as("tb"),
-        col("n_tok").cast("double").as("n_b"))), "tb")
-      .crossJoin(broadcast(totals))
-      .orderBy(desc("n_pair"), col("ta"), col("tb")).limit(CoocK)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("rank"), col("ta"), col("tb"), col("n_pair"),
-        VecOps.qround(pmi, 4).as("pmi"))
+    Caching.scoped(pairs, uni) {
+      pairs
+        .join(broadcast(uni.select(col("token").as("ta"),
+          col("n_tok").cast("double").as("n_a"))), "ta")
+        .join(broadcast(uni.select(col("token").as("tb"),
+          col("n_tok").cast("double").as("n_b"))), "tb")
+        .crossJoin(broadcast(totals))
+        .orderBy(desc("n_pair"), col("ta"), col("tb")).limit(CoocK)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("ta"), col("tb"), col("n_pair"),
+          VecOps.qround(pmi, 4).as("pmi"))
+    }
   }
 
   private val tokenCoocOracle =

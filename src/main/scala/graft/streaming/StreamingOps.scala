@@ -81,8 +81,8 @@ object StreamingOps {
     * tightens it to the real lateness bound; state-cleanup semantics under
     * a tight watermark are proved separately in StreamingParitySpec. */
   def windowedAggFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_ews_out").toString
-    val ckpt = Files.createTempDirectory("graft_ews_ckpt").toString
+    val out = graft.sources.Scratch.dir("graft_ews_out")
+    val ckpt = graft.sources.Scratch.dir("graft_ews_ckpt")
     withStreamPartitions(spark) {
       val q = startWindowedAggStream(
         graft.sources.Tables.eventsStream(spark, dir), out, ckpt,
@@ -134,9 +134,10 @@ object StreamingOps {
     * variant vs plain dropDuplicates, whose state never expires); the
     * delay is the re-delivery horizon, not the data's age span. */
   def dedupFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val staging = Files.createTempDirectory("graft_dedup_src")
-    val out = Files.createTempDirectory("graft_dedup_out").toString
-    val ckpt = Files.createTempDirectory("graft_dedup_ckpt").toString
+    val staging = java.nio.file.Paths.get(
+      graft.sources.Scratch.dir("graft_dedup_src"))
+    val out = graft.sources.Scratch.dir("graft_dedup_out")
+    val ckpt = graft.sources.Scratch.dir("graft_dedup_ckpt")
     val srcFile = java.nio.file.Paths.get(dir, "events.parquet")
     Files.copy(srcFile, staging.resolve("copy_a.parquet"))
     Files.copy(srcFile, staging.resolve("copy_b.parquet"))
@@ -179,8 +180,8 @@ object StreamingOps {
     * foreachBatch edge as the other streaming queries, then aggregated
     * per segment on read-back and graded against the batch-join oracle. */
   def segmentSpendStream(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_sst_out").toString
-    val ckpt = Files.createTempDirectory("graft_sst_ckpt").toString
+    val out = graft.sources.Scratch.dir("graft_sst_out")
+    val ckpt = graft.sources.Scratch.dir("graft_sst_ckpt")
     val purchases = graft.sources.Tables.eventsStream(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("value"))
@@ -224,8 +225,8 @@ object StreamingOps {
     * per batch and re-aggregated per user, graded against the batch join
     * oracle. */
   def viewPurchaseJoinStream(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_ssj_out").toString
-    val ckpt = Files.createTempDirectory("graft_ssj_ckpt").toString
+    val out = graft.sources.Scratch.dir("graft_ssj_out")
+    val ckpt = graft.sources.Scratch.dir("graft_ssj_ckpt")
     def side(t: String, uid: String, eid: String, tsc: String) =
       graft.sources.Tables.eventsStream(spark, dir)
         .filter(col("event_type") === t)
@@ -328,9 +329,9 @@ object StreamingOps {
     * the raw appended rows (user_id, p_user, view_id, purchase_id). */
   private def viewPurchaseOuterStream(spark: SparkSession, dir: String,
                                       joinType: String): DataFrame = {
-    val staging = Files.createTempDirectory("graft_sslj_src").toString
-    val out = Files.createTempDirectory("graft_sslj_out").toString
-    val ckpt = Files.createTempDirectory("graft_sslj_ckpt").toString
+    val staging = graft.sources.Scratch.dir("graft_sslj_src")
+    val out = graft.sources.Scratch.dir("graft_sslj_out")
+    val ckpt = graft.sources.Scratch.dir("graft_sslj_ckpt")
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
     ev.repartition(3).write.mode("overwrite").parquet(staging)
@@ -468,24 +469,30 @@ object StreamingOps {
     * latest-batch-per-key upserts; for additive counts, deterministic
     * per-batch paths are the standard answer.) */
   def dedupIngestStream(spark: SparkSession, dir: String): DataFrame = {
-    val staging = Files.createTempDirectory("graft_ingest_src").toString
-    val out = Files.createTempDirectory("graft_ingest_out").toString
-    val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+    val staging = graft.sources.Scratch.dir("graft_ingest_src")
+    val out = graft.sources.Scratch.dir("graft_ingest_out")
+    val ckpt = graft.sources.Scratch.dir("graft_ingest_ckpt")
     val docs = graft.sources.Tables.documents(spark, dir)
+    // cached across the micro-batches, released once the stream drains
     val index = graft.operators.Dedup
       .minhashRepIndex(docs.filter(col("doc_id") % 2 === 0))
       .cache()
-    docs.filter(col("doc_id") % 2 === 1)
-      .repartition(4) // 4 landing files → 2 micro-batches at 2 files/trigger
-      .write.mode("overwrite").parquet(staging)
-    val schema = spark.read.parquet(staging).schema
-    val q = startIngestStream(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(staging),
-      index, out, ckpt, Trigger.AvailableNow())
-    q.awaitTermination()
-    readIngestSink(spark, out)
+    try {
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartition(4) // 4 landing files → 2 micro-batches at 2 files/trigger
+        .write.mode("overwrite").parquet(staging)
+      val schema = spark.read.parquet(staging).schema
+      val q = startIngestStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(staging),
+        index, out, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+      readIngestSink(spark, out)
+    } finally {
+      index.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Start the ingest-dedup pipeline over any streaming documents source.
@@ -542,9 +549,9 @@ object StreamingOps {
   def ivfIngestStream(spark: SparkSession, dir: String, queries: DataFrame,
                       k: Int): DataFrame = {
     import graft.operators.Similarity
-    val staging = Files.createTempDirectory("graft_ivf_src").toString
-    val indexPath = Files.createTempDirectory("graft_ivf_stream_index").toString
-    val ckpt = Files.createTempDirectory("graft_ivf_stream_ckpt").toString
+    val staging = graft.sources.Scratch.dir("graft_ivf_src")
+    val indexPath = graft.sources.Scratch.dir("graft_ivf_stream_index")
+    val ckpt = graft.sources.Scratch.dir("graft_ivf_stream_ckpt")
     val emb = graft.sources.Tables.embeddings(spark, dir)
     def side(parity: Int) = emb.filter(col("vec_id") % 2 === parity)
       .select(col("vec_id").as("k_id"), col("vec").as("kvec"))
@@ -589,8 +596,8 @@ object StreamingOps {
     * ordinal conversion (`row_number` over start_s per user) runs on the
     * session table — thousands of times smaller than the event stream. */
   def sessionizeFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_sess_out").toString
-    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    val out = graft.sources.Scratch.dir("graft_sess_out")
+    val ckpt = graft.sources.Scratch.dir("graft_sess_ckpt")
     withStreamPartitions(spark) {
       val q = startSessionStream(spark,
         graft.sources.Tables.eventsStream(spark, dir), out, ckpt,
