@@ -34,6 +34,9 @@ case class PpmPatch(doc_id: Long, py: Long, px: Long, psum: Long)
 
 case class WavFrame(doc_id: Long, frame_id: Long, n_smp: Long, sum_sq: Long)
 
+case class WavSpectrum(doc_id: Long, frame_id: Long, n_smp: Long,
+                       p_dc: Long, p_mid: Long, p_nyq: Long)
+
 case class WavFeatures(doc_id: Long, sample_rate: Long, n_samples: Long,
                        sum_abs: Long, peak: Long)
 
@@ -549,6 +552,79 @@ object Multimodal {
        |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
        |       count(*) AS n_smp, CAST(sum(v * v) AS BIGINT) AS sum_sq
        |FROM s GROUP BY doc_id, frame_id""".stripMargin
+
+  /** FREQUENCY-DOMAIN audio feature — per-frame DFT bin powers at the
+    * three frequencies whose basis vectors are exactly integer: DC
+    * (cos = 1,1,1,…), the quarter-sample-rate bin k = FrameN/4, i.e.
+    * e^{−2πij/4} (cos = 1,0,−1,0…, sin = 0,−1,0,1… up to the conjugate,
+    * which leaves the power unchanged), and Nyquist k = FrameN/2
+    * (cos = (−1)^j). Power = re² + im² per bin — the low/mid/high
+    * energy-band triple a content filter thresholds on (silence/hum vs
+    * broadband noise), computed EXACTLY in integer arithmetic so the
+    * driver hash-compare holds; a full FFT would differ from the oracle
+    * by float rounding. The decode is the REAL byte parser; the per-frame
+    * pass is the same single int16 walk as [[wavFrames]]. Map-only: the
+    * 100 TB plan is pure input-split parallelism over the binary column.
+    *
+    * Coefficient envelope: |v| ≤ 32767, FrameN = 32 ⇒ |c| ≤ 2²⁰, so bin
+    * powers fit LONG with > 20 bits to spare. */
+  def wavSpectrum(docs: DataFrame, frame: Int = FrameN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val payload = wavPayload(id)
+          decodeWav(payload) // full header + consistency validation
+          val bb = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bb.getInt(40) / 2
+          (0 until (n + frame - 1) / frame).map { f =>
+            var (dc, nyq, mre, mim) = (0L, 0L, 0L, 0L)
+            var i = f * frame
+            val end = math.min((f + 1) * frame, n)
+            var cnt = 0L
+            while (i < end) {
+              val v = bb.getShort(44 + 2 * i).toLong
+              val j = i - f * frame
+              dc += v
+              nyq += (if ((j & 1) == 0) v else -v)
+              (j & 3) match {
+                case 0 => mre += v
+                case 1 => mim += v
+                case 2 => mre -= v
+                case _ => mim -= v
+              }
+              cnt += 1; i += 1
+            }
+            WavSpectrum(id, f.toLong, cnt,
+              dc * dc, mre * mre + mim * mim, nyq * nyq)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** closed-form oracle of [[wavSpectrum]]: same integer DFT bins over
+    * the sample formula. FrameN is a multiple of 4, so the within-frame
+    * index j ≡ i (mod 4) and the basis patterns read off the global
+    * sample index. */
+  def wavSpectrumSql(table: String, frame: Int = FrameN): String =
+    s"""WITH nn AS (SELECT doc_id, 64 + doc_id % 33 AS n FROM $table),
+       |s AS (SELECT doc_id, i // $frame AS frame_id, i % 4 AS j4,
+       |        ((doc_id * 31 + i * 17) % 4096) - 2048 AS v
+       |      FROM nn, unnest(generate_series(0, n - 1)) AS u(i)),
+       |c AS (SELECT doc_id, frame_id, count(*) AS n_smp,
+       |        sum(v) AS dc,
+       |        sum(CASE WHEN j4 % 2 = 0 THEN v ELSE -v END) AS nyq,
+       |        sum(CASE WHEN j4 = 0 THEN v WHEN j4 = 2 THEN -v ELSE 0 END) AS mre,
+       |        sum(CASE WHEN j4 = 1 THEN v WHEN j4 = 3 THEN -v ELSE 0 END) AS mim
+       |      FROM s GROUP BY doc_id, frame_id)
+       |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id, n_smp,
+       |       CAST(dc * dc AS BIGINT) AS p_dc,
+       |       CAST(mre * mre + mim * mim AS BIGINT) AS p_mid,
+       |       CAST(nyq * nyq AS BIGINT) AS p_nyq
+       |FROM c""".stripMargin
 
   /** Graded end-to-end AUDIO query: synthesize binary WAV payloads →
     * batched per-partition decode (same mapPartitions shape as

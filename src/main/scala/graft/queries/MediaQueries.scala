@@ -38,7 +38,11 @@ object MediaQueries {
       Multimodal.ppmPatches(Tables.documents(s, dir))),
     // audio framing: fixed-width int16 frames with exact integer energy
     "media_audio_frames" -> ((s, dir) =>
-      Multimodal.wavFrames(Tables.documents(s, dir)))
+      Multimodal.wavFrames(Tables.documents(s, dir))),
+    // frequency-domain audio: exact integer DFT bin powers (DC / sr/4 /
+    // Nyquist) per frame -- the band-energy triple a content filter uses
+    "media_audio_spectrum" -> ((s, dir) =>
+      Multimodal.wavSpectrum(Tables.documents(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -49,6 +53,7 @@ object MediaQueries {
     "media_audio" -> Multimodal.wavFeaturesSql("documents"),
     "media_phash" -> Multimodal.ppmPhashSql("documents"),
     "media_patches" -> Multimodal.ppmPatchesSql("documents"),
-    "media_audio_frames" -> Multimodal.wavFramesSql("documents")
+    "media_audio_frames" -> Multimodal.wavFramesSql("documents"),
+    "media_audio_spectrum" -> Multimodal.wavSpectrumSql("documents")
   )
 }
