@@ -630,4 +630,132 @@ object TextOps {
        |         FROM pr2 WHERE nxt IS NOT NULL
        |         GROUP BY 1, 2 ORDER BY pair_n2 DESC, a2, b2 LIMIT 1)
        |SELECT a, b, pair_n, a2, b2, pair_n2 FROM top1, top2""".stripMargin
+
+  /** The BPE TRAINING LOOP, composed — `iters` full
+    * (count pairs → pick top → greedy merge → rewrite stream)
+    * iterations, the text twin of [[graft.operators.Similarity.kmeansTrain]]
+    * and the trainer analog of the reference's re-entered fold loop
+    * (core.py:26-35). [[bpeStep2]] proved TWO composed iterations in one
+    * plan; a trainer over N merges cannot keep inlining — iteration i's
+    * plan would re-execute iterations 1..i−1 — so between iterations the
+    * rewritten token stream is cut via the [[Caching.scoped]]
+    * localCheckpoint (the corpus-sized analog of kmeansTrain's tiny
+    * centroid cut; at 100 TB this materialization is the persisted
+    * token-stream artifact every distributed BPE trainer carries between
+    * merges, e.g. the re-encoded corpus shards).
+    *
+    * Positions are RE-NUMBERED dense (row_number per doc) after every
+    * rewrite so the next iteration's greedy-overlap islands can again
+    * read adjacency as `j − lag(j) = 1` — after a merge consumes j+1,
+    * raw positions have holes and position-difference no longer means
+    * stream-adjacency ([[bpeStep2]] never needed this because its second
+    * iteration only re-counts).
+    *
+    * Returns `iters` rows: (it, a, b, pair_n) — the merge table, the
+    * actual artifact a BPE trainer emits. */
+  def bpeTrain(docs: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "bpeTrain needs at least one iteration")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+    var tok = PairPlan.fanOut(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("j", "tok")))
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("tok"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[DataFrame]
+    for (it <- 1 to iters) {
+      val pairs = tok.withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+        .filter(col("nxt").isNotNull)
+      // the 1-row merge decision is frozen eagerly: the rewrite below and
+      // the final merge-table union both read it without re-counting
+      val top = pairs.groupBy(col("tok").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("pair_n"))
+        .orderBy(desc("pair_n"), col("a"), col("b")).limit(1)
+        .localCheckpoint(true)
+      merges += top.select(lit(it.toLong).as("it"),
+        col("a"), col("b"), col("pair_n"))
+      if (it < iters) {
+        val occ = pairs.join(broadcast(top),
+            col("tok") === col("a") && col("nxt") === col("b"))
+          .select(col("doc_id"), col("j"))
+        val cum = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val merged = occ
+          .withColumn("brk", when(lag(col("j"), 1).over(byDoc).isNull ||
+            col("j") - lag(col("j"), 1).over(byDoc) > 1, 1L).otherwise(0L))
+          .withColumn("isl", sum(col("brk")).over(cum))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"), col("isl")).orderBy(col("j"))))
+          .filter(col("rk") % 2 === 1)
+          .select(col("doc_id"), col("j").as("mj"))
+        val rewritten = tok
+          .join(merged.select(col("doc_id"), col("mj").as("j"),
+            lit(true).as("is_m")), Seq("doc_id", "j"), "left")
+          .join(merged.select(col("doc_id"), (col("mj") + 1).as("j"),
+            lit(true).as("consumed")), Seq("doc_id", "j"), "left")
+          .filter(col("consumed").isNull)
+          .crossJoin(broadcast(
+            top.select(concat(col("a"), col("b")).as("mtok"))))
+          .select(col("doc_id"), col("j"),
+            when(col("is_m"), col("mtok")).otherwise(col("tok")).as("tok"))
+        tok = Caching.scoped(merged) {
+          rewritten.select(col("doc_id"),
+            row_number().over(byDoc).cast("long").as("j"), col("tok"))
+        }
+      }
+    }
+    merges.result().reduce(_ union _)
+  }
+
+  /** Chained-CTE dual of [[bpeTrain]]: s0 = the exploded token stream,
+    * then per iteration i the (pr → top → occ → islands → parity-merge →
+    * rewrite → dense renumber) chain, UNION ALL of the tops at the end.
+    * Same island/parity/tie-break rules as [[bpeStep2Sql]]. */
+  def bpeTrainSql(table: String, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH tt AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $table),
+       |t2 AS (SELECT doc_id, toks FROM tt WHERE len(toks) >= 2),
+       |s0 AS (SELECT doc_id, CAST(i AS BIGINT) AS j, toks[i] AS tok
+       |       FROM t2, unnest(generate_series(1, len(toks))) AS u(i))""".stripMargin
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb ++= s""",
+       |pr$i AS (SELECT doc_id, j, tok,
+       |          lead(tok) OVER (PARTITION BY doc_id ORDER BY j) AS nxt
+       |        FROM s$p),
+       |top$i AS (SELECT tok AS a, nxt AS b, count(*) AS pair_n
+       |         FROM pr$i WHERE nxt IS NOT NULL
+       |         GROUP BY 1, 2 ORDER BY pair_n DESC, a, b LIMIT 1)""".stripMargin
+      if (i < iters) sb ++= s""",
+       |occ$i AS (SELECT pr.doc_id, pr.j FROM pr$i pr JOIN top$i t
+       |           ON pr.tok = t.a AND pr.nxt = t.b),
+       |br$i AS (SELECT doc_id, j,
+       |         CASE WHEN lag(j) OVER w IS NULL OR j - lag(j) OVER w > 1
+       |              THEN 1 ELSE 0 END AS brk
+       |       FROM occ$i WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
+       |il$i AS (SELECT doc_id, j,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY j
+       |                        ROWS UNBOUNDED PRECEDING) AS isl
+       |       FROM br$i),
+       |m$i AS (SELECT doc_id, j AS mj FROM (
+       |        SELECT doc_id, j, isl,
+       |          row_number() OVER (PARTITION BY doc_id, isl ORDER BY j) AS rk
+       |        FROM il$i) WHERE rk % 2 = 1),
+       |ns$i AS (SELECT ts.doc_id, ts.j,
+       |         CASE WHEN m1.mj IS NOT NULL
+       |              THEN (SELECT a FROM top$i) || (SELECT b FROM top$i)
+       |              ELSE ts.tok END AS tok
+       |       FROM s$p ts
+       |       LEFT JOIN m$i m1 ON m1.doc_id = ts.doc_id AND m1.mj = ts.j
+       |       LEFT JOIN m$i m2 ON m2.doc_id = ts.doc_id AND m2.mj + 1 = ts.j
+       |       WHERE m2.mj IS NULL),
+       |s$i AS (SELECT doc_id,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) AS BIGINT) AS j,
+       |         tok
+       |       FROM ns$i)""".stripMargin
+    }
+    sb ++= (1 to iters).map(i =>
+      s"\nSELECT CAST($i AS BIGINT) AS it, a, b, pair_n FROM top$i")
+      .mkString("", "\nUNION ALL", "")
+    sb.toString
+  }
 }

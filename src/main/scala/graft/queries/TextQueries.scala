@@ -553,8 +553,14 @@ object TextQueries {
     "bpe_step" -> ((s, dir) => TextOps.bpeStep(docs(s, dir))),
     // two trainer iterations: merge 1 APPLIED (relational token-stream
     // rewrite), merge 2 found from the post-merge adjacencies
-    "bpe_step2" -> ((s, dir) => TextOps.bpeStep2(docs(s, dir)))
+    "bpe_step2" -> ((s, dir) => TextOps.bpeStep2(docs(s, dir))),
+    // the full trainer LOOP: BpeIters merges, each applied to the stream
+    // with a lineage cut between iterations (TextOps.bpeTrain)
+    "bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir), BpeIters))
   )
+
+  /** merge iterations graded by `bpe_train`. */
+  private val BpeIters = 4
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsOracle,
@@ -577,6 +583,7 @@ object TextQueries {
     "docs_batches" -> docsBatchesOracle,
     "bpe_step" -> TextOps.bpeStepSql("documents"),
     "bpe_step2" -> TextOps.bpeStep2Sql("documents"),
+    "bpe_train" -> TextOps.bpeTrainSql("documents", BpeIters),
     "token_cooc" -> tokenCoocOracle
   )
 }

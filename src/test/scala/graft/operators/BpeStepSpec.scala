@@ -59,4 +59,32 @@ class BpeStepSpec extends AnyFunSuite {
     assert((r.getString(0), r.getString(1), r.getLong(2)) === (("p", "q", 2L)))
     assert((r.getString(3), r.getString(4), r.getLong(5)) === (("pq", "pq", 1L)))
   }
+
+  test("bpeTrain's first two merges match bpeStep/bpeStep2 on the fixture corpus") {
+    // the trainer loop and the independently-graded one- and two-step
+    // queries must agree where they overlap — the same composition proof
+    // kmeansTrain has against kmeansStep
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val trained = TextOps.bpeTrain(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(trained.size === 3)
+    val s1 = TextOps.bpeStep(docs).select("a", "b", "pair_n").head()
+    assert(trained(1L) === ((s1.getString(0), s1.getString(1), s1.getLong(2))))
+    val s2 = TextOps.bpeStep2(docs).head()
+    assert(trained(2L) === ((s2.getString(3), s2.getString(4), s2.getLong(5))))
+  }
+
+  test("bpeTrain re-merges into longer tokens on an overlap-heavy doc") {
+    // [c,c,c,c]: it1 (c,c) n=3 -> greedy [cc, cc]; it2 (cc,cc) n=1 ->
+    // [cccc]; it3 has no pairs left anywhere -> trainer must still emit
+    // a row for the remaining corpus (doc 2 keeps a (d,e) pair alive)
+    val docs = Seq((1L, "c c c c"), (2L, "d e")).toDF("doc_id", "text")
+    val t = TextOps.bpeTrain(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(t(1L) === (("c", "c", 3L)))
+    assert(t(2L) === (("cc", "cc", 1L)))
+    assert(t(3L) === (("d", "e", 1L)))
+  }
 }
