@@ -103,8 +103,14 @@ object ScaleSmoke {
         .groupBy(col("chunk_hash"))
         .agg(countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") >= 2).count()),
-      // one BPE iteration (pair-count groupBy + greedy-apply windows)
-      "bpe" -> (d => TextOps.bpeStep(d).count()))
+      // one BPE iteration (pair-count groupBy + greedy-apply windows);
+      // bpeTrain is iters x this by construction (lineage cut per round)
+      "bpe" -> (d => TextOps.bpeStep(d).count()),
+      // integer-DFT audio bins: map-only decode + per-frame fold (sum
+      // sink forces the bin computation past column pruning)
+      "spectrum" -> (d => graft.operators.Multimodal.wavSpectrum(d)
+        .agg(sum(col("p_mid")).cast("double").as("s"), count(lit(1)).as("n"))
+        .head().getLong(1)))
 
     def run(corpus: DataFrame): Map[String, (Double, Long)] = {
       corpus.cache().count() // isolate replication cost from stage timing
@@ -154,7 +160,15 @@ object ScaleSmoke {
       // ADC scan: linear in N like ann_brute but over 4-code rows with
       // M table lookups instead of a 64-dim dot per pair
       "pq_adc" -> (kv =>
-        graft.operators.Pq.adcTopK(qSide, kv, pqCb, 10).count()))
+        graft.operators.Pq.adcTopK(qSide, kv, pqCb, 10).count()),
+      // one k-means iteration (assign + re-mean) — the per-round cost of
+      // kmeansTrain; seed build is itself corpus-linear. Sum sinks force
+      // the mean computation past column pruning
+      "kmeans" -> (kv => Similarity.kmeansStep(kv,
+          Similarity.ivfCentroids(kv.select((col("k_id") % 10).as("label"),
+            col("kvec").as("vec"))))
+        .agg(sum(col("c")).as("sc"), sum(col("n")).as("sn"))
+        .head().getLong(1)))
     def runAnn(kv: DataFrame): Map[String, (Double, Long)] = {
       kv.cache().count()
       val out = annStages.map { case (name, f) =>
