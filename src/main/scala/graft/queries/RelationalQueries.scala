@@ -601,7 +601,111 @@ object RelationalQueries {
        |       ${VecOps.qroundSql("revenue_raw", 2)} AS revenue
        |FROM r WHERE rank <= 20""".stripMargin
 
+  /** TPC-H Q7-style volume shipping: bilateral trade between two nations
+    * by ship year — the TWO-ROLE dimension shape (nation joins the fact
+    * once through the supplier and once through the customer). Each
+    * nation alias is pre-filtered to the two nations of interest BEFORE
+    * its join, so at 100 TB both dimension joins are selective broadcast
+    * semi-filters on the fact (Catalyst cannot derive those IN-filters
+    * from the cross-side disjunction on its own); the residual
+    * pair-disjunction then runs on the already-reduced rows. */
+  private def volumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        VecOps.qround(
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val volumeShippingOracle =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  ${VecOps.qroundSql("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue,
+       |  count(*) AS n
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+       |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+       |  AND n1.n_name <> n2.n_name
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8-style market share: per order year, the fraction of one
+    * region's ECONOMY-part import volume supplied by one nation. The
+    * share divides two sums computed in ONE pass (conditional aggregate,
+    * no second scan); numerator and denominator are cent-quantized before
+    * the division so both engines divide bit-identical doubles. Region
+    * and part filters reach their dimension scans; the fact side is
+    * filtered by two broadcast joins before the fact⋈fact shuffle. */
+  private def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val asiaKeys = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nkey"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaKeys), col("c_nationkey") === col("c_nkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        VecOps.qround(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))), 2)
+          .as("num"),
+        VecOps.qround(sum(vol), 2).as("den"),
+        count(lit(1)).as("n"))
+      .select(col("o_year"),
+        VecOps.qround(col("num") / col("den"), 6).as("mkt_share"), col("n"))
+  }
+
+  private val marketShareOracle = {
+    val num = VecOps.qroundSql(
+      "sum(CASE WHEN n1.n_name = 'NATION_3' " +
+        "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)", 2)
+    val den = VecOps.qroundSql("sum(l_extendedprice * (1.0 - l_discount))", 2)
+    s"""WITH a AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    $num AS num, $den AS den, count(*) AS n
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  JOIN region ON n2.n_regionkey = r_regionkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+       |  GROUP BY 1)
+       |SELECT o_year, ${VecOps.qroundSql("num / den", 6)} AS mkt_share, n
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "volume_shipping" -> (volumeShipping _),
+    "market_share" -> (marketShare _),
     "returned_revenue" -> (returnedRevenue _),
     "local_supplier_volume" -> (localSupplierVolume _),
     "tpch_q1" -> q1,
@@ -620,6 +724,8 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "volume_shipping" -> volumeShippingOracle,
+    "market_share" -> marketShareOracle,
     "local_supplier_volume" -> localSupplierVolumeOracle,
     "returned_revenue" -> returnedRevenueOracle,
     "customer_upsert_mor" -> customerUpsertMorOracle,

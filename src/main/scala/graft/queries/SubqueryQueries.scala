@@ -365,7 +365,55 @@ object SubqueryQueries {
        |      FROM customer)
        |GROUP BY c_mktsegment, quartile""".stripMargin
 
+  /** Q20-style nested grouped semi-join: suppliers (in five nations) who
+    * DOMINATE some Brand#1-3 part — their shipped quantity for it exceeds
+    * 2× that part's per-supplier average. The groupwise-average
+    * "correlated" subquery is decorrelated from the start: one
+    * (part,supplier) aggregate, one per-part rollup OF that aggregate
+    * (no second fact scan), joined back on partkey. Both comparison
+    * sides are 1e-4-quantized before the `>` so boundary groups cannot
+    * flip between engines. At 100 TB the rollup is tiny (|parts|) and
+    * broadcast; the fact is scanned once with the brand filter pushed. */
+  private def dominantSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val brands = Seq("Brand#1", "Brand#2", "Brand#3")
+    val g = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_brand").isin(brands: _*))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(VecOps.qround(sum(col("l_quantity")), 4).as("q"))
+    val t = g.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(VecOps.qround(sum(col("q")) / count(lit(1)), 4).as("avgq"))
+    val nations = (0 to 4).map(i => s"NATION_$i")
+    g.join(broadcast(t), col("l_partkey") === col("t_partkey"))
+      .filter(col("q") > lit(2.0) * col("avgq"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominant"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("n_dominant"))
+  }
+
+  private val dominantSuppliersOracle =
+    s"""WITH g AS (SELECT l_partkey, l_suppkey,
+       |             ${VecOps.qroundSql("sum(l_quantity)", 4)} AS q
+       |           FROM lineitem JOIN part ON l_partkey = p_partkey
+       |           WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+       |           GROUP BY l_partkey, l_suppkey),
+       |t AS (SELECT l_partkey AS t_partkey,
+       |        ${VecOps.qroundSql("sum(q) / count(*)", 4)} AS avgq
+       |      FROM g GROUP BY l_partkey),
+       |d AS (SELECT l_suppkey, count(*) AS n_dominant
+       |      FROM g JOIN t ON l_partkey = t_partkey
+       |      WHERE q > 2.0 * avgq
+       |      GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, n_name, n_dominant
+       |FROM d JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dominant_suppliers" -> dominantSuppliers,
     "nation_top_balance" -> nationTopBalance,
     "order_count_dist" -> orderCountDist,
     "promo_share" -> promoShare,
@@ -381,6 +429,7 @@ object SubqueryQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dominant_suppliers" -> dominantSuppliersOracle,
     "nation_top_balance" -> nationTopBalanceOracle,
     "order_count_dist" -> orderCountDistOracle,
     "promo_share" -> promoShareOracle,
