@@ -610,7 +610,7 @@ object RelationalQueries {
     * from the cross-side disjunction on its own); the residual
     * pair-disjunction then runs on the already-reduced rows. */
   private def volumeShipping(s: SparkSession, dir: String): DataFrame = {
-    val pair = Seq("NATION_1", "NATION_2")
+    val pair = Seq("NATION_3", "NATION_8")
     val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
     val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
@@ -642,8 +642,8 @@ object RelationalQueries {
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-       |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-       |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+       |WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+       |  AND n2.n_name IN ('NATION_3', 'NATION_8')
        |  AND n1.n_name <> n2.n_name
        |GROUP BY 1, 2, 3""".stripMargin
 

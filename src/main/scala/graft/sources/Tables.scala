@@ -61,17 +61,24 @@ object Tables {
     fixEventTs(df)
   }
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and we
-    * rebuild a micro-precision timestamp here. Integer DIV (not `/`, which
-    * is double and loses precision above 2^53 ns) floors exactly like
-    * DuckDB's nano->micro conversion. Shared by the batch loader and the
-    * file-stream source (the fix is a per-row projection, valid on
-    * streaming DataFrames too). */
+  /** Normalize the fixture's `ts` to TIMESTAMP (LTZ). The driver has shipped
+    * two physical encodings across rounds: TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects (sessions set
+    * spark.sql.legacy.parquet.nanosAsLong=true and we rebuild a
+    * micro-precision timestamp here — integer DIV, not `/`, which is double
+    * and loses precision above 2^53 ns, floors exactly like DuckDB's
+    * nano->micro conversion), and timestamp[us] with isAdjustedToUTC=false,
+    * which Spark reads as TIMESTAMP_NTZ (watermarks and stream-stream joins
+    * require LTZ; sessions pin spark.sql.session.timeZone=UTC, so the cast
+    * is a micros-identity). Shared by the batch loader and the file-stream
+    * source (the fix is a per-row projection, valid on streaming DataFrames
+    * too). */
   def fixEventTs(df: DataFrame): DataFrame = {
     val ts = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr("ts DIV 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
       case _ => col("ts")
     }
     df.withColumn("ts", ts)
