@@ -127,6 +127,81 @@ object Pq {
         VecOps.qround(col("e.err2"), 4).as("err2"))
   }
 
+  /** ONE per-subspace k-means iteration over the current codebook: the
+    * same literal-unrolled map-only assignment as [[encode]], with the
+    * subvector riding alongside its argmin code so the re-mean needs NO
+    * corpus self-join — the only shuffle carries M × K × S map-combined
+    * partial sums, never vectors (the [[Similarity.kmeansStep]] contract,
+    * per subspace). Output is the exploded (m, code, sp, c, n) re-mean so
+    * the driver can hash-grade a training step directly. Codes that
+    * capture no vectors disappear (standard k-means empty-cell behavior;
+    * production re-seeds them — the fixture never empties a cell). */
+  def pqStep(kv: DataFrame, cb: DataFrame): DataFrame =
+    pqStepWith(kv, collectCb(cb))
+
+  private def pqStepWith(kv: DataFrame,
+                         cbl: IndexedSeq[IndexedSeq[(Long, Array[Double])]]): DataFrame = {
+    val withSubs = (0 until M).foldLeft(kv) { (df, m) =>
+      df.withColumn(s"_sub$m", slice(col("kvec"), m * S + 1, S))
+        .withColumn(s"_ss$m", VecOps.dot(col(s"_sub$m"), col(s"_sub$m")))
+    }
+    val perM = (0 until M).map { m =>
+      val scored = array(cbl(m).map { case (j, cv) =>
+        val d = col(s"_ss$m") -
+          lit(2.0) * VecOps.dot(col(s"_sub$m"), typedLit(cv.toSeq)) +
+          lit(dotSeq(cv, cv))
+        struct(d.as("d"), lit(j).as("j"))
+      }: _*)
+      struct(lit(m.toLong).as("m"),
+        array_min(scored).getField("j").as("code"),
+        col(s"_sub$m").as("svec"))
+    }
+    withSubs.select(explode(array(perM: _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.code").as("code"),
+        posexplode(col("e.svec")).as(Seq("sp", "x")))
+      .groupBy(col("m"), col("code"), col("sp").cast("long").as("sp"))
+      .agg(VecOps.qround(sum(col("x")) / count(lit(1)), 4).as("c"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Reassemble [[pqStep]]'s exploded (m, code, sp, c, n) output into the
+    * (m, j, cvec) codebook shape [[encode]]/[[adcTopK]]/the next iteration
+    * consume. Cells are already 4-decimal quantized by the step, so the
+    * rebuilt codebook is bit-identical cross-engine — each iteration's
+    * argmin stays hash-stable, which is what lets the training LOOP be
+    * graded (the [[Similarity.centroidsFromStep]] argument, per subspace). */
+  def codebookFromStep(step: DataFrame): DataFrame =
+    step.groupBy(col("m"), col("code").as("j"))
+      .agg(transform(array_sort(collect_list(struct(col("sp"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+
+  /** The PQ codebook TRAINING LOOP, composed: `iters` full
+    * assign/re-mean iterations per subspace from `seed`, returning the
+    * LAST iteration's exploded step output (hash-gradable, counts
+    * included) — the quantizer-training twin of
+    * [[Similarity.kmeansTrain]], closing the codebook half of the "train
+    * to convergence" story (the IVF half trains coarse centroids; this
+    * trains the fine codes). No localCheckpoint is needed between
+    * iterations: each step COLLECTS the previous codebook (M × K
+    * qrounded 16-dim cells — driver-literal sized) and builds its plan
+    * from kv + literals only, so lineage self-truncates per iteration.
+    * At 100 TB the cost is exactly `iters` map-only corpus scans, each
+    * shuffling M × K × S partial sums; the driver only ever holds the
+    * codebook between rounds. */
+  def pqTrain(kv: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "pqTrain needs at least one iteration")
+    var cb = seed
+    for (_ <- 1 until iters)
+      cb = codebookFromStep(pqStep(kv, cb))
+    pqStep(kv, cb)
+  }
+
+  /** Trained codebook after `iters` [[pqTrain]] iterations, in the
+    * (m, j, cvec) shape [[adcTopK]] consumes — search through it grades
+    * the full train→encode→search composition. */
+  def pqTrainedCodebook(kv: DataFrame, seed: DataFrame, iters: Int): DataFrame =
+    codebookFromStep(pqTrain(kv, seed, iters))
+
   /** the persisted-index shape: (k_id, codes[M]) — M small ints per vector. */
   def codes(kv: DataFrame, cb: DataFrame): DataFrame =
     codesWith(kv, collectCb(cb))

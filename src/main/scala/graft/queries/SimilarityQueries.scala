@@ -487,6 +487,108 @@ object SimilarityQueries {
        |        FROM scdist)""".stripMargin
   }
 
+  /** Training iterations graded by `pq_train`/`similar_pq_trained` —
+    * matches [[Pq.pqTrain]]'s composition depth. */
+  private val PqIters = 3
+
+  /** Per-subspace codebook-training chain: seed codebook (label means,
+    * the [[pqEncCtes]] cell/cb text), the (vec_id, m, subvector) table,
+    * then per iteration an argmin assignment under cb{i-1} and a
+    * per-(m, code, position) re-mean — the SQL dual of [[Pq.pqTrain]].
+    * Distances use the same left-assoc x·x − 2·x·c + c·c and tie-break
+    * on j; re-means are 4-decimal quantized before the next iteration
+    * reads them, so every iteration's argmin is hash-stable. */
+  private def pqChainSqlPrefix(iters: Int): String = {
+    val s = Pq.S
+    val sb = new StringBuilder
+    sb ++= s"""WITH cell0 AS (SELECT label AS j, i AS pos, ${VecOps.qroundSql("sum(e) / count(*)", 4)} AS c
+       |           FROM (SELECT label, unnest(embedding)::DOUBLE AS e,
+       |                   unnest(range(len(embedding))) AS i FROM embeddings)
+       |           GROUP BY label, i),
+       |cb0 AS (SELECT pos // $s AS m, j, list(c ORDER BY pos) AS cv
+       |        FROM cell0 GROUP BY 1, 2),
+       |subs AS (SELECT vec_id, mm.m,
+       |           list_slice(embedding::DOUBLE[], mm.m*$s + 1, mm.m*$s + $s) AS sv
+       |         FROM embeddings
+       |         CROSS JOIN (SELECT unnest(range(${Pq.M})) AS m) mm)""".stripMargin
+    for (i <- 1 to iters) sb ++= s""",
+       |scd$i AS (SELECT subs.vec_id, subs.m, cb.j,
+       |            list_dot_product(subs.sv, subs.sv)
+       |              - 2.0 * list_dot_product(subs.sv, cb.cv)
+       |              + list_dot_product(cb.cv, cb.cv) AS d2
+       |          FROM subs JOIN cb${i - 1} cb ON cb.m = subs.m),
+       |asn$i AS (SELECT vec_id, m, j AS code FROM (
+       |            SELECT vec_id, m, j,
+       |              row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+       |            FROM scd$i) WHERE rn = 1),
+       |st$i AS (SELECT m, code, sp, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c,
+       |           count(*) AS n
+       |         FROM (SELECT subs.m, a.code, unnest(subs.sv)::DOUBLE AS x,
+       |                 unnest(range(len(subs.sv))) AS sp
+       |               FROM asn$i a
+       |               JOIN subs ON subs.vec_id = a.vec_id AND subs.m = a.m)
+       |         GROUP BY m, code, sp),
+       |cb$i AS (SELECT m, code AS j, list(c ORDER BY sp) AS cv
+       |         FROM st$i GROUP BY m, code)""".stripMargin
+    sb.toString
+  }
+
+  /** Dual of the composed codebook trainer: the LAST iteration's re-mean. */
+  private val pqTrainOracle =
+    s"""${pqChainSqlPrefix(PqIters)}
+       |SELECT CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code,
+       |       CAST(sp AS BIGINT) AS sp, c, n
+       |FROM st$PqIters""".stripMargin
+
+  /** Dual of ADC search through the TRAINED codebook: the training chain,
+    * a fresh encoding under cb$PqIters, then the usual LUT-join ADC rank
+    * and exact-cosine rerank ([[pqTopkSql]]'s shape under the trained
+    * quantizer). */
+  private lazy val pqTrainedTopkOracle = {
+    val s = Pq.S
+    val it = PqIters
+    def piv(src: String, alias: String) =
+      s"(((max(CASE WHEN e.m = 0 THEN $src END) + max(CASE WHEN e.m = 1 THEN $src END))" +
+        s" + max(CASE WHEN e.m = 2 THEN $src END)) + max(CASE WHEN e.m = 3 THEN $src END)) AS $alias"
+    s"""${pqChainSqlPrefix(it)},
+       |scdf AS (SELECT subs.vec_id, subs.m, cb.j,
+       |           list_dot_product(subs.sv, subs.sv)
+       |             - 2.0 * list_dot_product(subs.sv, cb.cv)
+       |             + list_dot_product(cb.cv, cb.cv) AS d2
+       |         FROM subs JOIN cb$it cb ON cb.m = subs.m),
+       |enc AS (SELECT vec_id, m, j AS code FROM (
+       |          SELECT vec_id, m, j,
+       |            row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+       |          FROM scdf) WHERE rn = 1),
+       |q AS ($pqStdQCte),
+       |kk AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |lut AS (SELECT q.q_id, cb.m, cb.j,
+       |          list_dot_product(list_slice(q.qv, cb.m*$s + 1, cb.m*$s + $s), cb.cv) AS ip,
+       |          list_dot_product(cb.cv, cb.cv) AS nn
+       |        FROM q CROSS JOIN cb$it cb),
+       |qn AS (SELECT q_id, sqrt(list_dot_product(qv, qv)) AS qn FROM q),
+       |sc2 AS (SELECT l.q_id, e.vec_id AS k_id,
+       |          ${piv("l.ip", "aip")},
+       |          ${piv("l.nn", "an2")}
+       |        FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.code
+       |        GROUP BY l.q_id, e.vec_id),
+       |cand AS (SELECT q_id, k_id FROM (
+       |           SELECT sc2.q_id, sc2.k_id,
+       |             row_number() OVER (PARTITION BY sc2.q_id
+       |               ORDER BY sc2.aip / (qn.qn * sqrt(sc2.an2)) DESC, sc2.k_id) AS rnk
+       |           FROM sc2 JOIN qn USING (q_id) WHERE sc2.k_id <> sc2.q_id)
+       |         WHERE rnk <= ${Pq.RerankC}),
+       |r AS (SELECT cand.q_id, cand.k_id,
+       |        list_dot_product(q.qv, kk.kv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(kk.kv, kk.kv))) AS cos
+       |      FROM cand JOIN q ON q.q_id = cand.q_id JOIN kk ON kk.k_id = cand.k_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, k_id,
+       |       ${VecOps.qroundSql("cos", 4)} AS cos
+       |FROM (SELECT q_id, k_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, k_id) AS rank
+       |      FROM r)
+       |WHERE rank <= $TopK""".stripMargin
+  }
+
   private val pqCodesOracle =
     s"""WITH ${pqEncCtes()}
        |SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code,
@@ -795,6 +897,14 @@ object SimilarityQueries {
     "similar_pq" -> ((s, dir) =>
       Pq.adcTopK(qSide(s, dir), kvSide(s, dir),
         Pq.codebook(emb(s, dir)), TopK)),
+    // codebook TRAINING to a fixed iteration count (the fine-quantizer
+    // twin of kmeans_train), and search through the trained codebook
+    "pq_train" -> ((s, dir) =>
+      Pq.pqTrain(kvSide(s, dir), Pq.codebook(emb(s, dir)), PqIters)),
+    "similar_pq_trained" -> ((s, dir) =>
+      Pq.adcTopK(qSide(s, dir), kvSide(s, dir),
+        Pq.pqTrainedCodebook(kvSide(s, dir), Pq.codebook(emb(s, dir)),
+          PqIters), TopK)),
     "similar_pq_recall" -> ((s, dir) =>
       Pq.adcRecall(perturbedQSide(s, dir), kvSide(s, dir),
         Pq.codebook(emb(s, dir)), 1)),
@@ -876,6 +986,8 @@ object SimilarityQueries {
     "similar_ivf_trained" -> ivfTrainedTopkOracle,
     "embed_pq_codes" -> pqCodesOracle,
     "similar_pq" -> pqTopkSql(TopK, pqStdQCte),
+    "pq_train" -> pqTrainOracle,
+    "similar_pq_trained" -> pqTrainedTopkOracle,
     "similar_pq_recall" -> pqRecallOracleFor("label"),
     "similar_pq_k256" -> pqTopkSql(TopK, pqStdQCte, jExpr = s"vec_id % ${Pq.BigK}"),
     "similar_pq_k256_recall" -> pqRecallOracleFor(s"vec_id % ${Pq.BigK}"),

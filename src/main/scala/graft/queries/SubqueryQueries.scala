@@ -412,7 +412,70 @@ object SubqueryQueries {
        |JOIN nation ON s_nationkey = n_nationkey
        |WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')""".stripMargin
 
+  /** Q11-style important parts: parts whose shipped value exceeds 1.3× the
+    * MEAN per-part value — a HAVING filter against a global scalar
+    * aggregate. The scalar subquery is decorrelated by construction: the
+    * per-part rollup is computed once, its 1-row mean is broadcast back as
+    * a cross join, and the filter runs map-side. The threshold factor is
+    * scale-free (a fixed share of total, as in TPC-H Q11, selects nothing
+    * once |parts| grows past 1/fraction). Both comparison sides are
+    * cent-quantized before the `>` so boundary parts cannot flip between
+    * engines. At 100 TB the fact is scanned once; the second "scan" reads
+    * the |parts|-row rollup, not lineitem. */
+  private def importantParts(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rv"),
+        count(lit(1)).as("n"))
+    val mean = perPart.agg(avg(col("rv")).as("av"))
+    perPart.crossJoin(broadcast(mean))
+      .filter(VecOps.qround(col("rv"), 2) > VecOps.qround(lit(1.3) * col("av"), 2))
+      .select(col("l_partkey"), VecOps.qround(col("rv"), 2).as("part_value"),
+        col("n"))
+  }
+
+  private val importantPartsOracle =
+    s"""WITH pp AS (SELECT l_partkey,
+       |              sum(l_extendedprice * (1.0 - l_discount)) AS rv,
+       |              count(*) AS n
+       |            FROM lineitem GROUP BY l_partkey),
+       |t AS (SELECT avg(rv) AS av FROM pp)
+       |SELECT l_partkey, ${VecOps.qroundSql("rv", 2)} AS part_value, n
+       |FROM pp, t
+       |WHERE ${VecOps.qroundSql("rv", 2)} > ${VecOps.qroundSql("1.3 * av", 2)}""".stripMargin
+
+  /** Q16-style supplier variety: how many DISTINCT suppliers ship each
+    * (brand, type) of small parts, excluding blacklisted suppliers (the
+    * negative-balance stand-in for Q16's complaint filter). Two distinct
+    * plan features: a NOT IN rewritten as a broadcast LEFT ANTI join (the
+    * blacklist is dimension-sized at any scale), and count(DISTINCT) whose
+    * dedup Spark executes as a two-phase partial aggregate — (brand, type,
+    * suppkey) dedup map-side, counts final-side — never a global set. */
+  private def supplierVariety(s: SparkSession, dir: String): DataFrame = {
+    val blacklist = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size").between(1, 25))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n_ship"))
+  }
+
+  private val supplierVarietyOracle =
+    """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS n_supp,
+      |  count(*) AS n_ship
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size BETWEEN 1 AND 25
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "important_parts" -> importantParts,
+    "supplier_variety" -> supplierVariety,
     "dominant_suppliers" -> dominantSuppliers,
     "nation_top_balance" -> nationTopBalance,
     "order_count_dist" -> orderCountDist,
@@ -429,6 +492,8 @@ object SubqueryQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "important_parts" -> importantPartsOracle,
+    "supplier_variety" -> supplierVarietyOracle,
     "dominant_suppliers" -> dominantSuppliersOracle,
     "nation_top_balance" -> nationTopBalanceOracle,
     "order_count_dist" -> orderCountDistOracle,
