@@ -168,6 +168,12 @@ object ScaleSmoke {
           Similarity.ivfCentroids(kv.select((col("k_id") % 10).as("label"),
             col("kvec").as("vec"))))
         .agg(sum(col("c")).as("sc"), sum(col("n")).as("sn"))
+        .head().getLong(1)),
+      // one PQ codebook-training iteration against the frozen 1× codebook:
+      // the per-round cost of pqTrain — map-only assignment with the
+      // subvector carried, then an M×K×S-cell map-side-combined re-mean
+      "pq_step" -> (kv => graft.operators.Pq.pqStep(kv, pqCb)
+        .agg(sum(col("c")).as("sc"), sum(col("n")).as("sn"))
         .head().getLong(1)))
     def runAnn(kv: DataFrame): Map[String, (Double, Long)] = {
       kv.cache().count()

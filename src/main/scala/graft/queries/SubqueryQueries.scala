@@ -420,13 +420,17 @@ object SubqueryQueries {
     * scale-free (a fixed share of total, as in TPC-H Q11, selects nothing
     * once |parts| grows past 1/fraction). Both comparison sides are
     * cent-quantized before the `>` so boundary parts cannot flip between
-    * engines. At 100 TB the fact is scanned once; the second "scan" reads
-    * the |parts|-row rollup, not lineitem. */
+    * engines. The |parts|-row rollup is localCheckpoint'ed so BOTH the
+    * mean and the filter derive from one materialized table — without it
+    * Catalyst inlines the rollup twice and scans the fact twice (verified
+    * on the formatted plan). At 100 TB that is one lineitem scan plus a
+    * parts-sized intermediate, never two fact scans. */
   private def importantParts(s: SparkSession, dir: String): DataFrame = {
     val perPart = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rv"),
         count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val mean = perPart.agg(avg(col("rv")).as("av"))
     perPart.crossJoin(broadcast(mean))
       .filter(VecOps.qround(col("rv"), 2) > VecOps.qround(lit(1.3) * col("av"), 2))
