@@ -703,7 +703,13 @@ object RelationalQueries {
        |FROM a""".stripMargin
   }
 
+  /** PageRank iterations graded by `link_rank` — matches the other
+    * composed trainer loops' depth (kmeans_train, pq_train). */
+  private val LinkRankIters = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_rank" -> ((s, dir) =>
+      graft.operators.LinkRank.ranks(Tables.lineitem(s, dir), LinkRankIters)),
     "volume_shipping" -> (volumeShipping _),
     "market_share" -> (marketShare _),
     "returned_revenue" -> (returnedRevenue _),
@@ -724,6 +730,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "link_rank" -> graft.operators.LinkRank.ranksSql(LinkRankIters),
     "volume_shipping" -> volumeShippingOracle,
     "market_share" -> marketShareOracle,
     "local_supplier_volume" -> localSupplierVolumeOracle,
