@@ -83,4 +83,59 @@ object VecOps {
     s"((${hash60Sql(expr)})::DOUBLE + 0.5) / 1152921504606846976.0"
   def gumbelSql(expr: String): String =
     s"-ln(-ln(${u01Sql(expr)}))"
+
+  // ---- integer pair-noise stream (Mix60Kernel) ----------------------------
+  // The md5 stream above costs one digest per evaluation; per-PAIR noise
+  // (the sampler evaluates it M×N times) uses the splitmix64-based
+  // Mix60Kernel instead — same u01/gumbel shape, ~100× cheaper, still
+  // bit-identical in DuckDB (HUGEINT arithmetic mod 2^64, verified
+  // exhaustively in Mix60Spec / the oracle gate).
+
+  /** 60-bit seed from a seed STRING via md5 — one digest at plan time,
+    * inlined as a literal into both the Spark plan and the oracle SQL. */
+  def seed60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    SketchKernel.hex60(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  /** Standard Gumbel(0,1) noise keyed on (seed, a, b) id columns — the
+    * per-pair dual of [[gumbel]] with the digest replaced by the codegen'd
+    * integer mixer. */
+  def pairGumbel(seed: Long, a: Column, b: Column): Column = {
+    val u = (NativeExprs.mix60(seed, a, b).cast("double") + lit(0.5)) / lit(Pow260)
+    -log(-log(u))
+  }
+
+  /** SQL dual of [[Mix60Kernel.mix60]] as DuckDB lateral-alias select
+    * items: emits columns `z0..z4, h60` (HUGEINT chain, BIGINT h60)
+    * computing splitmix64((seed + a·C1 + b·C2) mod 2^64) >> 4 with
+    * mod-2^64 multiplies built from 32-bit halves (HUGEINT holds every
+    * intermediate exactly; DuckDB raises on real overflow, so a silent
+    * wrap is impossible). Append inside a SELECT whose FROM provides
+    * `aExpr`/`bExpr`; reference `h60` downstream. */
+  def mix60ColsSql(seed: Long, aExpr: String, bExpr: String): String = {
+    val m64 = "18446744073709551616::HUGEINT" // 2^64
+    def u(c: Long): java.math.BigInteger = // unsigned value of the Java constant
+      java.math.BigInteger.valueOf(c).and(new java.math.BigInteger("FFFFFFFFFFFFFFFF", 16))
+    // (a * c) mod 2^64 via 32-bit halves: lo·clo + ((lo·chi + hi·clo) mod 2^32)·2^32
+    def mulmod(a: String, c: Long): String = {
+      val cv = u(c)
+      val clo = cv.mod(java.math.BigInteger.valueOf(1L << 32))
+      val chi = cv.shiftRight(32)
+      s"""(((($a) % 4294967296) * $clo::HUGEINT +
+         |   (((($a) % 4294967296) * $chi::HUGEINT + (($a) // 4294967296) * $clo::HUGEINT)
+         |    % 4294967296) * 4294967296) % $m64)""".stripMargin
+    }
+    s"""((${u(seed)}::HUGEINT + ${mulmod(s"($aExpr)::HUGEINT", Mix60Kernel.C1)}
+       |  + ${mulmod(s"($bExpr)::HUGEINT", Mix60Kernel.C2)}) % $m64) AS z0,
+       |xor(z0, z0 >> 30) AS z1,
+       |${mulmod("z1", Mix60Kernel.M1)} AS z2,
+       |xor(z2, z2 >> 27) AS z3,
+       |${mulmod("z3", Mix60Kernel.M2)} AS z4,
+       |(xor(z4, z4 >> 31) >> 4)::BIGINT AS h60""".stripMargin
+  }
+
+  /** Gumbel noise from the `h60` column [[mix60ColsSql]] emits. */
+  val pairGumbelSql: String =
+    "-ln(-ln((h60::DOUBLE + 0.5) / 1152921504606846976.0))"
 }

@@ -16,11 +16,14 @@ import graft.functions.{GraftAggs, VecOps}
   * associative, so Spark's partial/final agg needs no custom state at all
   * (`max(struct(perturbed, logit, idx))`).
   *
-  * Noise is a deterministic md5-derived Gumbel stream keyed on
-  * (seed, m_id, k_id) ([[VecOps.gumbel]]) rather than the reference's
-  * `torch.rand` (sampling.py:5,14) — reproducible across retries AND
-  * bit-identically computable by the DuckDB oracle, so this normally
-  * "nondeterministic" operator gets a full hash-equality check.
+  * Noise is a deterministic Gumbel stream keyed on (seed, m_id, k_id)
+  * rather than the reference's `torch.rand` (sampling.py:5,14) —
+  * reproducible across retries AND bit-identically computable by the
+  * DuckDB oracle, so this normally "nondeterministic" operator gets a
+  * full hash-equality check. The stream is the codegen'd integer
+  * [[graft.functions.Mix60Kernel]] ([[VecOps.pairGumbel]]): noise is
+  * evaluated once per (m, k) PAIR, and the md5-string stream it replaced
+  * was ~90% of sampler_big's CPU (VERDICT r6 plan audit).
   *
   * Output matches gemmmr_sampler (sampling.py:59-61): the chosen global
   * index `c` and its softmax probability `weight = e^{z − logsumexp}`.
@@ -31,12 +34,11 @@ object Sampler {
   def sampler(pred: DataFrame, trg: DataFrame, seed: String,
               mode: PairPlan.Mode = PairPlan.Auto): DataFrame = {
     val sc = VecOps.dot(col("mvec"), col("kvec"))
-    val key = concat(lit(seed + ":"), col("m_id").cast("string"),
-      lit(":"), col("k_id").cast("string"))
+    val noise = VecOps.pairGumbel(VecOps.seed60(seed), col("m_id"), col("k_id"))
     PairPlan.cross(trg, pred, mode)
       .select(col("m_id"), col("k_id"), sc.as("sc"))
       .select(col("m_id"), col("k_id"), col("sc"),
-        (col("sc") + VecOps.gumbel(key)).as("pert"))
+        (col("sc") + noise).as("pert"))
       .groupBy("m_id")
       .agg(
         max(struct(col("pert"), col("sc"), col("k_id"))).as("top"),

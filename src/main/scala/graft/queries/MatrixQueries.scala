@@ -235,10 +235,12 @@ object MatrixQueries {
 
   private def samplerOracle(mWhere: String = s" WHERE vec_id < $M") = {
     val wt = VecOps.qroundSql("exp(z - tz)", 6)
-    val gum = VecOps.gumbelSql(
-      "'graft:' || CAST(q_id AS VARCHAR) || ':' || CAST(k_id AS VARCHAR)")
+    // integer pair-noise dual (Mix60Kernel): the z0..z4/h60 chain rides as
+    // lateral column aliases, then the same -ln(-ln(u01)) as the Spark side
+    val mixCols = VecOps.mix60ColsSql(VecOps.seed60("graft"), "q_id", "k_id")
     s"""${qkPrefixWhere(mWhere)},
-       |g AS (SELECT q_id, k_id, sc, sc + ($gum) AS pert FROM s),
+       |g AS (SELECT q_id, k_id, sc, $mixCols,
+       |      sc + (${VecOps.pairGumbelSql}) AS pert FROM s),
        |m AS (SELECT q_id, max(sc) AS mx FROM s GROUP BY q_id),
        |t AS (SELECT s.q_id, mx + ln(sum(exp(sc - mx))) AS tz
        |      FROM s JOIN m USING (q_id) GROUP BY s.q_id, mx),

@@ -137,10 +137,9 @@ class OperatorParitySpec extends AnyFunSuite {
     assert(got.size == M)
 
     val sc = VecOps.dot(col("mvec"), col("kvec"))
-    val key = concat(lit("spec:"), col("m_id").cast("string"),
-      lit(":"), col("k_id").cast("string"))
+    val noise = VecOps.pairGumbel(VecOps.seed60("spec"), col("m_id"), col("k_id"))
     val want = trg.crossJoin(pred)
-      .select(col("m_id"), col("k_id"), (sc + VecOps.gumbel(key)).as("pert"))
+      .select(col("m_id"), col("k_id"), (sc + noise).as("pert"))
       .groupBy("m_id").agg(max_by(col("k_id"), col("pert")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     for ((m, (c, w)) <- got) {
