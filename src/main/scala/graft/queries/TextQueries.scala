@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecOps
-import graft.operators.{Caching, TextOps}
+import graft.operators.{Caching, PhraseIndex, TextOps}
 import graft.sources.Tables
 
 /** Driver-facing text-analysis queries over the `documents` fixture — the
@@ -556,11 +556,63 @@ object TextQueries {
     "bpe_step2" -> ((s, dir) => TextOps.bpeStep2(docs(s, dir))),
     // the full trainer LOOP: BpeIters merges, each applied to the stream
     // with a lineage cut between iterations (TextOps.bpeTrain)
-    "bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir), BpeIters))
+    "bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir), BpeIters)),
+    // exact phrase search ("grep the training set", infini-gram-style):
+    // positional postings ⋈ broadcast phrase terms, adjacency via
+    // start = pos − i, full match ⇔ per-start row count = phrase length
+    "grep_phrase" -> ((s, dir) =>
+      PhraseIndex.phraseStats(
+        PhraseIndex.matches(docs(s, dir), grepPhraseDf(s)), grepPhraseDf(s))),
+    // serve-many variant: postings persisted once partitioned by term-hash
+    // bucket; the query batch's scan is DPP-pruned to its own buckets
+    "grep_phrase_indexed" -> ((s, dir) =>
+      PhraseIndex.phraseStats(
+        PhraseIndex.indexedMatches(docs(s, dir), grepPhraseDf(s)),
+        grepPhraseDf(s)))
   )
 
   /** merge iterations graded by `bpe_train`. */
   private val BpeIters = 4
+
+  /** Graded phrase batch: a 3-token phrase, a 2-token high-frequency
+    * phrase, a REPEATED-term phrase (exercises the one-posting-to-many-i
+    * join), and a guaranteed zero-hit phrase (a miss is an answer — the
+    * left join must keep its row). */
+  private val GrepPhrases: Seq[(Long, String)] = Seq(
+    0L -> "table value part",
+    1L -> "batch window spark",
+    2L -> "window window",
+    3L -> "slow fast",
+    4L -> "vector quantize codebook")
+
+  private def grepPhraseDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    GrepPhrases.toDF("phrase_id", "phrase")
+  }
+
+  private val grepPhraseOracle: String = {
+    val vals = GrepPhrases
+      .map { case (id, p) => s"(${id}::BIGINT, '$p')" }.mkString(", ")
+    val phToks = "regexp_extract_all(lower(phrase), '[a-z0-9]+')"
+    s"""WITH ph AS (SELECT * FROM (VALUES $vals) AS v(phrase_id, phrase)),
+       |pt AS (SELECT phrase_id, len($phToks)::BIGINT AS plen,
+       |              unnest($phToks) AS term,
+       |              unnest(range(len($phToks)))::BIGINT AS i FROM ph),
+       |po AS (SELECT doc_id, unnest($toksSql) AS term,
+       |              unnest(range(len($toksSql)))::BIGINT AS pos
+       |       FROM documents),
+       |c AS (SELECT phrase_id, doc_id, pos - i AS start, plen,
+       |             count(*) AS nf
+       |      FROM po JOIN pt USING (term) WHERE pos - i >= 0
+       |      GROUP BY phrase_id, doc_id, pos - i, plen),
+       |m AS (SELECT phrase_id, doc_id FROM c WHERE nf = plen)
+       |SELECT ph.phrase_id,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  count(doc_id)::BIGINT AS n_hits,
+       |  coalesce(min(doc_id), -1)::BIGINT AS first_doc
+       |FROM ph LEFT JOIN m USING (phrase_id)
+       |GROUP BY ph.phrase_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsOracle,
@@ -584,6 +636,10 @@ object TextQueries {
     "bpe_step" -> TextOps.bpeStepSql("documents"),
     "bpe_step2" -> TextOps.bpeStep2Sql("documents"),
     "bpe_train" -> TextOps.bpeTrainSql("documents", BpeIters),
-    "token_cooc" -> tokenCoocOracle
+    "token_cooc" -> tokenCoocOracle,
+    // same oracle for both layouts: what the indexed variant adds is the
+    // round trip through the bucketed parquet index, not different results
+    "grep_phrase" -> grepPhraseOracle,
+    "grep_phrase_indexed" -> grepPhraseOracle
   )
 }
