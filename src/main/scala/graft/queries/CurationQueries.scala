@@ -41,6 +41,34 @@ object CurationQueries {
        |WHERE ${VecOps.hash60Sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000
        |      < CASE WHEN lang = 'en' THEN $EnRatePm ELSE $RestRatePm END""".stripMargin
 
+  /** Leakage-safe train/val/test split: the assignment hashes the GROUP
+    * key (source), not the document, so every doc from one source lands in
+    * the same split — near-duplicates cluster within sources, and a
+    * doc-level split would leak them across the train/eval boundary.
+    * Same deterministic md5 stream as `sample_stratified` (no RNG state,
+    * reproducible on any engine); ~80/10/10 by source. The 100 TB plan is
+    * a map-only assignment plus one partial-aggregated shuffle of
+    * (split × lang) cells. */
+  private def corpusSplit(d: DataFrame): DataFrame = {
+    val h = VecOps.hash60(concat(lit("split:"), col("source"))) % 100
+    val split = when(h < 10, "test").when(h < 20, "val").otherwise("train")
+    d.select(split.as("split"), col("lang"), col("source"), col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("n_chars"))
+  }
+
+  private val corpusSplitOracle =
+    s"""WITH a AS (SELECT CASE WHEN h < 10 THEN 'test' WHEN h < 20 THEN 'val'
+       |                  ELSE 'train' END AS split, lang, source, n_chars
+       |           FROM (SELECT ${VecOps.hash60Sql("'split:' || source")} % 100 AS h,
+       |                        lang, source, n_chars FROM documents))
+       |SELECT split, lang, count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT source)::BIGINT AS n_sources,
+       |  sum(n_chars)::BIGINT AS n_chars
+       |FROM a GROUP BY split, lang""".stripMargin
+
   /** Top-k documents by length per language — the per-stratum selection
     * shape (best-of-group). The rank window is PARTITIONED (by lang), so
     * at 100 TB each language sorts independently across the cluster; no
@@ -389,6 +417,8 @@ object CurationQueries {
     // eval-set n-gram leakage flags over the training slice
     "decontaminate" -> ((s, dir) => Decontaminate.flag(docs(s, dir))),
     "sample_stratified" -> ((s, dir) => stratifiedSample(docs(s, dir))),
+    // group-aware (leakage-safe) train/val/test split by source hash
+    "corpus_split" -> ((s, dir) => corpusSplit(docs(s, dir))),
     "sample_weighted" -> ((s, dir) => weightedSample(s, docs(s, dir))),
     "sample_temperature" -> ((s, dir) => temperatureSample(docs(s, dir))),
     "docs_topk_lang" -> ((s, dir) => topKPerLang(docs(s, dir))),
@@ -402,6 +432,7 @@ object CurationQueries {
     "docs_diff" -> docsDiffOracle,
     "decontaminate" -> Decontaminate.flagSql("documents"),
     "sample_stratified" -> stratifiedOracle,
+    "corpus_split" -> corpusSplitOracle,
     "sample_weighted" -> weightedOracle,
     "sample_temperature" -> temperatureOracle,
     "docs_topk_lang" -> topKOracle,
