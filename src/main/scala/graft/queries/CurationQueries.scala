@@ -69,6 +69,71 @@ object CurationQueries {
        |  sum(n_chars)::BIGINT AS n_chars
        |FROM a GROUP BY split, lang""".stripMargin
 
+  /** Corpus remix to a TARGET language mix via per-doc repeat factors —
+    * the data-mixing step of an LLM pipeline (down-sample the dominant
+    * language, give the tail extra epochs). For each lang, the repeat
+    * factor is f = target_share · N_total / N_lang, applied as
+    * k = ⌊f⌋ + Bernoulli(f − ⌊f⌋) copies per doc (epoch-tagged).
+    *
+    * All arithmetic is INTEGER: with target = tn/td, writing
+    * D = td · N_lang and R = (tn · N_total) mod D, the fractional epoch
+    * is `hash60(doc) mod D < R` — no floating-point factor anywhere, so
+    * the Bernoulli decisions are exact in both engines by construction
+    * (the same stance as the exact micro-unit aggregations).
+    *
+    * Shape at 100 TB: one tiny per-lang count aggregate, broadcast back,
+    * then a map-side explode — replication happens distributed at the
+    * scan, never through a shuffle of repeated rows; the only shuffle is
+    * the final (lang, epoch) cell aggregation. */
+  private val RemixTargets: Map[String, (Int, Int)] =
+    Map("en" -> (1, 4)).withDefaultValue((3, 16)) // en 25%, each tail lang 18.75%
+
+  private def corpusRemix(d: DataFrame): DataFrame = {
+    val (entn, entd) = RemixTargets("en")
+    val (otn, otd) = RemixTargets("zh")
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val stats = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_lang")).as("n_total"))))
+      .select(col("lang"),
+        when(col("lang") === "en", lit(entn)).otherwise(lit(otn)).as("tn"),
+        when(col("lang") === "en", lit(entd)).otherwise(lit(otd)).as("td"),
+        col("n_lang"), col("n_total"))
+      .select(col("lang"),
+        (col("td") * col("n_lang")).as("d"),
+        ((col("tn") * col("n_total")) / (col("td") * col("n_lang")))
+          .cast("long").as("q"),
+        ((col("tn") * col("n_total")) % (col("td") * col("n_lang"))).as("r"))
+    d.join(broadcast(stats), "lang")
+      .withColumn("k", col("q") +
+        when(VecOps.hash60(concat(lit("remix:"), col("doc_id").cast("string")))
+          % col("d") < col("r"), 1L).otherwise(0L))
+      .where(col("k") > 0)
+      .select(col("lang"), explode(sequence(lit(0L), col("k") - 1)).as("epoch"))
+      .groupBy(col("lang"), col("epoch"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val corpusRemixOracle = {
+    val (entn, entd) = RemixTargets("en")
+    val (otn, otd) = RemixTargets("zh")
+    s"""WITH c AS (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY lang),
+       |t AS (SELECT lang, n_lang, (SELECT sum(n_lang) FROM c)::BIGINT AS n_total,
+       |             CASE WHEN lang = 'en' THEN $entn ELSE $otn END AS tn,
+       |             CASE WHEN lang = 'en' THEN $entd ELSE $otd END AS td
+       |      FROM c),
+       |f AS (SELECT lang, td * n_lang AS d, (tn * n_total) // (td * n_lang) AS q,
+       |             (tn * n_total) % (td * n_lang) AS r FROM t),
+       |k AS (SELECT d.lang,
+       |             q + CASE WHEN ${VecOps.hash60Sql(
+                       "'remix:' || CAST(doc_id AS VARCHAR)")} % f.d < r
+       |                 THEN 1 ELSE 0 END AS k
+       |      FROM documents d JOIN f USING (lang)),
+       |e AS (SELECT lang, unnest(generate_series(0, k - 1))::BIGINT AS epoch
+       |      FROM k WHERE k > 0)
+       |SELECT lang, epoch, count(*)::BIGINT AS n_docs
+       |FROM e GROUP BY lang, epoch""".stripMargin
+  }
+
   /** Top-k documents by length per language — the per-stratum selection
     * shape (best-of-group). The rank window is PARTITIONED (by lang), so
     * at 100 TB each language sorts independently across the cluster; no
@@ -419,6 +484,8 @@ object CurationQueries {
     "sample_stratified" -> ((s, dir) => stratifiedSample(docs(s, dir))),
     // group-aware (leakage-safe) train/val/test split by source hash
     "corpus_split" -> ((s, dir) => corpusSplit(docs(s, dir))),
+    // epoch-based remix to a target language mix (integer-exact factors)
+    "corpus_remix" -> ((s, dir) => corpusRemix(docs(s, dir))),
     "sample_weighted" -> ((s, dir) => weightedSample(s, docs(s, dir))),
     "sample_temperature" -> ((s, dir) => temperatureSample(docs(s, dir))),
     "docs_topk_lang" -> ((s, dir) => topKPerLang(docs(s, dir))),
@@ -433,6 +500,7 @@ object CurationQueries {
     "decontaminate" -> Decontaminate.flagSql("documents"),
     "sample_stratified" -> stratifiedOracle,
     "corpus_split" -> corpusSplitOracle,
+    "corpus_remix" -> corpusRemixOracle,
     "sample_weighted" -> weightedOracle,
     "sample_temperature" -> temperatureOracle,
     "docs_topk_lang" -> topKOracle,
