@@ -710,6 +710,11 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "link_rank" -> ((s, dir) =>
       graft.operators.LinkRank.ranks(Tables.lineitem(s, dir), LinkRankIters)),
+    // degree-oriented triangle counting over the part co-purchase graph
+    "parts_triangles" -> ((s, dir) =>
+      graft.operators.Triangles.triangleCount(
+        graft.operators.Triangles.coEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))),
     "volume_shipping" -> (volumeShipping _),
     "market_share" -> (marketShare _),
     "returned_revenue" -> (returnedRevenue _),
@@ -731,6 +736,16 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "link_rank" -> graft.operators.LinkRank.ranksSql(LinkRankIters),
+    // the oracle needs no orientation: with edges normalized a < b, the
+    // ordered triple join a<b<c touches each triangle exactly once
+    "parts_triangles" ->
+      """WITH e AS (SELECT DISTINCT l.l_partkey AS a, r.l_partkey AS b
+        |           FROM lineitem l JOIN lineitem r
+        |           ON l.l_orderkey = r.l_orderkey AND l.l_partkey < r.l_partkey)
+        |SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+        |  (SELECT count(*) FROM e e1
+        |   JOIN e e2 ON e1.b = e2.a
+        |   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)::BIGINT AS n_triangles""".stripMargin,
     "volume_shipping" -> volumeShippingOracle,
     "market_share" -> marketShareOracle,
     "local_supplier_volume" -> localSupplierVolumeOracle,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Degree-oriented triangle counting on graphs with known answers, plus
+  * the plan property the operator exists for: the wedge fan-out feeds a
+  * BROADCAST closing join (one codegen pipeline), never an exchange. */
+class TrianglesSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def count(edges: Seq[(Long, Long)]): (Long, Long) = {
+    val df = Triangles.triangleCount(edges.toDF("a", "b"))
+    val r = df.collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("known graphs: triangle, square, K4, K5, disjoint union") {
+    assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == (3L, 1L))
+    // square: 4 edges, no triangle
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) == (4L, 0L))
+    def kn(n: Int, off: Long = 0) =
+      for { i <- 0 until n; j <- i + 1 until n }
+        yield (off + i.toLong, off + j.toLong)
+    assert(count(kn(4)) == (6L, 4L))   // K4: C(4,3) = 4 triangles
+    assert(count(kn(5)) == (10L, 10L)) // K5: C(5,3) = 10
+    // disjoint K4 ⊎ triangle: counts add
+    assert(count(kn(4) ++ Seq((100L, 101L), (101L, 102L), (100L, 102L))) ==
+      (9L, 5L))
+  }
+
+  test("coEdges builds distinct normalized co-membership pairs") {
+    val items = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L),
+      (2L, 20L)).toDF("g", "item") // duplicate membership must not dup edges
+    val e = Triangles.coEdges(items, "g", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((10L, 20L), (10L, 30L), (20L, 30L)))
+  }
+
+  test("the closing join is broadcast: no exchange above the wedge join") {
+    val df = Triangles.triangleCount(
+      (for { i <- 0 until 20; j <- i + 1 until 20 }
+        yield (i.toLong, j.toLong)).toDF("a", "b"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    // the closing probe of the wedge stream must be a broadcast join
+    assert(plan.contains("broadcasthashjoin"), plan.take(1500))
+  }
+}
