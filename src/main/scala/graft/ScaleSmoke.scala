@@ -110,7 +110,19 @@ object ScaleSmoke {
       // sink forces the bin computation past column pruning)
       "spectrum" -> (d => graft.operators.Multimodal.wavSpectrum(d)
         .agg(sum(col("p_mid")).cast("double").as("s"), count(lit(1)).as("n"))
-        .head().getLong(1)))
+        .head().getLong(1)),
+      // phrase search: posting explode (corpus-linear) + broadcast term
+      // join + per-start count — match count forces the whole chain, and
+      // under R× replication every replica matches, so the candidate
+      // stream scales with the corpus (the worst case for this stage)
+      "grep" -> { d =>
+        val phrases = {
+          val s = d.sparkSession
+          import s.implicits._
+          graft.queries.TextQueries.GrepPhrases.toDF("phrase_id", "phrase")
+        }
+        graft.operators.PhraseIndex.matches(d, phrases).count()
+      })
 
     def run(corpus: DataFrame): Map[String, (Double, Long)] = {
       corpus.cache().count() // isolate replication cost from stage timing

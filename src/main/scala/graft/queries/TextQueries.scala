@@ -578,7 +578,7 @@ object TextQueries {
     * phrase, a REPEATED-term phrase (exercises the one-posting-to-many-i
     * join), and a guaranteed zero-hit phrase (a miss is an answer — the
     * left join must keep its row). */
-  private val GrepPhrases: Seq[(Long, String)] = Seq(
+  private[graft] val GrepPhrases: Seq[(Long, String)] = Seq(
     0L -> "table value part",
     1L -> "batch window spark",
     2L -> "window window",
