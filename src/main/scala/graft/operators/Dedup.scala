@@ -682,4 +682,84 @@ object Dedup {
        |FROM cand JOIN sets sa ON sa.doc_id = doc_a
        |          JOIN sets sb ON sb.doc_id = doc_b""".stripMargin
   }
+
+  /** EXACT-threshold set-similarity join via prefix filtering (the
+    * AllPairs/ppjoin family) — the deterministic counterpart of the
+    * LSH pipeline above: [[ngramJaccardPairs]] verifies MINHASH-BAND
+    * candidates, so a true near-dup pair can be missed with probability
+    * (1−(1−J^R)^B); this operator finds EVERY pair with shingle-set
+    * Jaccard ≥ τ, guaranteed.
+    *
+    * Prefix-filter theorem (ppjoin): order every set by one GLOBAL token
+    * order (here: ascending document frequency, rarest first, ties by
+    * token id) and keep each set's first |s| − ⌈τ·|s|⌉ + 1 elements; any
+    * pair with J ≥ τ shares at least one PREFIX element — so the prefix
+    * equi-join loses nothing, and candidate fan-out concentrates on each
+    * set's RAREST tokens (a stop-shingle never enters a long doc's
+    * prefix, which is what keeps the join sub-quadratic on skewed data).
+    *
+    * The threshold is applied in INTEGERS: with τ = tauPm/1000,
+    * ⌈τ·n⌉ = (tauPm·n + 999) div 1000 and the final test is
+    * 1000·|∩| ≥ tauPm·(|a|+|b|−|∩|) — no floating-point comparison
+    * anywhere, so both engines agree by construction. Set elements are
+    * the 60-bit shingle hashes (one long per word 3-gram — same stream
+    * as [[Decontaminate]]), not shingle strings: the global order, the
+    * postings shuffle, and the intersection all run on fixed-width
+    * longs.
+    *
+    * Shuffles at 100 TB: postings (corpus-linear), one df aggregation
+    * (map-combined), one per-doc rank window, the prefix equi-join on
+    * rare tokens, and a candidate-sized verification join — candidate
+    * cost tracks true near-dup density, like every pairing path here. */
+  def ssjoinPairs(docs: DataFrame, tauPm: Int = 700): DataFrame = {
+    import graft.functions.NativeExprs
+    val sets = eager(fanOut(docs)
+      .select(col("doc_id"),
+        array_distinct(
+          NativeExprs.ngramHashes(TextOps.tokens(col("text")), 3)).as("sh")))
+    val po = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("t"))
+    val df = po.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val prefix = po.join(df, "t")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+      // `div`, not `/`: Column./ is always fractional — the ceil must stay
+      // in exact integer arithmetic like the final threshold test
+      .where(col("rn") <= col("n") - expr(s"(n * $tauPm + 999) div 1000") + 1)
+      .select(col("doc_id"), col("t"))
+    val cand = prefix.as("a").join(prefix.as("b"), "t")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val i = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), i.as("i"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("s"))
+      .where(lit(1000L) * col("i") >= lit(tauPm.toLong) * (col("s") - col("i")))
+      .select(col("doc_a"), col("doc_b"),
+        VecOps.qround(col("i").cast("double") /
+          (col("s") - col("i")).cast("double"), 4).as("jaccard"))
+  }
+
+  /** Oracle dual of [[ssjoinPairs]] — deliberately INDEPENDENT of the
+    * prefix filter: the full posting self-join finds every pair sharing
+    * ANY shingle, which is exhaustive for τ > 0 (J ≥ τ implies a shared
+    * element), so a completeness bug in the prefix logic cannot hide. */
+  def ssjoinPairsSql(table: String, tauPm: Int = 700): String = {
+    val shHash = s"""list_distinct(list_transform(
+       |           generate_series(1, greatest(len(toks) - 2, 1)),
+       |           i -> ${VecOps.hash60Sql("array_to_string(toks[i:i+2], ' ')")}))""".stripMargin
+    s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM $table),
+       |sets AS (SELECT doc_id, $shHash AS sh FROM t),
+       |po AS (SELECT doc_id, len(sh)::BIGINT AS n, unnest(sh) AS tok FROM sets),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                 max(a.n) AS na, max(b.n) AS nb, count(*)::BIGINT AS i
+       |          FROM po a JOIN po b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  ${VecOps.qroundSql("i::DOUBLE / (na + nb - i)", 4)} AS jaccard
+       |FROM inter WHERE 1000 * i >= $tauPm * (na + nb - i)""".stripMargin
+  }
 }

@@ -24,6 +24,9 @@ object DedupQueries {
     "dedup_minhash_capped" -> ((s, dir) => Dedup.minhashPairsCapped(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    // EXACT-threshold Jaccard pair join (prefix filter / AllPairs):
+    // guaranteed-complete, unlike the LSH-recall paths above
+    "dedup_ssjoin" -> ((s, dir) => Dedup.ssjoinPairs(docs(s, dir))),
     // asymmetric containment |A∩B|/min(|A|,|B|) over the same candidates
     "dedup_containment" -> ((s, dir) => Dedup.ngramContainmentPairs(docs(s, dir))),
     // LSH pairs -> connected components: the cluster assignment a dedup
@@ -121,6 +124,7 @@ object DedupQueries {
     "dedup_minhash_capped" -> Dedup.minhashPairsCappedSql("documents"),
     "dedup_simhash" -> Dedup.simhashPairsSql("documents"),
     "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents"),
+    "dedup_ssjoin" -> Dedup.ssjoinPairsSql("documents"),
     "dedup_containment" -> Dedup.ngramContainmentPairsSql("documents"),
     "dedup_clusters" -> Dedup.dedupClustersSql("documents"),
     "dedup_corpus" -> Dedup.dedupCorpusSql("documents"),
