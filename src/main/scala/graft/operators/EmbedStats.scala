@@ -120,6 +120,102 @@ object EmbedStats {
           (col("d00").cast("double") * lit(Q)), 4).as("lam"))
   }
 
+  /** COMPOSED power-iteration trainer: `iters` rounds of
+    * v ← quantize(normalize(XᵀX v)), the iterated-GEMM loop the reference's
+    * whole frame is about (core.py:26-35 re-entered per step) applied to
+    * the corpus matrix — with this, every iterated fold in the repo
+    * (k-means, PQ, BPE, PageRank, power iteration) has a composed,
+    * graded training loop.
+    *
+    * Iteration protocol (the [[graft.operators.Pq]] `pqTrain` contract):
+    * each round is ONE corpus pass; the current direction is D quantized
+    * LONGs COLLECTED to the driver and inlined as a literal into the next
+    * round's plan — lineage self-truncating, no join against a live
+    * aggregation, and the re-quantization (1e-4 grid, like link_rank's
+    * 1e-9 rank grid) keeps the chain hash-stable: both engines recompute
+    * the identical integer vector at every round. At 100 TB each round is
+    * one map-only scan plus a D-row shuffle — the collect is D longs, not
+    * data.
+    *
+    * Rayleigh monotonicity (λ_t nondecreasing for PSD XᵀX) is spec'd in
+    * EmbedStatsSpec; iteration 1 reproduces [[powerStep]] bit-for-bit. */
+  def powerTrain(vecs: DataFrame, iters: Int,
+                 dim: Int = Similarity.Dim): DataFrame = {
+    import org.apache.spark.sql.functions.{typedLit => tl}
+    // round 0 direction: the same closed-form v0 as powerStep
+    var vq: Array[Long] = {
+      val spark = vecs.sparkSession
+      spark.range(dim).select(v0q(col("id")).as("v"))
+        .collect().map(_.getLong(0))
+    }
+    var last: DataFrame = null
+    for (_ <- 0 until iters) {
+      val vlit = tl(vq.toSeq)
+      val rows = PairPlan.fanOut(vecs)
+        .select(qvec(col("vec")).as("xq"))
+        .select(col("xq"),
+          aggregate(
+            zip_with(col("xq"), vlit, (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("s"))
+        .select(col("xq"),
+          floor(col("s").cast("double") / lit(Q)).cast("long").as("s3"))
+      val v1 = rows
+        .select(posexplode(col("xq")).as(Seq("pos", "xq")), col("s3"))
+        .groupBy(col("pos").cast("long").as("pos"))
+        .agg(sum((col("s3") * col("xq")).cast("decimal(38,0)")).as("v1raw"))
+        .withColumn("vprev", element_at(vlit, (col("pos") + 1).cast("int")))
+      val stats = v1.agg(
+        sum(col("v1raw") * col("v1raw")).as("nrm2"),
+        sum(col("vprev").cast("decimal(38,0)") * col("v1raw")).as("d01"),
+        sum(col("vprev") * col("vprev")).as("d00"))
+      val joined = v1.crossJoin(broadcast(stats))
+      last = joined.select(col("pos"),
+        VecOps.qround(col("v1raw").cast("double") /
+          greatest(sqrt(col("nrm2").cast("double")), lit(1e-12)), 6).as("v1n"),
+        VecOps.qround(col("d01").cast("double") /
+          (col("d00").cast("double") * lit(Q)), 4).as("lam"))
+      vq = joined.select(col("pos"),
+          floor((col("v1raw").cast("double") /
+            greatest(sqrt(col("nrm2").cast("double")), lit(1e-12))) * lit(Q) +
+            lit(0.5)).cast("long").as("vq"))
+        .orderBy(col("pos")).collect().map(_.getLong(1))
+    }
+    last
+  }
+
+  /** DuckDB oracle dual of [[powerTrain]]: the same loop unrolled as CTE
+    * rounds (the oracle re-derives each round's quantized direction in
+    * SQL — nothing is smuggled from the Spark side). */
+  def powerTrainOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      val prev = if (t == 1) "v0" else s"vq${t - 1}"
+      s"""s$t AS (SELECT vec_id, CAST(sum(xq * vq) AS BIGINT) AS s
+         |       FROM x JOIN $prev ON x.d = $prev.pos GROUP BY vec_id),
+         |s3_$t AS (SELECT vec_id, CAST(floor(s::DOUBLE / $Q) AS BIGINT) AS s3 FROM s$t),
+         |v$t AS (SELECT d AS pos, CAST(sum(s3 * xq) AS HUGEINT) AS v1raw
+         |       FROM x JOIN s3_$t USING (vec_id) GROUP BY d),
+         |st$t AS (SELECT CAST(sum(v1raw * v1raw) AS DOUBLE) AS nrm2,
+         |               CAST(sum(p.vq::HUGEINT * v.v1raw) AS DOUBLE) AS d01,
+         |               CAST(sum(p.vq * p.vq) AS DOUBLE) AS d00
+         |        FROM v$t v JOIN $prev p ON v.pos = p.pos),
+         |vq$t AS (SELECT pos, CAST(floor((v1raw::DOUBLE /
+         |           greatest(sqrt(nrm2), 1e-12)) * $Q + 0.5) AS BIGINT) AS vq
+         |        FROM v$t CROSS JOIN st$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS d,
+       |             CAST(floor(e::DOUBLE * $Q + 0.5) AS BIGINT) AS xq
+       |           FROM (SELECT vec_id, unnest(embedding) AS e,
+       |                   unnest(range(len(embedding))) AS i FROM embeddings)),
+       |v0 AS (SELECT d AS pos, ${v0qSql("d")} AS vq
+       |       FROM (SELECT unnest(range(${Similarity.Dim})) AS d)),
+       |$rounds
+       |SELECT pos,
+       |  ${VecOps.qroundSql(
+            "v1raw::DOUBLE / greatest(sqrt(nrm2), 1e-12)", 6)} AS v1n,
+       |  ${VecOps.qroundSql(s"d01 / (d00 * $Q)", 4)} AS lam
+       |FROM v$iters CROSS JOIN st$iters""".stripMargin
+  }
+
   /** DuckDB oracle dual of [[gram]] on `embeddings`. */
   def gramOracleSql: String =
     s"""WITH v AS (SELECT ${qvecSql("embedding")} AS xq FROM embeddings),

@@ -301,6 +301,10 @@ object SimilarityQueries {
     * matches [[Similarity.kmeansTrain]]'s composition depth. */
   private val KmIters = 3
 
+  /** power-iteration rounds graded by `embed_power_train` — matches the
+    * other composed trainer loops' depth (kmeans_train, pq_train). */
+  private val PowerIters = 3
+
   /** Chained-CTE dual of the k-means training LOOP: seed centroids
     * `cents0` (per-label qrounded means), then `iters` rounds of
     * (argmax re-assign `asn_i` under `cents_{i-1}`, re-mean `st_i`,
@@ -822,6 +826,11 @@ object SimilarityQueries {
         emb(s, dir).select(col("vec")), Similarity.Dim)),
     "embed_power" -> ((s, dir) =>
       graft.operators.EmbedStats.powerStep(emb(s, dir).select(col("vec")))),
+    // the COMPOSED trainer: 3 power-iteration rounds with the direction
+    // re-quantized and re-inlined between rounds (collect-requantize)
+    "embed_power_train" -> ((s, dir) =>
+      graft.operators.EmbedStats.powerTrain(
+        emb(s, dir).select(col("vec")), PowerIters)),
     "embed_centroids" -> ((s, dir) => centroids(emb(s, dir))),
     "embed_quantize" -> ((s, dir) => embedQuantize(emb(s, dir))),
     "similar_topk" -> ((s, dir) =>
@@ -965,6 +974,8 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "embed_gram" -> graft.operators.EmbedStats.gramOracleSql,
     "embed_power" -> graft.operators.EmbedStats.powerOracleSql,
+    "embed_power_train" ->
+      graft.operators.EmbedStats.powerTrainOracleSql(PowerIters),
     "embed_centroids" -> centroidsOracle,
     "embed_quantize" -> embedQuantizeOracle,
     "similar_topk" -> topkOracle,

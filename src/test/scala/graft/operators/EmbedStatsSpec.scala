@@ -38,6 +38,24 @@ class EmbedStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("powerTrain: round 1 reproduces powerStep; Rayleigh is monotone") {
+    val one = EmbedStats.powerTrain(df, 1, dim).collect()
+      .map { case Row(p: Long, v: Double, l: Double) => p -> (v, l) }.toMap
+    val step = EmbedStats.powerStep(df).collect()
+      .map { case Row(p: Long, v: Double, l: Double) => p -> (v, l) }.toMap
+    assert(one == step) // identical quantized round-0 direction -> same bits
+
+    // Rayleigh quotient of power iteration on PSD X^T X is nondecreasing;
+    // the 1e-4 re-quantization between rounds perturbs it below 1e-3
+    val lams = (1 to 3).map(t =>
+      EmbedStats.powerTrain(df, t, dim).collect().head.getDouble(2))
+    assert(lams(1) >= lams(0) - 1e-3 && lams(2) >= lams(1) - 1e-3, lams)
+    // and the trained direction is unit-norm
+    val v3 = EmbedStats.powerTrain(df, 3, dim).collect()
+      .map(_.getDouble(1))
+    assert(math.abs(v3.map(x => x * x).sum - 1.0) < 1e-3)
+  }
+
   test("powerStep output is unit-norm and matches the local fold") {
     val rows = EmbedStats.powerStep(df).collect()
       .map { case Row(pos: Long, v1n: Double, lam: Double) => (pos, v1n, lam) }
