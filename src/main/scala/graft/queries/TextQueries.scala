@@ -103,6 +103,39 @@ object TextQueries {
        |SELECT lang, count(DISTINCT token) AS n_uniq, TRUE AS hll_ok
        |FROM t GROUP BY lang""".stripMargin
 
+  /** SKETCH MERGEABILITY, graded as a query: per-(lang, source) HLL
+    * sketches rolled up with `hll_union_agg` must estimate the same as a
+    * single-pass sketch over the lang — the sketch IS a monoid (register
+    * state = per-register max of hashes; union = elementwise max), so the
+    * two-level rollup is exactly the partial→final aggregation every
+    * GeMMMapReduce fold relies on, demonstrated at the materialized-sketch
+    * level (the lakehouse "sketch table" pattern: store per-partition
+    * sketches, merge at query time, never rescan). `merge_exact` asserts
+    * the union estimate EQUALS the one-shot estimate; `hll_ok` grades the
+    * estimate against the exact count like vocab_sketch. */
+  private def vocabSketchMerge(d: DataFrame): DataFrame = {
+    val toks = d.select(col("lang"), col("source"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+    val perSource = toks.groupBy(col("lang"), col("source"))
+      .agg(hll_sketch_agg(col("token")).as("sk"))
+    val merged = perSource.groupBy(col("lang"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val oneshot = toks.groupBy(col("lang")).agg(
+      hll_sketch_estimate(hll_sketch_agg(col("token"))).as("est_one"),
+      countDistinct(col("token")).as("n_uniq"))
+    oneshot.join(merged, "lang")
+      .select(col("lang"), col("n_uniq"),
+        (col("est_merged") === col("est_one")).as("merge_exact"),
+        (abs(col("est_merged") - col("n_uniq")) <=
+          lit(HllTolRel) * col("n_uniq")).as("hll_ok"))
+  }
+
+  private val vocabSketchMergeOracle =
+    s"""WITH t AS (SELECT lang, unnest(list_distinct($toksSql)) AS token FROM documents)
+       |SELECT lang, count(DISTINCT token) AS n_uniq,
+       |  TRUE AS merge_exact, TRUE AS hll_ok
+       |FROM t GROUP BY lang""".stripMargin
+
   /** GRADED SKETCH AGGREGATE #3: heavy hitters via the Misra–Gries monoid
     * ([[graft.functions.MgMonoid]], m=256). The exact top-k anchors the
     * row; `mg_ok` grades the sketch against its theorem — estimates never
@@ -506,6 +539,8 @@ object TextQueries {
     "token_count" -> ((s, dir) => TextOps.tokenCount(docs(s, dir))),
     "top_terms" -> ((s, dir) => topTerms(docs(s, dir))),
     "vocab_sketch" -> ((s, dir) => vocabSketch(docs(s, dir))),
+    // two-level HLL rollup == one-shot sketch (mergeability, graded)
+    "vocab_sketch_merge" -> ((s, dir) => vocabSketchMerge(docs(s, dir))),
     "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     "quality_logprob" -> ((s, dir) => unigramLogProb(docs(s, dir))),
     // bigram conditional-LM score (Laplace-smoothed) — the transition-
@@ -624,6 +659,7 @@ object TextQueries {
     "token_count" -> TextOps.tokenCountSql("documents"),
     "top_terms" -> topTermsOracle(),
     "vocab_sketch" -> vocabSketchOracle,
+    "vocab_sketch_merge" -> vocabSketchMergeOracle,
     "text_repetition" -> TextOps.repetitionSql("documents"),
     "quality_logprob" -> unigramLogProbOracle,
     "quality_bigram" -> bigramLogProbOracle,
