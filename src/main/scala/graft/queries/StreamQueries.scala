@@ -602,6 +602,9 @@ object StreamQueries {
     // the SAME aggregation actually run as a stream: file source →
     // watermark → checkpointed foreachBatch parquet sink → read back
     "events_window_stream" -> ((s, dir) => StreamingOps.windowedAggFileStream(s, dir)),
+    // watermark LATE-DATA DROP semantics over a pinned batch sequence;
+    // n_dropped carries the state store's own drop metric
+    "events_late_stream" -> ((s, dir) => StreamingOps.lateDropStream(s, dir)),
     // every event delivered TWICE; streaming dedup collapses it to the
     // single-copy batch answer (exactly-once over at-least-once delivery)
     "events_dedup_stream" -> ((s, dir) => StreamingOps.dedupFileStream(s, dir)),
@@ -663,6 +666,7 @@ object StreamQueries {
     "events_trailing" -> userTrailingOracle,
     "events_corr" -> typeCorrOracle,
     "events_window_stream" -> StreamingOps.windowedAggSql("events"),
+    "events_late_stream" -> StreamingOps.lateDropSql("events"),
     "events_dedup_stream" -> StreamingOps.dedupStreamSql("events"),
     "events_join_stream" -> StreamingOps.viewPurchaseJoinSql("events"),
     "events_left_stream" -> StreamingOps.viewPurchaseLeftJoinSql("events"),

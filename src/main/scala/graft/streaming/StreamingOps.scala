@@ -658,4 +658,105 @@ object StreamingOps {
        |  ${VecOps.qroundSql("mx + ln(sum(exp(value - mx)))", 4)} AS lse
        |FROM b JOIN m USING (w_start, event_type)
        |GROUP BY b.w_start, b.event_type, mx""".stripMargin
+
+  /** first-week cutoff for the deliberately-late replay file — a fixture
+    * date literal like the TPC-H date predicates. */
+  private val LateCutoff = "2024-01-08 00:00:00"
+
+  /** Stage each frame as ONE parquet file with strictly increasing
+    * mtimes, so FileStreamSource (oldest-first) + maxFilesPerTrigger=1
+    * pins the micro-batch sequence exactly to `dfs` order — the
+    * watermark trajectory becomes deterministic, which is what lets a
+    * late-data run be hash-graded at all. */
+  private def stageOrdered(dir: String, dfs: Seq[DataFrame]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val d = java.nio.file.Paths.get(dir)
+    val seen = scala.collection.mutable.Set[java.nio.file.Path]()
+    var stamp = System.currentTimeMillis() - 600000L
+    for (df <- dfs) {
+      df.coalesce(1).write.mode("append").parquet(dir)
+      val fresh = Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).filterNot(seen).toSeq
+      fresh.foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(stamp)))
+      seen ++= fresh
+      stamp += 10000L
+    }
+  }
+
+  /** LATE-DATA DROP semantics, graded: daily windowed counts over a
+    * pinned four-batch sequence — (1) the full events table, (2) a
+    * watermark-ADVANCE row one hour past the data (its wm, maxTs+1h−2d,
+    * evicts and emits every first-week window), (3) a replay of every
+    * first-week row, now arriving AFTER its windows were finalized, (4)
+    * the sentinel that finalizes the tail. The eviction batch between
+    * data and replay is load-bearing: Spark's aggregation MERGES a late
+    * row whose window state is still live (measured on this build —
+    * batch-1 replay doubled the first week's counts); only rows for
+    * already-finalized windows are dropped. A correct run therefore
+    * drops the ENTIRE replay batch: graded counts equal the plain batch
+    * aggregate, and re-admission would emit duplicate first-week window
+    * rows and hash-mismatch.
+    *
+    * The drop is also graded POSITIVELY, not just by absence: `n_dropped`
+    * carries the state store's own numRowsDroppedByWatermark total (the
+    * metric an operator actually monitors). The store counts dropped
+    * AGGREGATE rows — map-side partial aggregation reduces the replay to
+    * one row per finalized window before the state operator sees it — so
+    * the oracle's independent expectation is the replay's distinct-window
+    * count, not its raw row count. */
+  def lateDropStream(spark: SparkSession, dir: String): DataFrame = {
+    val staging = graft.sources.Scratch.dir("graft_late_src")
+    val out = graft.sources.Scratch.dir("graft_late_out")
+    val ckpt = graft.sources.Scratch.dir("graft_late_ckpt")
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val late = ev.filter(col("ts") < lit(LateCutoff).cast("timestamp"))
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    def marker(id: Long, offset: String) = spark.range(1)
+      .select(lit(-1L).as("user_id"), lit(id).as("event_id"),
+        lit("view").as("event_type"),
+        (lit(maxTs) + expr(offset)).as("ts"))
+    val advance = marker(-2L, "INTERVAL 1 HOUR")
+    val sentinel = marker(-1L, "INTERVAL 90 DAYS")
+    stageOrdered(staging, Seq(ev, advance, late, sentinel))
+    val schema = spark.read.parquet(staging).schema
+    var dropped = 0L
+    withStreamPartitions(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .withWatermark("ts", "2 days")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("w_start"), col("n"))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      if (sys.env.contains("GRAFT_DEBUG_PROGRESS"))
+        q.recentProgress.foreach(p => println("PROGRESS " + p.json))
+      dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    }
+    spark.read.parquet(out)
+      .filter(col("w_start") <= lit(maxTs.getTime / 1000)) // sentinel's window off
+      .select(col("w_start"), col("n"), lit(dropped).as("n_dropped"))
+  }
+
+  /** DuckDB oracle dual of [[lateDropStream]]: the plain batch daily
+    * aggregate (a correct run contributes NO replay rows), with the
+    * replay's distinct-window count recomputed independently as the
+    * expected drops (see the metric-granularity note on the operator). */
+  def lateDropSql(table: String): String =
+    s"""WITH w AS (SELECT epoch(time_bucket(INTERVAL '1 day', ts))::BIGINT AS w_start,
+       |                  count(*) AS n FROM $table GROUP BY 1)
+       |SELECT w_start, n,
+       |  (SELECT count(DISTINCT time_bucket(INTERVAL '1 day', ts)) FROM $table
+       |   WHERE ts < TIMESTAMP '$LateCutoff')::BIGINT AS n_dropped
+       |FROM w""".stripMargin
 }
