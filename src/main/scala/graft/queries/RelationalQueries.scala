@@ -398,6 +398,73 @@ object RelationalQueries {
     * version <= v`) is partition pruning, and compaction is the graded
     * compact verb applied to this layout. The plan never rewrites the
     * base — exactly the point. */
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE of an aggregate-join view
+    * — the IVM counterpart of the upsert family below: revenue-per-customer
+    * over orders ⋈ lineitem, refreshed when a batch of NEW orders arrives
+    * by MERGING the materialized view with the delta's aggregate
+    * (V_new = V_old ⊕ agg(Δorders ⋈ lineitem)) instead of recomputing.
+    * The aggregate is (count, penny-sum) — a commutative monoid — so the
+    * merge is just a re-aggregation of the union: the whole repo's
+    * partial→final contract, applied across TIME instead of partitions.
+    *
+    * Refresh cost ∝ delta: the plan reads the materialized view and the
+    * delta partition — never the old orders (asserted by path in
+    * MvRefreshSpec); the lineitem side of ΔA⋈B joins against the
+    * BROADCAST delta keys, so it contributes a map-only scan, no shuffle.
+    * Exactness across the merge: per-line revenue is quantized to integer
+    * PENNIES up front (floor(x·100+½), pure IEEE, identical both
+    * engines), so the old/delta/merge summation order cannot differ from
+    * the oracle's one-shot recompute — LONG holds ~10¹² lines (~100 TB of
+    * lineitem) before the penny sums would need decimal. */
+  private val MvCutoff = "2001-01-01"
+
+  private def lineRevPennies: org.apache.spark.sql.Column =
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0) +
+      lit(0.5)).cast("long")
+
+  private[graft] def mvViewOf(orders: DataFrame, li: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(li.select(col("l_orderkey"), lineRevPennies.as("rev_p")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_p")).as("rev_c"))
+
+  private def revenueMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    val oPath = graft.sources.Scratch.dir("graft_mv_oldorders")
+    val dPath = graft.sources.Scratch.dir("graft_mv_delta")
+    val vPath = graft.sources.Scratch.dir("graft_mv_view")
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val cutoff = lit(MvCutoff).cast("timestamp")
+    ord.filter(col("o_orderdate") < cutoff).write.mode("overwrite").parquet(oPath)
+    ord.filter(col("o_orderdate") >= cutoff).write.mode("overwrite").parquet(dPath)
+    // day 0: materialize the view from the OLD orders partition
+    mvViewOf(s.read.parquet(oPath), li).write.mode("overwrite").parquet(vPath)
+    // day N refresh: view ⊕ delta aggregate — old orders never read again
+    mvRefreshPlan(s, vPath, dPath, li)
+  }
+
+  /** the refresh plan alone (factored out so MvRefreshSpec can assert
+    * which paths its scans touch). */
+  private[graft] def mvRefreshPlan(s: SparkSession, vPath: String,
+                                   dPath: String, li: DataFrame): DataFrame =
+    s.read.parquet(vPath)
+      .unionByName(mvViewOf(s.read.parquet(dPath), li))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_lines")).as("n_lines"), sum(col("rev_c")).as("rev_c"))
+      .select(col("o_custkey"), col("n_lines"),
+        VecOps.qround(col("rev_c").cast("double") / lit(100.0), 2).as("revenue"))
+
+  private val revenueMvOracle =
+    s"""WITH r AS (SELECT o_custkey, count(*) AS n_lines,
+       |             sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+       |                            + 0.5) AS BIGINT)) AS rev_c
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |           GROUP BY o_custkey)
+       |SELECT o_custkey, n_lines::BIGINT AS n_lines,
+       |  ${VecOps.qroundSql("rev_c::DOUBLE / 100.0", 2)} AS revenue
+       |FROM r""".stripMargin
+
   private def customerUpsertMor(s: SparkSession, dir: String): DataFrame = {
     val root = graft.sources.Scratch.dir("graft_mor")
     val base = Tables.customer(s, dir)
@@ -730,6 +797,8 @@ object RelationalQueries {
     "shipping_priority" -> shippingPriority,
     "supplier_waiting" -> supplierWaiting,
     "customer_upsert" -> customerUpsert _,
+    // incremental materialized-view refresh: V_old (+) delta aggregate
+    "revenue_mv_refresh" -> revenueMvRefresh _,
     "customer_upsert_mor" -> customerUpsertMor _,
     "customer_scd2" -> customerScd2 _
   )
@@ -752,6 +821,7 @@ object RelationalQueries {
     "returned_revenue" -> returnedRevenueOracle,
     "customer_upsert_mor" -> customerUpsertMorOracle,
     "customer_scd2" -> customerScd2Oracle,
+    "revenue_mv_refresh" -> revenueMvOracle,
     "tpch_q1" -> q1Oracle,
     "tpch_q6" -> q6Oracle,
     "tpch_q4_late" -> latePriorityOracle,
