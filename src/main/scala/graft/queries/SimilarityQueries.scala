@@ -866,6 +866,11 @@ object SimilarityQueries {
     "embeds_ingest_stream" -> ((s, dir) =>
       graft.streaming.StreamingOps.ivfIngestStream(s, dir,
         perturbedQSide(s, dir), AnnK)),
+    // the SERVE mirror: frozen persisted index, STREAMING query batches;
+    // appended per-batch answers union to exactly the batch search
+    "similar_serve_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.ivfServeStream(s, dir,
+        perturbedQSide(s, dir), AnnK)),
     "similar_ivf_ingest" -> ((s, dir) => {
       val all = emb(s, dir)
       val cents = Similarity
@@ -984,6 +989,7 @@ object SimilarityQueries {
     "similar_ann_probe" -> probeTopkSql(AnnK),
     "similar_ann_probe_recall" -> probeRecallOracle,
     "similar_ivf" -> ivfTopkSql(AnnK),
+    "similar_serve_stream" -> ivfTopkSql(AnnK),
     "similar_ivf_recall" -> ivfRecallOracle,
     "similar_ivf_pruned" -> ivfTopkSql(AnnK),
     // from-scratch oracle for the ingest path: identical result must come

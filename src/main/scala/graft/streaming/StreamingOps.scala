@@ -659,6 +659,49 @@ object StreamingOps {
        |FROM b JOIN m USING (w_start, event_type)
        |GROUP BY b.w_start, b.event_type, mx""".stripMargin
 
+  /** SERVE edge of the ANN index — the mirror of [[ivfIngestStream]]:
+    * there the CORPUS streams into a frozen quantizer's index; here the
+    * index is frozen (built once, persisted partitioned by list_id) and
+    * the QUERY batches stream, each micro-batch answered in foreachBatch
+    * by the same probe-join + exact-rerank search the batch path uses —
+    * so the appended answers union to EXACTLY the batch search result
+    * (per-query top-k is independent across queries), and the graded
+    * oracle is literally `similar_ivf`'s. This is the online-serving
+    * deployment shape: queries arrive continuously, the index is a
+    * static asset, and each trigger's search scan is pruned to the
+    * probed lists. Stateless stream — no watermark, no state store; the
+    * only state is the checkpoint's file offset (restart-safe). */
+  def ivfServeStream(spark: SparkSession, dir: String, queries: DataFrame,
+                     k: Int): DataFrame = {
+    import graft.operators.Similarity
+    val staging = graft.sources.Scratch.dir("graft_serve_src")
+    val indexPath = graft.sources.Scratch.dir("graft_serve_index")
+    val out = graft.sources.Scratch.dir("graft_serve_out")
+    val ckpt = graft.sources.Scratch.dir("graft_serve_ckpt")
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val kv = emb.select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+    val cents = Similarity.ivfCentroids(emb).localCheckpoint(true)
+    Similarity.ivfIndex(kv, cents).write.mode("overwrite")
+      .partitionBy("list_id").parquet(indexPath)
+    val inv = spark.read.parquet(indexPath)
+    // query batches land as 4 files → 2 micro-batches at 2/trigger
+    queries.repartition(4).write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(staging)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.ivfSearchIndex(inv, batch, cents, k)
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** first-week cutoff for the deliberately-late replay file — a fixture
     * date literal like the TPC-H date predicates. */
   private val LateCutoff = "2024-01-08 00:00:00"
