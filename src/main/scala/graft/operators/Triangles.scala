@@ -40,11 +40,16 @@ object Triangles {
     val e = edges.localCheckpoint(true) // built once, read by 3 plan arms
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    // lower (degree, id) endpoint becomes the source
+    // lower (degree, id) endpoint becomes the source. The degree table is
+    // |V|-sized (4 orders below |E| here) and the checkpointed edge list
+    // carries no stats for Catalyst to see that — broadcast it explicitly
+    // so annotating both endpoints costs zero shuffles of e; on a graph
+    // whose VERTEX set outgrows broadcast, drop the hints and these
+    // become the shuffle joins they would have to be
     val lowFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
     val o = e
-      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
       .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
         when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
     // the wedge fan-out (|wedges| ≫ |E|) must NEVER cross an exchange:
