@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.functions.{DotProduct, LogSumExpDecl, LogWeightedVecAgg, VecWeightedSumAgg}
 
@@ -54,8 +55,34 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.functions.SignSketch(es(0))),
     ("graft_hamming",
       "graft_hamming(a, b) - hamming distance between two packed array<long> sketches",
-      (es: Seq[Expression]) => graft.functions.HammingDist(es(0), es(1)))
+      (es: Seq[Expression]) => graft.functions.HammingDist(es(0), es(1))),
+    ("graft_dot_f32",
+      "graft_dot_f32(a, b) - float32 dot product of two array<float> columns (per-step single-precision rounding)",
+      (es: Seq[Expression]) => graft.functions.DotProductFloat(es(0), es(1))),
+    ("graft_ngram_hashes",
+      "graft_ngram_hashes(tokens, n) - 60-bit hashes of the word n-grams of array<string> as array<long>; n must be an integer literal",
+      (es: Seq[Expression]) =>
+        graft.functions.NgramHashes(es(0), intLit(es(1), "n"))),
+    ("graft_mix60",
+      "graft_mix60(seed, a, b) - 60-bit splitmix64 pair hash of two bigint ids under an integer-literal seed",
+      (es: Seq[Expression]) =>
+        graft.functions.PairMix60(longLit(es(0), "seed"), es(1), es(2)))
   )
+
+  /** plan-time int constant (codebook widths, shingle sizes, seeds live in
+    * the expression, not per-row data). */
+  private def intLit(e: Expression, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$arg must be an INTEGER literal, got $other")
+  }
+
+  private def longLit(e: Expression, arg: String): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$arg must be an integer literal, got $other")
+  }
 
   /** Idempotent imperative registration into an existing session. */
   def register(spark: SparkSession): Unit =

@@ -49,6 +49,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |                     graft_sign_sketch(array(1.0d, -1.0d))) AS h""".stripMargin)
       .as[Long].head()
     assert(ham == 0L)
+
+    // the round-7 additions: f32 dot, n-gram hashes, integer pair mixer
+    val df32 = spark.sql(
+      """SELECT graft_dot_f32(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                     array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d""".stripMargin)
+      .as[Float].head()
+    assert(df32 == 4.0f)
+    val ng = spark.sql(
+      "SELECT graft_ngram_hashes(array('a', 'b', 'c', 'd'), 3) AS h")
+      .as[Seq[Long]].head()
+    assert(ng.length == 2 && ng.forall(_ >= 0))
+    val mx = spark.sql("SELECT graft_mix60(7L, 1L, 2L) AS m").as[Long].head()
+    assert(mx == graft.functions.Mix60Kernel.mix60(7L, 1L, 2L))
   }
 
   private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
