@@ -603,7 +603,11 @@ object TextQueries {
     "grep_phrase_indexed" -> ((s, dir) =>
       PhraseIndex.phraseStats(
         PhraseIndex.indexedMatches(docs(s, dir), grepPhraseDf(s)),
-        grepPhraseDf(s)))
+        grepPhraseDf(s))),
+    // streaming mirror: documents arrive as micro-batches, each grepped
+    // for the static phrase list — per-doc matches union to the batch run
+    "grep_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.grepStream(s, dir, grepPhraseDf(s)))
   )
 
   /** merge iterations graded by `bpe_train`. */
@@ -676,6 +680,7 @@ object TextQueries {
     // same oracle for both layouts: what the indexed variant adds is the
     // round trip through the bucketed parquet index, not different results
     "grep_phrase" -> grepPhraseOracle,
-    "grep_phrase_indexed" -> grepPhraseOracle
+    "grep_phrase_indexed" -> grepPhraseOracle,
+    "grep_stream" -> grepPhraseOracle
   )
 }

@@ -702,6 +702,38 @@ object StreamingOps {
     spark.read.parquet(out)
   }
 
+  /** STREAMING PHRASE ALERTING — the text twin of [[ivfServeStream]]:
+    * documents arrive as micro-batches and each batch is grepped for the
+    * (static, broadcast) phrase list in foreachBatch; per-doc matches are
+    * independent across documents, so the appended match sets union to
+    * exactly the batch [[graft.operators.PhraseIndex.matches]] over the
+    * full corpus and the rollup grades against grep_phrase's own oracle.
+    * The ingest-pipeline deployment shape: "page me when a contaminated /
+    * targeted phrase shows up in the crawl", paid per arriving batch, no
+    * state store. */
+  def grepStream(spark: SparkSession, dir: String,
+                 phrases: DataFrame): DataFrame = {
+    import graft.operators.PhraseIndex
+    val staging = graft.sources.Scratch.dir("graft_grepstream_src")
+    val out = graft.sources.Scratch.dir("graft_grepstream_out")
+    val ckpt = graft.sources.Scratch.dir("graft_grepstream_ckpt")
+    graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(staging)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        PhraseIndex.matches(batch, phrases).write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    PhraseIndex.phraseStats(spark.read.parquet(out), phrases)
+  }
+
   /** first-week cutoff for the deliberately-late replay file — a fixture
     * date literal like the TPC-H date predicates. */
   private val LateCutoff = "2024-01-08 00:00:00"
