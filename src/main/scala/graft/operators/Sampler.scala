@@ -46,4 +46,51 @@ object Sampler {
       .select(col("m_id"), col("top.k_id").as("c"),
         exp(col("top.sc") - col("tz")).as("weight"))
   }
+
+  /** TOP-P (NUCLEUS) sampling — the decoding-time truncation every LLM
+    * serving stack runs on top of the categorical sampler: per row, keep
+    * the smallest highest-probability prefix whose cumulative softmax
+    * mass reaches `p`, then sample from the renormalized nucleus. Extends
+    * the reference's sampler (sampling.py:5-61) with the truncation the
+    * pure Gumbel-max monoid can't express: nucleus membership needs
+    * per-row ORDER STATISTICS, so this is inherently a window (rank) op,
+    * not a fold — the honest plan is one hashpartitioning(m_id) exchange
+    * carrying the pair stream, with the row max, the softmax total, the
+    * ordered cumulative mass, and the final Gumbel-max all computed
+    * inside that one partitioning (plan-asserted in the spec). Per-query
+    * windows only — never a global sort; M rows out.
+    *
+    * Determinism: masses are quantized to INTEGER micro-units
+    * (floor(e^{sc−tz}·10⁶ + ½)) before the cumulative sum, so the
+    * nucleus cut compares exact integers in both engines — a double
+    * cumsum would hit engine-specific association order exactly at the
+    * cut boundary. The sampled weight divides the SAME two integers in
+    * both engines. Gumbel keys come from the [[graft.functions.Mix60Kernel]]
+    * pair-noise stream, as in [[sampler]]. */
+  def samplerTopP(pred: DataFrame, trg: DataFrame, seed: String,
+                  pMicro: Long = 900000L,
+                  mode: PairPlan.Mode = PairPlan.Auto): DataFrame = {
+    val sc = VecOps.dot(col("mvec"), col("kvec"))
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(col("m_id"))
+    val ordered = part.orderBy(col("sc").desc, col("k_id"))
+    val before = ordered.rowsBetween(Long.MinValue, -1)
+    val noise = VecOps.pairGumbel(VecOps.seed60(seed), col("m_id"), col("k_id"))
+    PairPlan.cross(trg, pred, mode)
+      .select(col("m_id"), col("k_id"), sc.as("sc"))
+      .withColumn("mx", max(col("sc")).over(part))
+      .withColumn("tz", col("mx") + log(sum(exp(col("sc") - col("mx"))).over(part)))
+      .withColumn("mass",
+        floor(exp(col("sc") - col("tz")) * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("mass")).over(before), lit(0L)))
+      .filter(col("cum_before") < lit(pMicro))
+      .select(col("m_id"), col("k_id"), col("mass"),
+        (col("sc") + noise).as("pert"))
+      .groupBy("m_id")
+      .agg(max(struct(col("pert"), col("mass"), col("k_id"))).as("top"),
+        count(lit(1)).as("n_nucleus"),
+        sum(col("mass")).as("tot_mass"))
+      .select(col("m_id"), col("top.k_id").as("c"), col("n_nucleus"),
+        (col("top.mass").cast("double") / col("tot_mass").cast("double"))
+          .as("weight"))
+  }
 }

@@ -233,6 +233,39 @@ object MatrixQueries {
        |SELECT m_id, $h AS h FROM a""".stripMargin
   }
 
+  /** Nucleus mass threshold in micro-units (p = 0.9), shared by the Spark
+    * side and the oracle so the cut can't drift. */
+  private val TopPMicro = 900000L
+
+  private def samplerTopPQuery(s: SparkSession, dir: String): DataFrame =
+    Sampler.samplerTopP(
+      qSide(s, dir).select(col("q_id").as("m_id"), col("qvec").as("mvec")),
+      kvSide(s, dir),
+      seed = "graft-topp", pMicro = TopPMicro)
+
+  private def samplerTopPOracle(mWhere: String = s" WHERE vec_id < $M") = {
+    val mixCols = VecOps.mix60ColsSql(VecOps.seed60("graft-topp"), "q_id", "k_id")
+    s"""${qkPrefixWhere(mWhere)},
+       |m AS (SELECT q_id, max(sc) AS mx FROM s GROUP BY q_id),
+       |t AS (SELECT s.q_id, mx + ln(sum(exp(sc - mx))) AS tz
+       |      FROM s JOIN m USING (q_id) GROUP BY s.q_id, mx),
+       |ma AS (SELECT q_id, k_id, sc,
+       |         CAST(floor(exp(sc - tz) * 1e6 + 0.5) AS BIGINT) AS mass
+       |       FROM s JOIN t USING (q_id)),
+       |cb AS (SELECT q_id, k_id, sc, mass,
+       |         coalesce(sum(mass) OVER (PARTITION BY q_id ORDER BY sc DESC, k_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |       FROM ma),
+       |nuc AS (SELECT * FROM cb WHERE cum_before < $TopPMicro),
+       |g AS (SELECT q_id, k_id, mass, $mixCols,
+       |        sc + (${VecOps.pairGumbelSql}) AS pert FROM nuc),
+       |r AS (SELECT q_id, arg_max(k_id, pert) AS c, arg_max(mass, pert) AS cm,
+       |        count(*) AS n_nucleus, CAST(sum(mass) AS BIGINT) AS tot
+       |      FROM g GROUP BY q_id)
+       |SELECT q_id AS m_id, c, n_nucleus, cm::DOUBLE / tot::DOUBLE AS weight
+       |FROM r""".stripMargin
+  }
+
   private def samplerOracle(mWhere: String = s" WHERE vec_id < $M") = {
     val wt = VecOps.qroundSql("exp(z - tz)", 6)
     // integer pair-noise dual (Mix60Kernel): the z0..z4/h60 chain rides as
@@ -270,7 +303,9 @@ object MatrixQueries {
     "entropy" -> entropyQuery,
     "entropy_big" -> (entropyBigQuery _),
     "sampler" -> samplerQuery,
-    "sampler_big" -> (samplerBigQuery _)
+    "sampler_big" -> (samplerBigQuery _),
+    // top-p (nucleus) truncation over the sampler's softmax — window op
+    "sampler_topp" -> (samplerTopPQuery _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -291,6 +326,7 @@ object MatrixQueries {
     "entropy" -> entropyOracle(),
     "entropy_big" -> entropyOracle(mWhere = ""),
     "sampler" -> samplerOracle(),
-    "sampler_big" -> samplerOracle(mWhere = "")
+    "sampler_big" -> samplerOracle(mWhere = ""),
+    "sampler_topp" -> samplerTopPOracle()
   )
 }

@@ -770,6 +770,45 @@ object RelationalQueries {
        |FROM a""".stripMargin
   }
 
+  /** TPC-H Q12-style shipping-mode priority split — the last of the 22
+    * TPC-H query shapes: per ship mode, how many lines belong to
+    * critical-priority orders vs everything else, over a one-year shipping
+    * window. The fixture has no `l_shipmode`/`l_commitdate`, so
+    * `l_returnflag` stands in for the mode (filtered to two values, as
+    * Q12 filters to two modes) and the ship-date window stands in for the
+    * receipt-date window — same plan shape: one fact⋈fact equi-join on
+    * orderkey with BOTH filters pushed into the lineitem scan, then a
+    * two-way conditional count per mode. All-integer outputs — no float
+    * grading risk. At 100 TB the orderkey join shuffles both sides once;
+    * the CASE-sums fold map-side so only modes×2 longs cross the final
+    * exchange. */
+  private def q12Modes(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("ship_mode"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  private val q12ModesOracle =
+    """SELECT l_returnflag AS ship_mode,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_returnflag IN ('A', 'R')
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag""".stripMargin
+
   /** PageRank iterations graded by `link_rank` — matches the other
     * composed trainer loops' depth (kmeans_train, pq_train). */
   private val LinkRankIters = 3
@@ -789,6 +828,7 @@ object RelationalQueries {
     "tpch_q1" -> q1,
     "tpch_q6" -> q6,
     "tpch_q4_late" -> latePriority,
+    "tpch_q12_modes" -> q12Modes,
     "customer_big_orders" -> customerBigOrders,
     "tpch_q1_rollup" -> q1Rollup,
     "top_customers" -> topCustomers,
@@ -825,6 +865,7 @@ object RelationalQueries {
     "tpch_q1" -> q1Oracle,
     "tpch_q6" -> q6Oracle,
     "tpch_q4_late" -> latePriorityOracle,
+    "tpch_q12_modes" -> q12ModesOracle,
     "customer_big_orders" -> customerBigOrdersOracle,
     "tpch_q1_rollup" -> q1RollupOracle,
     "top_customers" -> topCustomersOracle,

@@ -346,6 +346,55 @@ object StreamQueries {
        |       count(*) AS n
        |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** OHLC DOWNSAMPLING — the classic time-series bar aggregation (the
+    * first resample finance and monitoring pipelines run): per
+    * (event_type, hour), open/high/low/close plus exact traded volume.
+    * Open/close come from ONE row_number window ordered by (ts, event_id)
+    * — a unique key, so bars are deterministic even under duplicate
+    * timestamps — and the bar group-by reuses the window's (type, hour)
+    * partitioning: one shuffle total. Volume accumulates penny-unit LONGs
+    * (fixture values sit on the 0.01 grid), so the sum is exact and
+    * order-free in both engines; open/high/low/close are RAW input
+    * doubles, compared exactly. At 100 TB the window partitions on the
+    * bar key (types × hours cells — never a global sort) and the output
+    * is bar-count-sized. */
+  private def eventsOhlc(ev: DataFrame): DataFrame = {
+    val bar = ev.select(col("event_type"),
+      date_trunc("hour", col("ts")).as("hour"),
+      col("ts"), col("event_id"), col("value"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("p"))
+    val part = Window.partitionBy(col("event_type"), col("hour"))
+    val rows = bar
+      .withColumn("rn", row_number().over(part.orderBy(col("ts"), col("event_id"))))
+      .withColumn("cnt", count(lit(1)).over(part))
+    rows.groupBy(col("event_type"), col("hour"))
+      .agg(
+        max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+        count(lit(1)).as("n"),
+        sum(col("p")).as("vol_p"))
+      .select(col("event_type"), col("hour"), col("open"), col("high"),
+        col("low"), col("close"), col("n"),
+        (col("vol_p").cast("double") / 100.0).as("volume"))
+  }
+
+  private val eventsOhlcOracle =
+    """WITH r AS (SELECT event_type, date_trunc('hour', ts) AS hour, value,
+      |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS p,
+      |             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                                ORDER BY ts, event_id) AS rn,
+      |             count(*) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS cnt
+      |           FROM events)
+      |SELECT event_type, hour,
+      |  max(CASE WHEN rn = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rn = cnt THEN value END) AS close,
+      |  count(*) AS n,
+      |  CAST(sum(p) AS BIGINT)::DOUBLE / 100.0 AS volume
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   /** Per-type 3σ OUTLIER detection — the monitoring/data-validation query
     * over an event stream. Two passes: a map-side-combined moment
     * aggregate (types×1 rows, broadcast back), then a map-only flag —
@@ -596,6 +645,8 @@ object StreamQueries {
     "events_interval" -> ((s, dir) => eventsInterval(Tables.events(s, dir))),
     "events_window" -> ((s, dir) => StreamingOps.windowedAgg(Tables.events(s, dir))),
     "events_histogram" -> ((s, dir) => eventsHistogram(Tables.events(s, dir))),
+    // hourly OHLC bars: one window+group shuffle, penny-exact volume
+    "events_ohlc" -> ((s, dir) => eventsOhlc(Tables.events(s, dir))),
     "events_anomaly" -> ((s, dir) => eventsAnomaly(Tables.events(s, dir))),
     "events_trailing" -> ((s, dir) => userTrailing(Tables.events(s, dir))),
     "events_corr" -> ((s, dir) => typeCorr(Tables.events(s, dir))),
@@ -662,6 +713,7 @@ object StreamQueries {
     "events_interval" -> eventsIntervalOracle,
     "events_window" -> StreamingOps.windowedAggSql("events"),
     "events_histogram" -> eventsHistogramOracle,
+    "events_ohlc" -> eventsOhlcOracle,
     "events_anomaly" -> eventsAnomalyOracle,
     "events_trailing" -> userTrailingOracle,
     "events_corr" -> typeCorrOracle,

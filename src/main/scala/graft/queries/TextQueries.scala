@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -170,6 +170,145 @@ object TextQueries {
        |r AS (SELECT token, tf, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM c)
        |SELECT CAST(rank AS BIGINT) AS rank, token, tf, TRUE AS mg_ok
        |FROM r WHERE rank <= $k""".stripMargin
+
+  /** COUNT-MIN SKETCH point queries — the mergeable fixed-size frequency
+    * summary completing the sketch family (HLL distinct counts, GK
+    * quantiles, Misra–Gries heavy hitters, Bloom membership): d=4 rows ×
+    * w=512 counters, 16 KB of LONGs at ANY corpus size, each cell a plain
+    * map-side-combinable sum (the CMS is a monoid under cell-wise +).
+    * Built here from the exact token-frequency table — CMS increments are
+    * linear, so folding per-token counts into cells equals per-occurrence
+    * updates, one vocabulary-keyed shuffle, never a second corpus pass.
+    * A token's estimate is the MIN of its d cells, which can only
+    * OVERCOUNT (est ≥ tf by construction; E[over] ≤ N/w per row). Cell
+    * positions come from Kirsch–Mitzenmacher double hashing over the md5
+    * stream (h_j = h1 mod 2⁵⁸ + j·(h2 mod 2⁵⁴) mod w — pure integer ops),
+    * so both engines rebuild the IDENTICAL sketch and the report — exact
+    * tf, estimate, overcount per top-k token — is integer-exact and
+    * hash-graded, no tolerance: the sketch's determinism is the spec.
+    * At 100 TB the d·w cells cross one exchange; point queries are a
+    * broadcast join against 2K cells. */
+  private val CmsD = 4
+  private val CmsW = 512L
+
+  private def cmsPositions(tok: Column): Column = {
+    val hp = VecOps.hashPair(tok)
+    val h1 = hp.getItem(0) % lit(VecOps.DhM1)
+    val h2 = hp.getItem(1) % lit(VecOps.DhM2)
+    transform(sequence(lit(0), lit(CmsD - 1)),
+      j => (h1 + j.cast("long") * h2) % lit(CmsW))
+  }
+
+  private def cmsHitters(d: DataFrame, k: Int = 20): DataFrame = {
+    val exact = d.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val cells = exact
+      .select(col("tf"), posexplode(cmsPositions(col("token"))).as(Seq("j", "pos")))
+      .groupBy(col("j"), col("pos")).agg(sum(col("tf")).as("cnt"))
+    val w = Window.orderBy(desc("tf"), col("token"))
+    exact.orderBy(desc("tf"), col("token")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("token"), col("tf"),
+        posexplode(cmsPositions(col("token"))).as(Seq("j", "pos")))
+      .join(broadcast(cells), Seq("j", "pos"))
+      .groupBy(col("rank"), col("token"), col("tf"))
+      .agg(min(col("cnt")).as("est"))
+      .select(col("rank"), col("token"), col("tf"), col("est"),
+        (col("est") - col("tf")).as("overcount"))
+  }
+
+  private def cmsHittersOracle(k: Int = 20) =
+    s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+       |c AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+       |h AS (SELECT token, tf, hp[1] % ${VecOps.DhM1} AS h1,
+       |        hp[2] % ${VecOps.DhM2} AS h2
+       |      FROM (SELECT token, tf, ${VecOps.hashPairSql("token")} AS hp FROM c)),
+       |p AS (SELECT token, tf, j, (h1 + j * h2) % $CmsW AS pos
+       |      FROM h, (SELECT unnest(generate_series(0, ${CmsD - 1})) AS j)),
+       |cells AS (SELECT j, pos, CAST(sum(tf) AS BIGINT) AS cnt
+       |          FROM p GROUP BY j, pos),
+       |r AS (SELECT token, tf, row_number() OVER (ORDER BY tf DESC, token) AS rank
+       |      FROM c),
+       |e AS (SELECT r.rank, r.token, r.tf, min(cells.cnt) AS est
+       |      FROM r JOIN p ON p.token = r.token
+       |        JOIN cells ON cells.j = p.j AND cells.pos = p.pos
+       |      WHERE r.rank <= $k
+       |      GROUP BY 1, 2, 3)
+       |SELECT CAST(rank AS BIGINT) AS rank, token, tf, est,
+       |  est - tf AS overcount
+       |FROM e""".stripMargin
+
+  /** PER-LANGUAGE DISTRIBUTION DRIFT — KL(P_lang ‖ P_corpus) over
+    * Laplace-smoothed unigram distributions: the corpus-health signal
+    * that catches a language slice drifting from the blend (contamination,
+    * a scraper gone wrong, template flooding) that volume counts
+    * (`corpus_datasheet`) and the power-law fit (`vocab_zipf`) can't see.
+    *
+    * Shape: one (lang, token)-keyed count shuffle; the global vocabulary
+    * and per-lang totals derive from it (vocab-sized, not corpus-sized);
+    * the KL sum runs over the vocab × langs grid (absent tokens carry
+    * c_lt = 0 — their smoothed mass is part of the divergence), built as
+    * one vocab-keyed LEFT join with the tiny totals broadcast. At 100 TB
+    * the grid is |V|·L rows of integers — linear in vocabulary, never in
+    * corpus.
+    *
+    * Determinism: the only float op is ln of a ratio of EXACT doubles
+    * (integer products ≤ (c+1)·(N+V) ≈ 1e14 « 2⁵³ at any graded SF),
+    * quantized to micro-nats (1e-6, values ≤ ~30 — the accepted libm
+    * 1-ulp envelope used at every ln() site in this file); after that the
+    * per-lang accumulation is an exact integer sum: num_l = Σ_t
+    * (c_lt+1)·lr_micro(t) ≤ V·3e13 — LONG-safe to ~3·10⁵ vocab at 1e6
+    * max token count (lift to decimal(38,0) past that). The reported
+    * kl_nats divides identical integers in both engines. */
+  private def langKl(d: DataFrame): DataFrame = {
+    val toks = d.select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+    val perLang = toks.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("c_lt"))
+    Caching.scoped(perLang) {
+      val global = perLang.groupBy(col("token")).agg(sum(col("c_lt")).as("c_t"))
+      val langTot = perLang.groupBy(col("lang"))
+        .agg(sum(col("c_lt")).as("n_l"), count(lit(1)).as("v_l"))
+      val tot = global.agg(sum(col("c_t")).as("n_tot"), count(lit(1)).as("v"))
+      val grid = global
+        .crossJoin(broadcast(langTot))
+        .crossJoin(broadcast(tot))
+        .join(perLang, Seq("lang", "token"), "left")
+        .withColumn("c_lt", coalesce(col("c_lt"), lit(0L)))
+      val ratio = ((col("c_lt") + 1).cast("double") *
+          (col("n_tot") + col("v")).cast("double")) /
+        ((col("n_l") + col("v")).cast("double") *
+          (col("c_t") + 1).cast("double"))
+      val lrMicro = floor(log(ratio) * 1e6 + lit(0.5)).cast("long")
+      grid.groupBy(col("lang"), col("n_l"), col("v_l"), col("v"))
+        .agg(sum((col("c_lt") + lit(1L)) * lrMicro).as("num"))
+        .select(col("lang"), col("n_l").as("n_tokens"),
+          col("v_l").as("n_vocab_lang"), col("num").as("kl_num_micro"),
+          (col("num").cast("double") /
+            ((col("n_l") + col("v")).cast("double") * 1e6)).as("kl_nats"))
+    }
+  }
+
+  private val langKlOracle =
+    s"""WITH t AS (SELECT lang, unnest($toksSql) AS token FROM documents),
+       |pl AS (SELECT lang, token, count(*) AS c_lt FROM t GROUP BY 1, 2),
+       |g AS (SELECT token, CAST(sum(c_lt) AS BIGINT) AS c_t FROM pl GROUP BY 1),
+       |lt AS (SELECT lang, CAST(sum(c_lt) AS BIGINT) AS n_l,
+       |         count(*) AS v_l FROM pl GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_tot, count(*) AS v FROM g),
+       |grid AS (SELECT lt.lang, g.token, g.c_t, lt.n_l, lt.v_l,
+       |           tot.n_tot, tot.v, coalesce(pl.c_lt, 0) AS c_lt
+       |         FROM g CROSS JOIN lt CROSS JOIN tot
+       |         LEFT JOIN pl ON pl.lang = lt.lang AND pl.token = g.token),
+       |q AS (SELECT lang, n_l, v_l, v, c_lt,
+       |        CAST(floor(ln(((c_lt + 1)::DOUBLE * (n_tot + v)::DOUBLE) /
+       |                      ((n_l + v)::DOUBLE * (c_t + 1)::DOUBLE)) * 1e6
+       |                   + 0.5) AS BIGINT) AS lr_micro
+       |      FROM grid)
+       |SELECT lang, n_l AS n_tokens, v_l AS n_vocab_lang,
+       |  CAST(sum((c_lt + 1) * lr_micro) AS BIGINT) AS kl_num_micro,
+       |  CAST(sum((c_lt + 1) * lr_micro) AS BIGINT)::DOUBLE /
+       |    ((n_l + v)::DOUBLE * 1e6) AS kl_nats
+       |FROM q GROUP BY lang, n_l, v_l, v""".stripMargin
 
   /** TF-IDF top terms per document — the classic two-statistic text
     * ranking: term frequency per (doc, token), document frequency per
@@ -533,6 +672,10 @@ object TextQueries {
     "text_stats" -> ((s, dir) => TextOps.textStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.textQuality(docs(s, dir))),
     "heavy_hitters" -> ((s, dir) => heavyHitters(docs(s, dir))),
+    // Count-Min sketch point queries, integer-exact (determinism = spec)
+    "heavy_hitters_cms" -> ((s, dir) => cmsHitters(docs(s, dir))),
+    // per-lang unigram KL drift vs the corpus blend (smoothed, micro-nat exact)
+    "lang_kl" -> ((s, dir) => langKl(docs(s, dir))),
     "tfidf_top" -> ((s, dir) => tfidfTop(docs(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
@@ -657,6 +800,8 @@ object TextQueries {
     "text_stats" -> textStatsOracle,
     "text_quality" -> textQualityOracle,
     "heavy_hitters" -> heavyHittersOracle(),
+    "heavy_hitters_cms" -> cmsHittersOracle(),
+    "lang_kl" -> langKlOracle,
     "tfidf_top" -> tfidfTopOracle(),
     "lang_id" -> TextOps.langIdSql("documents"),
     "doc_fingerprint" -> TextOps.fingerprintSql("documents"),

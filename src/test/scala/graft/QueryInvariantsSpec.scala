@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Theorem-level invariants of the round-7 query additions, checked on the
+  * real fixtures through the public [[SparkEntry.queries]] surface (the
+  * DuckDB oracle grades exact values; these pin the properties that must
+  * hold on ANY fixture, so a future fixture change can't silently turn a
+  * passing hash into a meaningless one).
+  */
+class QueryInvariantsSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("heavy_hitters_cms: the CMS estimate only ever OVERcounts") {
+    val rows = run("heavy_hitters_cms").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (tf, est, over) = (r.getAs[Long]("tf"), r.getAs[Long]("est"),
+        r.getAs[Long]("overcount"))
+      assert(est >= tf, s"CMS undercounted: est=$est < tf=$tf")
+      assert(over == est - tf)
+    }
+  }
+
+  test("lang_kl: KL divergence is non-negative (Gibbs), vocab consistent") {
+    val rows = run("lang_kl").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // micro-nat quantization can dip a few grid units below zero at
+      // most; Gibbs' inequality pins the true value ≥ 0
+      assert(r.getAs[Double]("kl_nats") >= -1e-4,
+        s"KL negative for ${r.getAs[String]("lang")}")
+      assert(r.getAs[Long]("n_vocab_lang") > 0)
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_vocab_lang"))
+    }
+  }
+
+  test("events_ohlc: bar geometry (low ≤ open,close ≤ high) on every bar") {
+    val bad = run("events_ohlc")
+      .filter(col("high") < col("open") || col("high") < col("close") ||
+        col("low") > col("open") || col("low") > col("close") ||
+        col("n") < 1)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("events_ohlc: window and bar aggregation share ONE shuffle") {
+    val df = run("events_ohlc")
+    df.collect()
+    // the AQE toString repeats the plan under "== Initial Plan ==" —
+    // count exchanges in the final plan section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected one hash exchange, got $n:\n$plan")
+  }
+
+  test("sampler_topp: chosen index is inside the nucleus; weight renormalized") {
+    val rows = run("sampler_topp").collect()
+    assert(rows.length == 256)
+    rows.foreach { r =>
+      val (n, wt) = (r.getAs[Long]("n_nucleus"), r.getAs[Double]("weight"))
+      assert(n >= 1, "empty nucleus")
+      assert(wt > 0.0 && wt <= 1.0, s"weight $wt outside (0,1]")
+      // the nucleus member sampled must carry at least 1/n of its mass
+      // only when masses are equal; the general invariant is weight ≥
+      // (its own mass)/(total) > 0 — already checked — plus: a singleton
+      // nucleus must get the whole renormalized mass
+      if (n == 1) assert(wt == 1.0)
+    }
+  }
+
+  test("sampler_topp: windows, cut and Gumbel-max share ONE m_id exchange") {
+    val df = run("sampler_topp")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning\\(m_id".r.findAllIn(plan).length
+    assert(n == 1, s"expected one m_id hash exchange, got $n:\n$plan")
+  }
+
+  test("tpch_q12_modes: line counts partition the filtered join exactly") {
+    val r = run("tpch_q12_modes").collect()
+    assert(r.length == 2) // ship modes A and R
+    val total = r.map(x =>
+      x.getAs[Long]("high_line_count") + x.getAs[Long]("low_line_count")).sum
+    val lineitem = graft.sources.Tables.lineitem(spark, dir)
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val n = lineitem
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(total == n)
+  }
+}
