@@ -47,6 +47,14 @@ object DedupQueries {
     // corpus index — graded against the identical one-shot oracle
     "docs_ingest_stream" -> ((s, dir) =>
       graft.streaming.StreamingOps.dedupIngestStream(s, dir)),
+    // incremental CLUSTER maintenance: the odd-doc batch folded into the
+    // even-corpus cluster state via the affected-subgraph CC; graded by
+    // the from-scratch union clustering (exact parity is the theorem)
+    "dedup_clusters_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.clustersIngest(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
     // duplicated-SPAN coverage: per-doc fraction of tokens covered by
     // stride-1 W-token runs appearing verbatim in other docs — the
     // exact-substring-dedup filter signal (see graft.operators.SpanDedup)
@@ -129,6 +137,7 @@ object DedupQueries {
     "dedup_clusters" -> Dedup.dedupClustersSql("documents"),
     "dedup_corpus" -> Dedup.dedupCorpusSql("documents"),
     "dedup_incremental" -> Dedup.incrementalDedupSql("documents"),
+    "dedup_clusters_ingest" -> Dedup.clustersIngestSql("documents"),
     "docs_ingest_stream" -> Dedup.incrementalDedupSql("documents"),
     "dedup_chunks" ->
       s"""WITH c AS (${graft.operators.TextOps.chunkSql("documents")})
