@@ -420,7 +420,11 @@ object Dedup {
     * clusters, untouched clusters) are provable on synthetic edge lists:
     * given the persisted (doc_id, label) state and the batch-touching
     * edge list, produce the union's (doc_id, cluster). */
-  def mergeLabels(oldLabels: DataFrame, newEdges: DataFrame): DataFrame = {
+  def mergeLabels(oldLabels: DataFrame, newEdges0: DataFrame): DataFrame = {
+    // materialize the (batch-sized) edge list once: it feeds the touched
+    // set, the star construction, and the affected-subgraph CC — lazily it
+    // would re-run the band join + signature verification three times
+    val newEdges = eager(newEdges0.select(col("doc_a"), col("doc_b")))
     val touched = newEdges.select(col("doc_a").as("doc_id"))
       .union(newEdges.select(col("doc_b").as("doc_id"))).distinct()
     // star edge touched-member → its old label (self-stars drop)
