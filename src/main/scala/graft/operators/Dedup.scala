@@ -316,6 +316,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
   }
 
+  /** [[dedupCorpus]] with a QUALITY-AWARE representative: production
+    * dedup keeps the best member of each near-dup cluster, not the one
+    * with the smallest id — a scraped page's longest capture usually has
+    * the least boilerplate truncation. Policy here: max n_chars, doc_id
+    * as the deterministic tiebreak (one max(struct) per cluster — the
+    * same bounded aggregation shape as the min-id rule, so the scale
+    * story is unchanged: clustering happens on signatures, the corpus is
+    * touched once, map-only, by the final anti-join). */
+  def dedupCorpusBest(docs: DataFrame, minEst: Double = 0.5,
+                      cap: Int = BucketCap): DataFrame = {
+    val withLen = dedupClusters(docs, minEst, cap)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    // lexicographic max of (n_chars, -doc_id): longest member, ties to
+    // the smallest id
+    val best = withLen.groupBy(col("cluster"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("b"))
+      .select(col("cluster"), (-col("b.neg")).as("best_doc"))
+    val drop = withLen.join(best, "cluster")
+      .filter(col("doc_id") =!= col("best_doc"))
+      .select(col("doc_id"))
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+  }
+
+  /** SQL dual of [[dedupCorpusBest]]. */
+  def dedupCorpusBestSql(table: String, minEst: Double = 0.5,
+                         cap: Int = BucketCap): String =
+    s"""WITH clusters AS (${dedupClustersSql(table, minEst, cap)}),
+       |wl AS (SELECT c.doc_id, c.cluster, d.n_chars
+       |       FROM clusters c JOIN $table d USING (doc_id)),
+       |best AS (SELECT cluster, doc_id AS best_doc FROM (
+       |    SELECT cluster, doc_id,
+       |      row_number() OVER (PARTITION BY cluster
+       |                         ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM wl) WHERE rn = 1),
+       |kept AS (SELECT d.* FROM $table d WHERE d.doc_id NOT IN
+       |  (SELECT wl.doc_id FROM wl JOIN best USING (cluster)
+       |   WHERE wl.doc_id <> best.best_doc))
+       |SELECT lang, count(*) AS n_kept,
+       |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM kept GROUP BY lang""".stripMargin
+
   /** SQL dual of [[dedupCorpus]]. */
   def dedupCorpusSql(table: String, minEst: Double = 0.5,
                      cap: Int = BucketCap): String =

@@ -84,6 +84,27 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(n == 1, s"expected one m_id hash exchange, got $n:\n$plan")
   }
 
+  test("events_bloom_join: no false negatives — pass ⊇ match, fp = pass − match") {
+    val r = run("events_bloom_join").collect().head
+    val (nPass, nMatch, nFp) = (r.getAs[Long]("n_pass"),
+      r.getAs[Long]("n_match"), r.getAs[Long]("n_fp"))
+    assert(nMatch <= nPass, "bloom dropped a true match")
+    // Spark counts fp row-by-row as pass∧¬match; if any match failed the
+    // filter this identity breaks (the oracle computes it as pass − match)
+    assert(nFp == nPass - nMatch)
+  }
+
+  test("dedup_corpus_best: same drop count as min-id policy, never fewer chars") {
+    val best = run("dedup_corpus_best").collect()
+    val minId = run("dedup_corpus").collect()
+    def tot(rows: Array[org.apache.spark.sql.Row], c: String) =
+      rows.map(_.getAs[Long](c)).sum
+    assert(tot(best, "n_kept") == tot(minId, "n_kept"),
+      "policies must drop the same number of docs (same clusters)")
+    assert(tot(best, "chars_kept") >= tot(minId, "chars_kept"),
+      "longest-member policy cannot keep fewer characters")
+  }
+
   test("tpch_q12_modes: line counts partition the filtered join exactly") {
     val r = run("tpch_q12_modes").collect()
     assert(r.length == 2) // ship modes A and R
