@@ -419,33 +419,26 @@ object Dedup {
     * graded by the from-scratch recursive-CTE oracle. */
   def clustersIngest(existing: DataFrame, batch: DataFrame,
                      minEst: Double = 0.5): DataFrame = {
-    val sigEx = eager(minhashSig(existing))
+    val spark = existing.sparkSession
+    // ---- persisted state a deployment would already hold: labels, band
+    // index, and signatures over the existing corpus, as PARQUET read back
+    // (r7 ADVICE #4: with the state only cached, the "batch cost tracks
+    // the batch" claim was asserted, not plan-assertable; now the merge
+    // phase provably feeds from the state files — ClustersIngestSpec) ----
+    val path = graft.sources.Scratch.dir("graft_ingest_state")
+    minhashSig(existing).write.mode("overwrite").parquet(s"$path/sig")
+    val sigEx = spark.read.parquet(s"$path/sig")
+    minhashBands(sigEx).write.mode("overwrite").parquet(s"$path/bnd")
+    val bndEx = spark.read.parquet(s"$path/bnd")
+    connectedComponents(sigEdges(bandPairsUncapped(bndEx), sigEx, minEst))
+      .select(col("id").as("doc_id"), col("label"))
+      .write.mode("overwrite").parquet(s"$path/labels")
+    val oldLabels = spark.read.parquet(s"$path/labels")
+
+    // ---- batch arrival: only edges TOUCHING the batch are computed ----
     val sigNew = eager(minhashSig(batch))
-    val bndEx = minhashBands(sigEx)
     val bndNew = minhashBands(sigNew)
     val sigAll = sigEx.union(sigNew)
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1.0).otherwise(0.0)),
-      lit(0.0), (acc, v) => acc + v) / lit(K.toDouble)
-    def withEst(cand: DataFrame): DataFrame = cand
-      .join(sigAll.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigAll.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), VecOps.qround(est, 4).as("est_jaccard"))
-
-    // persisted state a deployment would already hold: labels over the
-    // existing corpus only
-    val exPairs = bndEx.as("a").join(bndEx.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val oldLabels = eager(connectedComponents(
-      withEst(exPairs).filter(col("est_jaccard") >= minEst)
-        .select(col("doc_a"), col("doc_b")))
-      .select(col("id").as("doc_id"), col("label")))
-
-    // batch arrival: only edges TOUCHING the batch are computed
     val bndAll = bndEx.union(bndNew)
     val newCand = bndNew.as("a").join(bndAll.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -453,9 +446,7 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    val newEdges = withEst(newCand).filter(col("est_jaccard") >= minEst)
-      .select(col("doc_a"), col("doc_b"))
-    mergeLabels(oldLabels, newEdges)
+    mergeLabels(oldLabels, sigEdges(newCand, sigAll, minEst))
   }
 
   /** The pure incremental-CC algebra of [[clustersIngest]], factored out
@@ -517,6 +508,125 @@ object Dedup {
        |  SELECT sym.src, reach.label FROM sym JOIN reach ON reach.id = sym.dst)
        |SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id""".stripMargin
   }
+
+  /** Uncapped band-key self-join: candidate pairs (a < b) sharing ≥1 LSH
+    * band — the [[minhashPairs]] candidate semantics, shared by the
+    * cluster-state operators (which need pair-set EXACTNESS, not the
+    * hot-bucket recall cap; see the note on [[clustersIngest]]). */
+  private def bandPairsUncapped(bnd: DataFrame): DataFrame =
+    bnd.as("a").join(bnd.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Verify candidate pairs by signature agreement and keep qualifying
+    * edges: est jaccard = matching-minhash fraction (qround 4, the exact
+    * integer-count arithmetic both engines share) ≥ minEst. */
+  private def sigEdges(cand: DataFrame, sig: DataFrame,
+                       minEst: Double): DataFrame = {
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, v) => acc + v) / lit(K.toDouble)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(VecOps.qround(est, 4) >= minEst)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** every RetractMod-th doc is the graded takedown batch. */
+  val RetractMod = 10
+
+  /** DEDUP-STATE RETRACTION — the inverse event of [[clustersIngest]]: a
+    * doc batch LEAVES the corpus (takedown / opt-out — a routine event in
+    * LLM corpus maintenance) and the persisted cluster labels must become
+    * exactly what from-scratch clustering of corpus∖batch would produce.
+    *
+    * Why this needs its own algebra: the min-label CC state is a
+    * commutative-MONOID fold (reference README.md:10-14 — merge, never
+    * unmerge), so there is no group inverse to apply. Removing a doc can
+    * (a) remove its cluster's LABEL, forcing re-election of the min over
+    * the survivors, and (b) remove a BRIDGE, splitting one component into
+    * several. Both are confined to the AFFECTED clusters: edges are
+    * pairwise properties, so deletion only ever REMOVES edges — a survivor
+    * of an affected cluster can never newly join a different cluster
+    * (a qualifying cross-cluster edge would have merged them already).
+    * Re-running CC over just the affected clusters' surviving members is
+    * therefore exact, and per batch the work tracks the affected
+    * neighborhoods, not the corpus.
+    *
+    * Sibling dedup states under retraction (the deployment checklist):
+    * span-index COUNTS adjust (decrement n_docs per removed doc's window
+    * hashes — a count is a group, subtraction is exact); the Bloom bitmap
+    * must REBUILD (ORed bits have no decrement — that is the price of the
+    * monoid-only summary; a counting Bloom trades 4× space for
+    * decrementability); the band index and signature table are per-doc
+    * rows — plain deletes.
+    *
+    * Graded (`dedup_clusters_retract`) against from-scratch clustering of
+    * the filtered corpus — the same independent recursive-CTE oracle that
+    * grades ingest, on corpus∖batch. */
+  def clustersRetract(corpus: DataFrame, removed: DataFrame,
+                      minEst: Double = 0.5): DataFrame = {
+    val spark = corpus.sparkSession
+    // ---- persisted state a deployment already holds (parquet, read back
+    // so the retraction phase's plan provably feeds from the state files,
+    // never re-deriving the corpus side — r7 ADVICE #4's ask, applied) ----
+    val path = graft.sources.Scratch.dir("graft_retract_state")
+    minhashSig(corpus).write.mode("overwrite").parquet(s"$path/sig")
+    val sig = spark.read.parquet(s"$path/sig")
+    minhashBands(sig).write.mode("overwrite").parquet(s"$path/bnd")
+    val bnd = spark.read.parquet(s"$path/bnd")
+    connectedComponents(sigEdges(bandPairsUncapped(bnd), sig, minEst))
+      .select(col("id").as("doc_id"), col("label"))
+      .write.mode("overwrite").parquet(s"$path/labels")
+    val labels = spark.read.parquet(s"$path/labels")
+    // ---- the retraction: affected-subgraph re-CC from the state files ----
+    retractLabels(labels, removed.select(col("doc_id")), surv => {
+      val bndAff = bnd.join(surv, "doc_id")
+      sigEdges(bandPairsUncapped(bndAff), sig, minEst)
+    })
+  }
+
+  /** The pure retraction algebra of [[clustersRetract]], factored out (the
+    * [[mergeLabels]] pattern) so the cases — label re-election, cluster
+    * split, whole-cluster removal, untouched clusters — are provable on
+    * synthetic label tables: given the persisted (doc_id, label) state,
+    * the removed ids, and a function producing the qualifying edges among
+    * a given doc set, emit (doc_id, cluster) for the surviving corpus.
+    *
+    * Exactness: `affected` = clusters holding ≥1 removed doc (the only
+    * clusters that can change); their survivors are re-CC'ed over
+    * recomputed edges, and the new component minimum is the true corpus∖R
+    * minimum because every candidate id in the component is present.
+    * Untouched clusters keep their labels verbatim — their label member
+    * survives by construction (labels are member ids and no member was
+    * removed). A survivor left edge-less drops out, matching the
+    * "docs with ≥1 qualifying edge" convention of [[dedupClusters]]. */
+  def retractLabels(oldLabels: DataFrame, removedIds0: DataFrame,
+                    edgesAmong: DataFrame => DataFrame): DataFrame = {
+    // both driver-side control tables are batch-bounded: removed ids and
+    // the affected cluster labels (≤ one per removed doc)
+    val removedIds = eager(removedIds0.select(col("doc_id")).distinct())
+    val affected = eager(oldLabels.join(removedIds, "doc_id")
+      .select(col("label")).distinct())
+    val survivors = oldLabels.join(broadcast(affected), Seq("label"))
+      .join(removedIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val reCC = connectedComponents(edgesAmong(survivors))
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+    val untouched = oldLabels.join(broadcast(affected), Seq("label"), "left_anti")
+      .select(col("doc_id"), col("label").as("cluster"))
+    untouched.union(reCC)
+  }
+
+  /** From-scratch oracle of [[clustersRetract]]: cluster corpus∖batch with
+    * the same independent recursive-CTE closure that grades ingest. */
+  def clustersRetractSql(table: String, minEst: Double = 0.5): String =
+    clustersIngestSql(
+      s"(SELECT * FROM $table WHERE doc_id % $RetractMod <> 0)", minEst)
 
   /** SQL dual of [[minhashPairsCapped]]. */
   def minhashPairsCappedSql(table: String, cap: Int = BucketCap): String = {

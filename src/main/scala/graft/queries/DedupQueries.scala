@@ -57,6 +57,14 @@ object DedupQueries {
       Dedup.clustersIngest(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
     }),
+    // dedup-state RETRACTION: every 10th doc is taken down; the persisted
+    // cluster labels are repaired via affected-subgraph re-CC (label
+    // re-election + split handling) — graded on exact parity with
+    // from-scratch clustering of corpus∖batch
+    "dedup_clusters_retract" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.clustersRetract(d, d.filter(col("doc_id") % Dedup.RetractMod === 0))
+    }),
     // duplicated-SPAN coverage: per-doc fraction of tokens covered by
     // stride-1 W-token runs appearing verbatim in other docs — the
     // exact-substring-dedup filter signal (see graft.operators.SpanDedup)
@@ -141,6 +149,7 @@ object DedupQueries {
     "dedup_corpus_best" -> Dedup.dedupCorpusBestSql("documents"),
     "dedup_incremental" -> Dedup.incrementalDedupSql("documents"),
     "dedup_clusters_ingest" -> Dedup.clustersIngestSql("documents"),
+    "dedup_clusters_retract" -> Dedup.clustersRetractSql("documents"),
     "docs_ingest_stream" -> Dedup.incrementalDedupSql("documents"),
     "dedup_chunks" ->
       s"""WITH c AS (${graft.operators.TextOps.chunkSql("documents")})

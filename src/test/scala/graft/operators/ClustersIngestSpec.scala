@@ -58,6 +58,19 @@ class ClustersIngestSpec extends AnyFunSuite {
     assert(got == members.map(m => (m, 7L)))
   }
 
+  test("clustersIngest merge phase feeds the existing side from the " +
+    "persisted state files") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Dedup.clustersIngest(
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+      .queryExecution.executedPlan.toString
+    // the existing corpus rides in as parquet state (sig/bnd/labels), and
+    // every batch-side minhash subtree is materialized before the merge —
+    // the merge plan itself re-shingles NOTHING
+    assert(plan.contains("graft_ingest_state"))
+    assert(!plan.contains("graft_minhash"))
+  }
+
   test("clustersIngest == from-scratch union clustering on the fixture") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val inc = labels(Dedup.clustersIngest(
