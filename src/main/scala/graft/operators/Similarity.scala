@@ -424,6 +424,54 @@ object Similarity {
     kmeansStep(kv, cents)
   }
 
+  /** CONVERGENCE-GATED k-means training (VERDICT r7 next-steps #5): iterate
+    * [[kmeansStep]] until the max per-cell centroid movement drops below
+    * `eps`, and emit the stopping iteration's step output with the
+    * iteration COUNT — the loop terminates by criterion, not by count
+    * (the reference re-enters its fold until done, core.py:26-35; a fixed
+    * count sidesteps the termination question a real trainer must answer).
+    *
+    * The stop decision is CROSS-ENGINE EXACT: every centroid cell is
+    * 4-decimal-quantized by the step before anything compares it, so both
+    * engines subtract bit-identical doubles and the `< eps` branch cannot
+    * straddle an ulp. A list that appears or disappears between rounds
+    * counts as movement 1.0 (≥ any sane eps — training continues).
+    *
+    * Loop control is DRIVER-ONLY data-free: per round, one aggregate over
+    * the two nlist×dim centroid tables (a few hundred rows at any corpus
+    * size) returns the scalar max-movement; the corpus itself is touched
+    * exactly `iters` map-only scans, same as [[kmeansTrain]]. `maxIters`
+    * bounds a pathological quantized-grid oscillation; hitting it emits
+    * that round (iters = maxIters) rather than looping forever. */
+  def kmeansTrainConverged(kv: DataFrame, seed: DataFrame, eps: Double,
+                           maxIters: Int): DataFrame = {
+    require(maxIters >= 1, "kmeansTrainConverged needs at least one iteration")
+    var prev = seed.localCheckpoint(true)
+    var out: DataFrame = null
+    var it = 0
+    var moved = Double.MaxValue
+    while (moved >= eps && it < maxIters) {
+      it += 1
+      val step = kmeansStep(kv, prev).localCheckpoint(true)
+      val next = centroidsFromStep(step).localCheckpoint(true)
+      moved = maxCentroidMove(prev, next)
+      prev = next
+      out = step
+    }
+    out.withColumn("iters", lit(it.toLong))
+  }
+
+  /** max |Δc| between two (list_id, cvec) tables; an unmatched (list, dim)
+    * cell counts as 1.0. One scalar over nlist×dim rows — control, never
+    * data. */
+  private def maxCentroidMove(a: DataFrame, b: DataFrame): Double = {
+    val ea = a.select(col("list_id"), posexplode(col("cvec")).as(Seq("pos", "ca")))
+    val eb = b.select(col("list_id"), posexplode(col("cvec")).as(Seq("pos", "cb")))
+    val r = ea.join(eb, Seq("list_id", "pos"), "full_outer")
+      .agg(max(coalesce(abs(col("ca") - col("cb")), lit(1.0)))).head
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+  }
+
   /** Trained quantizer after `iters` [[kmeansTrain]] iterations, in the
     * (list_id, cvec) shape [[ivfTopK]]/[[ivfIndex]] consume — materialized,
     * so index build and search plans start from the frozen trained

@@ -37,6 +37,27 @@ class KmeansTrainSpec extends AnyFunSuite {
       "three iterations produced exactly the seed-step means — loop is a no-op")
   }
 
+  test("kmeansTrainConverged stops by criterion: already-converged data " +
+    "stops at round 1; the fixture needs more") {
+    import spark.implicits._
+    // two point-masses sitting exactly on their seed centroids: the first
+    // re-mean reproduces the seed, movement 0 < eps, iters = 1
+    val pts = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.0, 1.0))).toDF("k_id", "kvec")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("list_id", "cvec")
+    val conv = Similarity.kmeansTrainConverged(pts, cents, 0.02, 6)
+    assert(conv.select(col("iters")).distinct().head.getLong(0) === 1L)
+    // the isotropic fixture wanders: criterion fires later than round 1
+    val fx = Similarity.kmeansTrainConverged(kv, seed, 0.02, 6)
+    assert(fx.select(col("iters")).distinct().head.getLong(0) > 1L)
+  }
+
+  test("kmeansTrainConverged: unreachable eps hits the maxIters bound") {
+    val capped = Similarity.kmeansTrainConverged(kv, seed, 0.0, 3)
+    assert(capped.select(col("iters")).distinct().head.getLong(0) === 3L)
+  }
+
   test("centroidsFromStep round-trips the step's (pos, c) pairs in order") {
     val cents = Similarity.centroidsFromStep(Similarity.kmeansStep(kv, seed))
     val dim = cents.select(size(col("cvec"))).head().getInt(0)
