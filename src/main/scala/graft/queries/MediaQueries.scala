@@ -5,13 +5,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Multimodal
 import graft.sources.Tables
 
-/** Driver-facing multimodal-column query: binary payload + metadata →
-  * batched per-partition (stub) decode → feature COO. See
+/** Driver-facing multimodal-column queries: binary payloads + metadata →
+  * batched per-partition REAL byte-level decode (PPM raster, PV multi-frame
+  * video, RIFF/WAVE PCM16) → integer-exact graded features. See
   * [[graft.operators.Multimodal]].
   */
 object MediaQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // REAL multi-frame VIDEO container: sequential PV demux (per-frame P6
+    // headers locate the frame boundaries), every stride-th frame
+    // featurized with integer-exact channel sums
     "media_features" -> ((s, dir) =>
       Multimodal.mediaFeatures(Tables.documents(s, dir))),
     "media_frames" -> ((s, dir) =>

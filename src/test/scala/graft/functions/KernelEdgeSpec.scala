@@ -62,6 +62,33 @@ class KernelEdgeSpec extends AnyFunSuite {
     assert(Multimodal.decodePpm(commented) == ((1, 1, 1L, 2L, 3L)))
   }
 
+  test("PV video demuxer: stride sampling, per-frame dims, malformed input") {
+    val id = 4L // nf = 2 + 4%3 = 3 frames
+    val good = Multimodal.ppvPayload(id)
+    // stride 2 samples frames 0 and 2; stride 1 demuxes every frame
+    val sampled = Multimodal.decodePpv(id, good, 2)
+    assert(sampled.map(_.frame_idx) == Seq(0L, 2L))
+    val all = Multimodal.decodePpv(id, good, 1)
+    assert(all.map(_.frame_idx) == Seq(0L, 1L, 2L))
+    // dims vary per frame: the demuxer must have parsed each header
+    assert(all.map(f => (f.width, f.height)) ==
+      (0 until 3).map(f => (8 + (id + f) % 5, 6 + (id + f) % 3)))
+    // frame-0 sums match the whole-frame pixel formula
+    val w0 = (8 + id % 5).toInt; val h0 = (6 + id % 3).toInt
+    val px = Array.tabulate(3 * w0 * h0)(i => (id * 7 + i) % 256)
+    assert(all.head.sum_r == px.zipWithIndex.collect { case (v, i) if i % 3 == 0 => v }.sum)
+    // wrong magic / truncated frame / trailing bytes all throw
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpv(id, "PX 1\n".getBytes ++ good.drop(5), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpv(id, good.dropRight(1), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpv(id, good ++ Array[Byte](0), 2)
+    }
+  }
+
   test("WAV parser rejects malformed payloads instead of zero-filling") {
     val good = Multimodal.wavPayload(5L)
     val (sr, n, sumAbs, peak) = Multimodal.decodeWav(good)
