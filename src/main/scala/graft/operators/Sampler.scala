@@ -65,8 +65,16 @@ object Sampler {
     * nucleus cut compares exact integers in both engines — a double
     * cumsum would hit engine-specific association order exactly at the
     * cut boundary. The sampled weight divides the SAME two integers in
-    * both engines. Gumbel keys come from the [[graft.functions.Mix60Kernel]]
-    * pair-noise stream, as in [[sampler]]. */
+    * both engines. Caveat (ADVICE r7): the mass integers themselves are
+    * downstream of `tz` — an unordered double window SUM plus libm
+    * exp/log — so they inherit the repo-wide ln/exp 1-ulp envelope: a
+    * value landing within 1 ulp of a ·10⁶ rounding boundary could flip
+    * one mass unit and with it nucleus MEMBERSHIP, exactly like the other
+    * documented ln() sites. The quantization confines that exposure to
+    * the single rounding site (vs. every partial sum of a double cumsum);
+    * it does not eliminate it. Gumbel keys come from the
+    * [[graft.functions.Mix60Kernel]] pair-noise stream, as in
+    * [[sampler]]. */
   def samplerTopP(pred: DataFrame, trg: DataFrame, seed: String,
                   pMicro: Long = 900000L,
                   mode: PairPlan.Mode = PairPlan.Auto): DataFrame = {

@@ -420,7 +420,8 @@ object StreamQueries {
   /** BLOOM SEMI-JOIN REDUCTION — the runtime-filter optimization that
     * makes selective fact⋈fact joins survive 100 TB: the selective side
     * (days on which a user made a ≥100 purchase) is summarized into a
-    * FIXED 2¹⁴-bit Bloom bitmap (2 KB of LONG words, built in one
+    * FIXED 2¹⁴-bit Bloom bitmap (512 LONG words using 32 bits each — 4 KB
+    * on the wire for 2 KB of live bits, built in one
     * aggregation and collected — the same bounded materialization Spark's
     * own InjectRuntimeFilter performs for its bloom subquery), and the
     * big side (view events) is prefiltered MAP-ONLY against the bitmap
@@ -451,7 +452,7 @@ object StreamQueries {
       .filter(col("event_type") === "purchase" && col("value") >= 100)
       .select(col("user_id"), col("day")).distinct()
     // the runtime filter: one aggregation to bitmap words, collected into
-    // a 512-long array literal (2 KB — the bounded build every engine's
+    // a 512-long array literal (4 KB — the bounded build every engine's
     // bloom runtime filter materializes on the driver)
     val words = (mBits / 32).toInt
     val arr = Array.fill[Long](words)(0L)
@@ -461,9 +462,12 @@ object StreamQueries {
       .groupBy(col("word")).agg(expr("bit_or(mask)").as("bm"))
       .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
     val bmLit = lit(arr)
+    // probe with the SAME integer shiftleft as the build side (ADVICE r7:
+    // the previous double-precision pow(2, k) was exact only because k ≤ 31
+    // and would silently break past 2^53 if the word width were widened)
     val hit = forall(positions(col("user_id"), col("day")), p =>
       element_at(bmLit, (p / 32).cast("int") + 1)
-        .bitwiseAND(pow(lit(2.0), p % 32).cast("long")) =!= 0)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 32).cast("int"))) =!= 0)
     val big = withDay.filter(col("event_type") === "view")
     big
       .withColumn("pass", hit)
