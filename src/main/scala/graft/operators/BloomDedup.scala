@@ -48,15 +48,28 @@ object BloomDedup {
       md5(TextOps.normText(col("text")).cast("binary")).as("fp"),
       explode(positions(TextOps.normText(col("text")))).as("pos"))
 
-  /** Per-lang ingest report: batch size, Bloom-flagged count, true exact
-    * dups, false positives, and the measured FPR. `corpus` and `batch`
-    * must expose (doc_id, lang, text). */
-  def bloomAdmit(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    val bitmap = withPos(corpus)
+  /** Pack a (pos) set into the 32-bits-per-LONG membership bitmap. */
+  private def packBitmap(positions: DataFrame): DataFrame =
+    positions
       .select(expr("pos div 32").as("word"),
         expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
       .groupBy(col("word"))
       .agg(expr("bit_or(mask)").as("bm"))
+
+  /** Per-lang ingest report: batch size, Bloom-flagged count, true exact
+    * dups, false positives, and the measured FPR. `corpus` and `batch`
+    * must expose (doc_id, lang, text). */
+  def bloomAdmit(corpus: DataFrame, batch: DataFrame): DataFrame =
+    admitReport(packBitmap(withPos(corpus)),
+      corpus.select(md5(TextOps.normText(col("text")).cast("binary")).as("cfp"))
+        .distinct(),
+      batch)
+
+  /** The shared admit flow: probe `batch` against a prebuilt membership
+    * `bitmap` (word, bm), measure truth against the exact corpus
+    * fingerprint set `corpusFps` (cfp). */
+  private def admitReport(bitmap: DataFrame, corpusFps: DataFrame,
+                          batch: DataFrame): DataFrame = {
     val perDoc = withPos(batch)
       .withColumn("word", expr("pos div 32"))
       .join(broadcast(bitmap), Seq("word"), "left")
@@ -66,9 +79,6 @@ object BloomDedup {
           .otherwise(0L).as("hit"))
       .groupBy(col("doc_id"), col("lang"), col("fp"))
       .agg((sum(col("hit")) === K).as("flagged"))
-    val corpusFps = corpus
-      .select(md5(TextOps.normText(col("text")).cast("binary")).as("cfp"))
-      .distinct()
     perDoc.join(corpusFps, col("fp") === col("cfp"), "left")
       .select(col("lang"), col("flagged"), col("cfp").isNotNull.as("is_dup"))
       .groupBy(col("lang"))
@@ -81,6 +91,87 @@ object BloomDedup {
         col("n_false_pos").cast("double") /
           greatest(col("n_batch") - col("n_true_dup"), lit(1L)).cast("double"),
         6))
+  }
+
+  /** COUNTING-Bloom RETRACTION — the state that CAN honor a takedown.
+    * A plain Bloom bitmap is a monoid without an inverse (bit_or forgets
+    * multiplicity — `dedup_clusters_retract`'s doc lists it as the sibling
+    * state that must REBUILD); the counting Bloom replaces each bit with a
+    * counter, making the state a GROUP under cell-wise +: retraction is
+    * cnt −= batch's probe counts, exact by linearity, never a corpus
+    * rescan. Membership = (cnt > 0), identical to the bitmap's by
+    * construction.
+    *
+    * The graded query decrements the full-corpus counting cells by the
+    * removed batch's probes, derives the membership bitmap from the
+    * survivors' cells, and runs the standard admit report against it —
+    * re-submissions of REMOVED docs must now clear admission (flagged only
+    * at the measured FPR; a stale bitmap would flag all of them).
+    * `retract_exact` grades the group law itself: the decremented cell
+    * table must equal, cell for cell, the counting filter rebuilt from
+    * scratch on corpus∖removed (a ≤ 2¹⁶-row symmetric difference — sketch
+    * state, never data). At 100 TB the cells are 2¹⁶ LONGs however large
+    * the corpus; the decrement batch rides one broadcast. */
+  def bloomRetract(corpus: DataFrame, removed: DataFrame,
+                   batch: DataFrame): DataFrame = {
+    val cells = withPos(corpus).groupBy(col("pos")).agg(count(lit(1)).as("cnt"))
+    val dec = withPos(removed).groupBy(col("pos")).agg(count(lit(1)).as("dcnt"))
+    val cells2 = cells.join(broadcast(dec), Seq("pos"), "left")
+      .select(col("pos"), (col("cnt") - coalesce(col("dcnt"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0L)
+    val survivors = corpus.join(removed.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val rebuilt = withPos(survivors)
+      .groupBy(col("pos")).agg(count(lit(1)).as("cnt"))
+    val parity = cells2.exceptAll(rebuilt).unionAll(rebuilt.exceptAll(cells2))
+      .agg((count(lit(1)) === 0L).as("retract_exact"))
+    val corpusFps = survivors
+      .select(md5(TextOps.normText(col("text")).cast("binary")).as("cfp"))
+      .distinct()
+    admitReport(packBitmap(cells2.select(col("pos"))), corpusFps, batch)
+      .crossJoin(broadcast(parity))
+  }
+
+  /** DuckDB oracle dual of [[bloomRetract]]: corpus = even docs, removed =
+    * every 10th even doc, batch = the same arrival mix as [[oracleSql]] —
+    * the report recomputed FROM SCRATCH on corpus∖removed (linearity makes
+    * the decremented filter identical), `retract_exact` pinned TRUE. */
+  def retractOracleSql(table: String): String = {
+    def posCte(src: String) =
+      s"""SELECT doc_id, lang, md5(${TextOps.normTextSql("text")}) AS fp,
+         |  unnest(list_transform(generate_series(0, ${K - 1}),
+         |    j -> (hp[1] % ${VecOps.DhM1} + j * (hp[2] % ${VecOps.DhM2})) % $MBits)) AS pos
+         |FROM (SELECT doc_id, lang, text,
+         |        ${VecOps.hashPairSql(TextOps.normTextSql("text"))} AS hp
+         |      FROM $src)""".stripMargin
+    s"""WITH corpus AS (SELECT * FROM $table
+       |                WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0),
+       |batch AS (SELECT * FROM $table WHERE doc_id % 2 = 1 OR doc_id % 20 = 0),
+       |cpos AS (${posCte("corpus")}),
+       |bm AS (SELECT pos // 32 AS word,
+       |         bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bm
+       |       FROM cpos GROUP BY 1),
+       |bpos AS (${posCte("batch")}),
+       |hits AS (SELECT doc_id, lang, fp,
+       |           CASE WHEN bm.bm IS NOT NULL AND
+       |             (bm.bm & (1::BIGINT << CAST(pos % 32 AS INTEGER))) <> 0
+       |           THEN 1 ELSE 0 END AS hit
+       |         FROM bpos LEFT JOIN bm ON bm.word = bpos.pos // 32),
+       |pd AS (SELECT doc_id, lang, fp, sum(hit) = $K AS flagged
+       |       FROM hits GROUP BY doc_id, lang, fp),
+       |cf AS (SELECT DISTINCT md5(${TextOps.normTextSql("text")}) AS cfp
+       |       FROM corpus)
+       |SELECT lang, count(*) AS n_batch,
+       |  CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(sum(CASE WHEN cfp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+       |  CAST(sum(CASE WHEN flagged AND cfp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       |  ${VecOps.qroundSql(
+            s"""sum(CASE WHEN flagged AND cfp IS NULL THEN 1 ELSE 0 END)::DOUBLE /
+               | greatest(count(*) - sum(CASE WHEN cfp IS NOT NULL THEN 1 ELSE 0 END), 1)::DOUBLE""".stripMargin,
+            6)} AS fpr,
+       |  TRUE AS retract_exact
+       |FROM pd LEFT JOIN cf ON cf.cfp = pd.fp
+       |GROUP BY lang""".stripMargin
   }
 
   /** DuckDB oracle dual of [[bloomAdmit]] over the parity split of `table`

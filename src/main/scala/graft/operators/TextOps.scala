@@ -758,4 +758,70 @@ object TextOps {
       .mkString("", "\nUNION ALL", "")
     sb.toString
   }
+
+  /** PII detection + redaction — the compliance pass every released
+    * training corpus runs (emails, IP addresses, phone numbers scrubbed
+    * before the data ships). Pattern classes are deliberately simple
+    * ASCII regexes that parse identically in Java regex (Spark codegen'd
+    * `regexp_replace`/`regexp_count`) and RE2 (DuckDB): no lookarounds, no
+    * word boundaries, greedy quantifiers whose leftmost match agrees
+    * between backtracking and leftmost-longest engines on these shapes.
+    * Map-only per row — the 100 TB plan is pure input-split parallelism,
+    * like every other scan in this file. */
+  val EmailRe = "[a-z0-9]+@[a-z0-9.]+\\.com"
+  val Ipv4Re = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** Per-doc PII report: category match counts on the ORIGINAL text plus
+    * the post-redaction length (matches replaced by `<EMAIL>`/`<IP>`/
+    * `<PHONE>` in that order; the classes are disjoint by construction so
+    * order only matters for determinism). Callers aggregate. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+    docs.select(col("doc_id"), col("lang"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
+      length(col("text")).cast("long").as("len_raw"),
+      length(scrubbed).cast("long").as("len_scrubbed"))
+  }
+
+  /** Flat K-way MERGE of Misra–Gries summaries — the mergeable-summaries
+    * reduction (Agarwal/Cormode/Huang/Phillips/Wei/Yi, PODS'12): sum the
+    * per-shard counters pointwise, subtract the (m+1)-th largest combined
+    * count δ from every counter, drop the non-positive remainder. At most
+    * m counters survive (only entries strictly above δ remain, and only m
+    * can exceed the (m+1)-th largest).
+    *
+    * The merged summary keeps the ONE-SHOT error theorem, est ≤ f and
+    * f − est ≤ N/(m+1) over the UNION stream of size N: each shard i
+    * satisfies f_i − est_i ≤ d_i with d_i ≤ (N_i − M_i)/(m+1) (M_i = its
+    * retained mass), the pointwise sum inherits Σd_i, and the m+1 entries
+    * ≥ δ give δ·(m+1) ≤ C (the combined retained mass), so the total
+    * undercount is ≤ (N − ΣM_i)/(m+1) + C/(m+1) = N/(m+1) since C = ΣM_i.
+    * This is the associativity the reference assumes of every
+    * `binary_reduce` partial state (reference README.md:24-33), proved for
+    * the sketch whose merge DISCARDS mass.
+    *
+    * Input: one row per shard with a map<string,long> column `mg` (the
+    * [[graft.functions.GraftAggs.mgSketch]] output). Output: (token, est),
+    * ≤ m rows. The combined table is ≤ K·m rows — the global rank window
+    * is over sketch STATE, never data, so the single-partition window is
+    * bounded at any corpus size. */
+  def mgMergeFlat(summaries: DataFrame, m: Int): DataFrame = {
+    val combined = summaries
+      .select(explode(col("mg")).as(Seq("token", "cnt")))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+    val ranked = combined.withColumn(
+      "r", row_number().over(Window.orderBy(desc("cnt"), col("token"))))
+    val delta = ranked.agg(
+      coalesce(max(when(col("r") === m + 1, col("cnt"))), lit(0L)).as("delta"))
+    ranked.crossJoin(broadcast(delta))
+      .select(col("token"), (col("cnt") - col("delta")).as("est"))
+      .filter(col("est") > lit(0L))
+  }
 }

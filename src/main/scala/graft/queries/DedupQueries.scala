@@ -100,6 +100,19 @@ object DedupQueries {
         d.filter(col("doc_id") % 2 === 0),
         d.filter(col("doc_id") % 2 === 1 || col("doc_id") % 20 === 0))
     }),
+    // COUNTING-Bloom retraction: every 10th corpus doc taken down by
+    // decrementing its probe counters (the Bloom state that HAS an inverse
+    // — cell-wise + is a group, unlike the bitmap's bit_or); the admit
+    // report reruns against the decremented filter (removed re-arrivals
+    // now clear admission), and retract_exact grades the decremented cells
+    // against a from-scratch rebuild on corpus∖removed, cell for cell
+    "dedup_bloom_retract" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      graft.operators.BloomDedup.bloomRetract(corpus,
+        corpus.filter(col("doc_id") % 10 === 0),
+        d.filter(col("doc_id") % 2 === 1 || col("doc_id") % 20 === 0))
+    }),
     // CONTENT-DEFINED chunk dedup: boundaries from a rolling-hash modulus
     // test re-synchronize on content, so an insertion shifts one chunk,
     // not every following fingerprint (graft.operators.TextOps.chunkCdc)
@@ -130,6 +143,8 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dedup_spans" -> graft.operators.SpanDedup.oracleSql("documents"),
     "dedup_bloom" -> graft.operators.BloomDedup.oracleSql("documents"),
+    "dedup_bloom_retract" ->
+      graft.operators.BloomDedup.retractOracleSql("documents"),
     "dedup_spans_ingest" -> graft.operators.SpanDedup.ingestOracleSql("documents"),
     "dedup_cdc" ->
       s"""WITH ch AS (${graft.operators.TextOps.chunkCdcSql("documents")})

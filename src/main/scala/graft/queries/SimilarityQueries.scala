@@ -227,7 +227,7 @@ object SimilarityQueries {
     * probed lists' union. Centroid quantization (4 decimals, both engines)
     * is what makes the Voronoi assignment hash-stable cross-engine. */
   private def ivfTopkSql(k: Int, nprobe: Int = Similarity.NProbe,
-                         centWhere: String = "") = {
+                         centWhere: String = "", kvWhere: String = "") = {
     def cosOf(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
     s"""WITH c0 AS (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
@@ -236,7 +236,7 @@ object SimilarityQueries {
        |            GROUP BY label, i),
        |cents AS (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
        |          FROM c0 GROUP BY label),
-       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings$kvWhere),
        |asn AS (SELECT k_id, list_id FROM (
        |          SELECT k_id, list_id,
        |            row_number() OVER (PARTITION BY k_id
@@ -921,6 +921,17 @@ object SimilarityQueries {
       Similarity.ivfTopKIngested(perturbedQSide(s, dir),
         side(0), side(1), cents, AnnK)
     }),
+    // index RETRACTION (the takedown inverse of similar_ivf_ingest): a
+    // vec_id batch removed from the persisted index via a TOMBSTONE side
+    // table — no index rewrite, read-side anti-join — and the search over
+    // the survivors graded against the from-scratch oracle on corpus∖batch
+    // (exact, since the quantizer is frozen and assignment is per-row)
+    "similar_ivf_retract" -> ((s, dir) => {
+      val all = emb(s, dir)
+      Similarity.ivfTopKRetracted(perturbedQSide(s, dir), kvSide(s, dir),
+        all.filter(col("vec_id") % 16 === 0).select(col("vec_id").as("k_id")),
+        Similarity.ivfCentroids(all).localCheckpoint(true), AnnK)
+    }),
     // one full k-means iteration (re-assign + recompute means) — the IVF
     // quantizer's training loop, graded
     "kmeans_step" -> ((s, dir) =>
@@ -1044,6 +1055,10 @@ object SimilarityQueries {
       centWhere = " WHERE vec_id % 2 = 0"),
     "embeds_ingest_stream" -> ivfTopkSql(AnnK,
       centWhere = " WHERE vec_id % 2 = 0"),
+    // from-scratch oracle for the retraction path: full-corpus quantizer,
+    // kv side restricted to the survivors
+    "similar_ivf_retract" -> ivfTopkSql(AnnK,
+      kvWhere = " WHERE vec_id % 16 <> 0"),
     "kmeans_step" -> kmeansStepOracle,
     "kmeans_train" -> kmeansTrainOracle,
     "kmeans_train_conv" -> kmeansConvOracle,

@@ -171,6 +171,125 @@ object TextQueries {
        |SELECT CAST(rank AS BIGINT) AS rank, token, tf, TRUE AS mg_ok
        |FROM r WHERE rank <= $k""".stripMargin
 
+  /** PII SCRUB, graded (`docs_pii_scrub`): the compliance pass before a
+    * corpus release — find and redact emails, IPv4 addresses, and phone
+    * numbers, reporting per-lang match counts and redacted-char deltas.
+    * The fixture text is synthetic word soup with no PII, so the query
+    * derives a DIRTY corpus by deterministic injection (an email into
+    * every 3rd doc, an IPv4 into every 5th, a phone number into every
+    * 7th — the same integer arithmetic builds the same bytes in both
+    * engines; the perturbed-copy precedent from the ANN recall queries).
+    * What is graded is the SCRUB OPERATOR itself: Java-regex
+    * `regexp_count`/`regexp_replace` (codegen'd, map-only) must agree
+    * match-for-match and byte-for-byte with DuckDB's RE2 on the shared
+    * pattern classes — the cross-engine-portable subset documented at
+    * [[TextOps.piiScrub]]. */
+  private def piiScrubQ(d: DataFrame): DataFrame = {
+    val dirty = d.select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    TextOps.piiScrub(dirty)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_ip") + col("n_phone") > 0, 1L)
+          .otherwise(0L)).as("n_docs_pii"),
+        sum(col("n_email")).as("n_email"),
+        sum(col("n_ip")).as("n_ip"),
+        sum(col("n_phone")).as("n_phone"),
+        sum(col("len_raw") - col("len_scrubbed")).as("chars_redacted"))
+  }
+
+  private val piiScrubOracle = {
+    val (e, i, p) = (TextOps.EmailRe, TextOps.Ipv4Re, TextOps.PhoneRe)
+    s"""WITH dirty AS (SELECT doc_id, lang,
+       |  text ||
+       |  CASE WHEN doc_id % 3 = 0
+       |    THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0
+       |    THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END ||
+       |  CASE WHEN doc_id % 7 = 0
+       |    THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS text
+       |  FROM documents),
+       |m AS (SELECT doc_id, lang,
+       |  len(regexp_extract_all(text, '$e'))::BIGINT AS n_email,
+       |  len(regexp_extract_all(text, '$i'))::BIGINT AS n_ip,
+       |  len(regexp_extract_all(text, '$p'))::BIGINT AS n_phone,
+       |  length(text)::BIGINT AS len0,
+       |  length(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'),
+       |    '$p', '<PHONE>', 'g'))::BIGINT AS len1
+       |  FROM dirty)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+       |  CAST(sum(n_email) AS BIGINT) AS n_email,
+       |  CAST(sum(n_ip) AS BIGINT) AS n_ip,
+       |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       |  CAST(sum(len0 - len1) AS BIGINT) AS chars_redacted
+       |FROM m GROUP BY lang""".stripMargin
+  }
+
+  /** Misra–Gries MERGEABILITY, graded (`heavy_hitters_merge`): one MG
+    * summary per doc_id-shard, flat-merged by [[TextOps.mgMergeFlat]] —
+    * pointwise sum, subtract the (m+1)-th largest, drop non-positives —
+    * and the merged estimates graded on the SAME theorem as the one-shot
+    * sketch: never over, undercount ≤ N/(m+1) over the union stream (the
+    * PODS'12 mergeable-summaries bound; proof sketch at the operator).
+    * This completes the merge-grade family: HLL merges losslessly
+    * (`vocab_sketch_merge`), GK compounds to 2ε (`events_quantiles_merge`),
+    * MG DISCARDS mass on merge yet keeps the one-shot bound — the three
+    * regimes a 100 TB rollup protocol meets. `close_ok` bounds
+    * merged-vs-oneshot distance by N/(m+1), implied by both sharing
+    * [tf − N/(m+1), tf]. Booleans, never sketch contents — buffer state is
+    * fold-order-sensitive, the theorem is not (same stance as
+    * `heavy_hitters`). Every top-k token is PRESENT in the merged summary
+    * by the theorem itself (tf > N/(m+1) forces est > 0), so the absent→0
+    * coalesce never fires on a graded row at these fixtures. */
+  private def heavyHittersMerge(d: DataFrame, k: Int = 20): DataFrame = {
+    val toks = d.select(pmod(col("doc_id"), lit(8L)).as("shard"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = exact.agg(sum(col("tf")).as("n_total"))
+    val perShard = toks.groupBy(col("shard"))
+      .agg(graft.functions.GraftAggs.mgSketch(MgM)(col("token")).as("mg"))
+    val merged = TextOps.mgMergeFlat(perShard, MgM)
+      .withColumnRenamed("est", "est_m")
+    val oneshot = toks.agg(
+      graft.functions.GraftAggs.mgSketch(MgM)(col("token")).as("mg"))
+    val w = Window.orderBy(desc("tf"), col("token"))
+    val bound = col("n_total").cast("double") / lit(MgM + 1.0)
+    val estO = coalesce(element_at(col("mg"), col("token")), lit(0L))
+    exact.orderBy(desc("tf"), col("token")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(merged), Seq("token"), "left")
+      .withColumn("est_m", coalesce(col("est_m"), lit(0L)))
+      .crossJoin(broadcast(oneshot))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("tf"),
+        (estO <= col("tf") &&
+          (col("tf") - estO).cast("double") <= bound).as("oneshot_ok"),
+        (col("est_m") <= col("tf") &&
+          (col("tf") - col("est_m")).cast("double") <= bound).as("merged_ok"),
+        (abs(col("est_m") - estO).cast("double") <= bound).as("close_ok"))
+  }
+
+  private def heavyHittersMergeOracle(k: Int = 20) =
+    s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+       |c AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+       |r AS (SELECT token, tf, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM c)
+       |SELECT CAST(rank AS BIGINT) AS rank, token, tf,
+       |  TRUE AS oneshot_ok, TRUE AS merged_ok, TRUE AS close_ok
+       |FROM r WHERE rank <= $k""".stripMargin
+
   /** COUNT-MIN SKETCH point queries — the mergeable fixed-size frequency
     * summary completing the sketch family (HLL distinct counts, GK
     * quantiles, Misra–Gries heavy hitters, Bloom membership): d=4 rows ×
@@ -672,6 +791,8 @@ object TextQueries {
     "text_stats" -> ((s, dir) => TextOps.textStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.textQuality(docs(s, dir))),
     "heavy_hitters" -> ((s, dir) => heavyHitters(docs(s, dir))),
+    "heavy_hitters_merge" -> ((s, dir) => heavyHittersMerge(docs(s, dir))),
+    "docs_pii_scrub" -> ((s, dir) => piiScrubQ(docs(s, dir))),
     // Count-Min sketch point queries, integer-exact (determinism = spec)
     "heavy_hitters_cms" -> ((s, dir) => cmsHitters(docs(s, dir))),
     // per-lang unigram KL drift vs the corpus blend (smoothed, micro-nat exact)
@@ -800,6 +921,8 @@ object TextQueries {
     "text_stats" -> textStatsOracle,
     "text_quality" -> textQualityOracle,
     "heavy_hitters" -> heavyHittersOracle(),
+    "heavy_hitters_merge" -> heavyHittersMergeOracle(),
+    "docs_pii_scrub" -> piiScrubOracle,
     "heavy_hitters_cms" -> cmsHittersOracle(),
     "lang_kl" -> langKlOracle,
     "tfidf_top" -> tfidfTopOracle(),

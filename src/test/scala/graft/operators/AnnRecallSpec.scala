@@ -138,6 +138,35 @@ class AnnRecallSpec extends AnyFunSuite {
       direct.exceptAll(res).count() == 0)
   }
 
+  test("IVF retract: tombstone anti-join, no index rewrite, from-scratch parity") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val kv = emb.select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+    val q = perturbedQ(dir)
+    val cents = Similarity.ivfCentroids(emb).localCheckpoint(true)
+    val removed = emb.filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id").as("k_id"))
+    val res = Similarity.ivfTopKRetracted(q, kv, removed, cents, 10)
+    res.collect()
+    // the deletion must be merge-on-read: the tombstone set rides a
+    // broadcast LEFT ANTI join over the index scan — the index files are
+    // never rewritten (an index rewrite would show as a second index
+    // write job, and the anti-join would be absent)
+    val plan = res.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("leftanti"),
+      s"retracted read carries no anti-join:\n${plan.take(2000)}")
+    assert(plan.contains("broadcast"),
+      s"tombstone side is not broadcast:\n${plan.take(2000)}")
+    // index∖batch == index(corpus∖batch) under a frozen quantizer: the
+    // retracted search answers exactly like a from-scratch search over the
+    // surviving corpus
+    val kvLeft = emb.filter(col("vec_id") % 16 =!= 0)
+      .select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+    val direct = Similarity.ivfTopK(q, kvLeft, cents, 10)
+    assert(res.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(res).count() == 0)
+  }
+
   test("persisted IVF index: scan is partition-pruned to the probed lists") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, dir)

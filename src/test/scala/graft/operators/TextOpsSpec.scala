@@ -75,4 +75,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 1.0, 0.0)), "single token: top frac 1, no dup bigrams")
     assert(got(4L) == ((0L, 0.0, 0.0)), "empty doc: all zeros")
   }
+
+  test("piiScrub: counts and redacted lengths on known strings") {
+    val pii = Seq(
+      (0L, "en", "mail me at bob99@corp.com today"),         // 1 email
+      (1L, "en", "from 192.168.0.1 and 10.0.0.2 came"),      // 2 ips
+      (2L, "de", "call 555-1234 or 555-9999 now"),           // 2 phones
+      (3L, "de", "clean text with no pii at all"),           // nothing
+      (4L, "en", "a@b.com and 1.2.3.4 and 555-0000"))        // one of each
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.piiScrub(pii).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) = {
+      val r = got(id)
+      (r.getAs[Long]("n_email"), r.getAs[Long]("n_ip"), r.getAs[Long]("n_phone"))
+    }
+    assert(counts(0L) == ((1L, 0L, 0L)))
+    assert(counts(1L) == ((0L, 2L, 0L)))
+    assert(counts(2L) == ((0L, 0L, 2L)))
+    assert(counts(3L) == ((0L, 0L, 0L)))
+    assert(counts(4L) == ((1L, 1L, 1L)))
+    // redaction delta: "bob99@corp.com" (14) -> "<EMAIL>" (7) = 7 chars
+    assert(got(0L).getAs[Long]("len_raw") - got(0L).getAs[Long]("len_scrubbed") == 7L)
+    // the clean doc is untouched
+    assert(got(3L).getAs[Long]("len_raw") == got(3L).getAs[Long]("len_scrubbed"))
+  }
 }
