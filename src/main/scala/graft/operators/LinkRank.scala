@@ -74,6 +74,52 @@ object LinkRank {
     r
   }
 
+  /** CONVERGENCE-GATED PageRank (the `kmeans_train_conv` stance applied to
+    * the link-analysis family): iterate until the max per-node rank
+    * movement drops below `epsRel`·(1/N) — RELATIVE to the uniform seed
+    * rank, because absolute movement scales as 1/N and a fixed absolute ε
+    * would fire at iteration 1 on a big graph and never on a small one.
+    * Emits (iters, node, r) of the stopping round.
+    *
+    * The stop decision is cross-engine EXACT: each round's ranks are
+    * 1e-9-quantized before the next round reads them, so the movement
+    * max-of-differences is a max over identical doubles, and the
+    * threshold is the same IEEE division epsRel/N in both engines.
+    * Loop control is ONE scalar aggregate over the |V|-row rank table per
+    * round — control, never data (the collect-requantize protocol).
+    * Measured: the fixture graph's movement·N decays ≈0.85×/round from
+    * ~17–19, so epsRel = 9.0 stops at round 5 (sf0.001) vs 6 (sf0.01,
+    * sf0.1) — the data decides, not the count; `maxIters` bounds the
+    * chain and the oracle's CTE depth. */
+  def ranksConverged(li: DataFrame, epsRel: Double, maxIters: Int): DataFrame = {
+    require(maxIters >= 1, "ranksConverged needs at least one iteration")
+    val e = edges(li).localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ew = e.join(deg, "src").localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    val eps = epsRel / n.toDouble
+    var r = nodes.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("r"))
+      .localCheckpoint(true)
+    var it = 0
+    var moved = Double.MaxValue
+    while (moved >= eps && it < maxIters) {
+      it += 1
+      val next = ew.join(r, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(VecOps.qround(
+          lit(Residual) / lit(n.toDouble) +
+            lit(Damping) * sum(col("r") / col("deg")), RankDigits).as("r"))
+        .localCheckpoint(true)
+      // the symmetric graph has no dangling nodes, so every node appears
+      // on both sides — an inner join covers the full vertex set
+      moved = next.join(r.withColumnRenamed("r", "rp"), "node")
+        .agg(max(abs(col("r") - col("rp")))).head.getDouble(0)
+      r = next
+    }
+    r.select(lit(it.toLong).as("iters"), col("node"), col("r"))
+  }
+
   /** The SQL dual: the same chain with one CTE pair per iteration. */
   def ranksSql(iters: Int): String = {
     val sb = new StringBuilder
@@ -90,6 +136,44 @@ object LinkRank {
        |        FROM e JOIN deg USING (src) JOIN r${i - 1} p ON p.node = e.src, nn
        |        GROUP BY e.dst, nn.n)""".stripMargin
     sb ++= s"\nSELECT node, r FROM r$iters"
+    sb.toString
+  }
+
+  /** Dual of [[ranksConverged]]: chain `maxIters` rounds, compute each
+    * round's max movement, find the first round below epsRel/N, emit that
+    * round via guarded UNION ALL branches (the `kmeans_train_conv` oracle
+    * shape). Every CTE is MATERIALIZED — the movement CTEs reference each
+    * rank table twice, and DuckDB's default inlining re-executes the whole
+    * upstream chain per reference (measured: the un-materialized 8-round
+    * chain at sf0.1 exhausted disk; materialized it runs in seconds). */
+  def ranksConvSql(epsRel: Double, maxIters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey*2 + 1 AS src, l_partkey*2 AS dst FROM lineitem
+       |           UNION
+       |           SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2 + 1 AS dst FROM lineitem),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, 1.0 / n AS r FROM nodes, nn)""".stripMargin
+    for (i <- 1 to maxIters) sb ++= s""",
+       |r$i AS MATERIALIZED (SELECT e.dst AS node,
+       |          ${VecOps.qroundSql(s"$Residual / nn.n + $Damping * sum(p.r / deg.deg)", RankDigits)} AS r
+       |        FROM e JOIN deg USING (src) JOIN r${i - 1} p ON p.node = e.src, nn
+       |        GROUP BY e.dst, nn.n)""".stripMargin
+    for (i <- 1 to maxIters) sb ++= s""",
+       |dm$i AS MATERIALIZED (SELECT max(abs(a.r - b.r)) AS m
+       |        FROM r$i a JOIN r${i - 1} b USING (node))""".stripMargin
+    val trace = (1 to maxIters)
+      .map(t => s"SELECT $t AS t, (SELECT m FROM dm$t) AS m")
+      .mkString(" UNION ALL ")
+    val branches = (1 to maxIters).map(t =>
+      s"""SELECT (SELECT it FROM conv) AS iters, node, r
+         |FROM r$t WHERE (SELECT it FROM conv) = $t""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    sb ++= s""",
+       |conv AS (SELECT CAST(coalesce(min(t), $maxIters) AS BIGINT) AS it
+       |         FROM ($trace), nn WHERE m < $epsRel / nn.n)
+       |$branches""".stripMargin
     sb.toString
   }
 }

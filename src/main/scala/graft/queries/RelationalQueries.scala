@@ -813,9 +813,23 @@ object RelationalQueries {
     * composed trainer loops' depth (kmeans_train, pq_train). */
   private val LinkRankIters = 3
 
+  /** ε-stop parameters graded by `link_rank_conv`: stop when the max rank
+    * movement < 9.0·(1/N). Measured movement·N decays ≈0.85×/round from
+    * ~17–19 on the fixture graph, so the criterion fires at round 5 at
+    * sf0.001 vs round 6 at sf0.01/sf0.1 — data-decided; 8 bounds the
+    * chain and the oracle's CTE depth. */
+  private val LinkRankEpsRel = 9.0
+  private val LinkRankConvMax = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "link_rank" -> ((s, dir) =>
       graft.operators.LinkRank.ranks(Tables.lineitem(s, dir), LinkRankIters)),
+    // CONVERGENCE-GATED PageRank: iterate until the rank vector moves
+    // less than epsRel/N, emit (iters, node, r) — the kmeans_train_conv
+    // stance for the link-analysis loop
+    "link_rank_conv" -> ((s, dir) =>
+      graft.operators.LinkRank.ranksConverged(Tables.lineitem(s, dir),
+        LinkRankEpsRel, LinkRankConvMax)),
     // degree-oriented triangle counting over the part co-purchase graph
     "parts_triangles" -> ((s, dir) =>
       graft.operators.Triangles.triangleCount(
@@ -845,6 +859,8 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "link_rank" -> graft.operators.LinkRank.ranksSql(LinkRankIters),
+    "link_rank_conv" -> graft.operators.LinkRank.ranksConvSql(
+      LinkRankEpsRel, LinkRankConvMax),
     // the oracle needs no orientation: with edges normalized a < b, the
     // ordered triple join a<b<c touches each triangle exactly once
     "parts_triangles" ->

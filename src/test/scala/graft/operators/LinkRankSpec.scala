@@ -40,6 +40,28 @@ class LinkRankSpec extends AnyFunSuite {
       "one iteration left every node at the same rank — graph degenerate or loop broken")
   }
 
+  test("converged ranks: stops by criterion and equals the fixed-count chain") {
+    // epsRel = 9.0 stops at round 5 on the sf0.001 fixture (movement·N
+    // trace: 16.6, 14.1, 11.9, 10.2, 8.63, ...) — and the stopping round's
+    // ranks must equal ranks(li, 5) exactly (same chain, same grid)
+    val conv = LinkRank.ranksConverged(li, 9.0, 8)
+    val iters = conv.select(col("iters")).head().getLong(0)
+    assert(iters == 5L, s"criterion fired at round $iters, expected 5")
+    val fixed = LinkRank.ranks(li, 5)
+    val got = conv.select(col("node"), col("r"))
+    assert(got.exceptAll(fixed).count() == 0 &&
+      fixed.exceptAll(got).count() == 0)
+  }
+
+  test("converged ranks: a loose criterion stops immediately, a strict one runs out") {
+    // movement·N starts ~16.6, so epsRel = 100 fires after round 1
+    assert(LinkRank.ranksConverged(li, 100.0, 8)
+      .select(col("iters")).head().getLong(0) == 1L)
+    // epsRel = 0 can never fire; maxIters bounds the loop
+    assert(LinkRank.ranksConverged(li, 0.0, 2)
+      .select(col("iters")).head().getLong(0) == 2L)
+  }
+
   test("edges are symmetric: each (src,dst) has its (dst,src) twin") {
     val e = LinkRank.edges(li)
     val asym = e.join(
