@@ -477,7 +477,89 @@ object CurationQueries {
        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
        |GROUP BY 1, 2""".stripMargin
 
+  /** DATA-QUALITY AUDIT (`data_quality_audit`) — the Deequ-style
+    * constraint suite a pipeline gates every corpus/fact-table release on:
+    * one row per constraint with checked/violation counts and a pass
+    * flag. Structural constraints (id uniqueness, non-null text, the
+    * n_chars==length(text) invariant, two TPC-H foreign keys) hold on the
+    * fixtures and pin the zero; quality thresholds (doc length floor,
+    * event value ceiling) genuinely fire, so the violation counters carry
+    * data-derived signal, not just zeros.
+    *
+    * Scale shape: each table is scanned ONCE for all its per-row checks
+    * (one aggregate per scan, map-side combined); uniqueness is one
+    * count-distinct; the FK checks join the fact side against the
+    * broadcast key set of the dimension — no constraint adds a second
+    * pass over any table. */
+  private def dataQualityAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ev = Tables.events(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    // documents: all per-row checks in one scan + one distinct for ids
+    val docRows = d.select(
+      when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L).as("v_null"),
+      when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)
+        .as("v_len"),
+      when(size(TextOps.tokens(col("text"))) < 30, 1L).otherwise(0L)
+        .as("v_short"),
+      col("doc_id"))
+    val docAgg = docRows.agg(count(lit(1)).as("n"),
+      sum(col("v_null")).as("nv_null"), sum(col("v_len")).as("nv_len"),
+      sum(col("v_short")).as("nv_short"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("nv_dup"))
+    val docChecks = docAgg.select(explode(array(
+      struct(lit("docs_text_nonempty").as("chk"), col("n").as("n_checked"),
+        col("nv_null").as("n_violations")),
+      struct(lit("docs_id_unique").as("chk"), col("n").as("n_checked"),
+        col("nv_dup").as("n_violations")),
+      struct(lit("docs_nchars_consistent").as("chk"), col("n").as("n_checked"),
+        col("nv_len").as("n_violations")),
+      struct(lit("docs_min_30_tokens").as("chk"), col("n").as("n_checked"),
+        col("nv_short").as("n_violations")))).as("c"))
+      .select(col("c.*"))
+    val evChecks = ev.agg(count(lit(1)).as("n_checked"),
+      sum(when(col("value") < 0 || col("value") > 100, 1L).otherwise(0L))
+        .as("n_violations"))
+      .select(lit("events_value_0_100").as("chk"), col("n_checked"),
+        col("n_violations"))
+    val fkChecks = ord
+      .join(broadcast(cust.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(lit("orders_custkey_fk").as("chk"), col("n_checked"),
+        col("n_violations"))
+    docChecks.unionAll(evChecks).unionAll(fkChecks)
+      .withColumn("ok", col("n_violations") === 0L)
+  }
+
+  private val dataQualityOracle =
+    s"""WITH dq AS (SELECT count(*) AS n,
+       |  sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS nv_null,
+       |  count(*) - count(DISTINCT doc_id) AS nv_dup,
+       |  sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS nv_len,
+       |  sum(CASE WHEN len(${TextOps.tokensSql("text")}) < 30 THEN 1 ELSE 0 END) AS nv_short
+       |  FROM documents),
+       |eq AS (SELECT count(*) AS n,
+       |  sum(CASE WHEN value < 0 OR value > 100 THEN 1 ELSE 0 END) AS nv
+       |  FROM events),
+       |fq AS (SELECT count(*) AS n,
+       |  sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS nv
+       |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+       |SELECT chk, n_checked, n_violations, n_violations = 0 AS ok FROM (
+       |  SELECT 'docs_text_nonempty' AS chk, n AS n_checked,
+       |    CAST(nv_null AS BIGINT) AS n_violations FROM dq
+       |  UNION ALL SELECT 'docs_id_unique', n, CAST(nv_dup AS BIGINT) FROM dq
+       |  UNION ALL SELECT 'docs_nchars_consistent', n, CAST(nv_len AS BIGINT) FROM dq
+       |  UNION ALL SELECT 'docs_min_30_tokens', n, CAST(nv_short AS BIGINT) FROM dq
+       |  UNION ALL SELECT 'events_value_0_100', n, CAST(nv AS BIGINT) FROM eq
+       |  UNION ALL SELECT 'orders_custkey_fk', n, CAST(nv AS BIGINT) FROM fq)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_quality_audit" -> (dataQualityAudit _),
     "docs_diff" -> ((s, dir) => docsDiff(docs(s, dir))),
     // eval-set n-gram leakage flags over the training slice
     "decontaminate" -> ((s, dir) => Decontaminate.flag(docs(s, dir))),
@@ -496,6 +578,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "data_quality_audit" -> dataQualityOracle,
     "docs_diff" -> docsDiffOracle,
     "decontaminate" -> Decontaminate.flagSql("documents"),
     "sample_stratified" -> stratifiedOracle,

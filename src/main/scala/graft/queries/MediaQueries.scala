@@ -46,7 +46,12 @@ object MediaQueries {
     // frequency-domain audio: exact integer DFT bin powers (DC / sr/4 /
     // Nyquist) per frame -- the band-energy triple a content filter uses
     "media_audio_spectrum" -> ((s, dir) =>
-      Multimodal.wavSpectrum(Tables.documents(s, dir)))
+      Multimodal.wavSpectrum(Tables.documents(s, dir))),
+    // STREAMING media ingest: payloads decoded at arrival per micro-batch
+    // by the same WAV byte parser; appended features union to exactly the
+    // batch decode, graded by media_audio's oracle
+    "media_ingest_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.mediaIngestStream(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -58,6 +63,7 @@ object MediaQueries {
     "media_phash" -> Multimodal.ppmPhashSql("documents"),
     "media_patches" -> Multimodal.ppmPatchesSql("documents"),
     "media_audio_frames" -> Multimodal.wavFramesSql("documents"),
-    "media_audio_spectrum" -> Multimodal.wavSpectrumSql("documents")
+    "media_audio_spectrum" -> Multimodal.wavSpectrumSql("documents"),
+    "media_ingest_stream" -> Multimodal.wavFeaturesSql("documents")
   )
 }

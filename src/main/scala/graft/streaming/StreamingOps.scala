@@ -734,6 +734,38 @@ object StreamingOps {
     PhraseIndex.phraseStats(spark.read.parquet(out), phrases)
   }
 
+  /** STREAMING MEDIA INGEST — the multimodal twin of [[grepStream]]:
+    * media items arrive as micro-batches and each batch's binary payloads
+    * are DECODED AT ARRIVAL by the same real RIFF/WAVE byte parser the
+    * batch path uses ([[graft.operators.Multimodal.wavFeatures]] inside
+    * foreachBatch). Per-item decode is independent, so the appended
+    * feature rows union to exactly the batch decode over the full corpus
+    * and the stream grades against `media_audio`'s own oracle. This is
+    * the crawl-ingest deployment shape for media: featurize/validate
+    * each arriving blob once, on arrival, instead of re-scanning the
+    * archive — stateless, no watermark, file-offset checkpoint only. */
+  def mediaIngestStream(spark: SparkSession, dir: String): DataFrame = {
+    val staging = graft.sources.Scratch.dir("graft_media_src")
+    val out = graft.sources.Scratch.dir("graft_media_out")
+    val ckpt = graft.sources.Scratch.dir("graft_media_ckpt")
+    graft.sources.Tables.documents(spark, dir).select(col("doc_id"))
+      .repartition(4).write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(staging)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Multimodal.wavFeatures(batch)
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** first-week cutoff for the deliberately-late replay file — a fixture
     * date literal like the TPC-H date predicates. */
   private val LateCutoff = "2024-01-08 00:00:00"
