@@ -653,6 +653,112 @@ object Dedup {
        |          JOIN sig mb ON mb.doc_id = doc_b""".stripMargin
   }
 
+  /** TF-WEIGHTED near-dup pairs — weighted Jaccard over the token COUNT
+    * vectors, J_w(a,b) = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b): the
+    * repetition-aware similarity the set-based paths can't see (a doc and
+    * its "same vocabulary, half the repetitions" boilerplate variant have
+    * token-SET Jaccard 1.0 but J_w ≈ 0.5).
+    *
+    * Candidates come from weighted MinHash via the MULTIPLICITY-EXPANSION
+    * reduction: for integer weights, J_w of the count vectors equals plain
+    * Jaccard of the expanded multisets {(t,1)..(t,tf_t)} — so the expanded
+    * element stream (tok#i) feeds the SAME K-plane double-hash minima,
+    * band keys, and hot-bucket-capped equi-join as the set path (one md5
+    * per element-OCCURRENCE; the expansion multiplies the hash work by the
+    * mean tf, the standard cost of exact-reduction weighted MinHash —
+    * ICWS-style samplers trade that for per-unique-token log-space draws
+    * whose float math this oracle protocol can't pin bit-exactly).
+    *
+    * Verification is EXACT, not estimated: candidates full-outer-join
+    * their (doc, tok, tf) profiles and the min/max sums are integers, so
+    * the ≥½ keep decision compares 2·w_inter ≥ w_union in integer
+    * arithmetic — no float threshold anywhere. Scale: expansion and
+    * signature are one shuffle on (doc, tok); pairing is band-bucketed,
+    * never all-pairs; the verify join costs candidate-pairs × tokens. */
+  def weightedTfPairs(docs: DataFrame): DataFrame = {
+    val tf = eager(
+      fanOut(docs)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val elems = tf.select(col("doc_id"),
+      explode(transform(sequence(lit(1L), col("tf")),
+        i => concat(col("tok"), lit("#"), i.cast("string")))).as("elem"))
+    val hp = VecOps.hashPair(col("elem"))
+    val hashed = elems.select(col("doc_id"),
+      (hp.getItem(0) % lit(VecOps.DhM1)).as("h1"),
+      (hp.getItem(1) % lit(VecOps.DhM2)).as("h2"))
+    val mins = (0 until K).map(j =>
+      min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j"))
+    val sig = eager(hashed.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until K).map(j => col(s"m$j")): _*).as("sig")))
+    val cand = cappedBandPairs(minhashBands(sig), BucketCap)
+    val withA = cand.join(
+      tf.select(col("doc_id").as("doc_a"), col("tok"), col("tf").as("tfa")),
+      Seq("doc_a"))
+    val withB = cand.join(
+      tf.select(col("doc_id").as("doc_b"), col("tok"), col("tf").as("tfb")),
+      Seq("doc_b"))
+    withA.join(withB, Seq("doc_a", "doc_b", "tok"), "full_outer")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        sum(least(coalesce(col("tfa"), lit(0L)), coalesce(col("tfb"), lit(0L))))
+          .as("w_inter"),
+        sum(greatest(coalesce(col("tfa"), lit(0L)), coalesce(col("tfb"), lit(0L))))
+          .as("w_union"))
+      .filter(col("w_inter") * 2 >= col("w_union"))
+      .select(col("doc_a"), col("doc_b"), col("w_inter"), col("w_union"),
+        VecOps.qround(
+          col("w_inter").cast("double") / col("w_union").cast("double"), 4)
+          .as("jw"))
+  }
+
+  /** SQL dual of [[weightedTfPairs]] (same expansion, same hash stream,
+    * same capped bands, same integer threshold). */
+  def weightedTfPairsSql(table: String, cap: Int = BucketCap): String = {
+    val mh = (0 until K).map { j =>
+      s"list_min(list_transform(hp, p -> (p[1] % ${VecOps.DhM1}) + $j * (p[2] % ${VecOps.DhM2})))"
+    }.mkString("[", ",\n       ", "]")
+    s"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+       |            FROM (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok
+       |                  FROM $table)
+       |            GROUP BY doc_id, tok),
+       |el AS (SELECT doc_id, tok || '#' || i AS elem
+       |       FROM tf, unnest(generate_series(1, tf)) AS u(i)),
+       |hs AS (SELECT doc_id, list(${VecOps.hashPairSql("elem")}) AS hp
+       |       FROM el GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $mh AS sig FROM hs),
+       |bnd AS (${bandRowsSql("sig")}),
+       |sized AS (SELECT doc_id, band, key,
+       |            count(*) OVER (PARTITION BY band, key) AS bucket_n,
+       |            min(doc_id) OVER (PARTITION BY band, key) AS bucket_min
+       |          FROM bnd),
+       |cold AS (SELECT * FROM sized WHERE bucket_n <= $cap),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |           FROM cold a JOIN cold b
+       |             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |           UNION
+       |           SELECT bucket_min AS doc_a, doc_id AS doc_b
+       |           FROM sized WHERE bucket_n > $cap AND doc_id <> bucket_min)),
+       |pa AS (SELECT cand.doc_a, cand.doc_b, tf.tok, tf.tf AS tfa
+       |       FROM cand JOIN tf ON tf.doc_id = cand.doc_a),
+       |pb AS (SELECT cand.doc_a, cand.doc_b, tf.tok, tf.tf AS tfb
+       |       FROM cand JOIN tf ON tf.doc_id = cand.doc_b),
+       |mm AS (SELECT coalesce(pa.doc_a, pb.doc_a) AS doc_a,
+       |              coalesce(pa.doc_b, pb.doc_b) AS doc_b,
+       |              least(coalesce(tfa, 0), coalesce(tfb, 0)) AS wi,
+       |              greatest(coalesce(tfa, 0), coalesce(tfb, 0)) AS wu
+       |       FROM pa FULL OUTER JOIN pb
+       |         ON pa.doc_a = pb.doc_a AND pa.doc_b = pb.doc_b
+       |            AND pa.tok = pb.tok)
+       |SELECT doc_a, doc_b, CAST(sum(wi) AS BIGINT) AS w_inter,
+       |       CAST(sum(wu) AS BIGINT) AS w_union,
+       |       ${VecOps.qroundSql("sum(wi)::DOUBLE / sum(wu)::DOUBLE", 4)} AS jw
+       |FROM mm GROUP BY doc_a, doc_b
+       |HAVING sum(wi) * 2 >= sum(wu)""".stripMargin
+  }
+
   /** INCREMENTAL dedup — admit a NEW document batch against an EXISTING
     * corpus (the daily-ingest shape every production pipeline runs: the
     * corpus is deduped once; each new batch checks in against it without

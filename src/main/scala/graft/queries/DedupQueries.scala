@@ -113,6 +113,13 @@ object DedupQueries {
         corpus.filter(col("doc_id") % 10 === 0),
         d.filter(col("doc_id") % 2 === 1 || col("doc_id") % 20 === 0))
     }),
+    // TF-WEIGHTED near-dup pairs: weighted Jaccard over token counts via
+    // the multiplicity-expansion reduction (expanded multiset -> the same
+    // K-plane minhash/band machinery), candidates verified on the EXACT
+    // integer min/max sums — the repetition-aware similarity set-based
+    // dedup can't see
+    "dedup_minhash_tf" -> ((s, dir) =>
+      graft.operators.Dedup.weightedTfPairs(docs(s, dir))),
     // CONTENT-DEFINED chunk dedup: boundaries from a rolling-hash modulus
     // test re-synchronize on content, so an insertion shifts one chunk,
     // not every following fingerprint (graft.operators.TextOps.chunkCdc)
@@ -155,6 +162,7 @@ object DedupQueries {
     "minhash_sig" -> Dedup.minhashSigExplodedSql("documents"),
     "dedup_minhash" -> minhashPairsOracle,
     "dedup_minhash_capped" -> Dedup.minhashPairsCappedSql("documents"),
+    "dedup_minhash_tf" -> Dedup.weightedTfPairsSql("documents"),
     "dedup_simhash" -> Dedup.simhashPairsSql("documents"),
     "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents"),
     "dedup_ssjoin" -> Dedup.ssjoinPairsSql("documents"),

@@ -113,4 +113,40 @@ class DedupSpec extends AnyFunSuite {
       r.getAs[Long]("n_admitted") == 1,
       s"expected 2 new / 1 dup / 1 admitted, got $r")
   }
+
+  test("weighted tf pairs: order-invariant, exact integer sums, disjoint docs unpaired") {
+    // docs 10 and 11 have IDENTICAL token-count vectors ({a:2, b:1, c:1})
+    // in different orders → identical expanded multisets → identical
+    // signatures → guaranteed band collision, and J_w = 1 with
+    // w_inter = w_union = 4. Doc 12 is disjoint → no pair survives.
+    val wdocs = Seq(
+      (10L, "alpha beta alpha gamma"),
+      (11L, "alpha alpha gamma beta"),
+      (12L, "delta epsilon zeta eta")
+    ).toDF("doc_id", "text")
+    val got = Dedup.weightedTfPairs(wdocs).collect()
+    assert(got.length == 1, s"expected exactly the (10,11) pair, got ${got.toSeq}")
+    val r = got.head
+    assert(r.getAs[Long]("doc_a") == 10L && r.getAs[Long]("doc_b") == 11L)
+    assert(r.getAs[Long]("w_inter") == 4L && r.getAs[Long]("w_union") == 4L)
+    assert(r.getAs[Double]("jw") == 1.0)
+  }
+
+  test("weighted tf pairs: repetition variants score below set-Jaccard") {
+    // same VOCABULARY (set Jaccard 1.0) but doc 21 doubles every token:
+    // J_w = 5/10 = 0.5 — kept by the integer threshold 2*w_inter >= w_union
+    // exactly at the boundary. The docs must collide in a band for the
+    // pair to surface; doubling preserves every (tok#1..#n) element of the
+    // original, but minima can come from the new elements, so assert only
+    // IF the pair surfaced its sums are exact.
+    val wdocs = Seq(
+      (20L, "red green blue white black"),
+      (21L, "red red green green blue blue white white black black")
+    ).toDF("doc_id", "text")
+    val got = Dedup.weightedTfPairs(wdocs).collect()
+    for (r <- got) {
+      assert(r.getAs[Long]("w_inter") == 5L && r.getAs[Long]("w_union") == 10L)
+      assert(r.getAs[Double]("jw") == 0.5)
+    }
+  }
 }
