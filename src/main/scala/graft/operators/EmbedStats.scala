@@ -141,46 +141,88 @@ object EmbedStats {
     * EmbedStatsSpec; iteration 1 reproduces [[powerStep]] bit-for-bit. */
   def powerTrain(vecs: DataFrame, iters: Int,
                  dim: Int = Similarity.Dim): DataFrame = {
-    import org.apache.spark.sql.functions.{typedLit => tl}
-    // round 0 direction: the same closed-form v0 as powerStep
-    var vq: Array[Long] = {
-      val spark = vecs.sparkSession
-      spark.range(dim).select(v0q(col("id")).as("v"))
-        .collect().map(_.getLong(0))
-    }
+    var vq = v0Collected(vecs, dim)
     var last: DataFrame = null
     for (_ <- 0 until iters) {
-      val vlit = tl(vq.toSeq)
-      val rows = PairPlan.fanOut(vecs)
-        .select(qvec(col("vec")).as("xq"))
-        .select(col("xq"),
-          aggregate(
-            zip_with(col("xq"), vlit, (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x).as("s"))
-        .select(col("xq"),
-          floor(col("s").cast("double") / lit(Q)).cast("long").as("s3"))
-      val v1 = rows
-        .select(posexplode(col("xq")).as(Seq("pos", "xq")), col("s3"))
-        .groupBy(col("pos").cast("long").as("pos"))
-        .agg(sum((col("s3") * col("xq")).cast("decimal(38,0)")).as("v1raw"))
-        .withColumn("vprev", element_at(vlit, (col("pos") + 1).cast("int")))
-      val stats = v1.agg(
-        sum(col("v1raw") * col("v1raw")).as("nrm2"),
-        sum(col("vprev").cast("decimal(38,0)") * col("v1raw")).as("d01"),
-        sum(col("vprev") * col("vprev")).as("d00"))
-      val joined = v1.crossJoin(broadcast(stats))
-      last = joined.select(col("pos"),
-        VecOps.qround(col("v1raw").cast("double") /
-          greatest(sqrt(col("nrm2").cast("double")), lit(1e-12)), 6).as("v1n"),
-        VecOps.qround(col("d01").cast("double") /
-          (col("d00").cast("double") * lit(Q)), 4).as("lam"))
-      vq = joined.select(col("pos"),
-          floor((col("v1raw").cast("double") /
-            greatest(sqrt(col("nrm2").cast("double")), lit(1e-12))) * lit(Q) +
-            lit(0.5)).cast("long").as("vq"))
-        .orderBy(col("pos")).collect().map(_.getLong(1))
+      val (out, vqNew) = powerRound(vecs, vq)
+      last = out
+      vq = vqNew
     }
     last
+  }
+
+  /** CONVERGENCE-GATED power iteration (the `kmeans_train_conv` /
+    * `link_rank_conv` stance for the GEMM-fold trainer): iterate until the
+    * max per-dimension movement of the QUANTIZED direction drops below
+    * `epsGrid` — an INTEGER comparison on the Q-grid vector the
+    * collect-requantize protocol already materializes every round, so the
+    * stop decision costs nothing extra and is exact by construction (no
+    * float tolerance anywhere; both engines compare identical integers).
+    * Emits the stopping round's (pos, v1n, lam) plus `iters`. Measured
+    * movement (grid units): ~3300 after round 1, then 995/675/535/408 at
+    * sf0.001, 789/575/447 at sf0.01, 566/410 at sf0.1 — epsGrid = 450
+    * fires at round 5 / 4 / 3 respectively: a DIFFERENT stopping round at
+    * every fixture SF, decided by the spectrum, not a count. */
+  def powerTrainConverged(vecs: DataFrame, epsGrid: Long, maxIters: Int,
+                          dim: Int = Similarity.Dim): DataFrame = {
+    require(maxIters >= 1, "powerTrainConverged needs at least one iteration")
+    var vq = v0Collected(vecs, dim)
+    var last: DataFrame = null
+    var it = 0
+    var moved = Long.MaxValue
+    while (moved >= epsGrid && it < maxIters) {
+      it += 1
+      val (out, vqNew) = powerRound(vecs, vq)
+      last = out
+      moved = vq.zip(vqNew).map { case (a, b) => math.abs(a - b) }.max
+      vq = vqNew
+    }
+    last.withColumn("iters", lit(it.toLong))
+  }
+
+  /** round-0 direction: the closed-form v0, collected (D longs). */
+  private def v0Collected(vecs: DataFrame, dim: Int): Array[Long] = {
+    val spark = vecs.sparkSession
+    spark.range(dim).select(v0q(col("id")).as("v"))
+      .collect().map(_.getLong(0))
+  }
+
+  /** One power round under the collect-requantize protocol: the current
+    * quantized direction rides as a literal; returns the round's graded
+    * output and the next quantized direction (D longs collected). */
+  private def powerRound(vecs: DataFrame,
+                         vqIn: Array[Long]): (DataFrame, Array[Long]) = {
+    import org.apache.spark.sql.functions.{typedLit => tl}
+    val vlit = tl(vqIn.toSeq)
+    val rows = PairPlan.fanOut(vecs)
+      .select(qvec(col("vec")).as("xq"))
+      .select(col("xq"),
+        aggregate(
+          zip_with(col("xq"), vlit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("s"))
+      .select(col("xq"),
+        floor(col("s").cast("double") / lit(Q)).cast("long").as("s3"))
+    val v1 = rows
+      .select(posexplode(col("xq")).as(Seq("pos", "xq")), col("s3"))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(sum((col("s3") * col("xq")).cast("decimal(38,0)")).as("v1raw"))
+      .withColumn("vprev", element_at(vlit, (col("pos") + 1).cast("int")))
+    val stats = v1.agg(
+      sum(col("v1raw") * col("v1raw")).as("nrm2"),
+      sum(col("vprev").cast("decimal(38,0)") * col("v1raw")).as("d01"),
+      sum(col("vprev") * col("vprev")).as("d00"))
+    val joined = v1.crossJoin(broadcast(stats))
+    val out = joined.select(col("pos"),
+      VecOps.qround(col("v1raw").cast("double") /
+        greatest(sqrt(col("nrm2").cast("double")), lit(1e-12)), 6).as("v1n"),
+      VecOps.qround(col("d01").cast("double") /
+        (col("d00").cast("double") * lit(Q)), 4).as("lam"))
+    val vqNew = joined.select(col("pos"),
+        floor((col("v1raw").cast("double") /
+          greatest(sqrt(col("nrm2").cast("double")), lit(1e-12))) * lit(Q) +
+          lit(0.5)).cast("long").as("vq"))
+      .orderBy(col("pos")).collect().map(_.getLong(1))
+    (out, vqNew)
   }
 
   /** DuckDB oracle dual of [[powerTrain]]: the same loop unrolled as CTE
@@ -214,6 +256,56 @@ object EmbedStats {
             "v1raw::DOUBLE / greatest(sqrt(nrm2), 1e-12)", 6)} AS v1n,
        |  ${VecOps.qroundSql(s"d01 / (d00 * $Q)", 4)} AS lam
        |FROM v$iters CROSS JOIN st$iters""".stripMargin
+  }
+
+  /** Dual of [[powerTrainConverged]]: the same chain to `maxIters` rounds
+    * with per-round INTEGER movement CTEs (max |Δvq| on the Q-grid), the
+    * first sub-epsGrid round selected through guarded UNION ALL branches.
+    * Every CTE is MATERIALIZED — the movement CTEs reference each vq
+    * table twice and DuckDB's default inlining re-executes the whole
+    * upstream chain per reference (see LinkRank.ranksConvSql). */
+  def powerTrainConvOracleSql(epsGrid: Long, maxIters: Int): String = {
+    val rounds = (1 to maxIters).map { t =>
+      val prev = if (t == 1) "v0" else s"vq${t - 1}"
+      s"""s$t AS MATERIALIZED (SELECT vec_id, CAST(sum(xq * vq) AS BIGINT) AS s
+         |       FROM x JOIN $prev ON x.d = $prev.pos GROUP BY vec_id),
+         |s3_$t AS MATERIALIZED (SELECT vec_id, CAST(floor(s::DOUBLE / $Q) AS BIGINT) AS s3 FROM s$t),
+         |v$t AS MATERIALIZED (SELECT d AS pos, CAST(sum(s3 * xq) AS HUGEINT) AS v1raw
+         |       FROM x JOIN s3_$t USING (vec_id) GROUP BY d),
+         |st$t AS MATERIALIZED (SELECT CAST(sum(v1raw * v1raw) AS DOUBLE) AS nrm2,
+         |               CAST(sum(p.vq::HUGEINT * v.v1raw) AS DOUBLE) AS d01,
+         |               CAST(sum(p.vq * p.vq) AS DOUBLE) AS d00
+         |        FROM v$t v JOIN $prev p ON v.pos = p.pos),
+         |vq$t AS MATERIALIZED (SELECT pos, CAST(floor((v1raw::DOUBLE /
+         |           greatest(sqrt(nrm2), 1e-12)) * $Q + 0.5) AS BIGINT) AS vq
+         |        FROM v$t CROSS JOIN st$t)""".stripMargin
+    }.mkString(",\n")
+    val dms = (1 to maxIters).map { t =>
+      val prev = if (t == 1) "v0" else s"vq${t - 1}"
+      s"""dm$t AS MATERIALIZED (SELECT max(abs(a.vq - b.vq)) AS m
+         |        FROM vq$t a JOIN $prev b ON a.pos = b.pos)""".stripMargin
+    }.mkString(",\n")
+    val trace = (1 to maxIters)
+      .map(t => s"SELECT $t AS t, (SELECT m FROM dm$t) AS m")
+      .mkString(" UNION ALL ")
+    val branches = (1 to maxIters).map { t =>
+      s"""SELECT (SELECT it FROM conv) AS iters, pos,
+         |  ${VecOps.qroundSql(
+              "v1raw::DOUBLE / greatest(sqrt(nrm2), 1e-12)", 6)} AS v1n,
+         |  ${VecOps.qroundSql(s"d01 / (d00 * $Q)", 4)} AS lam
+         |FROM v$t CROSS JOIN st$t WHERE (SELECT it FROM conv) = $t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, CAST(i AS BIGINT) AS d,
+       |             CAST(floor(e::DOUBLE * $Q + 0.5) AS BIGINT) AS xq
+       |           FROM (SELECT vec_id, unnest(embedding) AS e,
+       |                   unnest(range(len(embedding))) AS i FROM embeddings)),
+       |v0 AS MATERIALIZED (SELECT d AS pos, ${v0qSql("d")} AS vq
+       |       FROM (SELECT unnest(range(${Similarity.Dim})) AS d)),
+       |$rounds,
+       |$dms,
+       |conv AS (SELECT CAST(coalesce(min(t), $maxIters) AS BIGINT) AS it
+       |         FROM ($trace) WHERE m < $epsGrid)
+       |$branches""".stripMargin
   }
 
   /** DuckDB oracle dual of [[gram]] on `embeddings`. */

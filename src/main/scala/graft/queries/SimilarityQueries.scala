@@ -305,6 +305,14 @@ object SimilarityQueries {
     * other composed trainer loops' depth (kmeans_train, pq_train). */
   private val PowerIters = 3
 
+  /** ε-stop parameters graded by `embed_power_conv`: stop when the
+    * quantized direction moves < 450 grid units (of Q=1e4) in every
+    * dimension — integer-exact cross-engine. Movement trace at the
+    * fixture SFs (see EmbedStats.powerTrainConverged): fires at round
+    * 5 (sf0.001), 4 (sf0.01), 3 (sf0.1); 6 bounds the oracle chain. */
+  private val PowerConvEps = 450L
+  private val PowerConvMax = 6
+
   /** Chained-CTE dual of the k-means training LOOP: seed centroids
     * `cents0` (per-label qrounded means), then `iters` rounds of
     * (argmax re-assign `asn_i` under `cents_{i-1}`, re-mean `st_i`,
@@ -871,6 +879,13 @@ object SimilarityQueries {
     "embed_power_train" -> ((s, dir) =>
       graft.operators.EmbedStats.powerTrain(
         emb(s, dir).select(col("vec")), PowerIters)),
+    // CONVERGENCE-GATED power iteration: stop when the quantized
+    // direction's max per-dim movement < PowerConvEps grid units — an
+    // integer compare on state the protocol already collects; fires at
+    // round 5 / 4 / 3 at sf0.001 / 0.01 / 0.1
+    "embed_power_conv" -> ((s, dir) =>
+      graft.operators.EmbedStats.powerTrainConverged(
+        emb(s, dir).select(col("vec")), PowerConvEps, PowerConvMax)),
     "embed_centroids" -> ((s, dir) => centroids(emb(s, dir))),
     "embed_quantize" -> ((s, dir) => embedQuantize(emb(s, dir))),
     "similar_topk" -> ((s, dir) =>
@@ -1038,6 +1053,9 @@ object SimilarityQueries {
     "embed_power" -> graft.operators.EmbedStats.powerOracleSql,
     "embed_power_train" ->
       graft.operators.EmbedStats.powerTrainOracleSql(PowerIters),
+    "embed_power_conv" ->
+      graft.operators.EmbedStats.powerTrainConvOracleSql(
+        PowerConvEps, PowerConvMax),
     "embed_centroids" -> centroidsOracle,
     "embed_quantize" -> embedQuantizeOracle,
     "similar_topk" -> topkOracle,

@@ -56,6 +56,21 @@ class EmbedStatsSpec extends AnyFunSuite {
     assert(math.abs(v3.map(x => x * x).sum - 1.0) < 1e-3)
   }
 
+  test("powerTrainConverged: stops by criterion, equals the fixed-count chain") {
+    // a loose grid threshold fires after round 1, and round 1's output is
+    // powerTrain(1) (identical chain)
+    val loose = EmbedStats.powerTrainConverged(df, 100000L, 5, dim)
+    assert(loose.select(col("iters")).head().getLong(0) == 1L)
+    assert(loose.drop("iters").exceptAll(EmbedStats.powerTrain(df, 1, dim))
+      .count() == 0)
+    // epsGrid = 0 can never fire: maxIters bounds the loop, and the
+    // stopping round equals powerTrain at that depth
+    val capped = EmbedStats.powerTrainConverged(df, 0L, 3, dim)
+    assert(capped.select(col("iters")).head().getLong(0) == 3L)
+    assert(capped.drop("iters").exceptAll(EmbedStats.powerTrain(df, 3, dim))
+      .count() == 0)
+  }
+
   test("powerStep output is unit-norm and matches the local fold") {
     val rows = EmbedStats.powerStep(df).collect()
       .map { case Row(pos: Long, v1n: Double, lam: Double) => (pos, v1n, lam) }
