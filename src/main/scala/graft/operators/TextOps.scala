@@ -653,7 +653,33 @@ object TextOps {
     *
     * Returns `iters` rows: (it, a, b, pair_n) — the merge table, the
     * actual artifact a BPE trainer emits. */
-  def bpeTrain(docs: DataFrame, iters: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, iters: Int): DataFrame =
+    bpeLoop(docs, iters, rewriteAll = false)._1
+
+  /** The trained tokenizer APPLIED (`bpe_apply`): run the same `iters`
+    * count→merge→rewrite loop but rewrite after the LAST merge too, then
+    * emit the top-k token frequencies of the final stream — the artifact
+    * a training pipeline actually ships (the corpus re-tokenized under
+    * the induced vocabulary), completing the train→apply symmetry the
+    * quantizer family already has (kmeans_train → similar_ivf_trained,
+    * pq_train → similar_pq_trained). Merged tokens surface in the ranking
+    * exactly when their pair count beats a surviving unigram's. */
+  def bpeApply(docs: DataFrame, iters: Int, k: Int = 30): DataFrame = {
+    val tok = bpeLoop(docs, iters, rewriteAll = true)._2
+    val w = Window.orderBy(desc("tf"), col("tok"))
+    tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), col("tok")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("tok"), col("tf"))
+  }
+
+  /** Shared BPE trainer loop; returns (merge table, final token stream).
+    * `rewriteAll = false` skips the rewrite after the last merge (the
+    * merge table is then complete and the final stream is one merge
+    * behind — [[bpeTrain]]'s historical contract); `true` rewrites every
+    * round so the returned stream reflects all `iters` merges. */
+  private def bpeLoop(docs: DataFrame, iters: Int,
+                      rewriteAll: Boolean): (DataFrame, DataFrame) = {
     require(iters >= 1, "bpeTrain needs at least one iteration")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("j"))
     var tok = PairPlan.fanOut(docs)
@@ -674,7 +700,7 @@ object TextOps {
         .localCheckpoint(true)
       merges += top.select(lit(it.toLong).as("it"),
         col("a"), col("b"), col("pair_n"))
-      if (it < iters) {
+      if (rewriteAll || it < iters) {
         val occ = pairs.join(broadcast(top),
             col("tok") === col("a") && col("nxt") === col("b"))
           .select(col("doc_id"), col("j"))
@@ -703,44 +729,67 @@ object TextOps {
         }
       }
     }
-    merges.result().reduce(_ union _)
+    (merges.result().reduce(_ union _), tok)
   }
 
   /** Chained-CTE dual of [[bpeTrain]]: s0 = the exploded token stream,
     * then per iteration i the (pr → top → occ → islands → parity-merge →
     * rewrite → dense renumber) chain, UNION ALL of the tops at the end.
     * Same island/parity/tie-break rules as [[bpeStep2Sql]]. */
-  def bpeTrainSql(table: String, iters: Int): String = {
+  def bpeTrainSql(table: String, iters: Int): String =
+    bpeChainSql(table, iters, rewriteAll = false) +
+      (1 to iters).map(i =>
+        s"\nSELECT CAST($i AS BIGINT) AS it, a, b, pair_n FROM top$i")
+        .mkString("", "\nUNION ALL", "")
+
+  /** SQL dual of [[bpeApply]]: the same chain with the LAST rewrite
+    * included, then the final stream's top-k token frequencies. */
+  def bpeApplySql(table: String, iters: Int, k: Int = 30): String =
+    bpeChainSql(table, iters, rewriteAll = true) + s"""
+       |SELECT CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rank,
+       |       tok, tf
+       |FROM (SELECT tok, count(*) AS tf FROM s$iters GROUP BY tok
+       |      ORDER BY tf DESC, tok LIMIT $k)""".stripMargin
+
+  /** Shared WITH-chain of the BPE loop (see [[bpeLoop]] for the
+    * `rewriteAll` contract). Every CTE is MATERIALIZED: the stream tables
+    * are referenced twice per round (pair scan + rewrite) and top$i three
+    * times (merge row, occurrence join, two scalar subqueries) — DuckDB's
+    * default inlining re-executes the upstream chain per reference, which
+    * at 4 rounds with the final rewrite included exhausted memory at
+    * sf0.1 (the LinkRank.ranksConvSql lesson; results are identical). */
+  private def bpeChainSql(table: String, iters: Int,
+                          rewriteAll: Boolean): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH tt AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $table),
-       |t2 AS (SELECT doc_id, toks FROM tt WHERE len(toks) >= 2),
-       |s0 AS (SELECT doc_id, CAST(i AS BIGINT) AS j, toks[i] AS tok
+    sb ++= s"""WITH tt AS MATERIALIZED (SELECT doc_id, ${tokensSql("text")} AS toks FROM $table),
+       |t2 AS MATERIALIZED (SELECT doc_id, toks FROM tt WHERE len(toks) >= 2),
+       |s0 AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS j, toks[i] AS tok
        |       FROM t2, unnest(generate_series(1, len(toks))) AS u(i))""".stripMargin
     for (i <- 1 to iters) {
       val p = i - 1
       sb ++= s""",
-       |pr$i AS (SELECT doc_id, j, tok,
+       |pr$i AS MATERIALIZED (SELECT doc_id, j, tok,
        |          lead(tok) OVER (PARTITION BY doc_id ORDER BY j) AS nxt
        |        FROM s$p),
-       |top$i AS (SELECT tok AS a, nxt AS b, count(*) AS pair_n
+       |top$i AS MATERIALIZED (SELECT tok AS a, nxt AS b, count(*) AS pair_n
        |         FROM pr$i WHERE nxt IS NOT NULL
        |         GROUP BY 1, 2 ORDER BY pair_n DESC, a, b LIMIT 1)""".stripMargin
-      if (i < iters) sb ++= s""",
-       |occ$i AS (SELECT pr.doc_id, pr.j FROM pr$i pr JOIN top$i t
+      if (rewriteAll || i < iters) sb ++= s""",
+       |occ$i AS MATERIALIZED (SELECT pr.doc_id, pr.j FROM pr$i pr JOIN top$i t
        |           ON pr.tok = t.a AND pr.nxt = t.b),
-       |br$i AS (SELECT doc_id, j,
+       |br$i AS MATERIALIZED (SELECT doc_id, j,
        |         CASE WHEN lag(j) OVER w IS NULL OR j - lag(j) OVER w > 1
        |              THEN 1 ELSE 0 END AS brk
        |       FROM occ$i WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
-       |il$i AS (SELECT doc_id, j,
+       |il$i AS MATERIALIZED (SELECT doc_id, j,
        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY j
        |                        ROWS UNBOUNDED PRECEDING) AS isl
        |       FROM br$i),
-       |m$i AS (SELECT doc_id, j AS mj FROM (
+       |m$i AS MATERIALIZED (SELECT doc_id, j AS mj FROM (
        |        SELECT doc_id, j, isl,
        |          row_number() OVER (PARTITION BY doc_id, isl ORDER BY j) AS rk
        |        FROM il$i) WHERE rk % 2 = 1),
-       |ns$i AS (SELECT ts.doc_id, ts.j,
+       |ns$i AS MATERIALIZED (SELECT ts.doc_id, ts.j,
        |         CASE WHEN m1.mj IS NOT NULL
        |              THEN (SELECT a FROM top$i) || (SELECT b FROM top$i)
        |              ELSE ts.tok END AS tok
@@ -748,14 +797,11 @@ object TextOps {
        |       LEFT JOIN m$i m1 ON m1.doc_id = ts.doc_id AND m1.mj = ts.j
        |       LEFT JOIN m$i m2 ON m2.doc_id = ts.doc_id AND m2.mj + 1 = ts.j
        |       WHERE m2.mj IS NULL),
-       |s$i AS (SELECT doc_id,
+       |s$i AS MATERIALIZED (SELECT doc_id,
        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) AS BIGINT) AS j,
        |         tok
        |       FROM ns$i)""".stripMargin
     }
-    sb ++= (1 to iters).map(i =>
-      s"\nSELECT CAST($i AS BIGINT) AS it, a, b, pair_n FROM top$i")
-      .mkString("", "\nUNION ALL", "")
     sb.toString
   }
 

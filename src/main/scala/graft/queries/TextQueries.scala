@@ -856,6 +856,11 @@ object TextQueries {
     // the full trainer LOOP: BpeIters merges, each applied to the stream
     // with a lineage cut between iterations (TextOps.bpeTrain)
     "bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir), BpeIters)),
+    // the trained tokenizer APPLIED: all BpeIters merges rewritten into
+    // the stream (including the last), top-k token frequencies of the
+    // re-tokenized corpus — the train->apply symmetry the quantizer
+    // family already grades
+    "bpe_apply" -> ((s, dir) => TextOps.bpeApply(docs(s, dir), BpeIters)),
     // exact phrase search ("grep the training set", infini-gram-style):
     // positional postings ⋈ broadcast phrase terms, adjacency via
     // start = pos − i, full match ⇔ per-start row count = phrase length
@@ -944,6 +949,7 @@ object TextQueries {
     "bpe_step" -> TextOps.bpeStepSql("documents"),
     "bpe_step2" -> TextOps.bpeStep2Sql("documents"),
     "bpe_train" -> TextOps.bpeTrainSql("documents", BpeIters),
+    "bpe_apply" -> TextOps.bpeApplySql("documents", BpeIters),
     "token_cooc" -> tokenCoocOracle,
     // same oracle for both layouts: what the indexed variant adds is the
     // round trip through the bucketed parquet index, not different results
