@@ -120,4 +120,83 @@ class QueryInvariantsSpec extends AnyFunSuite {
       .count()
     assert(total == n)
   }
+
+  // ---- round-8 additions ----
+
+  test("data_quality_audit: structural constraints hold, ok mirrors violations") {
+    val rows = run("data_quality_audit").collect()
+      .map(r => r.getAs[String]("chk") -> r).toMap
+    assert(rows.size == 6)
+    for ((_, r) <- rows) {
+      assert(r.getAs[Long]("n_checked") > 0)
+      assert(r.getAs[Boolean]("ok") == (r.getAs[Long]("n_violations") == 0L))
+    }
+    for (chk <- Seq("docs_text_nonempty", "docs_id_unique",
+        "docs_nchars_consistent", "orders_custkey_fk"))
+      assert(rows(chk).getAs[Long]("n_violations") == 0L, chk)
+  }
+
+  test("docs_pii_scrub: injected counts are exact per modulus class") {
+    val rows = run("docs_pii_scrub").collect()
+    val d = graft.sources.Tables.documents(spark, dir)
+    def cnt(m: Int) = d.filter(col("doc_id") % m === 0).count()
+    assert(rows.map(_.getAs[Long]("n_email")).sum == cnt(3))
+    assert(rows.map(_.getAs[Long]("n_ip")).sum == cnt(5))
+    assert(rows.map(_.getAs[Long]("n_phone")).sum == cnt(7))
+    assert(rows.forall(_.getAs[Long]("chars_redacted") >= 0L))
+  }
+
+  test("heavy_hitters_merge: every theorem boolean holds on the fixture") {
+    val rows = run("heavy_hitters_merge").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("oneshot_ok") && r.getAs[Boolean]("merged_ok") &&
+        r.getAs[Boolean]("close_ok"), r.toString)
+    }
+  }
+
+  test("dedup_minhash_tf: verified pairs sit in [1/2, 1] with inter <= union") {
+    val bad = run("dedup_minhash_tf")
+      .filter(col("w_inter") > col("w_union") ||
+        col("w_inter") * 2 < col("w_union") ||
+        col("jw") < 0.5 || col("jw") > 1.0)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("similar_ivf_retract: no tombstoned vector surfaces in any answer") {
+    assert(run("similar_ivf_retract")
+      .filter(col("k_id") % 16 === 0).count() == 0)
+  }
+
+  test("dedup_bloom_retract: no false negatives, retraction exact") {
+    val rows = run("dedup_bloom_retract").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("retract_exact"))
+      // Bloom membership has no false negatives: every true dup is flagged
+      assert(r.getAs[Long]("n_flagged") >= r.getAs[Long]("n_true_dup"),
+        r.toString)
+    }
+  }
+
+  test("bpe_apply: dense ranks, nonincreasing frequencies") {
+    val rows = run("bpe_apply").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("tf")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to rows.length.toLong))
+    assert(rows.sliding(2).forall {
+      case Array((_, a), (_, b)) => a >= b
+      case _ => true
+    })
+  }
+
+  test("convergence-gated loops: 1 <= iters <= bound, constant per query") {
+    for ((name, bound) <- Seq("link_rank_conv" -> 8L,
+        "embed_power_conv" -> 6L, "kmeans_train_conv" -> 6L)) {
+      val its = run(name).select(col("iters")).distinct().collect()
+        .map(_.getLong(0))
+      assert(its.length == 1 && its.head >= 1L && its.head <= bound,
+        s"$name iters=${its.toSeq}")
+    }
+  }
 }
