@@ -612,4 +612,71 @@ object Similarity {
         .select(col("id_a"), col("id_b"), VecOps.qround(col("cos"), 4).as("cos"))
     }
   }
+
+  /** SEMANTIC DEDUP — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then confine
+    * the pairwise-cosine duplicate graph to WITHIN each cluster, drop
+    * all-but-one member per duplicate component, keeping the member
+    * FARTHEST from its centroid (the paper's diversity-favoring choice:
+    * lowest centroid-cosine; deterministic id tie-break).
+    *
+    * This is the third, coarsest rung of the embedding-dedup ladder and
+    * the one the paper runs at web scale: [[embeddingNearDupPairs]]
+    * (sign-LSH bands) trades recall for O(bucket²) cost per 4-bit band
+    * key; here the candidate set is the Voronoi cell of a trained coarse
+    * quantizer, so cost is Σ|cell|² with k chosen to bound |cell| ≈ n/k —
+    * the paper's own cost model (k grows with the corpus, cells stay
+    * bounded). The [[Dedup.cappedBandPairs]] hot-bucket star guard rides
+    * along (band 0, key = cell id) so one pathological mega-cell still
+    * cannot go quadratic. Recall is what the cell boundary allows — pairs
+    * straddling a Voronoi boundary are unseen, exactly the trade the
+    * paper makes (on this fixture's noise-direction centroids that is the
+    * floor; real clustered corpora co-locate near-dups far more often).
+    *
+    * Reference tie-in: the duplicate components come from
+    * [[Dedup.connectedComponents]] — the same min-label monoid fold the
+    * reference's commutative-monoid frame implies (README.md:10-14) —
+    * and the centroid table is the frozen [[ivfCentroids]] quantizer every
+    * IVF query shares, quantized to 4 decimals so assignment is
+    * hash-stable cross-engine.
+    *
+    * Returns (vec_id, comp, list_id, qc, keep) for every member of a
+    * duplicate component: comp = component-min id, list_id = Voronoi
+    * cell, qc = quantized centroid-cosine, keep = this member survives.
+    * Singletons (no duplicate edge) are implicitly kept and not emitted,
+    * mirroring [[Dedup.dedupClusters]]. */
+  def semanticDedup(emb: DataFrame, tau: Double,
+                    cap: Int = EmbedBucketCap): DataFrame = {
+    val cents = ivfCentroids(emb)
+    // map-only assignment, annotated with the centroid cosine the
+    // representative choice needs: argmin struct(-cos, list_id) over the
+    // broadcast centroid row == ORDER BY cos DESC, list_id (oracle dual)
+    val best = array_min(transform(col("cents"), ct =>
+      struct((-VecOps.cosine(col("vec"), ct.getField("cvec"))).as("d"),
+        ct.getField("list_id").as("l"))))
+    // eager: referenced by the band table, BOTH verification joins, and
+    // the final annotate join — all broadcast-sized here, and concurrent
+    // broadcast branches race a lazy cache (see Dedup.eager)
+    val asn = Dedup.eager(
+      emb.select(col("vec_id"), col("vec"))
+        .crossJoin(broadcast(centsRow(cents)))
+        .select(col("vec_id"), col("vec"), best.getField("l").as("list_id"),
+          VecOps.qround(-best.getField("d"), 4).as("qc")))
+    val bnd = asn.select(col("vec_id").as("doc_id"), lit(0L).as("band"),
+      col("list_id").as("key"))
+    val edges = Dedup.cappedBandPairs(bnd, cap)
+      .join(asn.select(col("vec_id").as("doc_a"), col("vec").as("vec_a")), "doc_a")
+      .join(asn.select(col("vec_id").as("doc_b"), col("vec").as("vec_b")), "doc_b")
+      .filter(VecOps.cosine(col("vec_a"), col("vec_b")) >= tau)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Dedup.connectedComponents(edges)
+    val w = Window.partitionBy(col("comp")).orderBy(col("qc"), col("vec_id"))
+    val out = comp
+      .join(asn.select(col("vec_id"), col("list_id"), col("qc")),
+        comp("id") === asn("vec_id"))
+      .select(col("id").as("vec_id"), col("label").as("comp"),
+        col("list_id"), col("qc"))
+      .withColumn("keep", row_number().over(w) === 1)
+    try out.localCheckpoint(eager = true) finally asn.unpersist(false)
+  }
 }

@@ -27,6 +27,10 @@ object SimilarityQueries {
     * non-empty result. */
   private val MinCos = 0.4
 
+  /** semantic-dedup duplicate threshold — same cosine bar as the LSH
+    * near-dup path so the two recipes grade the same notion of "dup". */
+  private val SemDedupTau = 0.4
+
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
   private def qSide(s: SparkSession, dir: String): DataFrame =
@@ -421,6 +425,59 @@ object SimilarityQueries {
        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, k_id) AS rank
        |      FROM r)
        |WHERE rank <= $AnnK""".stripMargin
+  }
+
+  /** Dual of [[Similarity.semanticDedup]]: frozen label-mean quantizer →
+    * nearest-cell assignment (raw-cos rank over quantized centroids, the
+    * ivf tie-break) → within-cell pairs under the hot-cell star cap →
+    * exact cosine ≥ tau edges → recursive-CTE components → keep the
+    * member with the LOWEST quantized centroid-cosine (id tie-break). */
+  private val semanticDedupOracle = {
+    def cosOf(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val cap = Similarity.EmbedBucketCap
+    s"""WITH RECURSIVE
+       |c0 AS (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
+       |       FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+       |               unnest(range(len(embedding))) AS i FROM embeddings)
+       |       GROUP BY label, i),
+       |cents AS (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
+       |          FROM c0 GROUP BY label),
+       |k AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+       |asn AS (SELECT vec_id, vv, list_id, ${VecOps.qroundSql("cc", 4)} AS qc FROM (
+       |          SELECT vec_id, vv, list_id, ${cosOf("vv", "cvec")} AS cc,
+       |            row_number() OVER (PARTITION BY vec_id
+       |              ORDER BY ${cosOf("vv", "cvec")} DESC, list_id) AS rn
+       |          FROM k CROSS JOIN cents) WHERE rn = 1),
+       |sized AS (SELECT vec_id, list_id,
+       |            count(*) OVER (PARTITION BY list_id) AS bucket_n,
+       |            min(vec_id) OVER (PARTITION BY list_id) AS bucket_min
+       |          FROM asn),
+       |cand AS (SELECT DISTINCT id_a, id_b FROM (
+       |           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |           FROM sized a JOIN sized b
+       |             ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |           WHERE a.bucket_n <= $cap
+       |           UNION
+       |           SELECT bucket_min AS id_a, vec_id AS id_b
+       |           FROM sized WHERE bucket_n > $cap AND vec_id <> bucket_min)),
+       |edges AS (SELECT id_a, id_b
+       |          FROM cand JOIN asn va ON va.vec_id = id_a
+       |                    JOIN asn vb ON vb.vec_id = id_b
+       |          WHERE ${cosOf("va.vv", "vb.vv")} >= $SemDedupTau),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL
+       |        SELECT id_b, id_a FROM edges),
+       |reach(id, label) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT sym.src, reach.label
+       |  FROM sym JOIN reach ON reach.id = sym.dst),
+       |cmp AS (SELECT id, min(label) AS comp FROM reach GROUP BY id)
+       |SELECT cmp.id AS vec_id, cmp.comp, asn.list_id, asn.qc,
+       |       (row_number() OVER (PARTITION BY cmp.comp
+       |          ORDER BY asn.qc, cmp.id) = 1) AS keep
+       |FROM cmp JOIN asn ON asn.vec_id = cmp.id""".stripMargin
   }
 
   /** Capped-band dual mirroring [[Similarity.embeddingNearDupPairs]]'s
@@ -1040,6 +1097,10 @@ object SimilarityQueries {
     "dedup_embed" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         emb(s, dir).select(col("vec_id"), col("vec")), MinCos)),
+    // SemDeDup: within-Voronoi-cell duplicate components, keep the
+    // farthest-from-centroid member (Abbas et al. 2023)
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), SemDedupTau)),
     // embedding-space decontamination: the drop list of train vectors
     // within cos >= tau of any (perturbed) eval vector — semantic leakage
     // the token-shingle decontaminate can't see
@@ -1096,6 +1157,7 @@ object SimilarityQueries {
     "similar_ivfpq_res" -> ivfPqResTopkSql(AnnK, perturbedQCte),
     "similar_ivfpq_res_recall" -> ivfPqResRecallOracle,
     "dedup_embed" -> nearDupOracle,
+    "dedup_semantic" -> semanticDedupOracle,
     "decontaminate_embed" -> embedDecontamOracle
   )
 }
