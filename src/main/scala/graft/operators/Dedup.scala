@@ -1132,6 +1132,54 @@ object Dedup {
           (col("s") - col("i")).cast("double"), 4).as("jaccard"))
   }
 
+  /** LSH RECALL GRADE — measure, don't assume, what the probabilistic
+    * MinHash-band path misses. Ground truth is [[ssjoinPairs]] (exact,
+    * guaranteed-complete); the candidate set is [[minhashPairsCapped]]
+    * (the production path). Two recalls, graded as integer counts plus
+    * their ratios:
+    *   - CANDIDATE recall: true pairs surfaced by some band collision —
+    *     the (1−(1−J^R)^B) S-curve made empirical;
+    *   - DETECTED recall: candidates that also pass est_jaccard ≥ minEst
+    *     — what the dedup pipeline actually keeps, folding in signature
+    *     estimation error on top of banding loss.
+    * The ANN family grades all nine of its approximate paths this way
+    * (`*_recall`); this closes the same honesty gap for the dedup family.
+    * Cost is the sum of two already-graded sub-linear pipelines; the
+    * recall join runs on bare id pairs. Output is ONE row of exact LONG
+    * counts + 4-decimal ratios (denominator floored at 1 so an empty
+    * truth set yields 0 recall, not an ANSI divide-by-zero). */
+  def minhashRecall(docs: DataFrame, tauPm: Int = 700, minEst: Double = 0.5,
+                    cap: Int = BucketCap): DataFrame = {
+    val truth = ssjoinPairs(docs, tauPm).select(col("doc_a"), col("doc_b"))
+    val cand = minhashPairsCapped(docs, cap)
+    val joined = truth.join(cand, Seq("doc_a", "doc_b"), "left")
+    joined
+      .agg(count(lit(1)).as("n_true"),
+        count(col("est_jaccard")).as("n_cand"),
+        count(when(col("est_jaccard") >= minEst, lit(1))).as("n_detect"))
+      .select(col("n_true"), col("n_cand"),
+        VecOps.qround(col("n_cand").cast("double") /
+          greatest(col("n_true"), lit(1L)).cast("double"), 4).as("cand_recall"),
+        col("n_detect"),
+        VecOps.qround(col("n_detect").cast("double") /
+          greatest(col("n_true"), lit(1L)).cast("double"), 4).as("det_recall"))
+  }
+
+  /** Oracle dual of [[minhashRecall]]: exact truth from the exhaustive
+    * posting self-join, candidates from the capped-band dual. */
+  def minhashRecallSql(table: String, tauPm: Int = 700, minEst: Double = 0.5,
+                       cap: Int = BucketCap): String =
+    s"""WITH truth AS (SELECT doc_a, doc_b FROM (${ssjoinPairsSql(table, tauPm)}) ts),
+       |cand AS (SELECT doc_a, doc_b, est_jaccard
+       |         FROM (${minhashPairsCappedSql(table, cap)}) cs)
+       |SELECT count(*)::BIGINT AS n_true,
+       |  count(cand.doc_a)::BIGINT AS n_cand,
+       |  ${VecOps.qroundSql("count(cand.doc_a)::DOUBLE / greatest(count(*), 1)::DOUBLE", 4)} AS cand_recall,
+       |  count(CASE WHEN cand.est_jaccard >= $minEst THEN 1 END)::BIGINT AS n_detect,
+       |  ${VecOps.qroundSql(s"count(CASE WHEN cand.est_jaccard >= $minEst THEN 1 END)::DOUBLE / greatest(count(*), 1)::DOUBLE", 4)} AS det_recall
+       |FROM truth LEFT JOIN cand
+       |  ON truth.doc_a = cand.doc_a AND truth.doc_b = cand.doc_b""".stripMargin
+
   /** Oracle dual of [[ssjoinPairs]] — deliberately INDEPENDENT of the
     * prefix filter: the full posting self-join finds every pair sharing
     * ANY shingle, which is exhaustive for τ > 0 (J ≥ τ implies a shared

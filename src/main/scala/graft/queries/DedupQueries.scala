@@ -27,6 +27,9 @@ object DedupQueries {
     // EXACT-threshold Jaccard pair join (prefix filter / AllPairs):
     // guaranteed-complete, unlike the LSH-recall paths above
     "dedup_ssjoin" -> ((s, dir) => Dedup.ssjoinPairs(docs(s, dir))),
+    // LSH recall graded against that exact truth set: candidate recall
+    // (band collisions) and detected recall (est >= minEst on top)
+    "dedup_minhash_recall" -> ((s, dir) => Dedup.minhashRecall(docs(s, dir))),
     // asymmetric containment |A∩B|/min(|A|,|B|) over the same candidates
     "dedup_containment" -> ((s, dir) => Dedup.ngramContainmentPairs(docs(s, dir))),
     // LSH pairs -> connected components: the cluster assignment a dedup
@@ -166,6 +169,7 @@ object DedupQueries {
     "dedup_simhash" -> Dedup.simhashPairsSql("documents"),
     "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents"),
     "dedup_ssjoin" -> Dedup.ssjoinPairsSql("documents"),
+    "dedup_minhash_recall" -> Dedup.minhashRecallSql("documents"),
     "dedup_containment" -> Dedup.ngramContainmentPairsSql("documents"),
     "dedup_clusters" -> Dedup.dedupClustersSql("documents"),
     "dedup_corpus" -> Dedup.dedupCorpusSql("documents"),

@@ -190,6 +190,29 @@ class QueryInvariantsSpec extends AnyFunSuite {
     })
   }
 
+  test("dedup_minhash_recall: n_detect <= n_cand <= n_true, ratios consistent") {
+    val r = run("dedup_minhash_recall").collect()
+    assert(r.length == 1)
+    val (nt, nc, nd) = (r.head.getAs[Long]("n_true"),
+      r.head.getAs[Long]("n_cand"), r.head.getAs[Long]("n_detect"))
+    assert(nd <= nc && nc <= nt, s"counts out of order: $nd $nc $nt")
+    val (cr, dr) = (r.head.getAs[Double]("cand_recall"),
+      r.head.getAs[Double]("det_recall"))
+    assert(cr >= 0.0 && cr <= 1.0 && dr >= 0.0 && dr <= cr + 1e-9)
+  }
+
+  test("dedup_semantic: one keep per component, components within one cell") {
+    val rows = run("dedup_semantic").collect()
+      .map(r => (r.getAs[Long]("comp"), r.getAs[Long]("list_id"),
+        r.getAs[Boolean]("keep")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { ms =>
+      assert(ms.count(_._3) == 1, "component must keep exactly one member")
+      assert(ms.map(_._2).distinct.length == 1,
+        "a duplicate component cannot straddle Voronoi cells")
+    }
+  }
+
   test("convergence-gated loops: 1 <= iters <= bound, constant per query") {
     for ((name, bound) <- Seq("link_rank_conv" -> 8L,
         "embed_power_conv" -> 6L, "kmeans_train_conv" -> 6L)) {
