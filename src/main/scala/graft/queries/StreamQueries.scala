@@ -858,6 +858,11 @@ object StreamQueries {
     // daily resample + gap fill (calendar grid, carry-forward)
     "events_resample" -> ((s, dir) =>
       graft.operators.Resample.dailyValue(Tables.events(s, dir))),
+    // integer-exact EWMA over the hourly volume series — the recursive
+    // smoother windowed SQL can't express, folded over the calendar-
+    // bounded rollup (never over events)
+    "events_ewma" -> ((s, dir) =>
+      graft.operators.Resample.hourlyEwma(Tables.events(s, dir))),
     "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir))),
     // the SAME sessionizer actually run as a stream (file source →
     // flatMapGroupsWithState → upsert sink), ordinal-converted to grade
@@ -905,6 +910,7 @@ object StreamQueries {
     "events_full_stream" -> StreamingOps.viewPurchaseFullJoinSql("events"),
     "events_enrich_stream" -> StreamingOps.segmentSpendSql("events"),
     "events_resample" -> graft.operators.Resample.dailyValueSql("events"),
+    "events_ewma" -> graft.operators.Resample.hourlyEwmaSql("events"),
     "events_sessions" -> sessionsOracle,
     "events_sessions_stream" -> sessionsOracle,
     "events_props" -> propsOracle,

@@ -53,4 +53,40 @@ class ResampleSpec extends AnyFunSuite {
     assert(out(0).getString(1) == "2024-01-05" && out(0).getLong(2) == 2L &&
       out(0).getDouble(3) == 4.0)
   }
+
+  private def hts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:30:00")
+
+  test("hourlyEwma reproduces the hand-computed integer recursion, gaps as zeros") {
+    // type a: 3 events hour 0, none hour 1, 1 event hour 2
+    // type b: 1 event hour 0 and hour 2 — the grid closes hour 1 with v=0
+    val events = Seq(
+      ("a", hts(1, 0)), ("a", hts(1, 0)), ("a", hts(1, 0)), ("a", hts(1, 2)),
+      ("b", hts(1, 0)), ("b", hts(1, 2))
+    ).map { case (t, s) => (t, s, 1L) }.toDF("event_type", "ts", "user_id")
+
+    val out = Resample.hourlyEwma(events)
+      .orderBy(col("event_type"), col("hr"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // y1 = 1000*v1; y_t = (200000*v_t + 800*y_{t-1}) div 1000
+    val expect = Seq(
+      ("a", "2024-01-01 00", 3L, 3000L), // seed: 3*1000
+      ("a", "2024-01-01 01", 0L, 2400L), // (0 + 800*3000) div 1000
+      ("a", "2024-01-01 02", 1L, 2120L), // (200000 + 800*2400) div 1000
+      ("b", "2024-01-01 00", 1L, 1000L),
+      ("b", "2024-01-01 01", 0L, 800L),
+      ("b", "2024-01-01 02", 1L, 840L)   // (200000 + 800*800) div 1000
+    )
+    assert(out.toSeq == expect)
+  }
+
+  test("hourlyEwma on a constant series is a fixpoint: y stays 1000*v") {
+    val events = (0 until 4).flatMap(h => Seq(("a", hts(1, h))))
+      .map { case (t, s) => (t, s, 1L) }.toDF("event_type", "ts", "user_id")
+    val out = Resample.hourlyEwma(events).collect()
+    assert(out.length == 4)
+    assert(out.forall(r => r.getLong(3) == 1000L))
+  }
 }
