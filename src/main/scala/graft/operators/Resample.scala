@@ -86,19 +86,37 @@ object Resample {
       .select(col("event_type"), col("hr"), coalesce(col("v"), lit(0L)).as("v"))
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("hr"), col("v")))).as("s"))
-    val folded = ser.select(col("event_type"), expr(
-      """aggregate(s,
-        |  cast(array() as array<struct<hr:timestamp, v:bigint, y:bigint>>),
-        |  (acc, x) -> array_append(acc, named_struct(
-        |    'hr', x.hr, 'v', x.v,
-        |    'y', case when size(acc) = 0 then x.v * 1000L
-        |         else (200L * 1000L * x.v + 800L * element_at(acc, -1).y)
-        |              div 1000L end)))""".stripMargin).as("e"))
+    val folded = ser.select(col("event_type"), expr(ewmaFoldExpr).as("e"))
     folded.select(col("event_type"), explode(col("e")).as("r"))
       .select(col("event_type"),
         date_format(col("r.hr"), "yyyy-MM-dd HH").as("hr"),
         col("r.v").as("n"), col("r.y").as("ewma_milli"))
   }
+
+  /** The fold itself, shared with the streaming twin: a SQL `aggregate`
+    * HOF over the sorted (hr, v) array `s`. If the row carries a non-null
+    * `seed_y` (+ `seed_hr`), the accumulator starts from that carried
+    * state — the recursive branch then applies from the first element, so
+    * a fold resumed from persisted state is bit-equal to the one-shot
+    * fold over the full series (drop the seed echo row after exploding). */
+  private[graft] val ewmaFoldStep: String =
+    """(acc, x) -> array_append(acc, named_struct(
+      |    'hr', x.hr, 'v', x.v,
+      |    'y', case when size(acc) = 0 then x.v * 1000L
+      |         else (200L * 1000L * x.v + 800L * element_at(acc, -1).y)
+      |              div 1000L end))""".stripMargin
+
+  private[graft] val ewmaFoldExpr: String =
+    s"""aggregate(s,
+       |  cast(array() as array<struct<hr:timestamp, v:bigint, y:bigint>>),
+       |  $ewmaFoldStep)""".stripMargin
+
+  private[graft] val ewmaFoldSeededExpr: String =
+    s"""aggregate(s,
+       |  case when seed_y is null
+       |       then cast(array() as array<struct<hr:timestamp, v:bigint, y:bigint>>)
+       |       else array(named_struct('hr', seed_hr, 'v', 0L, 'y', seed_y)) end,
+       |  $ewmaFoldStep)""".stripMargin
 
   /** DuckDB dual of [[hourlyEwma]]: the same dense hourly grid, then the
     * recursion as a rn-chained recursive CTE — one row per (type, hour),

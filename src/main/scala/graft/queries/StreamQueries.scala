@@ -863,6 +863,11 @@ object StreamQueries {
     // bounded rollup (never over events)
     "events_ewma" -> ((s, dir) =>
       graft.operators.Resample.hourlyEwma(Tables.events(s, dir))),
+    // the SAME recursion run as a stream: four chronological micro-
+    // batches each resuming the fold from persisted (type, last_hr, y)
+    // state; appended outputs must union to the one-shot series
+    "events_ewma_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.ewmaStream(s, dir)),
     "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir))),
     // the SAME sessionizer actually run as a stream (file source →
     // flatMapGroupsWithState → upsert sink), ordinal-converted to grade
@@ -911,6 +916,7 @@ object StreamQueries {
     "events_enrich_stream" -> StreamingOps.segmentSpendSql("events"),
     "events_resample" -> graft.operators.Resample.dailyValueSql("events"),
     "events_ewma" -> graft.operators.Resample.hourlyEwmaSql("events"),
+    "events_ewma_stream" -> graft.operators.Resample.hourlyEwmaSql("events"),
     "events_sessions" -> sessionsOracle,
     "events_sessions_stream" -> sessionsOracle,
     "events_props" -> propsOracle,

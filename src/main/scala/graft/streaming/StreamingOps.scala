@@ -766,6 +766,114 @@ object StreamingOps {
     spark.read.parquet(out)
   }
 
+  /** STREAMING EWMA — the stream twin of [[graft.operators.Resample
+    * .hourlyEwma]], and the one stateful op here whose fold is ORDER-
+    * SENSITIVE (y_t depends on y_{t−1}, not a commutative monoid — the
+    * boundary the reference's framework draws at README.md:10-14). The
+    * events table is staged as four chronological slices (mtime-ordered,
+    * maxFilesPerTrigger=1, so the micro-batch sequence is pinned); each
+    * batch folds its hour range into a persisted (event_type, last_hr, y)
+    * state table with the SAME integer recursion, seeding the aggregate
+    * HOF's accumulator from the carried state — so batch-k's fold resumes
+    * bit-exactly where batch k−1 stopped, inter-batch gap hours decay
+    * through as zeros, and the appended outputs union to the one-shot
+    * series (graded by hourlyEwma's own oracle). State is types-sized —
+    * at 100 TB the per-batch cost is the batch's rollup plus a
+    * types×hours control-plane fold, never history. */
+  def ewmaStream(spark: SparkSession, dir: String): DataFrame = {
+    val staging = graft.sources.Scratch.dir("graft_ewma_src")
+    val out = graft.sources.Scratch.dir("graft_ewma_out")
+    val ckpt = graft.sources.Scratch.dir("graft_ewma_ckpt")
+    val statePath = graft.sources.Scratch.dir("graft_ewma_state") + "/state"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    // four chronological day-aligned slices of the corpus span
+    val lim = ev.agg(date_trunc("DAY", min(col("ts"))).as("d0"),
+      date_trunc("DAY", max(col("ts"))).as("d1")).head
+    val (d0, d1) = (lim.getTimestamp(0), lim.getTimestamp(1))
+    val days = (d1.getTime - d0.getTime) / 86400000L + 1
+    val cuts = (1 to 3).map(i =>
+      new java.sql.Timestamp(d0.getTime + 86400000L * (days * i / 4)))
+    val bounds = (Seq[Option[java.sql.Timestamp]](None) ++ cuts.map(Some(_)))
+      .zip(cuts.map(Some(_)) ++ Seq[Option[java.sql.Timestamp]](None))
+    stageOrdered(staging, bounds.map { case (lo, hi) =>
+      ev.where(lo.map(col("ts") >= lit(_)).getOrElse(lit(true)) &&
+        hi.map(col("ts") < lit(_)).getOrElse(lit(true)))
+    })
+    val schema = spark.read.parquet(staging).schema
+    withStreamPartitions(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ewmaFoldBatch(batch, statePath, out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+  }
+
+  /** One micro-batch of [[ewmaStream]]: extend each type's dense hourly
+    * grid from the carried state (or the corpus's first hour, pinned in
+    * state as h0) to the batch's last hour, fold with the state-seeded
+    * accumulator, append the new rows, persist the advanced state. */
+  private def ewmaFoldBatch(batch: DataFrame, statePath: String,
+                            out: String): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val bins = batch
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("v"))
+    val lim = batch.agg(date_trunc("HOUR", min(col("ts"))).as("b0"),
+      date_trunc("HOUR", max(col("ts"))).as("b1")).head
+    val (b0, b1) = (lim.getTimestamp(0), lim.getTimestamp(1))
+    val hasState = Files.exists(java.nio.file.Paths.get(statePath))
+    val st = if (hasState) s.read.parquet(statePath)
+      else s.range(0).select(lit(null).cast("string").as("event_type"),
+        lit(null).cast("timestamp").as("last_hr"),
+        lit(null).cast("long").as("y"),
+        lit(null).cast("timestamp").as("h0"))
+    val h0 = if (hasState) st.select(col("h0")).head.getTimestamp(0) else b0
+    val types = bins.select(col("event_type"))
+      .union(st.select(col("event_type"))).distinct()
+      .where(col("event_type").isNotNull)
+    val ser = types
+      .join(st.select(col("event_type"), col("last_hr").as("seed_hr"),
+        col("y").as("seed_y")), Seq("event_type"), "left")
+      .withColumn("start",
+        coalesce(col("seed_hr") + expr("INTERVAL 1 HOUR"), lit(h0)))
+      .select(col("event_type"), col("seed_hr"), col("seed_y"),
+        explode_outer(sequence(col("start"), lit(b1),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+      .join(bins, Seq("event_type", "hr"), "left")
+    // null-hr row (state type with no new hours) folds to the seed alone:
+    // the when() without otherwise yields null, which collect_list skips
+    val g = ser.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(when(col("hr").isNotNull,
+          struct(col("hr"), coalesce(col("v"), lit(0L)).as("v"))))).as("s"),
+        first(col("seed_hr"), ignoreNulls = true).as("seed_hr"),
+        first(col("seed_y"), ignoreNulls = true).as("seed_y"))
+    val folded = g.select(col("event_type"), col("seed_hr"),
+      expr(graft.operators.Resample.ewmaFoldSeededExpr).as("e"))
+    val outRows = folded
+      .select(col("event_type"), col("seed_hr"), explode(col("e")).as("r"))
+      .where(col("seed_hr").isNull || col("r.hr") > col("seed_hr"))
+      .select(col("event_type"),
+        date_format(col("r.hr"), "yyyy-MM-dd HH").as("hr"),
+        col("r.v").as("n"), col("r.y").as("ewma_milli"))
+    val newState = folded.select(col("event_type"),
+      expr("element_at(e, -1).hr").as("last_hr"),
+      expr("element_at(e, -1).y").as("y"),
+      lit(h0).as("h0"))
+      .localCheckpoint(eager = true) // materialize before overwriting its own source
+    outRows.write.mode("append").parquet(out)
+    newState.write.mode("overwrite").parquet(statePath)
+  }
+
   /** first-week cutoff for the deliberately-late replay file — a fixture
     * date literal like the TPC-H date predicates. */
   private val LateCutoff = "2024-01-08 00:00:00"
