@@ -613,6 +613,78 @@ object Similarity {
     }
   }
 
+  /** MMR-DIVERSIFIED TOP-K (Maximal Marginal Relevance, Carbonell &
+    * Goldstein SIGIR'98): greedy rerank of the exact cosine top-k so the
+    * emitted results trade relevance against redundancy — the standard
+    * retrieval-side answer to a candidate list full of near-duplicates
+    * (the dedup family removes them from the CORPUS; MMR removes them
+    * from each ANSWER). Selection rule per step:
+    * argmax_{c ∉ S} λ·rel(c) − (1−λ)·max_{s ∈ S} sim(c, s), seeded by
+    * pure relevance.
+    *
+    * Cross-engine determinism: relevance and pairwise sims are quantized
+    * to integer ten-thousandths FIRST (the same floor(x·1e4 + 0.5)
+    * formula as [[graft.functions.VecOps.qround]], kept as BIGINT), and
+    * λ = 7/10 is applied as integer weights — score = 7·r − 3·m — so
+    * every greedy argmax compares exact integers with a k_id tie-break;
+    * no float ordering anywhere in the selection.
+    *
+    * Scale shape: the candidate pull is the already-graded brute top-k
+    * scan (swap in any ANN front-end at 100 TB); everything after runs
+    * on M×k rows — the k² pairwise-sim table and `sel` argmax rounds
+    * shuffle only on q_id, each round one broadcast-sized join + window.
+    * The greedy loop is `sel` driver-controlled rounds (control flow
+    * only, like every trainer here), k and sel are answer-sized
+    * constants, so rerank cost is independent of corpus size. */
+  def mmrTopK(q: DataFrame, kv: DataFrame, k: Int, sel: Int): DataFrame = {
+    val rInt = floor(VecOps.cosine(col("qvec"), col("kvec")) * lit(1e4) +
+      lit(0.5)).cast("long")
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("r"), col("k_id"))
+    val top = PairPlan.cross(kv, q)
+      .filter(col("k_id") =!= col("q_id"))
+      .select(col("q_id"), col("k_id"), rInt.as("r"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .drop("rank")
+    val cand = Dedup.eager(top.join(kv, "k_id")
+      .select(col("q_id"), col("k_id"), col("r"), col("kvec")))
+    val sInt = floor(VecOps.cosine(col("va"), col("vb")) * lit(1e4) +
+      lit(0.5)).cast("long")
+    val ps = Dedup.eager(
+      cand.select(col("q_id"), col("k_id").as("ka"), col("kvec").as("va"))
+        .join(cand.select(col("q_id"), col("k_id").as("kb"),
+          col("kvec").as("vb")), "q_id")
+        .filter(col("ka") =!= col("kb"))
+        .select(col("q_id"), col("ka"), col("kb"), sInt.as("s")))
+    val wSel = Window.partitionBy(col("q_id")).orderBy(desc("score"), col("k_id"))
+    var selDf = cand
+      .select(col("q_id"), col("k_id"), (lit(7L) * col("r")).as("score"))
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+      .select(col("q_id"), col("k_id"), lit(1L).as("step"), col("score"))
+      .localCheckpoint(true)
+    for (t <- 2 to sel) {
+      val pen = ps
+        .join(selDf.select(col("q_id"), col("k_id").as("kb")), Seq("q_id", "kb"))
+        .groupBy(col("q_id"), col("ka")).agg(max(col("s")).as("m"))
+      val next = cand
+        .join(selDf.select(col("q_id"), col("k_id")),
+          Seq("q_id", "k_id"), "left_anti")
+        .join(pen.withColumnRenamed("ka", "k_id"), Seq("q_id", "k_id"))
+        .select(col("q_id"), col("k_id"),
+          (lit(7L) * col("r") - lit(3L) * col("m")).as("score"))
+        .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+        .select(col("q_id"), col("k_id"), lit(t.toLong).as("step"), col("score"))
+      selDf = selDf.union(next).localCheckpoint(true)
+    }
+    val out = selDf
+      .join(cand.select(col("q_id"), col("k_id"), col("r")), Seq("q_id", "k_id"))
+      .select(col("q_id"), col("step"), col("k_id"),
+        (col("r").cast("double") / lit(1e4)).as("rel"), col("score"))
+      .localCheckpoint(true)
+    cand.unpersist(false); ps.unpersist(false)
+    out
+  }
+
   /** SEMANTIC DEDUP — the SemDeDup recipe (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, then confine
     * the pairwise-cosine duplicate graph to WITHIN each cluster, drop

@@ -427,6 +427,58 @@ object SimilarityQueries {
        |WHERE rank <= $AnnK""".stripMargin
   }
 
+  /** MMR selection depth (results emitted per query). */
+  private val MmrSel = 5
+
+  /** Dual of [[Similarity.mmrTopK]]: integer-quantized relevance and
+    * pairwise sims, then the greedy argmax unrolled as [[MmrSel]] chained
+    * CTEs (fixed-depth loop → static SQL, the kmeans-chain pattern).
+    * Every CTE is MATERIALIZED: the selN chain references each previous
+    * step twice (penalty join + anti join), and DuckDB's default inlining
+    * would re-execute the whole upstream chain per reference. */
+  private val mmrOracle = {
+    val kvCos =
+      "list_dot_product(a.kv, b.kv) / (sqrt(list_dot_product(a.kv, a.kv)) * sqrt(list_dot_product(b.kv, b.kv)))"
+    def stepCte(t: Int): String =
+      s"""s$t AS MATERIALIZED (SELECT q_id, k_id, score FROM (
+         |  SELECT c.q_id, c.k_id, 7 * c.r - 3 * p.m AS score,
+         |    row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY (7 * c.r - 3 * p.m) DESC, c.k_id) AS rn
+         |  FROM cand c
+         |  JOIN (SELECT ps.q_id, ps.ka, max(ps.s) AS m FROM ps
+         |        JOIN sel${t - 1} pv ON ps.q_id = pv.q_id AND ps.kb = pv.k_id
+         |        GROUP BY ps.q_id, ps.ka) p
+         |    ON p.q_id = c.q_id AND p.ka = c.k_id
+         |  LEFT JOIN sel${t - 1} sl ON sl.q_id = c.q_id AND sl.k_id = c.k_id
+         |  WHERE sl.k_id IS NULL) WHERE rn = 1),
+         |sel$t AS MATERIALIZED (
+         |  SELECT q_id, k_id, step, score FROM sel${t - 1}
+         |  UNION ALL
+         |  SELECT q_id, k_id, CAST($t AS BIGINT) AS step, score FROM s$t)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $MQ),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |pr AS (SELECT q_id, k_id, kv,
+       |         CAST(floor(($cosSql) * 1e4 + 0.5) AS BIGINT) AS r
+       |       FROM q CROSS JOIN k WHERE k_id <> q_id),
+       |cand AS MATERIALIZED (SELECT q_id, k_id, kv, r FROM (
+       |         SELECT q_id, k_id, kv, r,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY r DESC, k_id) AS rank
+       |         FROM pr) WHERE rank <= $TopK),
+       |ps AS MATERIALIZED (SELECT a.q_id, a.k_id AS ka, b.k_id AS kb,
+       |        CAST(floor(($kvCos) * 1e4 + 0.5) AS BIGINT) AS s
+       |      FROM cand a JOIN cand b
+       |        ON a.q_id = b.q_id AND a.k_id <> b.k_id),
+       |sel1 AS MATERIALIZED (SELECT q_id, k_id, CAST(1 AS BIGINT) AS step,
+       |        7 * r AS score FROM (
+       |         SELECT q_id, k_id, r, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY r DESC, k_id) AS rn FROM cand) WHERE rn = 1),
+       |${(2 to MmrSel).map(stepCte).mkString(",\n")}
+       |SELECT f.q_id, f.step, f.k_id, c.r::DOUBLE / 1e4 AS rel, f.score
+       |FROM sel$MmrSel f JOIN cand c
+       |  ON c.q_id = f.q_id AND c.k_id = f.k_id""".stripMargin
+  }
+
   /** Dual of [[Similarity.semanticDedup]]: frozen label-mean quantizer →
     * nearest-cell assignment (raw-cos rank over quantized centroids, the
     * ivf tie-break) → within-cell pairs under the hot-cell star cap →
@@ -1101,6 +1153,9 @@ object SimilarityQueries {
     // farthest-from-centroid member (Abbas et al. 2023)
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(emb(s, dir), SemDedupTau)),
+    // MMR diversified rerank of the exact top-k (integer-exact greedy)
+    "similar_mmr" -> ((s, dir) =>
+      Similarity.mmrTopK(qSide(s, dir), kvSide(s, dir), TopK, MmrSel)),
     // embedding-space decontamination: the drop list of train vectors
     // within cos >= tau of any (perturbed) eval vector — semantic leakage
     // the token-shingle decontaminate can't see
@@ -1158,6 +1213,7 @@ object SimilarityQueries {
     "similar_ivfpq_res_recall" -> ivfPqResRecallOracle,
     "dedup_embed" -> nearDupOracle,
     "dedup_semantic" -> semanticDedupOracle,
+    "similar_mmr" -> mmrOracle,
     "decontaminate_embed" -> embedDecontamOracle
   )
 }
