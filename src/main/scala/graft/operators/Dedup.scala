@@ -61,7 +61,7 @@ object Dedup {
     * One eager count() serializes the first compute; every later branch
     * reads InMemoryTableScan. The extra job is a cached-read, O(rows of a
     * 16-long signature table) — noise at any scale next to a re-shingle. */
-  private[operators] def eager(df: DataFrame): DataFrame = {
+  private[graft] def eager(df: DataFrame): DataFrame = {
     val c = df.cache()
     c.count()
     c

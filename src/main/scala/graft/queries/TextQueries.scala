@@ -614,6 +614,84 @@ object TextQueries {
        |       CAST(sum(((hv >> 6) & 1) * 2 - 1) AS BIGINT) AS val
        |FROM h GROUP BY doc_id, hv % $HashDim""".stripMargin
 
+  /** TRAINED QUALITY CLASSIFIER — batch-gradient-descent logistic
+    * regression over the [[hashVec]] features (the fastText-style linear
+    * scorer real pipelines train to replace hand-tuned keep rules; label
+    * here: lang = 'en', the same supervision a seed-corpus classifier
+    * bootstraps from). [[LrIters]] full-batch steps from w = 0 with
+    * η = 1/2, completing the trainer family (k-means, PQ, BPE, power
+    * iteration) with its classification member.
+    *
+    * Integer-exact protocol (the collect-requantize pattern,
+    * EmbedStats.powerTrain): weights live as LONG micro-units, so the
+    * per-doc margin Σ w_micro·val is an EXACT LONG sum (order-free — the
+    * one place a float dot would have been summed across shuffled rows);
+    * the per-doc residual y − σ(margin/1e6) quantizes to micro-units
+    * through the shared exp() 1-ulp envelope; per-dim gradients
+    * Σ val·res_micro accumulate exactly in LONG; and the update
+    * floor(g/(2N) + 0.5) rounds a quotient of identical integers, so
+    * both engines step to the identical next weight vector — drift
+    * cannot compound across iterations. Per iteration the collect is D =
+    * [[HashDim]] longs (the bounded-literal protocol), never data; the
+    * data-side cost is one margin groupBy + one gradient groupBy over
+    * the sparse feature table. */
+  private val LrIters = 3
+
+  private[graft] def logregTrain(d: DataFrame, iters: Int): DataFrame = {
+    val spark = d.sparkSession
+    val feats = graft.operators.Dedup.eager(
+      hashVec(d).join(
+        d.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), "doc_id"))
+    val n = d.count()
+    var w = Array.fill(HashDim.toInt)(0L)
+    for (_ <- 1 to iters) {
+      val wlit = array(w.map(lit(_)): _*)
+      val term = element_at(wlit, (col("dim") + 1).cast("int")) * col("val")
+      val margins = feats.groupBy(col("doc_id"))
+        .agg(first(col("y")).as("y"), sum(term).as("zm"))
+      val p = lit(1.0) / (lit(1.0) + exp(-col("zm").cast("double") / lit(1e6)))
+      val res = margins.select(col("doc_id"),
+        floor((col("y").cast("double") - p) * lit(1e6) + lit(0.5))
+          .cast("long").as("res"))
+      val g = feats.join(res, "doc_id")
+        .groupBy(col("dim")).agg(sum(col("val") * col("res")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w = w.indices.map(i => w(i) + math.floor(
+        g.getOrElse(i.toLong, 0L).toDouble / (2.0 * n) + 0.5).toLong).toArray
+    }
+    feats.unpersist(false)
+    import spark.implicits._
+    w.zipWithIndex
+      .map { case (wm, i) => (i.toLong, wm, wm.toDouble / 1e6) }.toSeq
+      .toDF("dim", "w_micro", "w")
+  }
+
+  private val logregOracle = {
+    def iterCtes(t: Int): String =
+      s"""z$t AS MATERIALIZED (SELECT doc_id, any_value(y) AS y,
+         |        SUM(wm * val) AS zm
+         |      FROM f JOIN w${t - 1} USING (dim) GROUP BY doc_id),
+         |r$t AS MATERIALIZED (SELECT doc_id,
+         |        CAST(floor((y - 1.0/(1.0 + exp(-(zm::DOUBLE)/1e6))) * 1e6 + 0.5) AS BIGINT) AS res
+         |      FROM z$t),
+         |g$t AS MATERIALIZED (SELECT dim, SUM(val * res) AS g
+         |      FROM f JOIN r$t USING (doc_id) GROUP BY dim),
+         |w$t AS MATERIALIZED (SELECT w${t - 1}.dim,
+         |        wm + CAST(floor(coalesce(g, 0)::DOUBLE / (2.0 * nn.n) + 0.5) AS BIGINT) AS wm
+         |      FROM w${t - 1} LEFT JOIN g$t ON g$t.dim = w${t - 1}.dim
+         |      CROSS JOIN nn)""".stripMargin
+    s"""WITH hv AS ($hashVecOracle),
+       |f AS MATERIALIZED (SELECT hv.doc_id, hv.dim, hv.val,
+       |       CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |     FROM hv JOIN documents d ON d.doc_id = hv.doc_id),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |w0 AS (SELECT unnest(generate_series(0, ${HashDim - 1}))::BIGINT AS dim,
+       |       CAST(0 AS BIGINT) AS wm),
+       |${(1 to LrIters).map(iterCtes).mkString(",\n")}
+       |SELECT dim, wm AS w_micro, wm::DOUBLE / 1e6 AS w FROM w$LrIters""".stripMargin
+  }
+
   /** ZIPF FIT — the corpus-health diagnostic: natural text's
     * rank-frequency curve is a power law (slope ≈ −1 on log-log);
     * machine-generated or heavily-duplicated corpora bend it, so release
@@ -812,6 +890,9 @@ object TextQueries {
     "quality_bigram" -> ((s, dir) => bigramLogProb(docs(s, dir))),
     // hashing-trick featurizer: fixed-D signed counts, zero vocabulary state
     "text_hashvec" -> ((s, dir) => hashVec(docs(s, dir))),
+    // trained quality classifier: 3 batch-GD logistic steps over the
+    // hashed features, weights stepped on the exact micro-unit grid
+    "quality_logreg" -> ((s, dir) => logregTrain(docs(s, dir), LrIters)),
     // rank-frequency power-law fit (corpus-health diagnostic)
     "vocab_zipf" -> ((s, dir) => vocabZipf(docs(s, dir))),
     // CCNet head/middle/tail terciles per lang over the LM score
@@ -941,6 +1022,7 @@ object TextQueries {
     "quality_logprob" -> unigramLogProbOracle,
     "quality_bigram" -> bigramLogProbOracle,
     "text_hashvec" -> hashVecOracle,
+    "quality_logreg" -> logregOracle,
     "vocab_zipf" -> vocabZipfOracle,
     "quality_buckets" -> qualityBucketsOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),
