@@ -667,6 +667,31 @@ object TextQueries {
       .toDF("dim", "w_micro", "w")
   }
 
+  /** The trained classifier APPLIED to the corpus (the bpe_train →
+    * bpe_apply pattern): per-doc margin under the final weights — an
+    * exact LONG dot product — thresholded at the corpus MEDIAN margin,
+    * i.e. quantile keep-rate thresholding, which is how production
+    * quality filters actually choose a cut (an absolute margin > 0 cut
+    * would be the class prior here: the fixture's langs share one
+    * vocabulary, so the optimal absolute decision is constant — the
+    * RANKING the model learns is the usable product). Median of exact
+    * integers by linear interpolation is identical cross-engine (the
+    * average of the two middle BIGINTs); strict > keeps ~half. The
+    * exact-percentile aggregate runs on the doc-count-sized margin
+    * table; at 100 TB the threshold would come from the GK sketch
+    * (events_quantiles_sketch) instead. */
+  private def logregApply(d: DataFrame, iters: Int): DataFrame = {
+    val w = logregTrain(d, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wlit = array((0 until HashDim.toInt).map(i => lit(w(i.toLong))): _*)
+    val term = element_at(wlit, (col("dim") + 1).cast("int")) * col("val")
+    val margins = hashVec(d).groupBy(col("doc_id"))
+      .agg(sum(term).as("margin_micro"))
+    val med = margins.agg(expr("percentile(margin_micro, 0.5)")).head.getDouble(0)
+    margins.select(col("doc_id"), col("margin_micro"),
+      (col("margin_micro").cast("double") > lit(med)).as("keep"))
+  }
+
   private val logregOracle = {
     def iterCtes(t: Int): String =
       s"""z$t AS MATERIALIZED (SELECT doc_id, any_value(y) AS y,
@@ -691,6 +716,18 @@ object TextQueries {
        |${(1 to LrIters).map(iterCtes).mkString(",\n")}
        |SELECT dim, wm AS w_micro, wm::DOUBLE / 1e6 AS w FROM w$LrIters""".stripMargin
   }
+
+  /** Oracle of [[logregApply]]: re-derive the trained weights (the oracle
+    * is self-contained — strip [[logregOracle]]'s final SELECT), then one
+    * margin pass over the feature table. */
+  private val logregApplyOracle =
+    s"""${logregOracle.substring(0, logregOracle.lastIndexOf("SELECT"))}
+       |, mg AS MATERIALIZED (SELECT f.doc_id, SUM(wm * val) AS margin_micro
+       |     FROM f JOIN w$LrIters USING (dim) GROUP BY f.doc_id),
+       |md AS (SELECT quantile_cont(margin_micro, 0.5) AS med FROM mg)
+       |SELECT doc_id, margin_micro,
+       |       margin_micro::DOUBLE > md.med AS keep
+       |FROM mg CROSS JOIN md""".stripMargin
 
   /** ZIPF FIT — the corpus-health diagnostic: natural text's
     * rank-frequency curve is a power law (slope ≈ −1 on log-log);
@@ -893,6 +930,9 @@ object TextQueries {
     // trained quality classifier: 3 batch-GD logistic steps over the
     // hashed features, weights stepped on the exact micro-unit grid
     "quality_logreg" -> ((s, dir) => logregTrain(docs(s, dir), LrIters)),
+    // the trained classifier applied: exact integer per-doc margins,
+    // keep = margin > 0 (no sigmoid, no float)
+    "quality_logreg_apply" -> ((s, dir) => logregApply(docs(s, dir), LrIters)),
     // rank-frequency power-law fit (corpus-health diagnostic)
     "vocab_zipf" -> ((s, dir) => vocabZipf(docs(s, dir))),
     // CCNet head/middle/tail terciles per lang over the LM score
@@ -1023,6 +1063,7 @@ object TextQueries {
     "quality_bigram" -> bigramLogProbOracle,
     "text_hashvec" -> hashVecOracle,
     "quality_logreg" -> logregOracle,
+    "quality_logreg_apply" -> logregApplyOracle,
     "vocab_zipf" -> vocabZipfOracle,
     "quality_buckets" -> qualityBucketsOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),
