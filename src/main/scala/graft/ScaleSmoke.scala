@@ -122,7 +122,15 @@ object ScaleSmoke {
           graft.queries.TextQueries.GrepPhrases.toDF("phrase_id", "phrase")
         }
         graft.operators.PhraseIndex.matches(d, phrases).count()
-      })
+      },
+      // LSH-vs-exact recall audit: under R× replication the TRUE pair set
+      // itself grows ~R²/2 per doc group (replicas are mutual near-dups),
+      // so cost here tracks true-dup density — output-linear, the honest
+      // bound for any complete pair enumerator
+      "recall" -> (d => Dedup.minhashRecall(d).head().getLong(0)),
+      // one logistic-GD iteration: two map-side-combined groupBys over
+      // the sparse feature table — corpus-linear per round
+      "logreg" -> (d => graft.queries.TextQueries.logregTrain(d, 1).count()))
 
     def run(corpus: DataFrame): Map[String, (Double, Long)] = {
       corpus.cache().count() // isolate replication cost from stage timing
@@ -186,7 +194,17 @@ object ScaleSmoke {
       // subvector carried, then an M×K×S-cell map-side-combined re-mean
       "pq_step" -> (kv => graft.operators.Pq.pqStep(kv, pqCb)
         .agg(sum(col("c")).as("sc"), sum(col("n")).as("sn"))
-        .head().getLong(1)))
+        .head().getLong(1)),
+      // SemDeDup under maximal dup pressure: identical replicas land in
+      // one Voronoi cell, so within-cell pairs grow ~R² until the
+      // hot-cell star cap bounds them — this probe measures the cap
+      // doing its job (cells at R× exceed EmbedBucketCap)
+      "semantic" -> (kv => Similarity.semanticDedup(
+        kv.select(col("k_id").as("vec_id"), col("kvec").as("vec"),
+          (col("k_id") % 10).as("label")), 0.4).count()),
+      // MMR rerank: candidate pull is the linear brute scan; the greedy
+      // rounds run on M×k rows — corpus-independent after the pull
+      "mmr" -> (kv => Similarity.mmrTopK(qSide, kv, 10, 5).count()))
     def runAnn(kv: DataFrame): Map[String, (Double, Long)] = {
       kv.cache().count()
       val out = annStages.map { case (name, f) =>
@@ -225,12 +243,23 @@ object ScaleSmoke {
         b.filter(col("event_type") === "view")
           .select(col("key"), col("t")), 3600L).count()
     }
+    val evStages: Seq[(String, DataFrame => Long)] = Seq(
+      "interval" -> intervalCount,
+      // EWMA: the event-volume rollup is the only corpus-sized work; the
+      // recursion folds the calendar-bounded hourly series (same length
+      // at any R — only the counts grow)
+      "ewma" -> (e => graft.operators.Resample.hourlyEwma(e)
+        .agg(sum(col("ewma_milli")).as("s"), count(lit(1)).as("n"))
+        .head().getLong(1)))
     def runEv(e: DataFrame): Map[String, (Double, Long)] = {
       e.cache().count()
-      val t0 = System.nanoTime()
-      val n = intervalCount(e)
+      val out = evStages.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        val n = f(e)
+        name -> ((System.nanoTime() - t0) / 1e9, n)
+      }.toMap
       e.unpersist(blocking = true)
-      Map("interval" -> (((System.nanoTime() - t0) / 1e9, n)))
+      out
     }
     runEv(evBase.limit(2000)) // warmup
     spark.catalog.clearCache()
@@ -246,7 +275,7 @@ object ScaleSmoke {
     }
     val qs = (stages.map { case (name, _) => fmt(name, one(name), big(name)) } ++
       annStages.map { case (name, _) => fmt(name, annOne(name), annBig(name)) } ++
-      Seq(fmt("interval", evOne("interval"), evBig("interval"))))
+      evStages.map { case (name, _) => fmt(name, evOne(name), evBig(name)) })
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_smoke","rep":$rep,"docs_1x":$nDocs,"stages":$qs,"sf":"$sfDir"}"""

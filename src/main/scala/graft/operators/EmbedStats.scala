@@ -180,6 +180,58 @@ object EmbedStats {
     last.withColumn("iters", lit(it.toLong))
   }
 
+  /** SECOND PRINCIPAL DIRECTION via DEFLATION — the classic next step
+    * after power iteration: train v₁ exactly as [[powerTrain]] does, then
+    * remove each row's v₁ component and re-run the same trainer on the
+    * deflated matrix, whose top eigenvector is the ORIGINAL matrix's
+    * second one. With this the spectral family (Gram, one power step,
+    * fixed-count and convergence-gated trainers) gains the multi-
+    * component path every PCA/embedding-whitening pipeline actually
+    * needs.
+    *
+    * Deflation on the integer grid: proj = Σ xq·vq₁ is an exact LONG,
+    * d00 = Σ vq₁² a driver-side exact LONG, and the deflated coordinate
+    * xq′ = xq − floor(proj·vq₁d / d00 + 0.5) rounds a double quotient of
+    * exact integer operands (proj·vq₁d ≤ ~2⁴⁸ — inside the 2⁵³ exact-
+    * double window) — so both engines deflate to the IDENTICAL integer
+    * matrix and the downstream chain stays hash-stable. Each round is
+    * one corpus pass under the same collect-requantize protocol.
+    *
+    * Output: (pos, v2n, lam2, ortho) — the normalized second direction,
+    * its Rayleigh quotient, and cos(v₁, v₂) from exact integer sums
+    * (graded ≈ 0: the orthogonality the deflation must deliver). */
+  def powerDeflate(vecs: DataFrame, iters: Int,
+                   dim: Int = Similarity.Dim): DataFrame = {
+    import org.apache.spark.sql.functions.{typedLit => tl}
+    val xq = PairPlan.fanOut(vecs).select(qvec(col("vec")).as("xq"))
+    // v1 chain (identical to powerTrain's rounds)
+    var vq1 = v0Collected(vecs, dim)
+    for (_ <- 0 until iters) vq1 = powerRoundQ(xq, vq1)._2
+    val d00 = vq1.map(v => v * v).sum
+    val v1lit = tl(vq1.toSeq)
+    val proj = aggregate(zip_with(col("xq"), v1lit, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val xq2 = xq.select(col("xq"), proj.as("proj"))
+      .select(transform(col("xq"), (x, i) =>
+        x - floor(col("proj").cast("double") *
+          element_at(v1lit, i + 1).cast("double") / lit(d00.toDouble) +
+          lit(0.5)).cast("long")).as("xq"))
+    // v2 chain over the deflated matrix, same start vector
+    var vq2 = v0Collected(vecs, dim)
+    var last: DataFrame = null
+    for (_ <- 0 until iters) {
+      val (out, vqNew) = powerRoundQ(xq2, vq2)
+      last = out; vq2 = vqNew
+    }
+    val s12 = vq1.zip(vq2).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    val s11 = vq1.map(v => BigInt(v) * BigInt(v)).sum
+    val s22 = vq2.map(v => BigInt(v) * BigInt(v)).sum
+    val ortho = math.floor(s12.toDouble /
+      (math.sqrt(s11.toDouble) * math.sqrt(s22.toDouble)) * 1e6 + 0.5) / 1e6
+    last.select(col("pos"), col("v1n").as("v2n"), col("lam").as("lam2"),
+      lit(ortho).as("ortho"))
+  }
+
   /** round-0 direction: the closed-form v0, collected (D longs). */
   private def v0Collected(vecs: DataFrame, dim: Int): Array[Long] = {
     val spark = vecs.sparkSession
@@ -191,11 +243,16 @@ object EmbedStats {
     * quantized direction rides as a literal; returns the round's graded
     * output and the next quantized direction (D longs collected). */
   private def powerRound(vecs: DataFrame,
-                         vqIn: Array[Long]): (DataFrame, Array[Long]) = {
+                         vqIn: Array[Long]): (DataFrame, Array[Long]) =
+    powerRoundQ(PairPlan.fanOut(vecs).select(qvec(col("vec")).as("xq")), vqIn)
+
+  /** [[powerRound]] over an already-quantized row table (`xq:
+    * array<long>`) — the deflated chain feeds integer rows directly. */
+  private def powerRoundQ(rowsQ: DataFrame,
+                          vqIn: Array[Long]): (DataFrame, Array[Long]) = {
     import org.apache.spark.sql.functions.{typedLit => tl}
     val vlit = tl(vqIn.toSeq)
-    val rows = PairPlan.fanOut(vecs)
-      .select(qvec(col("vec")).as("xq"))
+    val rows = rowsQ
       .select(col("xq"),
         aggregate(
           zip_with(col("xq"), vlit, (a, b) => a * b),
@@ -256,6 +313,55 @@ object EmbedStats {
             "v1raw::DOUBLE / greatest(sqrt(nrm2), 1e-12)", 6)} AS v1n,
        |  ${VecOps.qroundSql(s"d01 / (d00 * $Q)", 4)} AS lam
        |FROM v$iters CROSS JOIN st$iters""".stripMargin
+  }
+
+  /** Dual of [[powerDeflate]]: the v₁ chain, the integer deflation, a
+    * second chain over the deflated matrix, and the exact-integer
+    * orthogonality check. Every CTE MATERIALIZED (each vq table is
+    * referenced by the next round twice and by the deflate/ortho CTEs). */
+  def powerDeflateOracleSql(iters: Int): String = {
+    def chain(pfx: String, src: String, v0: String): String =
+      (1 to iters).map { t =>
+        val prev = if (t == 1) v0 else s"${pfx}vq${t - 1}"
+        s"""${pfx}s$t AS MATERIALIZED (SELECT vec_id, CAST(sum(xq * vq) AS BIGINT) AS s
+           |       FROM $src JOIN $prev ON $src.d = $prev.pos GROUP BY vec_id),
+           |${pfx}s3_$t AS MATERIALIZED (SELECT vec_id, CAST(floor(s::DOUBLE / $Q) AS BIGINT) AS s3 FROM ${pfx}s$t),
+           |${pfx}v$t AS MATERIALIZED (SELECT d AS pos, CAST(sum(s3 * xq) AS HUGEINT) AS v1raw
+           |       FROM $src JOIN ${pfx}s3_$t USING (vec_id) GROUP BY d),
+           |${pfx}st$t AS MATERIALIZED (SELECT CAST(sum(v1raw * v1raw) AS DOUBLE) AS nrm2,
+           |               CAST(sum(p.vq::HUGEINT * v.v1raw) AS DOUBLE) AS d01,
+           |               CAST(sum(p.vq * p.vq) AS DOUBLE) AS d00
+           |        FROM ${pfx}v$t v JOIN $prev p ON v.pos = p.pos),
+           |${pfx}vq$t AS MATERIALIZED (SELECT pos, CAST(floor((v1raw::DOUBLE /
+           |           greatest(sqrt(nrm2), 1e-12)) * $Q + 0.5) AS BIGINT) AS vq
+           |        FROM ${pfx}v$t CROSS JOIN ${pfx}st$t)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, CAST(i AS BIGINT) AS d,
+       |             CAST(floor(e::DOUBLE * $Q + 0.5) AS BIGINT) AS xq
+       |           FROM (SELECT vec_id, unnest(embedding) AS e,
+       |                   unnest(range(len(embedding))) AS i FROM embeddings)),
+       |v0 AS (SELECT d AS pos, ${v0qSql("d")} AS vq
+       |       FROM (SELECT unnest(range(${Similarity.Dim})) AS d)),
+       |${chain("a", "x", "v0")},
+       |pj AS MATERIALIZED (SELECT vec_id, CAST(sum(xq * vq) AS BIGINT) AS proj
+       |      FROM x JOIN avq$iters ON x.d = avq$iters.pos GROUP BY vec_id),
+       |dd AS (SELECT CAST(sum(vq * vq) AS BIGINT) AS d00 FROM avq$iters),
+       |x2 AS MATERIALIZED (SELECT x.vec_id, x.d,
+       |        x.xq - CAST(floor(pj.proj::DOUBLE * a.vq::DOUBLE /
+       |          dd.d00::DOUBLE + 0.5) AS BIGINT) AS xq
+       |      FROM x JOIN pj USING (vec_id)
+       |      JOIN avq$iters a ON x.d = a.pos CROSS JOIN dd),
+       |${chain("b", "x2", "v0")},
+       |orth AS (SELECT CAST(sum(a.vq::HUGEINT * b.vq) AS DOUBLE) AS s12,
+       |               CAST(sum(a.vq::HUGEINT * a.vq) AS DOUBLE) AS s11,
+       |               CAST(sum(b.vq::HUGEINT * b.vq) AS DOUBLE) AS s22
+       |        FROM avq$iters a JOIN bvq$iters b ON a.pos = b.pos)
+       |SELECT pos,
+       |  ${VecOps.qroundSql(
+            "v1raw::DOUBLE / greatest(sqrt(nrm2), 1e-12)", 6)} AS v2n,
+       |  ${VecOps.qroundSql(s"d01 / (d00 * $Q)", 4)} AS lam2,
+       |  ${VecOps.qroundSql("s12 / (sqrt(s11) * sqrt(s22))", 6)} AS ortho
+       |FROM bv$iters CROSS JOIN bst$iters CROSS JOIN orth""".stripMargin
   }
 
   /** Dual of [[powerTrainConverged]]: the same chain to `maxIters` rounds

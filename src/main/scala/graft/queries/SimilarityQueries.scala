@@ -995,6 +995,12 @@ object SimilarityQueries {
     "embed_power_conv" -> ((s, dir) =>
       graft.operators.EmbedStats.powerTrainConverged(
         emb(s, dir).select(col("vec")), PowerConvEps, PowerConvMax)),
+    // SECOND principal direction via integer-exact deflation: remove the
+    // trained v1 component per row, retrain on the deflated matrix,
+    // grade the new direction + its Rayleigh quotient + orthogonality
+    "embed_power_deflate" -> ((s, dir) =>
+      graft.operators.EmbedStats.powerDeflate(
+        emb(s, dir).select(col("vec")), PowerIters)),
     "embed_centroids" -> ((s, dir) => centroids(emb(s, dir))),
     "embed_quantize" -> ((s, dir) => embedQuantize(emb(s, dir))),
     "similar_topk" -> ((s, dir) =>
@@ -1156,6 +1162,17 @@ object SimilarityQueries {
     // MMR diversified rerank of the exact top-k (integer-exact greedy)
     "similar_mmr" -> ((s, dir) =>
       Similarity.mmrTopK(qSide(s, dir), kvSide(s, dir), TopK, MmrSel)),
+    // the SemDeDup KEPT corpus (the dedup_corpus composition applied to
+    // the semantic drop list): per-label survivor counts after anti-
+    // joining the non-representative members out
+    "dedup_corpus_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val drop = Similarity.semanticDedup(e, SemDedupTau)
+        .filter(!col("keep")).select(col("vec_id"))
+      e.join(broadcast(drop), Seq("vec_id"), "left_anti")
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_kept"))
+    }),
     // embedding-space decontamination: the drop list of train vectors
     // within cos >= tau of any (perturbed) eval vector — semantic leakage
     // the token-shingle decontaminate can't see
@@ -1172,6 +1189,8 @@ object SimilarityQueries {
     "embed_power_conv" ->
       graft.operators.EmbedStats.powerTrainConvOracleSql(
         PowerConvEps, PowerConvMax),
+    "embed_power_deflate" ->
+      graft.operators.EmbedStats.powerDeflateOracleSql(PowerIters),
     "embed_centroids" -> centroidsOracle,
     "embed_quantize" -> embedQuantizeOracle,
     "similar_topk" -> topkOracle,
@@ -1213,6 +1232,12 @@ object SimilarityQueries {
     "similar_ivfpq_res_recall" -> ivfPqResRecallOracle,
     "dedup_embed" -> nearDupOracle,
     "dedup_semantic" -> semanticDedupOracle,
+    "dedup_corpus_semantic" ->
+      s"""SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n_kept
+         |FROM embeddings e
+         |LEFT JOIN (SELECT vec_id FROM ($semanticDedupOracle) sd
+         |           WHERE NOT keep) d ON d.vec_id = e.vec_id
+         |WHERE d.vec_id IS NULL GROUP BY e.label""".stripMargin,
     "similar_mmr" -> mmrOracle,
     "decontaminate_embed" -> embedDecontamOracle
   )

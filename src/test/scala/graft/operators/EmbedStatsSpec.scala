@@ -71,6 +71,20 @@ class EmbedStatsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("powerDeflate: v2 is unit-norm, orthogonal to v1, with lam2 <= lam1") {
+    val lam1 = EmbedStats.powerTrain(df, 3, dim).collect().head.getDouble(2)
+    val rows = EmbedStats.powerDeflate(df, 3, dim).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == dim)
+    val v2 = rows.sortBy(_._1).map(_._2)
+    assert(math.abs(v2.map(x => x * x).sum - 1.0) < 1e-3)
+    // deflation removed the top component: cos(v1, v2) ~ 0 on the grid
+    assert(math.abs(rows.head._4) < 1e-2, s"ortho=${rows.head._4}")
+    // the deflated matrix's top eigenvalue cannot exceed the original's
+    // (quantization slack on the 1e-4 lambda grid)
+    assert(rows.head._3 <= lam1 + 1e-3, s"lam2=${rows.head._3} lam1=$lam1")
+  }
+
   test("powerStep output is unit-norm and matches the local fold") {
     val rows = EmbedStats.powerStep(df).collect()
       .map { case Row(pos: Long, v1n: Double, lam: Double) => (pos, v1n, lam) }
