@@ -14,6 +14,11 @@ case class PpvFrame(doc_id: Long, n_frames: Long, frame_idx: Long,
                     width: Long, height: Long,
                     sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** Frame-differencing output: per consecutive frame pair, the overlap
+  * length compared and the exact sum of absolute byte deltas. */
+case class PvMotion(doc_id: Long, n_frames: Long, frame_idx: Long,
+                    n_px: Long, motion: Long)
+
 /** Output of the REAL (PPM) decoder: parsed header dims + integer-exact
   * per-channel pixel sums. */
 case class PpmFeatures(doc_id: Long, width: Long, height: Long,
@@ -729,6 +734,85 @@ object Multimodal {
        |       ${VecOps.hash60Sql(s"substr(text, i, $width)")} AS fhash
        |FROM $table,
        |     unnest(generate_series(1, greatest(length(text) - ${width - 1}, 1), $stride)) AS u(i)""".stripMargin
+
+  /** FRAME DIFFERENCING (`media_motion`) — the scene-change / motion
+    * metric every video curation pipeline computes before sampling
+    * frames for captioning: walk the PV container decoding EVERY frame
+    * (motion needs consecutive pairs, so no stride sampling), and emit
+    * per pair the exact sum of absolute byte deltas over the overlapping
+    * raster prefix (frames here change dims per frame — a real pipeline
+    * would resize first; the overlap compare keeps the metric exact and
+    * decoder-honest without pulling in a resampler). Map-only, cost ∝
+    * container bytes; one payload held per task at a time plus the
+    * previous frame's raster. */
+  def decodePvMotion(docId: Long, payload: Array[Byte]): Seq[PvMotion] = {
+    require(payload.length >= 2 && payload(0) == 'P' && payload(1) == 'V',
+      "not a PV container")
+    var pos = 2
+    while (pos < payload.length && Character.isWhitespace(payload(pos))) pos += 1
+    var nf = 0
+    require(pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9',
+      "malformed PV frame count")
+    while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+      nf = nf * 10 + (payload(pos) - '0'); pos += 1
+    }
+    pos += 1
+    val out = Seq.newBuilder[PvMotion]
+    var prev: Array[Byte] = null
+    var f = 0
+    while (f < nf) {
+      val (w, h, rstart) = ppmHeaderAt(payload, pos)
+      val rlen = 3 * w * h
+      require(payload.length - rstart >= rlen, s"truncated frame $f")
+      val cur = java.util.Arrays.copyOfRange(payload, rstart, rstart + rlen)
+      if (f > 0) {
+        val n = math.min(prev.length, cur.length)
+        var m = 0L
+        var i = 0
+        while (i < n) {
+          m += math.abs((cur(i) & 0xff) - (prev(i) & 0xff))
+          i += 1
+        }
+        out += PvMotion(docId, nf.toLong, f.toLong, n.toLong, m)
+      }
+      prev = cur
+      pos = rstart + rlen
+      f += 1
+    }
+    require(pos == payload.length, s"trailing bytes after frame $nf")
+    out.result()
+  }
+
+  /** Graded frame-differencing query over the synthesized containers. */
+  def mediaMotion(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.flatMap(id =>
+        decodePvMotion(id, ppvPayload(id))))
+      .toDF()
+  }
+
+  /** Closed-form dual of [[mediaMotion]] from the generator formula
+    * (pixel byte i of frame f = (doc_id·7 + f·13 + i) mod 256). */
+  def mediaMotionSql(table: String): String =
+    s"""WITH f AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM $table),
+       |fr AS (SELECT doc_id, nf, fi
+       |       FROM f, unnest(generate_series(1, nf - 1)) AS u(fi)),
+       |dims AS (SELECT doc_id, nf, fi,
+       |           least(3 * (8 + (doc_id + fi) % 5) * (6 + (doc_id + fi) % 3),
+       |                 3 * (8 + (doc_id + fi - 1) % 5) * (6 + (doc_id + fi - 1) % 3))
+       |             AS npx
+       |         FROM fr),
+       |px AS (SELECT doc_id, nf, fi, npx,
+       |         abs((doc_id * 7 + fi * 13 + i) % 256 -
+       |             (doc_id * 7 + (fi - 1) * 13 + i) % 256) AS dv
+       |       FROM dims, unnest(generate_series(0, npx - 1)) AS u(i))
+       |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+       |       CAST(fi AS BIGINT) AS frame_idx,
+       |       CAST(any_value(npx) AS BIGINT) AS n_px,
+       |       CAST(sum(dv) AS BIGINT) AS motion
+       |FROM px GROUP BY doc_id, nf, fi""".stripMargin
 
   /** DuckDB oracle dual of [[mediaFeatures]]: frame count, sampled-frame
     * grid, per-frame dims and the pixel-formula channel sums, all

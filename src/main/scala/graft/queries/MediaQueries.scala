@@ -18,6 +18,11 @@ object MediaQueries {
     // featurized with integer-exact channel sums
     "media_features" -> ((s, dir) =>
       Multimodal.mediaFeatures(Tables.documents(s, dir))),
+    // FRAME DIFFERENCING: per consecutive frame pair, exact sum of
+    // absolute byte deltas over the overlapping raster prefix — the
+    // scene-change metric video curation computes before frame sampling
+    "media_motion" -> ((s, dir) =>
+      Multimodal.mediaMotion(Tables.documents(s, dir))),
     "media_frames" -> ((s, dir) =>
       Multimodal.frameSamples(Tables.documents(s, dir))),
     // REAL binary codec end-to-end: synthesized P6 PPM payloads parsed by
@@ -56,6 +61,7 @@ object MediaQueries {
 
   val oracles: Map[String, String] = Map(
     "media_features" -> Multimodal.mediaFeaturesSql("documents"),
+    "media_motion" -> Multimodal.mediaMotionSql("documents"),
     "media_frames" -> Multimodal.frameSamplesSql("documents"),
     "media_features_real" -> Multimodal.ppmFeaturesSql("documents"),
     "media_thumbs" -> Multimodal.ppmThumbsSql("documents"),

@@ -89,6 +89,32 @@ class KernelEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("PV frame differencing: exact deltas, identical frames give 0 motion") {
+    val id = 4L
+    val good = Multimodal.ppvPayload(id)
+    val motions = Multimodal.decodePvMotion(id, good)
+    // nf = 3 frames -> 2 consecutive pairs, indexed by the later frame
+    assert(motions.map(_.frame_idx) == Seq(1L, 2L))
+    // pair (0,1): hand-fold the generator formula over the overlap
+    val len = (f: Long) => (3 * (8 + (id + f) % 5) * (6 + (id + f) % 3)).toInt
+    val n01 = math.min(len(0), len(1))
+    val exp01 = (0 until n01).map(i =>
+      math.abs((id * 7 + 13 + i) % 256 - (id * 7 + i) % 256)).sum
+    assert(motions.head.n_px == n01 && motions.head.motion == exp01)
+    // a container of two IDENTICAL frames must measure zero motion
+    val w = 2; val h = 2
+    val frame = s"P6\n$w $h\n255\n".getBytes ++
+      Array.tabulate(3 * w * h)(i => (i % 256).toByte)
+    val twin = s"PV 2\n".getBytes ++ frame ++ frame
+    val zero = Multimodal.decodePvMotion(0L, twin)
+    assert(zero.length == 1 && zero.head.motion == 0L &&
+      zero.head.n_px == 3 * w * h)
+    // malformed containers still throw
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePvMotion(id, good.dropRight(1))
+    }
+  }
+
   test("WAV parser rejects malformed payloads instead of zero-filling") {
     val good = Multimodal.wavPayload(5L)
     val (sr, n, sumAbs, peak) = Multimodal.decodeWav(good)
