@@ -335,4 +335,30 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed == oneShot,
       s"restart-combined counts diverge: $streamed vs $oneShot")
   }
+
+  test("ewmaFoldBatch: replayed batches are no-ops; union equals one-shot") {
+    import spark.implicits._
+    val statePath = graft.sources.Scratch.dir("graft_ewma_spec_state") + "/state"
+    val out = graft.sources.Scratch.dir("graft_ewma_spec_out")
+    def ev(hour: Int, n: Int, t: String) = (0 until n).map(i =>
+      (s"$t", new Timestamp((1700000000L + hour * 3600L + i) * 1000L)))
+    // batch 0: hours 0-2; batch 1: hours 4-5 (hour 3 is an inter-batch gap)
+    val b0 = (ev(0, 3, "a") ++ ev(1, 1, "a") ++ ev(2, 2, "b"))
+      .toDF("event_type", "ts")
+    val b1 = (ev(4, 2, "a") ++ ev(5, 1, "b")).toDF("event_type", "ts")
+    StreamingOps.ewmaFoldBatch(b0, 0L, statePath, out)
+    StreamingOps.ewmaFoldBatch(b0, 0L, statePath, out) // replayed: must skip
+    StreamingOps.ewmaFoldBatch(b1, 1L, statePath, out)
+    StreamingOps.ewmaFoldBatch(b1, 1L, statePath, out) // replayed: must skip
+    val got = spark.read.parquet(out)
+      .select(col("event_type"), col("hr"), col("n"), col("ewma_milli"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val exp = graft.operators.Resample.hourlyEwma(b0.union(b1)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == exp, s"streamed union diverges from one-shot")
+    assert(got.size == 12) // 2 types x 6 calendar hours, gap hours included
+  }
 }
