@@ -1141,44 +1141,75 @@ object Dedup {
     *     the (1−(1−J^R)^B) S-curve made empirical;
     *   - DETECTED recall: candidates that also pass est_jaccard ≥ minEst
     *     — what the dedup pipeline actually keeps, folding in signature
-    *     estimation error on top of banding loss.
+    *     estimation error on top of banding loss;
+    *   - PRECISION: of the detected pairs, the fraction that really are
+    *     ≥-τ pairs — the signature-estimation FALSE POSITIVES are docs a
+    *     dedup run would wrongly drop, the audit's other side.
     * The ANN family grades all nine of its approximate paths this way
     * (`*_recall`); this closes the same honesty gap for the dedup family.
-    * Cost is the sum of two already-graded sub-linear pipelines; the
-    * recall join runs on bare id pairs. Output is ONE row of exact LONG
+    * Cost is the sum of two already-graded sub-linear pipelines (each
+    * eager-cached: truth and candidates both feed two plan arms); the
+    * audit joins run on bare id pairs. Output is ONE row of exact LONG
     * counts + 4-decimal ratios (denominator floored at 1 so an empty
-    * truth set yields 0 recall, not an ANSI divide-by-zero). */
-  def minhashRecall(docs: DataFrame, tauPm: Int = 700, minEst: Double = 0.5,
+    * truth set yields 0, not an ANSI divide-by-zero). */
+  def minhashRecall(docs: DataFrame, tauPm: Int = 500, minEst: Double = 0.5,
                     cap: Int = BucketCap): DataFrame = {
-    val truth = ssjoinPairs(docs, tauPm).select(col("doc_a"), col("doc_b"))
-    val cand = minhashPairsCapped(docs, cap)
-    val joined = truth.join(cand, Seq("doc_a", "doc_b"), "left")
-    joined
+    require(math.abs(tauPm / 1000.0 - minEst) < 1e-9,
+      "recall AND precision must grade one duplicate definition: " +
+        "exact tau and est threshold must match")
+    val truth = eager(ssjoinPairs(docs, tauPm).select(col("doc_a"), col("doc_b")))
+    val cand = eager(minhashPairsCapped(docs, cap))
+    val det = cand.filter(col("est_jaccard") >= minEst)
+    val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_true"),
         count(col("est_jaccard")).as("n_cand"),
         count(when(col("est_jaccard") >= minEst, lit(1))).as("n_detect"))
+    // precision side: detected pairs that are NOT true pairs are the
+    // signature-estimation false positives a dedup run would wrongly drop
+    val detStats = det.join(truth.withColumn("t", lit(1)),
+        Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_det_total"),
+        count(col("t")).as("n_det_true"))
+    val out = hits.crossJoin(detStats)
       .select(col("n_true"), col("n_cand"),
         VecOps.qround(col("n_cand").cast("double") /
           greatest(col("n_true"), lit(1L)).cast("double"), 4).as("cand_recall"),
         col("n_detect"),
         VecOps.qround(col("n_detect").cast("double") /
-          greatest(col("n_true"), lit(1L)).cast("double"), 4).as("det_recall"))
+          greatest(col("n_true"), lit(1L)).cast("double"), 4).as("det_recall"),
+        col("n_det_total"),
+        VecOps.qround(col("n_det_true").cast("double") /
+          greatest(col("n_det_total"), lit(1L)).cast("double"), 4).as("precision"))
+      .localCheckpoint(true)
+    truth.unpersist(false); cand.unpersist(false)
+    out
   }
 
   /** Oracle dual of [[minhashRecall]]: exact truth from the exhaustive
-    * posting self-join, candidates from the capped-band dual. */
-  def minhashRecallSql(table: String, tauPm: Int = 700, minEst: Double = 0.5,
+    * posting self-join, candidates from the capped-band dual; recall from
+    * the truth side, precision from the detected side. */
+  def minhashRecallSql(table: String, tauPm: Int = 500, minEst: Double = 0.5,
                        cap: Int = BucketCap): String =
-    s"""WITH truth AS (SELECT doc_a, doc_b FROM (${ssjoinPairsSql(table, tauPm)}) ts),
-       |cand AS (SELECT doc_a, doc_b, est_jaccard
-       |         FROM (${minhashPairsCappedSql(table, cap)}) cs)
-       |SELECT count(*)::BIGINT AS n_true,
-       |  count(cand.doc_a)::BIGINT AS n_cand,
-       |  ${VecOps.qroundSql("count(cand.doc_a)::DOUBLE / greatest(count(*), 1)::DOUBLE", 4)} AS cand_recall,
-       |  count(CASE WHEN cand.est_jaccard >= $minEst THEN 1 END)::BIGINT AS n_detect,
-       |  ${VecOps.qroundSql(s"count(CASE WHEN cand.est_jaccard >= $minEst THEN 1 END)::DOUBLE / greatest(count(*), 1)::DOUBLE", 4)} AS det_recall
-       |FROM truth LEFT JOIN cand
-       |  ON truth.doc_a = cand.doc_a AND truth.doc_b = cand.doc_b""".stripMargin
+    s"""WITH truth AS MATERIALIZED (SELECT doc_a, doc_b FROM (${ssjoinPairsSql(table, tauPm)}) ts),
+       |cand AS MATERIALIZED (SELECT doc_a, doc_b, est_jaccard
+       |         FROM (${minhashPairsCappedSql(table, cap)}) cs),
+       |hits AS (SELECT count(*)::BIGINT AS n_true,
+       |           count(cand.doc_a)::BIGINT AS n_cand,
+       |           count(CASE WHEN cand.est_jaccard >= $minEst THEN 1 END)::BIGINT AS n_detect
+       |         FROM truth LEFT JOIN cand
+       |           ON truth.doc_a = cand.doc_a AND truth.doc_b = cand.doc_b),
+       |det AS (SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= $minEst),
+       |ds AS (SELECT count(*)::BIGINT AS n_det_total,
+       |         count(truth.doc_a)::BIGINT AS n_det_true
+       |       FROM det LEFT JOIN truth
+       |         ON det.doc_a = truth.doc_a AND det.doc_b = truth.doc_b)
+       |SELECT n_true, n_cand,
+       |  ${VecOps.qroundSql("n_cand::DOUBLE / greatest(n_true, 1)::DOUBLE", 4)} AS cand_recall,
+       |  n_detect,
+       |  ${VecOps.qroundSql("n_detect::DOUBLE / greatest(n_true, 1)::DOUBLE", 4)} AS det_recall,
+       |  n_det_total,
+       |  ${VecOps.qroundSql("n_det_true::DOUBLE / greatest(n_det_total, 1)::DOUBLE", 4)} AS precision
+       |FROM hits CROSS JOIN ds""".stripMargin
 
   /** Oracle dual of [[ssjoinPairs]] — deliberately INDEPENDENT of the
     * prefix filter: the full posting self-join finds every pair sharing

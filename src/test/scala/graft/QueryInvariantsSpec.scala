@@ -199,6 +199,11 @@ class QueryInvariantsSpec extends AnyFunSuite {
     val (cr, dr) = (r.head.getAs[Double]("cand_recall"),
       r.head.getAs[Double]("det_recall"))
     assert(cr >= 0.0 && cr <= 1.0 && dr >= 0.0 && dr <= cr + 1e-9)
+    // precision side: every true detected pair is a detected pair
+    val (ndt, pr) = (r.head.getAs[Long]("n_det_total"),
+      r.head.getAs[Double]("precision"))
+    assert(nd <= ndt, s"true-detected $nd exceeds detected $ndt")
+    assert(pr >= 0.0 && pr <= 1.0)
   }
 
   test("dedup_semantic: one keep per component, components within one cell") {
