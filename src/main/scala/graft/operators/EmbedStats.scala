@@ -141,13 +141,18 @@ object EmbedStats {
     * EmbedStatsSpec; iteration 1 reproduces [[powerStep]] bit-for-bit. */
   def powerTrain(vecs: DataFrame, iters: Int,
                  dim: Int = Similarity.Dim): DataFrame = {
+    // the quantized row table feeds every round — cache once
+    val xq = Dedup.eager(
+      PairPlan.fanOut(vecs).select(qvec(col("vec")).as("xq")))
     var vq = v0Collected(vecs, dim)
     var last: DataFrame = null
     for (_ <- 0 until iters) {
-      val (out, vqNew) = powerRound(vecs, vq)
+      val (out, vqNew) = powerRoundQ(xq, vq)
       last = out
       vq = vqNew
     }
+    last = last.localCheckpoint(eager = true)
+    xq.unpersist(false)
     last
   }
 
@@ -166,18 +171,23 @@ object EmbedStats {
   def powerTrainConverged(vecs: DataFrame, epsGrid: Long, maxIters: Int,
                           dim: Int = Similarity.Dim): DataFrame = {
     require(maxIters >= 1, "powerTrainConverged needs at least one iteration")
+    val xq = Dedup.eager(
+      PairPlan.fanOut(vecs).select(qvec(col("vec")).as("xq")))
     var vq = v0Collected(vecs, dim)
     var last: DataFrame = null
     var it = 0
     var moved = Long.MaxValue
     while (moved >= epsGrid && it < maxIters) {
       it += 1
-      val (out, vqNew) = powerRound(vecs, vq)
+      val (out, vqNew) = powerRoundQ(xq, vq)
       last = out
       moved = vq.zip(vqNew).map { case (a, b) => math.abs(a - b) }.max
       vq = vqNew
     }
-    last.withColumn("iters", lit(it.toLong))
+    val res = last.withColumn("iters", lit(it.toLong))
+      .localCheckpoint(eager = true)
+    xq.unpersist(false)
+    res
   }
 
   /** SECOND PRINCIPAL DIRECTION via DEFLATION — the classic next step
