@@ -645,9 +645,28 @@ object Similarity {
       .select(col("q_id"), col("k_id"), rInt.as("r"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
-      .drop("rank")
-    val cand = Dedup.eager(top.join(kv, "k_id")
-      .select(col("q_id"), col("k_id"), col("r"), col("kvec")))
+      .select(col("q_id"), col("k_id"))
+    mmrRerank(top, q, kv, sel)
+  }
+
+  /** [[mmrTopK]] with the IVF index as the candidate front-end — the
+    * swap a 100 TB deployment actually makes (brute-scan candidates →
+    * probed inverted lists; the rerank is front-end-agnostic because it
+    * re-derives its integer relevances from the vectors). */
+  def mmrTopKIvf(q: DataFrame, kv: DataFrame, cents: DataFrame, k: Int,
+                 sel: Int, nprobe: Int = NProbe): DataFrame =
+    mmrRerank(ivfTopK(q, kv, cents, k, nprobe).select(col("q_id"), col("k_id")),
+      q, kv, sel)
+
+  /** The greedy MMR selection over ANY candidate id set: re-derive the
+    * integer ten-thousandth relevance and pairwise sims from the vectors,
+    * then `sel` integer-argmax rounds (see [[mmrTopK]] for the protocol). */
+  def mmrRerank(candIds: DataFrame, q: DataFrame, kv: DataFrame,
+                sel: Int): DataFrame = {
+    val rInt = floor(VecOps.cosine(col("qvec"), col("kvec")) * lit(1e4) +
+      lit(0.5)).cast("long")
+    val cand = Dedup.eager(candIds.join(q, "q_id").join(kv, "k_id")
+      .select(col("q_id"), col("k_id"), rInt.as("r"), col("kvec")))
     val sInt = floor(VecOps.cosine(col("va"), col("vb")) * lit(1e4) +
       lit(0.5)).cast("long")
     val ps = Dedup.eager(

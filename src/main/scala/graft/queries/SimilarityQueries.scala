@@ -436,7 +436,7 @@ object SimilarityQueries {
     * Every CTE is MATERIALIZED: the selN chain references each previous
     * step twice (penalty join + anti join), and DuckDB's default inlining
     * would re-execute the whole upstream chain per reference. */
-  private val mmrOracle = {
+  private def mmrChainSql(candPrefix: String): String = {
     val kvCos =
       "list_dot_product(a.kv, b.kv) / (sqrt(list_dot_product(a.kv, a.kv)) * sqrt(list_dot_product(b.kv, b.kv)))"
     def stepCte(t: Int): String =
@@ -455,16 +455,7 @@ object SimilarityQueries {
          |  SELECT q_id, k_id, step, score FROM sel${t - 1}
          |  UNION ALL
          |  SELECT q_id, k_id, CAST($t AS BIGINT) AS step, score FROM s$t)""".stripMargin
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $MQ),
-       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
-       |pr AS (SELECT q_id, k_id, kv,
-       |         CAST(floor(($cosSql) * 1e4 + 0.5) AS BIGINT) AS r
-       |       FROM q CROSS JOIN k WHERE k_id <> q_id),
-       |cand AS MATERIALIZED (SELECT q_id, k_id, kv, r FROM (
-       |         SELECT q_id, k_id, kv, r,
-       |           row_number() OVER (PARTITION BY q_id
-       |             ORDER BY r DESC, k_id) AS rank
-       |         FROM pr) WHERE rank <= $TopK),
+    s"""$candPrefix,
        |ps AS MATERIALIZED (SELECT a.q_id, a.k_id AS ka, b.k_id AS kb,
        |        CAST(floor(($kvCos) * 1e4 + 0.5) AS BIGINT) AS s
        |      FROM cand a JOIN cand b
@@ -478,6 +469,30 @@ object SimilarityQueries {
        |FROM sel$MmrSel f JOIN cand c
        |  ON c.q_id = f.q_id AND c.k_id = f.k_id""".stripMargin
   }
+
+  private val mmrOracle = mmrChainSql(
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $MQ),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |pr AS (SELECT q_id, k_id, kv,
+       |         CAST(floor(($cosSql) * 1e4 + 0.5) AS BIGINT) AS r
+       |       FROM q CROSS JOIN k WHERE k_id <> q_id),
+       |cand AS MATERIALIZED (SELECT q_id, k_id, kv, r FROM (
+       |         SELECT q_id, k_id, kv, r,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY r DESC, k_id) AS rank
+       |         FROM pr) WHERE rank <= $TopK)""".stripMargin)
+
+  /** Dual of [[Similarity.mmrTopKIvf]]: the full IVF search supplies the
+    * candidate ids; relevance is re-derived from the PERTURBED query
+    * vectors exactly as the rerank does. */
+  private val mmrIvfOracle = mmrChainSql(
+    s"""WITH ci AS (SELECT q_id, k_id FROM (${ivfTopkSql(AnnK)}) iv),
+       |q AS ($perturbedQCte),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |cand AS MATERIALIZED (SELECT ci.q_id, ci.k_id, k.kv,
+       |         CAST(floor(($cosSql) * 1e4 + 0.5) AS BIGINT) AS r
+       |       FROM ci JOIN q ON q.q_id = ci.q_id
+       |                 JOIN k ON k.k_id = ci.k_id)""".stripMargin)
 
   /** Dual of [[Similarity.semanticDedup]]: frozen label-mean quantizer →
     * nearest-cell assignment (raw-cos rank over quantized centroids, the
@@ -1162,6 +1177,11 @@ object SimilarityQueries {
     // MMR diversified rerank of the exact top-k (integer-exact greedy)
     "similar_mmr" -> ((s, dir) =>
       Similarity.mmrTopK(qSide(s, dir), kvSide(s, dir), TopK, MmrSel)),
+    // the same rerank over the IVF front-end's candidates — the 100 TB
+    // composition (probed lists in, diversified answers out)
+    "similar_mmr_ivf" -> ((s, dir) =>
+      Similarity.mmrTopKIvf(perturbedQSide(s, dir), kvSide(s, dir),
+        Similarity.ivfCentroids(emb(s, dir)), AnnK, MmrSel)),
     // the SemDeDup KEPT corpus (the dedup_corpus composition applied to
     // the semantic drop list): per-label survivor counts after anti-
     // joining the non-representative members out
@@ -1239,6 +1259,7 @@ object SimilarityQueries {
          |           WHERE NOT keep) d ON d.vec_id = e.vec_id
          |WHERE d.vec_id IS NULL GROUP BY e.label""".stripMargin,
     "similar_mmr" -> mmrOracle,
+    "similar_mmr_ivf" -> mmrIvfOracle,
     "decontaminate_embed" -> embedDecontamOracle
   )
 }
