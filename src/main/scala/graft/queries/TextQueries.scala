@@ -692,6 +692,32 @@ object TextQueries {
       (col("margin_micro").cast("double") > lit(med)).as("keep"))
   }
 
+  /** DISTILLATION AGREEMENT AUDIT — the eval that closes the quality
+    * family's train→apply loop: confusion counts between the rule-based
+    * keep ([[TextOps.textQuality]], the teacher every distilled
+    * classifier bootstraps from) and the trained scorer's median-cut
+    * keep ([[logregApply]]). All four cells are exact LONG counts plus
+    * an agreement ratio; a pipeline reads this table before swapping the
+    * rules out for the model. One join of two per-doc boolean tables —
+    * each side is its own graded query, so this audit costs one extra
+    * doc-count-sized join. */
+  private def logregDistillAudit(d: DataFrame): DataFrame = {
+    val rules = graft.operators.TextOps.textQuality(d)
+      .select(col("doc_id"), col("keep").as("rule_keep"))
+    val model = logregApply(d, LrIters)
+      .select(col("doc_id"), col("keep").as("model_keep"))
+    rules.join(model, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("rule_keep") && col("model_keep"), 1)).as("n_both"),
+        count(when(col("rule_keep") && !col("model_keep"), 1)).as("n_rule_only"),
+        count(when(!col("rule_keep") && col("model_keep"), 1)).as("n_model_only"),
+        count(when(!col("rule_keep") && !col("model_keep"), 1)).as("n_neither"))
+      .select(col("n_docs"), col("n_both"), col("n_rule_only"),
+        col("n_model_only"), col("n_neither"),
+        VecOps.qround((col("n_both") + col("n_neither")).cast("double") /
+          greatest(col("n_docs"), lit(1L)).cast("double"), 4).as("agreement"))
+  }
+
   private val logregOracle = {
     def iterCtes(t: Int): String =
       s"""z$t AS MATERIALIZED (SELECT doc_id, any_value(y) AS y,
@@ -716,6 +742,28 @@ object TextQueries {
        |${(1 to LrIters).map(iterCtes).mkString(",\n")}
        |SELECT dim, wm AS w_micro, wm::DOUBLE / 1e6 AS w FROM w$LrIters""".stripMargin
   }
+
+  /** Oracle of [[logregDistillAudit]]: both sides' oracles joined —
+    * the rule keep recomputed inline, the model keep via the shared
+    * trained-weights chain. */
+  private val logregDistillOracle =
+    s"""${logregOracle.substring(0, logregOracle.lastIndexOf("SELECT"))}
+       |, mg AS MATERIALIZED (SELECT f.doc_id, SUM(wm * val) AS margin_micro
+       |     FROM f JOIN w$LrIters USING (dim) GROUP BY f.doc_id),
+       |md AS (SELECT quantile_cont(margin_micro, 0.5) AS med FROM mg),
+       |mk AS (SELECT doc_id, margin_micro::DOUBLE > md.med AS model_keep
+       |       FROM mg CROSS JOIN md),
+       |rk AS (SELECT doc_id, keep AS rule_keep FROM ($textQualityOracle) tq)
+       |SELECT count(*)::BIGINT AS n_docs,
+       |  count(CASE WHEN rule_keep AND model_keep THEN 1 END)::BIGINT AS n_both,
+       |  count(CASE WHEN rule_keep AND NOT model_keep THEN 1 END)::BIGINT AS n_rule_only,
+       |  count(CASE WHEN NOT rule_keep AND model_keep THEN 1 END)::BIGINT AS n_model_only,
+       |  count(CASE WHEN NOT rule_keep AND NOT model_keep THEN 1 END)::BIGINT AS n_neither,
+       |  ${VecOps.qroundSql(
+            "(count(CASE WHEN rule_keep AND model_keep THEN 1 END) + " +
+            "count(CASE WHEN NOT rule_keep AND NOT model_keep THEN 1 END))::DOUBLE" +
+            " / greatest(count(*), 1)::DOUBLE", 4)} AS agreement
+       |FROM rk JOIN mk USING (doc_id)""".stripMargin
 
   /** Oracle of [[logregApply]]: re-derive the trained weights (the oracle
     * is self-contained — strip [[logregOracle]]'s final SELECT), then one
@@ -933,6 +981,9 @@ object TextQueries {
     // the trained classifier applied: exact integer per-doc margins,
     // keep = margin > 0 (no sigmoid, no float)
     "quality_logreg_apply" -> ((s, dir) => logregApply(docs(s, dir), LrIters)),
+    // distillation agreement audit: confusion counts between the
+    // rule-based keep (the teacher) and the trained median-cut keep
+    "quality_distill_audit" -> ((s, dir) => logregDistillAudit(docs(s, dir))),
     // rank-frequency power-law fit (corpus-health diagnostic)
     "vocab_zipf" -> ((s, dir) => vocabZipf(docs(s, dir))),
     // CCNet head/middle/tail terciles per lang over the LM score
@@ -1064,6 +1115,7 @@ object TextQueries {
     "text_hashvec" -> hashVecOracle,
     "quality_logreg" -> logregOracle,
     "quality_logreg_apply" -> logregApplyOracle,
+    "quality_distill_audit" -> logregDistillOracle,
     "vocab_zipf" -> vocabZipfOracle,
     "quality_buckets" -> qualityBucketsOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),
