@@ -218,6 +218,66 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("similar_mmr / similar_mmr_ivf: sel rows per query, monotone scores") {
+    for (name <- Seq("similar_mmr", "similar_mmr_ivf")) {
+      val rows = run(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      val byQ = rows.groupBy(_._1)
+      byQ.values.foreach { ms =>
+        assert(ms.length == 5, s"$name: expected 5 selections per query")
+        assert(ms.map(_._2).sorted.toSeq == (1L to 5L), s"$name: step gap")
+        // marginal scores are non-increasing FROM STEP 2 (the penalty max
+        // only grows and the candidate set only shrinks); step 1 -> 2 is
+        // not comparable — a negative max-sim makes -3m a bonus that can
+        // lift step 2 above pure relevance
+        val scores = ms.sortBy(_._2).map(_._3).drop(1)
+        assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+          s"$name: marginal score increased: ${scores.toSeq}")
+      }
+    }
+  }
+
+  test("dedup_corpus_semantic: kept + dropped partitions the corpus") {
+    val kept = run("dedup_corpus_semantic").collect()
+      .map(_.getAs[Long]("n_kept")).sum
+    val dropped = run("dedup_semantic").collect()
+      .count(!_.getAs[Boolean]("keep"))
+    val total = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(kept + dropped == total,
+      s"kept $kept + dropped $dropped != corpus $total")
+  }
+
+  test("embed_power_deflate: unit-norm v2, near-zero ortho, one lam2") {
+    val rows = run("embed_power_deflate").collect()
+    assert(rows.length == 64)
+    val nrm = math.sqrt(rows.map(r => math.pow(r.getAs[Double]("v2n"), 2)).sum)
+    assert(math.abs(nrm - 1.0) < 1e-3)
+    assert(rows.map(_.getAs[Double]("ortho")).distinct.length == 1)
+    assert(math.abs(rows.head.getAs[Double]("ortho")) < 1e-2)
+  }
+
+  test("media_motion: one row per consecutive pair, nonneg bounded motion") {
+    val rows = run("media_motion").collect()
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    // Σ (nf - 1) with nf = 2 + doc_id % 3 over dense doc_ids
+    val expRows = (0L until nDocs).map(id => (2 + id % 3) - 1).sum
+    assert(rows.length == expRows)
+    rows.foreach { r =>
+      val (npx, m) = (r.getAs[Long]("n_px"), r.getAs[Long]("motion"))
+      assert(r.getAs[Long]("frame_idx") >= 1L)
+      assert(npx > 0 && m >= 0 && m <= 255L * npx)
+    }
+  }
+
+  test("quality_distill_audit: confusion cells partition the corpus") {
+    val r = run("quality_distill_audit").collect().head
+    val cells = Seq("n_both", "n_rule_only", "n_model_only", "n_neither")
+      .map(r.getAs[Long])
+    assert(cells.sum == r.getAs[Long]("n_docs"))
+    val agree = r.getAs[Double]("agreement")
+    assert(agree >= 0.0 && agree <= 1.0)
+  }
+
   test("convergence-gated loops: 1 <= iters <= bound, constant per query") {
     for ((name, bound) <- Seq("link_rank_conv" -> 8L,
         "embed_power_conv" -> 6L, "kmeans_train_conv" -> 6L)) {
