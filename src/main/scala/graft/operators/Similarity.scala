@@ -658,6 +658,38 @@ object Similarity {
     mmrRerank(ivfTopK(q, kv, cents, k, nprobe).select(col("q_id"), col("k_id")),
       q, kv, sel)
 
+  /** MMR DIVERSITY GAIN — measure, don't claim, what the rerank buys:
+    * per query, the intra-list redundancy (exact sum of pairwise
+    * integer-ten-thousandth cosines over the C(sel,2) unordered pairs)
+    * of the PURE-RELEVANCE top-`sel` versus the MMR selection, and their
+    * difference. Positive gain = the diversified list really is less
+    * self-similar; the magnitude is the redundancy the plain top-k would
+    * have shipped. All integers — no float ordering anywhere. */
+  def mmrGain(q: DataFrame, kv: DataFrame, k: Int, sel: Int): DataFrame = {
+    val rInt = floor(VecOps.cosine(col("qvec"), col("kvec")) * lit(1e4) +
+      lit(0.5)).cast("long")
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("r"), col("k_id"))
+    val topIds = PairPlan.cross(kv, q)
+      .filter(col("k_id") =!= col("q_id"))
+      .select(col("q_id"), col("k_id"), rInt.as("r"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= sel)
+      .select(col("q_id"), col("k_id"))
+    val mmrIds = mmrTopK(q, kv, k, sel).select(col("q_id"), col("k_id"))
+    val sInt = floor(VecOps.cosine(col("va"), col("vb")) * lit(1e4) +
+      lit(0.5)).cast("long")
+    def redundancy(ids: DataFrame, as: String): DataFrame =
+      ids.select(col("q_id"), col("k_id").as("ka"))
+        .join(ids.select(col("q_id"), col("k_id").as("kb")), "q_id")
+        .filter(col("ka") < col("kb"))
+        .join(kv.select(col("k_id").as("ka"), col("kvec").as("va")), "ka")
+        .join(kv.select(col("k_id").as("kb"), col("kvec").as("vb")), "kb")
+        .groupBy(col("q_id")).agg(sum(sInt).as(as))
+    redundancy(topIds, "s_top").join(redundancy(mmrIds, "s_mmr"), "q_id")
+      .select(col("q_id"), col("s_top"), col("s_mmr"),
+        (col("s_top") - col("s_mmr")).as("gain"))
+  }
+
   /** The greedy MMR selection over ANY candidate id set: re-derive the
     * integer ten-thousandth relevance and pairwise sims from the vectors,
     * then `sel` integer-argmax rounds (see [[mmrTopK]] for the protocol). */

@@ -482,6 +482,30 @@ object SimilarityQueries {
        |             ORDER BY r DESC, k_id) AS rank
        |         FROM pr) WHERE rank <= $TopK)""".stripMargin)
 
+  /** Dual of [[Similarity.mmrGain]]: the brute MMR chain minus its final
+    * SELECT, then pure-top-sel ids, the two pairwise-redundancy sums, and
+    * their difference. */
+  private val mmrGainOracle = {
+    def cosOf(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def red(ids: String, as: String): String =
+      s"""(SELECT p.q_id, CAST(sum(CAST(floor((${cosOf("x.kv", "y.kv")}) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS $as
+         | FROM (SELECT a.q_id, a.k_id AS ka, b.k_id AS kb
+         |       FROM $ids a JOIN $ids b
+         |         ON a.q_id = b.q_id AND a.k_id < b.k_id) p
+         | JOIN k x ON x.k_id = p.ka JOIN k y ON y.k_id = p.kb
+         | GROUP BY p.q_id)""".stripMargin
+    s"""${mmrOracle.substring(0, mmrOracle.lastIndexOf("SELECT"))}
+       |, topIds AS (SELECT q_id, k_id FROM (
+       |    SELECT q_id, k_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY r DESC, k_id) AS rn FROM cand) WHERE rn <= $MmrSel),
+       |mmrIds AS (SELECT q_id, k_id FROM sel$MmrSel),
+       |rt AS ${red("topIds", "s_top")},
+       |rm AS ${red("mmrIds", "s_mmr")}
+       |SELECT rt.q_id, s_top, s_mmr, s_top - s_mmr AS gain
+       |FROM rt JOIN rm ON rt.q_id = rm.q_id""".stripMargin
+  }
+
   /** Dual of [[Similarity.mmrTopKIvf]]: the full IVF search supplies the
     * candidate ids; relevance is re-derived from the PERTURBED query
     * vectors exactly as the rerank does. */
@@ -1182,6 +1206,10 @@ object SimilarityQueries {
     "similar_mmr_ivf" -> ((s, dir) =>
       Similarity.mmrTopKIvf(perturbedQSide(s, dir), kvSide(s, dir),
         Similarity.ivfCentroids(emb(s, dir)), AnnK, MmrSel)),
+    // the measured diversity gain: per query, intra-list redundancy of
+    // pure-relevance top-sel vs the MMR selection (exact integer sums)
+    "similar_mmr_gain" -> ((s, dir) =>
+      Similarity.mmrGain(qSide(s, dir), kvSide(s, dir), TopK, MmrSel)),
     // the SemDeDup KEPT corpus (the dedup_corpus composition applied to
     // the semantic drop list): per-label survivor counts after anti-
     // joining the non-representative members out
@@ -1260,6 +1288,7 @@ object SimilarityQueries {
          |WHERE d.vec_id IS NULL GROUP BY e.label""".stripMargin,
     "similar_mmr" -> mmrOracle,
     "similar_mmr_ivf" -> mmrIvfOracle,
+    "similar_mmr_gain" -> mmrGainOracle,
     "decontaminate_embed" -> embedDecontamOracle
   )
 }
