@@ -72,6 +72,18 @@ object Resample {
     * an ORDERED fold rather than a commutative monoid — which is exactly
     * why it must ride an array fold, not an exchange-parallel aggregate. */
   def hourlyEwma(events: DataFrame): DataFrame = {
+    val folded = hourlySeries(events)
+      .select(col("event_type"), expr(ewmaFoldExpr).as("e"))
+    folded.select(col("event_type"), explode(col("e")).as("r"))
+      .select(col("event_type"),
+        date_format(col("r.hr"), "yyyy-MM-dd HH").as("hr"),
+        col("r.v").as("n"), col("r.y").as("ewma_milli"))
+  }
+
+  /** Dense gap-filled hourly count series per type, one row per type with
+    * the sorted (hr, v) array `s` — the input both recursive smoothers
+    * fold over. */
+  private def hourlySeries(events: DataFrame): DataFrame = {
     val bins = events
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
       .agg(count(lit(1)).as("v"))
@@ -82,16 +94,78 @@ object Resample {
       explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
     val grid = events.select(col("event_type")).distinct()
       .crossJoin(broadcast(cal))
-    val ser = grid.join(bins, Seq("event_type", "hr"), "left")
+    grid.join(bins, Seq("event_type", "hr"), "left")
       .select(col("event_type"), col("hr"), coalesce(col("v"), lit(0L)).as("v"))
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("hr"), col("v")))).as("s"))
-    val folded = ser.select(col("event_type"), expr(ewmaFoldExpr).as("e"))
+  }
+
+  /** HOLT'S LINEAR TREND over the same hourly series — the two COUPLED
+    * recursions (level + trend) one rung up from [[hourlyEwma]]'s single
+    * smoother, emitting the one-step-ahead forecast l + b that is the
+    * method's point. Integer protocol, α = 1/5, β = 1/10 in milli-units:
+    *   l₁ = 1000·v₁, b₁ = 0;
+    *   l_t = ⌊(200·1000·v_t + 800·(l + b)) / 1000⌋
+    *   b_t = ⌊(100·(l_t − l) + 900·b) / 1000⌋
+    * The division floors a DOUBLE quotient of exact integer operands
+    * (the powerRound s3 pattern) — NOT an integer `div`, whose
+    * negative-operand semantics differ between engines (Spark truncates
+    * toward zero, DuckDB floors) and b_t goes negative on any downward
+    * trend. Same calendar-bounded scale shape as the EWMA. */
+  def hourlyHolt(events: DataFrame): DataFrame = {
+    val lExpr =
+      """case when size(acc) = 0 then x.v * 1000L
+        |else cast(floor(cast(200L * 1000L * x.v
+        |       + 800L * (element_at(acc, -1).l + element_at(acc, -1).b)
+        |       as double) / 1000.0d) as bigint) end""".stripMargin
+    val foldExpr =
+      s"""aggregate(s,
+         |  cast(array() as array<struct<hr:timestamp, v:bigint, l:bigint, b:bigint>>),
+         |  (acc, x) -> array_append(acc, named_struct(
+         |    'hr', x.hr, 'v', x.v,
+         |    'l', $lExpr,
+         |    'b', case when size(acc) = 0 then 0L
+         |         else cast(floor(cast(100L * (($lExpr) - element_at(acc, -1).l)
+         |                + 900L * element_at(acc, -1).b
+         |                as double) / 1000.0d) as bigint) end)))""".stripMargin
+    val folded = hourlySeries(events)
+      .select(col("event_type"), expr(foldExpr).as("e"))
     folded.select(col("event_type"), explode(col("e")).as("r"))
       .select(col("event_type"),
         date_format(col("r.hr"), "yyyy-MM-dd HH").as("hr"),
-        col("r.v").as("n"), col("r.y").as("ewma_milli"))
+        col("r.v").as("n"), col("r.l").as("level_milli"),
+        col("r.b").as("trend_milli"),
+        (col("r.l") + col("r.b")).as("forecast_milli"))
   }
+
+  /** DuckDB dual of [[hourlyHolt]] — the rn-chained recursive CTE with
+    * both state columns carried. */
+  def hourlyHoltSql(table: String): String =
+    s"""WITH RECURSIVE
+       |b AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*)::BIGINT AS v
+       |      FROM $table GROUP BY event_type, date_trunc('hour', ts)),
+       |lim AS (SELECT date_trunc('hour', min(ts)) AS h0,
+       |               date_trunc('hour', max(ts)) AS h1 FROM $table),
+       |cal AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+       |        FROM lim),
+       |ty AS (SELECT DISTINCT event_type FROM $table),
+       |j AS (SELECT ty.event_type, cal.hr, coalesce(b.v, 0) AS v,
+       |        row_number() OVER (PARTITION BY ty.event_type
+       |          ORDER BY cal.hr) AS rn
+       |      FROM ty CROSS JOIN cal
+       |      LEFT JOIN b ON b.event_type = ty.event_type AND b.hr = cal.hr),
+       |rec(event_type, rn, hr, v, l, bb) AS (
+       |  SELECT event_type, rn, hr, v, v * 1000, CAST(0 AS BIGINT) FROM j WHERE rn = 1
+       |  UNION ALL
+       |  SELECT j.event_type, j.rn, j.hr, j.v,
+       |    CAST(floor((200 * 1000 * j.v + 800 * (rec.l + rec.bb))::DOUBLE / 1000) AS BIGINT),
+       |    CAST(floor((100 * (CAST(floor((200 * 1000 * j.v + 800 * (rec.l + rec.bb))::DOUBLE / 1000) AS BIGINT) - rec.l)
+       |           + 900 * rec.bb)::DOUBLE / 1000) AS BIGINT)
+       |  FROM j JOIN rec ON j.event_type = rec.event_type AND j.rn = rec.rn + 1)
+       |SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hr,
+       |       v AS n, l AS level_milli, bb AS trend_milli,
+       |       l + bb AS forecast_milli
+       |FROM rec""".stripMargin
 
   /** The fold itself, shared with the streaming twin: a SQL `aggregate`
     * HOF over the sorted (hr, v) array `s`. If the row carries a non-null

@@ -868,6 +868,10 @@ object StreamQueries {
     // state; appended outputs must union to the one-shot series
     "events_ewma_stream" -> ((s, dir) =>
       graft.streaming.StreamingOps.ewmaStream(s, dir)),
+    // Holt's linear trend: the coupled level+trend recursions with the
+    // one-step-ahead forecast — the float-free double smoother
+    "events_holt" -> ((s, dir) =>
+      graft.operators.Resample.hourlyHolt(Tables.events(s, dir))),
     "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir))),
     // the SAME sessionizer actually run as a stream (file source →
     // flatMapGroupsWithState → upsert sink), ordinal-converted to grade
@@ -917,6 +921,7 @@ object StreamQueries {
     "events_resample" -> graft.operators.Resample.dailyValueSql("events"),
     "events_ewma" -> graft.operators.Resample.hourlyEwmaSql("events"),
     "events_ewma_stream" -> graft.operators.Resample.hourlyEwmaSql("events"),
+    "events_holt" -> graft.operators.Resample.hourlyHoltSql("events"),
     "events_sessions" -> sessionsOracle,
     "events_sessions_stream" -> sessionsOracle,
     "events_props" -> propsOracle,

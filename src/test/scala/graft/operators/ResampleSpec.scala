@@ -82,6 +82,28 @@ class ResampleSpec extends AnyFunSuite {
     assert(out.toSeq == expect)
   }
 
+  test("hourlyHolt: hand-computed level/trend, FLOOR (not truncate) on negatives") {
+    // declining series: v = 3, 1, 0 → trend goes negative, and at t3 the
+    // trend quotient is -91.2, which must floor to -92 (truncation would
+    // give -91 — the exact divergence between engines an integer `div`
+    // would have hidden until a fixture change)
+    // type a: v = 3, 1, 0 — hour 2 has no a-events; a single z-event
+    // extends the shared calendar so the gap hour exists
+    val ev = ((Seq.fill(3)(hts(1, 0)) ++ Seq(hts(1, 1))).map(ts => ("a", ts)) ++
+      Seq(("z", hts(1, 2)))).map { case (t, s) => (t, s, 1L) }
+      .toDF("event_type", "ts", "user_id")
+    val out = Resample.hourlyHolt(ev)
+      .filter(col("event_type") === "a")
+      .orderBy(col("hr")).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    val expect = Seq(
+      ("2024-01-01 00", 3L, 3000L, 0L, 3000L),
+      ("2024-01-01 01", 1L, 2600L, -40L, 2560L),  // b = -40000/1000
+      ("2024-01-01 02", 0L, 2048L, -92L, 1956L))  // floor(-91.2) = -92
+    assert(out.toSeq == expect)
+  }
+
   test("hourlyEwma on a constant series is a fixpoint: y stays 1000*v") {
     val events = (0 until 4).flatMap(h => Seq(("a", hts(1, h))))
       .map { case (t, s) => (t, s, 1L) }.toDF("event_type", "ts", "user_id")
