@@ -769,8 +769,15 @@ object Similarity {
     * Singletons (no duplicate edge) are implicitly kept and not emitted,
     * mirroring [[Dedup.dedupClusters]]. */
   def semanticDedup(emb: DataFrame, tau: Double,
-                    cap: Int = EmbedBucketCap): DataFrame = {
-    val cents = ivfCentroids(emb)
+                    cap: Int = EmbedBucketCap): DataFrame =
+    semanticDedupWith(emb, ivfCentroids(emb), tau, cap)
+
+  /** [[semanticDedup]] under an EXPLICIT coarse quantizer — the paper's
+    * actual recipe clusters with TRAINED k-means, not label means; pass
+    * [[kmeansTrainedCentroids]] to run that composition (graded as
+    * `dedup_semantic_trained`). */
+  def semanticDedupWith(emb: DataFrame, cents: DataFrame, tau: Double,
+                        cap: Int = EmbedBucketCap): DataFrame = {
     // map-only assignment, annotated with the centroid cosine the
     // representative choice needs: argmin struct(-cos, list_id) over the
     // broadcast centroid row == ORDER BY cos DESC, list_id (oracle dual)

@@ -523,53 +523,65 @@ object SimilarityQueries {
     * ivf tie-break) → within-cell pairs under the hot-cell star cap →
     * exact cosine ≥ tau edges → recursive-CTE components → keep the
     * member with the LOWEST quantized centroid-cosine (id tie-break). */
-  private val semanticDedupOracle = {
+  /** The SemDeDup chain downstream of ANY quantizer: `prefix` must be a
+    * complete WITH-list (RECURSIVE is injected here) whose `centsName`
+    * CTE yields (list_id, cvec); chain CTE names are s-prefixed so they
+    * cannot collide with a training prefix's. */
+  private def semanticChainSql(prefix: String, centsName: String): String = {
     def cosOf(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
     val cap = Similarity.EmbedBucketCap
-    s"""WITH RECURSIVE
-       |c0 AS (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
-       |       FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
-       |               unnest(range(len(embedding))) AS i FROM embeddings)
-       |       GROUP BY label, i),
-       |cents AS (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
-       |          FROM c0 GROUP BY label),
-       |k AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
-       |asn AS (SELECT vec_id, vv, list_id, ${VecOps.qroundSql("cc", 4)} AS qc FROM (
+    s"""${prefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sk AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+       |sasn AS (SELECT vec_id, vv, list_id, ${VecOps.qroundSql("cc", 4)} AS qc FROM (
        |          SELECT vec_id, vv, list_id, ${cosOf("vv", "cvec")} AS cc,
        |            row_number() OVER (PARTITION BY vec_id
        |              ORDER BY ${cosOf("vv", "cvec")} DESC, list_id) AS rn
-       |          FROM k CROSS JOIN cents) WHERE rn = 1),
-       |sized AS (SELECT vec_id, list_id,
+       |          FROM sk CROSS JOIN $centsName) WHERE rn = 1),
+       |ssized AS (SELECT vec_id, list_id,
        |            count(*) OVER (PARTITION BY list_id) AS bucket_n,
        |            min(vec_id) OVER (PARTITION BY list_id) AS bucket_min
-       |          FROM asn),
-       |cand AS (SELECT DISTINCT id_a, id_b FROM (
+       |          FROM sasn),
+       |scand AS (SELECT DISTINCT id_a, id_b FROM (
        |           SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |           FROM sized a JOIN sized b
+       |           FROM ssized a JOIN ssized b
        |             ON a.list_id = b.list_id AND a.vec_id < b.vec_id
        |           WHERE a.bucket_n <= $cap
        |           UNION
        |           SELECT bucket_min AS id_a, vec_id AS id_b
-       |           FROM sized WHERE bucket_n > $cap AND vec_id <> bucket_min)),
-       |edges AS (SELECT id_a, id_b
-       |          FROM cand JOIN asn va ON va.vec_id = id_a
-       |                    JOIN asn vb ON vb.vec_id = id_b
+       |           FROM ssized WHERE bucket_n > $cap AND vec_id <> bucket_min)),
+       |sedges AS (SELECT id_a, id_b
+       |          FROM scand JOIN sasn va ON va.vec_id = id_a
+       |                    JOIN sasn vb ON vb.vec_id = id_b
        |          WHERE ${cosOf("va.vv", "vb.vv")} >= $SemDedupTau),
-       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |ssym AS (SELECT id_a AS src, id_b AS dst FROM sedges
        |        UNION ALL
-       |        SELECT id_b, id_a FROM edges),
+       |        SELECT id_b, id_a FROM sedges),
        |reach(id, label) AS (
-       |  SELECT DISTINCT src, src FROM sym
+       |  SELECT DISTINCT src, src FROM ssym
        |  UNION
-       |  SELECT sym.src, reach.label
-       |  FROM sym JOIN reach ON reach.id = sym.dst),
-       |cmp AS (SELECT id, min(label) AS comp FROM reach GROUP BY id)
-       |SELECT cmp.id AS vec_id, cmp.comp, asn.list_id, asn.qc,
-       |       (row_number() OVER (PARTITION BY cmp.comp
-       |          ORDER BY asn.qc, cmp.id) = 1) AS keep
-       |FROM cmp JOIN asn ON asn.vec_id = cmp.id""".stripMargin
+       |  SELECT ssym.src, reach.label
+       |  FROM ssym JOIN reach ON reach.id = ssym.dst),
+       |scmp AS (SELECT id, min(label) AS comp FROM reach GROUP BY id)
+       |SELECT scmp.id AS vec_id, scmp.comp, sasn.list_id, sasn.qc,
+       |       (row_number() OVER (PARTITION BY scmp.comp
+       |          ORDER BY sasn.qc, scmp.id) = 1) AS keep
+       |FROM scmp JOIN sasn ON sasn.vec_id = scmp.id""".stripMargin
   }
+
+  private val semanticDedupOracle = semanticChainSql(
+    s"""WITH gc0 AS (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
+       |       FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+       |               unnest(range(len(embedding))) AS i FROM embeddings)
+       |       GROUP BY label, i),
+       |gcents AS (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
+       |          FROM gc0 GROUP BY label)""".stripMargin,
+    "gcents")
+
+  /** Dual of the TRAINED composition: the k-means chain supplies the
+    * quantizer, the shared semantic chain does the rest. */
+  private val semanticDedupTrainedOracle =
+    semanticChainSql(kmeansChainSqlPrefix(KmIters), s"cents$KmIters")
 
   /** Capped-band dual mirroring [[Similarity.embeddingNearDupPairs]]'s
     * hot-bucket guard (identical output on the skew-free fixtures). */
@@ -1198,6 +1210,12 @@ object SimilarityQueries {
     // farthest-from-centroid member (Abbas et al. 2023)
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(emb(s, dir), SemDedupTau)),
+    // the paper's full recipe: the quantizer is TRAINED k-means, not
+    // label means — the same semantic chain under cents from kmeansTrain
+    "dedup_semantic_trained" -> ((s, dir) =>
+      Similarity.semanticDedupWith(emb(s, dir),
+        Similarity.kmeansTrainedCentroids(kvSide(s, dir),
+          Similarity.ivfCentroids(emb(s, dir)), KmIters), SemDedupTau)),
     // MMR diversified rerank of the exact top-k (integer-exact greedy)
     "similar_mmr" -> ((s, dir) =>
       Similarity.mmrTopK(qSide(s, dir), kvSide(s, dir), TopK, MmrSel)),
@@ -1280,6 +1298,7 @@ object SimilarityQueries {
     "similar_ivfpq_res_recall" -> ivfPqResRecallOracle,
     "dedup_embed" -> nearDupOracle,
     "dedup_semantic" -> semanticDedupOracle,
+    "dedup_semantic_trained" -> semanticDedupTrainedOracle,
     "dedup_corpus_semantic" ->
       s"""SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n_kept
          |FROM embeddings e
