@@ -835,6 +835,24 @@ object RelationalQueries {
       graft.operators.Triangles.triangleCount(
         graft.operators.Triangles.coEdges(
           Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))),
+    // CONNECTED COMPONENTS of the support>=2 co-purchase graph, reported
+    // as a component-size histogram — the corpus-health view of graph
+    // structure (the fixture shows a PHASE TRANSITION: sf0.01's denser
+    // part reuse forms one giant component, sf0.1 shatters into small
+    // ones). Support counting is a map-side-combined pair groupBy; the
+    // components come from the shared pointer-jumping min-label CC
+    "parts_components" -> ((s, dir) => {
+      val it = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+      val e = it.as("a").join(it.as("b"),
+          col("a.g") === col("b.g") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("doc_a"), col("b.p").as("doc_b"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select(col("doc_a"), col("doc_b"))
+      graft.operators.Dedup.connectedComponents(e)
+        .groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
+        .groupBy(col("comp_size")).agg(count(lit(1)).as("n_comps"))
+    }),
     "volume_shipping" -> (volumeShipping _),
     "market_share" -> (marketShare _),
     "returned_revenue" -> (returnedRevenue _),
@@ -871,6 +889,24 @@ object RelationalQueries {
         |  (SELECT count(*) FROM e e1
         |   JOIN e e2 ON e1.b = e2.a
         |   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)::BIGINT AS n_triangles""".stripMargin,
+    "parts_components" ->
+      """WITH RECURSIVE
+        |e AS (SELECT a.l_partkey AS s0, b.l_partkey AS d0, count(*) AS c
+        |      FROM lineitem a JOIN lineitem b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2),
+        |ed AS (SELECT s0, d0 FROM e WHERE c >= 2),
+        |sym AS (SELECT s0 AS src, d0 AS dst FROM ed
+        |        UNION ALL SELECT d0, s0 FROM ed),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM sym
+        |  UNION
+        |  SELECT sym.src, reach.label
+        |  FROM sym JOIN reach ON reach.id = sym.dst),
+        |cmp AS (SELECT id, min(label) AS comp FROM reach GROUP BY id),
+        |sz AS (SELECT comp, count(*)::BIGINT AS comp_size FROM cmp GROUP BY comp)
+        |SELECT comp_size, count(*)::BIGINT AS n_comps
+        |FROM sz GROUP BY comp_size""".stripMargin,
     "volume_shipping" -> volumeShippingOracle,
     "market_share" -> marketShareOracle,
     "local_supplier_volume" -> localSupplierVolumeOracle,

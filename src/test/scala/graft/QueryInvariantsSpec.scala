@@ -237,6 +237,18 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("similar_mmr_gain: one row per query, sums bounded by C(sel,2)*1e4") {
+    val rows = run("similar_mmr_gain").collect()
+    assert(rows.length == 64)
+    val bound = 10L * 10000L // C(5,2) pairs x cos <= 1.0 in 1e-4 units
+    rows.foreach { r =>
+      val (st, sm, g) = (r.getAs[Long]("s_top"), r.getAs[Long]("s_mmr"),
+        r.getAs[Long]("gain"))
+      assert(g == st - sm)
+      assert(math.abs(st) <= bound && math.abs(sm) <= bound)
+    }
+  }
+
   test("dedup_corpus_semantic: kept + dropped partitions the corpus") {
     val kept = run("dedup_corpus_semantic").collect()
       .map(_.getAs[Long]("n_kept")).sum
