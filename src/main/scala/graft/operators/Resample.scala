@@ -100,6 +100,38 @@ object Resample {
       .agg(sort_array(collect_list(struct(col("hr"), col("v")))).as("s"))
   }
 
+  private val holtLExpr: String =
+    """case when size(acc) = 0 then x.v * 1000L
+      |else cast(floor(cast(200L * 1000L * x.v
+      |       + 800L * (element_at(acc, -1).l + element_at(acc, -1).b)
+      |       as double) / 1000.0d) as bigint) end""".stripMargin
+
+  private[graft] val holtFoldStep: String =
+    s"""(acc, x) -> array_append(acc, named_struct(
+       |    'hr', x.hr, 'v', x.v,
+       |    'l', $holtLExpr,
+       |    'b', case when size(acc) = 0 then 0L
+       |         else cast(floor(cast(100L * (($holtLExpr) - element_at(acc, -1).l)
+       |                + 900L * element_at(acc, -1).b
+       |                as double) / 1000.0d) as bigint) end))""".stripMargin
+
+  private[graft] val holtFoldExpr: String =
+    s"""aggregate(s,
+       |  cast(array() as array<struct<hr:timestamp, v:bigint, l:bigint, b:bigint>>),
+       |  $holtFoldStep)""".stripMargin
+
+  /** State-seeded variant (the [[ewmaFoldSeededExpr]] contract): a
+    * non-null (seed_hr, seed_l, seed_b) row starts the accumulator, so a
+    * fold resumed from persisted state is bit-equal to the one-shot
+    * fold; drop the seed echo after exploding. */
+  private[graft] val holtFoldSeededExpr: String =
+    s"""aggregate(s,
+       |  case when seed_l is null
+       |       then cast(array() as array<struct<hr:timestamp, v:bigint, l:bigint, b:bigint>>)
+       |       else array(named_struct('hr', seed_hr, 'v', 0L,
+       |                               'l', seed_l, 'b', seed_b)) end,
+       |  $holtFoldStep)""".stripMargin
+
   /** HOLT'S LINEAR TREND over the same hourly series — the two COUPLED
     * recursions (level + trend) one rung up from [[hourlyEwma]]'s single
     * smoother, emitting the one-step-ahead forecast l + b that is the
@@ -113,23 +145,8 @@ object Resample {
     * toward zero, DuckDB floors) and b_t goes negative on any downward
     * trend. Same calendar-bounded scale shape as the EWMA. */
   def hourlyHolt(events: DataFrame): DataFrame = {
-    val lExpr =
-      """case when size(acc) = 0 then x.v * 1000L
-        |else cast(floor(cast(200L * 1000L * x.v
-        |       + 800L * (element_at(acc, -1).l + element_at(acc, -1).b)
-        |       as double) / 1000.0d) as bigint) end""".stripMargin
-    val foldExpr =
-      s"""aggregate(s,
-         |  cast(array() as array<struct<hr:timestamp, v:bigint, l:bigint, b:bigint>>),
-         |  (acc, x) -> array_append(acc, named_struct(
-         |    'hr', x.hr, 'v', x.v,
-         |    'l', $lExpr,
-         |    'b', case when size(acc) = 0 then 0L
-         |         else cast(floor(cast(100L * (($lExpr) - element_at(acc, -1).l)
-         |                + 900L * element_at(acc, -1).b
-         |                as double) / 1000.0d) as bigint) end)))""".stripMargin
     val folded = hourlySeries(events)
-      .select(col("event_type"), expr(foldExpr).as("e"))
+      .select(col("event_type"), expr(holtFoldExpr).as("e"))
     folded.select(col("event_type"), explode(col("e")).as("r"))
       .select(col("event_type"),
         date_format(col("r.hr"), "yyyy-MM-dd HH").as("hr"),

@@ -872,6 +872,10 @@ object StreamQueries {
     // one-step-ahead forecast — the float-free double smoother
     "events_holt" -> ((s, dir) =>
       graft.operators.Resample.hourlyHolt(Tables.events(s, dir))),
+    // the Holt recursion resumed across micro-batches from persisted
+    // COUPLED state (level and trend both carried)
+    "events_holt_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.holtStream(s, dir)),
     "events_sessions" -> ((s, dir) => sessionsBatch(Tables.events(s, dir))),
     // the SAME sessionizer actually run as a stream (file source →
     // flatMapGroupsWithState → upsert sink), ordinal-converted to grade
@@ -922,6 +926,7 @@ object StreamQueries {
     "events_ewma" -> graft.operators.Resample.hourlyEwmaSql("events"),
     "events_ewma_stream" -> graft.operators.Resample.hourlyEwmaSql("events"),
     "events_holt" -> graft.operators.Resample.hourlyHoltSql("events"),
+    "events_holt_stream" -> graft.operators.Resample.hourlyHoltSql("events"),
     "events_sessions" -> sessionsOracle,
     "events_sessions_stream" -> sessionsOracle,
     "events_props" -> propsOracle,

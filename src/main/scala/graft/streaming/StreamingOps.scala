@@ -781,13 +781,44 @@ object StreamingOps {
     * at 100 TB the per-batch cost is the batch's rollup plus a
     * types×hours control-plane fold, never history. */
   def ewmaStream(spark: SparkSession, dir: String): DataFrame = {
-    val staging = graft.sources.Scratch.dir("graft_ewma_src")
     val out = graft.sources.Scratch.dir("graft_ewma_out")
-    val ckpt = graft.sources.Scratch.dir("graft_ewma_ckpt")
     val statePath = graft.sources.Scratch.dir("graft_ewma_state") + "/state"
+    runSlicedEventStream(spark, dir, "ewma") { (batch, batchId) =>
+      ewmaFoldBatch(batch, batchId, statePath, out)
+    }
+    // per-batch subdirs surface as a `batch` partition column — not part
+    // of the graded schema
+    spark.read.parquet(out)
+      .select(col("event_type"), col("hr"), col("n"), col("ewma_milli"))
+  }
+
+  /** STREAMING HOLT — the same resumable-recursion contract with COUPLED
+    * state: the persisted row carries BOTH smoother components (level
+    * and trend), and the seeded accumulator resumes the two mutually
+    * recursive updates bit-exactly across micro-batches (inter-batch gap
+    * hours decay level AND trend through as zeros). Graded by
+    * hourlyHolt's own oracle; replay-safe by the same batch-id guard. */
+  def holtStream(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.Scratch.dir("graft_holt_out")
+    val statePath = graft.sources.Scratch.dir("graft_holt_state") + "/state"
+    runSlicedEventStream(spark, dir, "holt") { (batch, batchId) =>
+      holtFoldBatch(batch, batchId, statePath, out)
+    }
+    spark.read.parquet(out)
+      .select(col("event_type"), col("hr"), col("n"), col("level_milli"),
+        col("trend_milli"), col("forecast_milli"))
+  }
+
+  /** Shared driver for the resumable-recursion stream twins: stage the
+    * events table as four chronological day-aligned slices (mtime-
+    * ordered, maxFilesPerTrigger=1 — the micro-batch sequence is pinned),
+    * then run `fold` per batch under a checkpointed AvailableNow query. */
+  private def runSlicedEventStream(spark: SparkSession, dir: String,
+      prefix: String)(fold: (DataFrame, Long) => Unit): Unit = {
+    val staging = graft.sources.Scratch.dir(s"graft_${prefix}_src")
+    val ckpt = graft.sources.Scratch.dir(s"graft_${prefix}_ckpt")
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("event_type"))
-    // four chronological day-aligned slices of the corpus span
     val lim = ev.agg(date_trunc("DAY", min(col("ts"))).as("d0"),
       date_trunc("DAY", max(col("ts"))).as("d1")).head
     val (d0, d1) = (lim.getTimestamp(0), lim.getTimestamp(1))
@@ -808,16 +839,10 @@ object StreamingOps {
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          ewmaFoldBatch(batch, batchId, statePath, out)
-        }
+        .foreachBatch(fold)
         .start()
       q.awaitTermination()
     }
-    // per-batch subdirs surface as a `batch` partition column — not part
-    // of the graded schema
-    spark.read.parquet(out)
-      .select(col("event_type"), col("hr"), col("n"), col("ewma_milli"))
   }
 
   /** One micro-batch of [[ewmaStream]]: extend each type's dense hourly
@@ -890,6 +915,69 @@ object StreamingOps {
       expr("element_at(e, -1).y").as("y"),
       lit(h0).as("h0"), lit(batchId).as("batch_id"))
       .localCheckpoint(eager = true) // materialize before overwriting its own source
+    outRows.write.mode("overwrite").parquet(outDir)
+    newState.write.mode("overwrite").parquet(statePath)
+  }
+
+  /** [[ewmaFoldBatch]]'s coupled-state sibling for [[holtStream]]: the
+    * persisted row carries (last_hr, l, b), the seeded accumulator is
+    * Resample.holtFoldSeededExpr, same batch-id replay guard. */
+  private[graft] def holtFoldBatch(batch: DataFrame, batchId: Long,
+                            statePath: String, out: String): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val outDir = s"$out/batch=$batchId"
+    val applied = if (Files.exists(java.nio.file.Paths.get(statePath)))
+      s.read.parquet(statePath).select(max(col("batch_id"))).head.getLong(0)
+    else -1L
+    if (batchId <= applied) return
+    val bins = batch
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("v"))
+    val lim = batch.agg(date_trunc("HOUR", min(col("ts"))).as("b0"),
+      date_trunc("HOUR", max(col("ts"))).as("b1")).head
+    val (b0, b1) = (lim.getTimestamp(0), lim.getTimestamp(1))
+    val hasState = Files.exists(java.nio.file.Paths.get(statePath))
+    val st = if (hasState) s.read.parquet(statePath)
+      else s.range(0).select(lit(null).cast("string").as("event_type"),
+        lit(null).cast("timestamp").as("last_hr"),
+        lit(null).cast("long").as("l"), lit(null).cast("long").as("b"),
+        lit(null).cast("timestamp").as("h0"))
+    val h0 = if (hasState) st.select(col("h0")).head.getTimestamp(0) else b0
+    val types = bins.select(col("event_type"))
+      .union(st.select(col("event_type"))).distinct()
+      .where(col("event_type").isNotNull)
+    val ser = types
+      .join(st.select(col("event_type"), col("last_hr").as("seed_hr"),
+        col("l").as("seed_l"), col("b").as("seed_b")), Seq("event_type"), "left")
+      .withColumn("start",
+        coalesce(col("seed_hr") + expr("INTERVAL 1 HOUR"), lit(h0)))
+      .select(col("event_type"), col("seed_hr"), col("seed_l"), col("seed_b"),
+        explode_outer(sequence(col("start"), lit(b1),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+      .join(bins, Seq("event_type", "hr"), "left")
+    val g = ser.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(when(col("hr").isNotNull,
+          struct(col("hr"), coalesce(col("v"), lit(0L)).as("v"))))).as("s"),
+        first(col("seed_hr"), ignoreNulls = true).as("seed_hr"),
+        first(col("seed_l"), ignoreNulls = true).as("seed_l"),
+        first(col("seed_b"), ignoreNulls = true).as("seed_b"))
+    val folded = g.select(col("event_type"), col("seed_hr"),
+      expr(graft.operators.Resample.holtFoldSeededExpr).as("e"))
+    val outRows = folded
+      .select(col("event_type"), col("seed_hr"), explode(col("e")).as("r"))
+      .where(col("seed_hr").isNull || col("r.hr") > col("seed_hr"))
+      .select(col("event_type"),
+        date_format(col("r.hr"), "yyyy-MM-dd HH").as("hr"),
+        col("r.v").as("n"), col("r.l").as("level_milli"),
+        col("r.b").as("trend_milli"),
+        (col("r.l") + col("r.b")).as("forecast_milli"))
+    val newState = folded.select(col("event_type"),
+      expr("element_at(e, -1).hr").as("last_hr"),
+      expr("element_at(e, -1).l").as("l"),
+      expr("element_at(e, -1).b").as("b"),
+      lit(h0).as("h0"), lit(batchId).as("batch_id"))
+      .localCheckpoint(eager = true)
     outRows.write.mode("overwrite").parquet(outDir)
     newState.write.mode("overwrite").parquet(statePath)
   }

@@ -361,4 +361,29 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got == exp, s"streamed union diverges from one-shot")
     assert(got.size == 12) // 2 types x 6 calendar hours, gap hours included
   }
+
+  test("holtFoldBatch: coupled state resumes bit-exactly; replays are no-ops") {
+    import spark.implicits._
+    val statePath = graft.sources.Scratch.dir("graft_holt_spec_state") + "/state"
+    val out = graft.sources.Scratch.dir("graft_holt_spec_out")
+    def ev(hour: Int, n: Int, t: String) = (0 until n).map(i =>
+      (t, new Timestamp((1700000000L + hour * 3600L + i) * 1000L)))
+    // declining series split across batches with a gap hour between them
+    val b0 = (ev(0, 3, "a") ++ ev(1, 1, "a")).toDF("event_type", "ts")
+    val b1 = ev(3, 2, "a").toDF("event_type", "ts")
+    StreamingOps.holtFoldBatch(b0, 0L, statePath, out)
+    StreamingOps.holtFoldBatch(b0, 0L, statePath, out) // replayed: skip
+    StreamingOps.holtFoldBatch(b1, 1L, statePath, out)
+    StreamingOps.holtFoldBatch(b1, 1L, statePath, out) // replayed: skip
+    val got = spark.read.parquet(out)
+      .select(col("event_type"), col("hr"), col("n"), col("level_milli"),
+        col("trend_milli"), col("forecast_milli"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val exp = graft.operators.Resample.hourlyHolt(b0.union(b1)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == exp, "streamed Holt union diverges from one-shot")
+    assert(got.size == 4) // hours 0-3 incl. the inter-batch gap hour
+  }
 }
