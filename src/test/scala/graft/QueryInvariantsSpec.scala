@@ -290,6 +290,31 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(agree >= 0.0 && agree <= 1.0)
   }
 
+  test("parts_components: histogram covers every node of the support>=2 graph") {
+    val hist = run("parts_components").collect()
+      .map(r => (r.getAs[Long]("comp_size"), r.getAs[Long]("n_comps")))
+    assert(hist.forall { case (sz, n) => sz >= 2 && n >= 1 }) // no singletons
+    val covered = hist.map { case (sz, n) => sz * n }.sum
+    val it = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+    val nodes = it.as("a").join(it.as("b"),
+        col("a.g") === col("b.g") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(explode(array(col("pa"), col("pb"))).as("v"))
+      .distinct().count()
+    assert(covered == nodes, s"histogram covers $covered of $nodes nodes")
+  }
+
+  test("events_holt: forecast = level + trend on every row") {
+    val rows = run("events_holt").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("forecast_milli") ==
+        r.getAs[Long]("level_milli") + r.getAs[Long]("trend_milli"))
+    }
+  }
+
   test("convergence-gated loops: 1 <= iters <= bound, constant per query") {
     for ((name, bound) <- Seq("link_rank_conv" -> 8L,
         "embed_power_conv" -> 6L, "kmeans_train_conv" -> 6L)) {
