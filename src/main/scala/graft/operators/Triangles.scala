@@ -35,9 +35,22 @@ object Triangles {
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
 
+  /** Edge-count ceiling for broadcasting the closing-join side: ~50 B per
+    * hashed (long, long) row puts 4M edges around 200 MB — comfortably
+    * inside a normal executor; beyond it the closing join degrades to a
+    * bucketed shuffle instead of OOMing the driver (VERDICT r8 #3 — the
+    * one named scale-killer of the graph family: the co-purchase edge
+    * list outgrows broadcast around 100× the fixture). */
+  val BroadcastMaxEdges = 4L * 1000 * 1000
+
   /** (n_edges, n_triangles) of the undirected graph `edges` (a < b). */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame,
+                    broadcastMaxEdges: Long = BroadcastMaxEdges): DataFrame = {
     val e = edges.localCheckpoint(true) // built once, read by 3 plan arms
+    // one count over the checkpointed edges drives the distribution switch
+    // (the PairPlan.Auto pattern, by exact count instead of plan stats —
+    // the checkpoint hides stats from Catalyst) and is reused as n_edges
+    val nEdges = e.count()
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // lower (degree, id) endpoint becomes the source. The degree table is
@@ -52,19 +65,25 @@ object Triangles {
       .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
       .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
         when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
-    // the wedge fan-out (|wedges| ≫ |E|) must NEVER cross an exchange:
-    // broadcasting the edge set (2 longs/row — memory-bounded the same
-    // way every broadcast dim is) makes wedge-generate → closing-probe →
-    // partial-count one codegen'd pipeline; only per-partition counts
-    // shuffle. On a graph too big to broadcast, the honest fallback is
-    // bucketing o and e by their join keys — the wedge side still
-    // pipelines into the (then shuffled) closing join.
+    // the wedge fan-out (|wedges| ≫ |E|) should never cross an exchange:
+    // while the edge set fits (≤ broadcastMaxEdges, 2 longs/row —
+    // memory-bounded the same way every broadcast dim is), broadcasting
+    // it makes wedge-generate → closing-probe → partial-count one
+    // codegen'd pipeline and only per-partition counts shuffle. On a
+    // graph too big to broadcast the switch degrades to the bucketed
+    // fallback: edges shuffle by (a, b), wedges by (x, y), and the wedge
+    // stream still pipelines map-side into the exchange feeding a
+    // shuffled hash join (hash, not sort-merge: sorting the wedge
+    // stream, the biggest intermediate of the whole operator, is the one
+    // cost the fallback must not pay).
     val wedges = o.as("e1").join(o.as("e2"), "src")
       .where(col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
+    val closeSide = if (nEdges <= broadcastMaxEdges) broadcast(e)
+                    else e.hint("SHUFFLE_HASH")
     val closed = wedges
-      .join(broadcast(e), wedges("x") === e("a") && wedges("y") === e("b"))
-    e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .join(closeSide, wedges("x") === e("a") && wedges("y") === e("b"))
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .select(lit(nEdges).as("n_edges"), col("n_triangles"))
   }
 }
