@@ -64,8 +64,30 @@ object Dedup {
   private[graft] def eager(df: DataFrame): DataFrame = {
     val c = df.cache()
     c.count()
+    Option(cacheScope.get()).foreach(_ += c)
     c
   }
+
+  /** Open [[eager]] caches created during `body` (on this thread,
+    * including those inside nested pipeline builders) and unpersist them
+    * all when it returns — for composite audits like [[minhashRecall]]
+    * that run two full pipelines whose INTERNAL caches (signature/shingle
+    * tables) would otherwise outlive the query and double its cache
+    * footprint (ADVICE r8 #3). The body must materialize its result
+    * (checkpoint/collect) before returning; scopes nest. */
+  private[graft] def cacheScoped[T](body: => T): T = {
+    val outer = cacheScope.get()
+    val mine = scala.collection.mutable.Buffer.empty[DataFrame]
+    cacheScope.set(mine)
+    try body
+    finally {
+      cacheScope.set(outer)
+      mine.foreach(_.unpersist(false))
+    }
+  }
+
+  private val cacheScope =
+    new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
 
   /** (doc_id, sig array<long> length K): per-doc minhash signature —
     * sig[j] = min over shingles of hash_j(shingle), where the K hash
@@ -1153,7 +1175,7 @@ object Dedup {
     * counts + 4-decimal ratios (denominator floored at 1 so an empty
     * truth set yields 0, not an ANSI divide-by-zero). */
   def minhashRecall(docs: DataFrame, tauPm: Int = 500, minEst: Double = 0.5,
-                    cap: Int = BucketCap): DataFrame = {
+                    cap: Int = BucketCap): DataFrame = cacheScoped {
     require(math.abs(tauPm / 1000.0 - minEst) < 1e-9,
       "recall AND precision must grade one duplicate definition: " +
         "exact tau and est threshold must match")

@@ -141,6 +141,7 @@ object EmbedStats {
     * EmbedStatsSpec; iteration 1 reproduces [[powerStep]] bit-for-bit. */
   def powerTrain(vecs: DataFrame, iters: Int,
                  dim: Int = Similarity.Dim): DataFrame = {
+    require(iters >= 1, "powerTrain needs at least one iteration")
     // the quantized row table feeds every round — cache once
     val xq = Dedup.eager(
       PairPlan.fanOut(vecs).select(qvec(col("vec")).as("xq")))
@@ -212,6 +213,7 @@ object EmbedStats {
     * (graded ≈ 0: the orthogonality the deflation must deliver). */
   def powerDeflate(vecs: DataFrame, iters: Int,
                    dim: Int = Similarity.Dim): DataFrame = {
+    require(iters >= 1, "powerDeflate needs at least one iteration")
     import org.apache.spark.sql.functions.{typedLit => tl}
     // both row tables are read by every round of their chain (plus the
     // deflation pass) — cache once, or each round re-runs the upstream
