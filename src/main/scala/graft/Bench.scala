@@ -79,6 +79,21 @@ object Bench {
       // 2.3x of dedup_clusters' warm process CPU. Values are unchanged; at
       // scale AQE still targets its normal partition sizes.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // never take the bypass-merge shuffle writer: it creates+deletes
+      // `shuffle.partitions` files PER MAP TASK, and on this container's
+      // overlay FS each open/delete costs ~2-4 ms — profiled this round at
+      // ~90% of a 32-task stage's CPU for a 2000-row aggregate (VERDICT r9
+      // #2). The serialized-sort writer emits ONE spill+index per map task.
+      // Local-bench tuning only: a real cluster with >200 reduce partitions
+      // never bypasses anyway, and large local shuffles sort fine.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
+      // keep TypedImperativeAggregate partials HASH-based up to 256k groups:
+      // the 128-key default flips every >128-group monoid partial (attention's
+      // 256 q_ids, any per-doc sketch) into per-task UnsafeExternalSorter
+      // setup + spill-sort — profiled as the other half of VERDICT r9 #2's
+      // fixed per-task cost. Our object-agg states are bounded (vectors /
+      // capped sketches), so 256k states stay well inside executor memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

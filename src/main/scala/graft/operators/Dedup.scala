@@ -73,13 +73,19 @@ object Dedup {
     * all when it returns — for composite audits like [[minhashRecall]]
     * that run two full pipelines whose INTERNAL caches (signature/shingle
     * tables) would otherwise outlive the query and double its cache
-    * footprint (ADVICE r8 #3). The body must materialize its result
-    * (checkpoint/collect) before returning; scopes nest. */
-  private[graft] def cacheScoped[T](body: => T): T = {
+    * footprint (ADVICE r8 #3). The result is materialized INSIDE the
+    * scope (`localCheckpoint(eager = true)`, the [[Caching.scoped]]
+    * mechanism) so a lazy body cannot silently recompute — or, for
+    * nondeterministic intermediates, diverge — after its caches are gone
+    * (VERDICT r9 #8: the old `[T]` signature only documented that
+    * contract; this one enforces it by type). Checkpoint blocks are
+    * reclaimed by the ContextCleaner once the result is unreferenced.
+    * Scopes nest. */
+  private[graft] def cacheScoped(body: => DataFrame): DataFrame = {
     val outer = cacheScope.get()
     val mine = scala.collection.mutable.Buffer.empty[DataFrame]
     cacheScope.set(mine)
-    try body
+    try body.localCheckpoint(eager = true)
     finally {
       cacheScope.set(outer)
       mine.foreach(_.unpersist(false))
@@ -1202,9 +1208,7 @@ object Dedup {
         col("n_det_total"),
         VecOps.qround(col("n_det_true").cast("double") /
           greatest(col("n_det_total"), lit(1L)).cast("double"), 4).as("precision"))
-      .localCheckpoint(true)
-    truth.unpersist(false); cand.unpersist(false)
-    out
+    out // checkpointed by cacheScoped; truth/cand released by the scope
   }
 
   /** Oracle dual of [[minhashRecall]]: exact truth from the exhaustive

@@ -665,17 +665,28 @@ object Similarity {
     * difference. Positive gain = the diversified list really is less
     * self-similar; the magnitude is the redundancy the plain top-k would
     * have shipped. All integers — no float ordering anywhere. */
-  def mmrGain(q: DataFrame, kv: DataFrame, k: Int, sel: Int): DataFrame = {
+  def mmrGain(q: DataFrame, kv: DataFrame, k: Int, sel: Int): DataFrame =
+    Dedup.cacheScoped {
     val rInt = floor(VecOps.cosine(col("qvec"), col("kvec")) * lit(1e4) +
       lit(0.5)).cast("long")
     val wTop = Window.partitionBy(col("q_id")).orderBy(desc("r"), col("k_id"))
-    val topIds = PairPlan.cross(kv, q)
+    // ONE brute M×N rank pass feeds BOTH arms (VERDICT r9 #3: mmrGain used
+    // to run the scan twice — once for the pure-relevance top-sel, once
+    // inside mmrTopK — doubling the query's dominant cost): the eager-
+    // cached top-k candidate table is sliced at rank ≤ sel for the
+    // relevance arm, and its full k-prefix seeds the MMR rerank (the same
+    // table mmrTopK would have built). cacheScoped checkpoints the
+    // answer-sized result and releases the candidate cache on exit.
+    val ranked = Dedup.eager(PairPlan.cross(kv, q)
       .filter(col("k_id") =!= col("q_id"))
       .select(col("q_id"), col("k_id"), rInt.as("r"))
       .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= sel)
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("k_id"), col("rank")))
+    val topIds = ranked.filter(col("rank") <= sel)
       .select(col("q_id"), col("k_id"))
-    val mmrIds = mmrTopK(q, kv, k, sel).select(col("q_id"), col("k_id"))
+    val mmrIds = mmrRerank(ranked.select(col("q_id"), col("k_id")), q, kv, sel)
+      .select(col("q_id"), col("k_id"))
     val sInt = floor(VecOps.cosine(col("va"), col("vb")) * lit(1e4) +
       lit(0.5)).cast("long")
     def redundancy(ids: DataFrame, as: String): DataFrame =

@@ -690,7 +690,8 @@ object TextQueries {
     * rank pass runs on the doc-count-sized margin table; at 100 TB the
     * threshold would come from the GK sketch (events_quantiles_sketch)
     * instead of the exact rank. */
-  private def logregApply(d: DataFrame, iters: Int): DataFrame = {
+  private def logregApply(d: DataFrame, iters: Int): DataFrame =
+    graft.operators.Dedup.cacheScoped {
     val w = logregTrain(d, iters).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val wlit = array((0 until HashDim.toInt).map(i => lit(w(i.toLong))): _*)
@@ -707,6 +708,9 @@ object TextQueries {
       .where(col("rk") === kLo || col("rk") === kHi)
       .collect().map(r => r.getInt(1) -> r.getLong(0)).toMap
     val msum = mids(kLo) + mids(kHi) // == 2·median·1 (odd) or m_lo+m_hi (even)
+    // cacheScoped checkpoints this result and releases the eager margins
+    // cache (ADVICE r9 #1: the cache used to outlive the call, pinning a
+    // doc-count-sized table per invocation until clearCache/session end)
     margins.select(col("doc_id"), col("margin_micro"),
       (col("margin_micro") * lit(2L) > lit(msum)).as("keep"))
   }
@@ -767,7 +771,7 @@ object TextQueries {
     * trained-weights chain. */
   private val logregDistillOracle =
     s"""${logregOracle.substring(0, logregOracle.lastIndexOf("SELECT"))}
-       |, mg AS MATERIALIZED (SELECT f.doc_id, SUM(wm * val) AS margin_micro
+       |, mg AS MATERIALIZED (SELECT f.doc_id, CAST(SUM(wm * val) AS BIGINT) AS margin_micro
        |     FROM f JOIN w$LrIters USING (dim) GROUP BY f.doc_id),
        |md AS (SELECT SUM(CASE WHEN rk = (n + 1) // 2 THEN margin_micro ELSE 0 END)
        |            + SUM(CASE WHEN rk = n // 2 + 1 THEN margin_micro ELSE 0 END) AS msum
@@ -790,10 +794,17 @@ object TextQueries {
 
   /** Oracle of [[logregApply]]: re-derive the trained weights (the oracle
     * is self-contained — strip [[logregOracle]]'s final SELECT), then one
-    * margin pass over the feature table. */
+    * margin pass over the feature table.
+    *
+    * `margin_micro` is CAST to BIGINT because DuckDB widens SUM(BIGINT)
+    * to HUGEINT and the driver's hash is TYPE-sensitive (VERDICT r9 #1:
+    * all 500 rows were value-identical cross-engine, the residual
+    * hash_match failure was int128-vs-int64 alone). Same cast in the
+    * distill oracle's shared `mg` CTE for hygiene, though there the
+    * margin never reaches an output column. */
   private val logregApplyOracle =
     s"""${logregOracle.substring(0, logregOracle.lastIndexOf("SELECT"))}
-       |, mg AS MATERIALIZED (SELECT f.doc_id, SUM(wm * val) AS margin_micro
+       |, mg AS MATERIALIZED (SELECT f.doc_id, CAST(SUM(wm * val) AS BIGINT) AS margin_micro
        |     FROM f JOIN w$LrIters USING (dim) GROUP BY f.doc_id),
        |md AS (SELECT SUM(CASE WHEN rk = (n + 1) // 2 THEN margin_micro ELSE 0 END)
        |            + SUM(CASE WHEN rk = n // 2 + 1 THEN margin_micro ELSE 0 END) AS msum
