@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs write stdout RAW instead of through sbt's logger: the
+// logger prefixes every line with "[info] ", which is what kept the
+// driver's JSON tail-parse of the Bench summary line failing
+// ("parsed": null in BENCH_r7..r9).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

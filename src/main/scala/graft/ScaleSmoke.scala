@@ -55,6 +55,14 @@ object ScaleSmoke {
       // 2.3x of dedup_clusters' warm process CPU. Values are unchanged; at
       // scale AQE still targets its normal partition sizes.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // same local-bench session tuning as Bench (see Bench.scala for the
+      // profiling rationale): never the bypass-merge shuffle writer (its
+      // per-map-task file create/delete dominates small stages on this
+      // container's overlay FS), and hash-based object-agg partials up to
+      // 256k groups — without these a stage's measured ratio reflects
+      // per-task filesystem fixed costs, not the plan's cost curve
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -267,6 +275,73 @@ object ScaleSmoke {
     spark.catalog.clearCache()
     val evBig = runEv(evRep(rep))
 
+    // graph scaling (VERDICT r8 #5, carried to r10): the part co-purchase
+    // graph at 1× and R× with DISJOINT replicas — BOTH keys remapped per
+    // replica, so |E|, wedges, and triangles grow linearly and the probe
+    // measures the PLAN's cost curve (pure replication would multiply
+    // co-purchase multiplicities — a semantic R² blow-up of the graph
+    // itself, not a plan property; same reasoning as evRep's disjoint
+    // user populations).
+    val liBase = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    def liRep(r: Int): DataFrame =
+      liBase.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .select((col("l_orderkey") * r + col("rep")).as("l_orderkey"),
+          (col("l_partkey") * r + col("rep")).as("l_partkey"),
+          (col("l_suppkey") * r + col("rep")).as("l_suppkey"))
+    var ccRounds = -1 // set by the components stage, read per corpus below
+    val grStages: Seq[(String, DataFrame => Long)] = Seq(
+      // degree-oriented triangle count through the DEFAULT closing-join
+      // gate (broadcast: the fixture's edge set sits far under
+      // BroadcastMaxEdges even at R×)
+      "triangles" -> (li => graft.operators.Triangles.triangleCount(
+        graft.operators.Triangles.coEdges(li, "l_orderkey", "l_partkey"))
+        .head().getLong(1)),
+      // the SAME count through the SHUFFLE_HASH fallback arm, forced via a
+      // zero broadcast ceiling — the arm a 100×-edge graph would take.
+      // The r8 size gate is only a safe degradation if the fallback's own
+      // 10× ratio stays near the broadcast arm's; measured, not assumed.
+      "triangles_shuffle" -> (li => graft.operators.Triangles.triangleCount(
+        graft.operators.Triangles.coEdges(li, "l_orderkey", "l_partkey"),
+        broadcastMaxEdges = 0L).head().getLong(1)),
+      // support>=2 component-size histogram (the graded parts_components
+      // shape), plus the pointer-jumping round count: rounds are the
+      // scale observable wall can't attribute — O(log diameter) means the
+      // replicated corpus must converge in the SAME few rounds
+      "components" -> { li =>
+        val it = li.select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+        val e = it.as("a").join(it.as("b"),
+            col("a.g") === col("b.g") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("doc_a"), col("b.p").as("doc_b"))
+          .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+          .select(col("doc_a"), col("doc_b"))
+        val (labels, rounds) = Dedup.connectedComponentsWithRounds(e)
+        ccRounds = rounds
+        labels.groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
+          .groupBy(col("comp_size")).agg(count(lit(1)).as("n_comps")).count()
+      },
+      // 3 PageRank rounds (the graded link_rank shape): per-iteration cost
+      // is one |V|-rank shuffle + one |E|-message re-aggregation — both
+      // must track the replicated graph linearly
+      "pagerank" -> (li => graft.operators.LinkRank.ranks(li, 3).count()))
+    def runGr(li: DataFrame): Map[String, (Double, Long)] = {
+      li.cache().count()
+      val out = grStages.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        val n = f(li)
+        name -> ((System.nanoTime() - t0) / 1e9, n)
+      }.toMap
+      li.unpersist(blocking = true)
+      out
+    }
+    runGr(liBase.limit(3000)) // warmup
+    spark.catalog.clearCache()
+    val grOne = runGr(liBase)
+    val ccRounds1 = ccRounds
+    spark.catalog.clearCache()
+    val grBig = runGr(liRep(rep))
+    val ccRoundsR = ccRounds
+
     val nDocs = base.count()
     def fmt(name: String, o: (Double, Long), b: (Double, Long)): String = {
       val ((w1, n1), (wr, nr)) = (o, b)
@@ -275,10 +350,11 @@ object ScaleSmoke {
     }
     val qs = (stages.map { case (name, _) => fmt(name, one(name), big(name)) } ++
       annStages.map { case (name, _) => fmt(name, annOne(name), annBig(name)) } ++
-      evStages.map { case (name, _) => fmt(name, evOne(name), evBig(name)) })
+      evStages.map { case (name, _) => fmt(name, evOne(name), evBig(name)) } ++
+      grStages.map { case (name, _) => fmt(name, grOne(name), grBig(name)) })
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scale_smoke","rep":$rep,"docs_1x":$nDocs,"stages":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"scale_smoke","rep":$rep,"docs_1x":$nDocs,"cc_rounds_1x":$ccRounds1,"cc_rounds_${rep}x":$ccRoundsR,"stages":$qs,"sf":"$sfDir"}"""
     println(line)
     System.err.println(line)
     spark.stop()

@@ -282,6 +282,47 @@ object MatrixQueries {
        |SELECT c.q_id AS m_id, c.c, $wt AS weight FROM c JOIN t USING (q_id)""".stripMargin
   }
 
+  /** The five kernels at the graded M=$M shape with the distribution mode
+    * LEFT TO THE CALLER — the bench's relative-speed probe (the reference's
+    * `check` times its blocked GeMMMapReduce path against the regular dense
+    * path at one shape and reports the ratio, core.py:133-147; its README's
+    * only performance claim is that ratio, README.md:115-117). The Spark
+    * dual compares the [[PairPlan.Blocked]] 2-D tile grid against the
+    * [[PairPlan.Broadcast]] stream on identical inputs; [[Bench]] medians
+    * both and emits one `kernel_ratio` row per kernel. */
+  private[graft] val modalKernels:
+      Map[String, (SparkSession, String, PairPlan.Mode) => DataFrame] = Map(
+    "attention" -> ((s, dir, m) =>
+      Attention.attention(qSide(s, dir).drop("label"), kvSide(s, dir),
+        scale = false, mode = m)
+        .select(col("q_id"), posexplode(col("out")))
+        .select(col("q_id"), col("pos").cast("long").as("d"),
+          VecOps.qround(col("col"), 4).as("v"))),
+    "mlp" -> ((s, dir, m) =>
+      Mlp.mlp(
+        qSide(s, dir).select(col("q_id").as("b_id"), col("qvec").as("xvec")),
+        kvSide(s, dir).select(col("k_id"), col("kvec").as("pvec"),
+          col("vvec").as("qvec")), m)
+        .select(col("b_id"), col("d"), VecOps.qround(col("v"), 4).as("v"))),
+    "xentropy" -> ((s, dir, m) =>
+      XEntropy.xentropy(
+        qSide(s, dir).select(col("q_id").as("m_id"), col("qvec").as("mvec"),
+          col("label")),
+        kvSide(s, dir).select(col("k_id"), col("kvec")), m)
+        .select(col("m_id"), VecOps.qround(col("loss"), 4).as("loss"))),
+    "entropy" -> ((s, dir, m) =>
+      Entropy.entropy(
+        qSide(s, dir).select(col("q_id").as("m_id"), col("qvec").as("mvec")),
+        kvSide(s, dir).select(col("k_id"), col("kvec")), m)
+        .select(col("m_id"), VecOps.qround(col("h"), 4).as("h"))),
+    "sampler" -> ((s, dir, m) =>
+      Sampler.sampler(
+        qSide(s, dir).select(col("q_id").as("m_id"), col("qvec").as("mvec")),
+        kvSide(s, dir).select(col("k_id"), col("kvec")),
+        seed = "graft", mode = m)
+        .select(col("m_id"), col("c"),
+          VecOps.qround(col("weight"), 6).as("weight"))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attention" -> attentionQuery(scale = false),
     // autoregressive mask: k_id <= q_id filtered BEFORE the monoid fold
