@@ -614,6 +614,144 @@ object TextQueries {
        |       CAST(sum(((hv >> 6) & 1) * 2 - 1) AS BIGINT) AS val
        |FROM h GROUP BY doc_id, hv % $HashDim""".stripMargin
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169), the importance-weighting counterpart of the
+    * trained classifier below: rank every raw document by how TARGET-like
+    * its hashed bag-of-tokens profile is, log w(x) = Σ_d c_x(d) ·
+    * (ln p_target(d) − ln p_raw(d)) over [[HashDim]] hashed buckets with
+    * Laplace-smoothed multinomials, and keep the top [[DsirK]]. This is
+    * the selection method real pretraining pipelines run when they have a
+    * small trusted target corpus (Wikipedia, textbooks) and a 100 TB raw
+    * crawl: two distribution estimates + one per-doc dot product — no
+    * training loop at all (contrast [[logregTrain]]).
+    *
+    * Features are UNSIGNED hashed counts — [[hashVec]]'s signed
+    * construction is deliberately NOT reused: the importance weight needs
+    * a multinomial over buckets (non-negative masses), not a zero-mean
+    * random projection.
+    *
+    * Cross-engine exactness: both distribution numerators/denominators are
+    * exact integer counts, each per-bucket ln of their IEEE-identical
+    * quotient quantizes to LONG micro-nats (floor(ln·1e6 + 0.5), the
+    * [[bigramLogProb]] protocol), the per-doc score Σ c·wm accumulates
+    * exactly in LONG (|score| ≤ 64 dims · 10³ tokens · 2·10⁷ micro ≈
+    * 1.3·10¹² ≪ 2⁶³), and the top-K cut breaks ties by doc_id. Scale
+    * shape: featurize = one map-side-combined groupBy; the two
+    * distributions are D-row aggregates; the score join broadcasts a
+    * D-row weight table; the top-K is a distributed TakeOrdered — no
+    * driver-side data, no global sort materialization. */
+  private val DsirK = 64L
+
+  /** The per-doc DSIR log-weight table (doc_id, score_micro) — shared by
+    * the deterministic top-K cut and the Gumbel resample; callers wrap in
+    * [[graft.operators.Dedup.cacheScoped]] (the feature table is eager'd
+    * here and read three times). */
+  private def dsirScoreTable(d: DataFrame, target: Column): DataFrame = {
+    val feats = graft.operators.Dedup.eager(
+      d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .select(col("doc_id"),
+          pmod(VecOps.hash60(col("token")), lit(HashDim)).as("dim"))
+        .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("c")))
+    val tgt = d.filter(target).select(col("doc_id"))
+    val cr = feats.groupBy(col("dim")).agg(sum(col("c")).as("cr"))
+    val ct = feats.join(tgt, Seq("doc_id"), "leftsemi")
+      .groupBy(col("dim")).agg(sum(col("c")).as("ct"))
+    val tot = cr.agg(sum(col("cr")).as("nr"))
+      .crossJoin(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
+    def lnMicro(num: Column, den: Column) =
+      floor(log(num.cast("double") / den.cast("double")) * lit(1e6)
+        + lit(0.5)).cast("long")
+    val w = cr.join(ct, Seq("dim"), "left").crossJoin(broadcast(tot))
+      .select(col("dim"),
+        (lnMicro(coalesce(col("ct"), lit(0L)) + lit(1L),
+          col("nt") + lit(HashDim)) -
+          lnMicro(col("cr") + lit(1L), col("nr") + lit(HashDim))).as("wm"))
+    feats.join(broadcast(w), "dim")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("wm")).as("score_micro"))
+  }
+
+  private[graft] def dsirSelect(
+      d: DataFrame,
+      target: Column = col("lang") === "en"): DataFrame =
+    graft.operators.Dedup.cacheScoped {
+      dsirScoreTable(d, target)
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(DsirK.toInt)
+    }
+
+  /** The paper's ACTUAL selection step: Gumbel-top-k importance
+    * RESAMPLING — sampling K docs without replacement with probability
+    * ∝ w(x) is exactly "take the top K of log w(x) + Gumbel(0,1)" (the
+    * Gumbel-max trick, the same identity [[graft.operators.Sampler]]
+    * builds its monoid on). The deterministic top-K above over-selects
+    * near-duplicate high-scorers; resampling trades a little score for
+    * diversity, which is why the paper resamples instead of ranking.
+    * Noise is the md5-keyed deterministic Gumbel stream (one digest per
+    * DOC — doc-count evaluations, not the sampler's M×N, so the cheap
+    * codegen mixer is not needed), making the draw reproducible AND
+    * oracle-checkable: both engines perturb identical doubles
+    * (score_micro/1e6 is an IEEE division of identical integers) with
+    * identical noise and cut the identical set. Output stays all-LONG. */
+  private[graft] def dsirResample(
+      d: DataFrame,
+      target: Column = col("lang") === "en"): DataFrame =
+    graft.operators.Dedup.cacheScoped {
+      val g = VecOps.gumbel(concat(lit("dsir:"), col("doc_id").cast("string")))
+      dsirScoreTable(d, target)
+        .select(col("doc_id"), col("score_micro"),
+          (col("score_micro").cast("double") / lit(1e6) + g).as("pert"))
+        .orderBy(col("pert").desc, col("doc_id"))
+        .limit(DsirK.toInt)
+        .select(col("doc_id"), col("score_micro"))
+    }
+
+  /** Shared oracle prefix of the DSIR pair: the two smoothed
+    * distributions, the micro-nat weight table, and the per-doc score CTE
+    * `s`. The score SUM is CAST to BIGINT (DuckDB widens SUM(BIGINT) to
+    * HUGEINT and the driver's hash is type-sensitive — the round-9
+    * lesson). */
+  private val dsirScoreSql =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |f AS MATERIALIZED (SELECT doc_id,
+       |       CAST(${VecOps.hash60Sql("token")} % $HashDim AS BIGINT) AS dim,
+       |       count(*) AS c
+       |     FROM t GROUP BY 1, 2),
+       |cr AS (SELECT dim, sum(c) AS cr FROM f GROUP BY dim),
+       |ct AS (SELECT dim, sum(c) AS ct FROM f
+       |       WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+       |       GROUP BY dim),
+       |nn AS (SELECT (SELECT sum(cr) FROM cr) AS nr,
+       |              (SELECT coalesce(sum(ct), 0) FROM ct) AS nt),
+       |w AS (SELECT cr.dim,
+       |        CAST(floor(ln((coalesce(ct.ct, 0) + 1)::DOUBLE
+       |                      / (nn.nt + $HashDim)::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+       |      - CAST(floor(ln((cr.cr + 1)::DOUBLE
+       |                      / (nn.nr + $HashDim)::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS wm
+       |      FROM cr LEFT JOIN ct ON ct.dim = cr.dim, nn),
+       |s AS (SELECT f.doc_id, CAST(sum(f.c * w.wm) AS BIGINT) AS score_micro
+       |      FROM f JOIN w USING (dim)
+       |      GROUP BY f.doc_id)""".stripMargin
+
+  /** Oracle of [[dsirSelect]]. */
+  private val dsirOracle =
+    s"""$dsirScoreSql
+       |SELECT doc_id, score_micro FROM s
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT $DsirK""".stripMargin
+
+  /** Oracle of [[dsirResample]]: the same scores perturbed by the shared
+    * md5-keyed Gumbel stream, cut on the perturbed key. */
+  private val dsirResampleOracle =
+    s"""$dsirScoreSql
+       |SELECT doc_id, score_micro FROM (
+       |  SELECT doc_id, score_micro,
+       |         score_micro::DOUBLE / 1e6
+       |           + (${VecOps.gumbelSql("'dsir:' || doc_id::VARCHAR")}) AS pert
+       |  FROM s)
+       |ORDER BY pert DESC, doc_id
+       |LIMIT $DsirK""".stripMargin
+
   /** TRAINED QUALITY CLASSIFIER — batch-gradient-descent logistic
     * regression over the [[hashVec]] features (the fastText-style linear
     * scorer real pipelines train to replace hand-tuned keep rules; label
@@ -1023,6 +1161,12 @@ object TextQueries {
     // distillation agreement audit: confusion counts between the
     // rule-based keep (the teacher) and the trained median-cut keep
     "quality_distill_audit" -> ((s, dir) => logregDistillAudit(docs(s, dir))),
+    // DSIR importance weights: top-K raw docs by hashed-n-gram
+    // target-vs-raw log-likelihood ratio (exact micro-nat integers)
+    "quality_dsir" -> ((s, dir) => dsirSelect(docs(s, dir))),
+    // the paper's actual draw: Gumbel-top-k sampling without replacement
+    // with probability ∝ the importance weight (deterministic noise)
+    "quality_dsir_sample" -> ((s, dir) => dsirResample(docs(s, dir))),
     // rank-frequency power-law fit (corpus-health diagnostic)
     "vocab_zipf" -> ((s, dir) => vocabZipf(docs(s, dir))),
     // CCNet head/middle/tail terciles per lang over the LM score
@@ -1155,6 +1299,8 @@ object TextQueries {
     "quality_logreg" -> logregOracle,
     "quality_logreg_apply" -> logregApplyOracle,
     "quality_distill_audit" -> logregDistillOracle,
+    "quality_dsir" -> dsirOracle,
+    "quality_dsir_sample" -> dsirResampleOracle,
     "vocab_zipf" -> vocabZipfOracle,
     "quality_buckets" -> qualityBucketsOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),

@@ -324,4 +324,42 @@ class QueryInvariantsSpec extends AnyFunSuite {
         s"$name iters=${its.toSeq}")
     }
   }
+
+  test("quality_dsir: target == raw zeroes every weight; disjoint target " +
+       "vocabulary selects exactly the target docs") {
+    import spark.implicits._
+    // (1) with the whole corpus as target, p_target == p_raw per bucket
+    // (same counts, same smoothing), so every per-dim weight and every
+    // doc score is EXACTLY zero and the cut falls back to doc_id order
+    val zero = graft.queries.TextQueries
+      .dsirSelect(graft.sources.Tables.documents(spark, dir),
+        target = lit(true))
+      .collect()
+    assert(zero.nonEmpty)
+    zero.foreach(r => assert(r.getAs[Long]("score_micro") == 0L,
+      s"nonzero score under target==raw: $r"))
+    assert(zero.map(_.getAs[Long]("doc_id")).toSeq ==
+      zero.map(_.getAs[Long]("doc_id")).toSeq.sorted)
+    // (2) direction of selection: two disjoint vocabularies with MORE
+    // target docs than the top-K cut — every selected doc must come from
+    // the target language (its buckets carry the positive log-ratio)
+    val docs = ((0L until 80L).map(i => (i, "alpha beta gamma delta", "en")) ++
+      (80L until 160L).map(i => (i, "zeta eta theta iota", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val sel = graft.queries.TextQueries.dsirSelect(docs).collect()
+    assert(sel.length == 64)
+    val ids = sel.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.forall(_ < 80L),
+      s"non-target docs selected: ${ids.filter(_ >= 80L)}")
+    // (3) the Gumbel resample: deterministic (same fixed noise stream →
+    // identical draw on a rerun), and with a ~15-nat score gap between
+    // the two vocabularies the O(1)-nat noise cannot flip a non-target
+    // doc into the drawn set
+    val rs1 = graft.queries.TextQueries.dsirResample(docs).collect()
+    val rs2 = graft.queries.TextQueries.dsirResample(docs).collect()
+    assert(rs1.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      rs2.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(rs1.length == 64 &&
+      rs1.map(_.getAs[Long]("doc_id")).forall(_ < 80L))
+  }
 }
