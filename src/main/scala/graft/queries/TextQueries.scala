@@ -752,6 +752,125 @@ object TextQueries {
        |ORDER BY pert DESC, doc_id
        |LIMIT $DsirK""".stripMargin
 
+  /** DoReMi — domain-mixture reweighting (Xie et al. 2023,
+    * arXiv:2305.10429), the sampling-weight counterpart of [[dsirSelect]]:
+    * where DSIR scores DOCUMENTS against a target corpus, DoReMi reweights
+    * whole DOMAINS (here: `lang` groups) so that harder domains — higher
+    * excess loss — get more sampling mass in the training mixture. The
+    * paper runs Group-DRO on a proxy model; this implementation keeps the
+    * multiplicative-weights core exactly and swaps the proxy-model loss
+    * for the corpus hashed-unigram LM loss (the [[dsirScoreTable]]
+    * distribution machinery): ℓ_d = mean per-token −ln p(token) of domain
+    * d under the Laplace-smoothed corpus-wide bucket distribution — a
+    * domain whose vocabulary is rarer corpus-wide reads as "harder" and is
+    * upweighted, DoReMi's qualitative behavior with no model in the loop.
+    *
+    * Per round (T = [[DoremiIters]]): λ_d = max(0, ℓ_d − ℓ̄) with ℓ̄ the
+    * current-mixture mean loss; α'_d = α_d·exp(η·λ_d) with η = 0.1; then
+    * normalize and smooth with the uniform distribution (c = 0.01), the
+    * paper's update verbatim.
+    *
+    * Cross-engine exactness (the collect-requantize protocol,
+    * [[logregTrain]]): per-bucket NLL is the shared −lnMicro quantization;
+    * per-domain numerator Σ c·nll and denominator Σ c are exact LONGs
+    * (headroom ~5·10¹¹ tokens/domain before the micro-nat product
+    * approaches 2⁶³ — at that scale drop to milli-nat quantization); every
+    * iteration quantizes ℓ̄, the exp-updated mass, and the smoothed α back
+    * to LONG micro-units, so both engines step through identical integer
+    * states and drift cannot compound. Scale shape: ONE map-side-combined
+    * (lang, bucket) groupBy over the token stream — the only data-sized
+    * work; everything after is a D×[[HashDim]]-row table collapsed to D
+    * rows collected to the driver (bounded-literal protocol) and T rounds
+    * of pure arithmetic. The mixture itself is what a pipeline feeds into
+    * [[graft.queries.CurationQueries]]-style weighted sampling. */
+  private val DoremiIters = 5
+
+  private[graft] def doremiWeights(
+      d: DataFrame, iters: Int = DoremiIters): DataFrame = {
+    require(iters >= 1, s"doremi needs >= 1 round, got $iters")
+    val spark = d.sparkSession
+    val f = graft.operators.Dedup.eager(
+      d.select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+        .select(col("lang"),
+          pmod(VecOps.hash60(col("token")), lit(HashDim)).as("dim"))
+        .groupBy(col("lang"), col("dim")).agg(count(lit(1)).as("c")))
+    val cr = f.groupBy(col("dim")).agg(sum(col("c")).as("cr"))
+    val tot = cr.agg(sum(col("cr")).as("nr"))
+    val nll = cr.crossJoin(broadcast(tot)).select(col("dim"),
+      (-floor(log((col("cr") + lit(1L)).cast("double") /
+          (col("nr") + lit(HashDim)).cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long")).as("nllm"))
+    val perLang = f.join(broadcast(nll), "dim")
+      .groupBy(col("lang"))
+      .agg(sum(col("c") * col("nllm")).as("num"), sum(col("c")).as("den"))
+      .collect()
+    f.unpersist(false)
+    val langs = perLang.map(_.getString(0))
+    val loss = perLang.map(r =>
+      math.floor(r.getLong(1).toDouble / r.getLong(2).toDouble + 0.5).toLong)
+    val nd = langs.length
+    var alpha = Array.fill(nd)(math.floor(1e6 / nd + 0.5).toLong)
+    for (_ <- 1 to iters) {
+      val sal = alpha.indices.map(i => alpha(i) * loss(i)).sum
+      val sa = alpha.sum
+      val lbar = math.floor(sal.toDouble / sa.toDouble + 0.5).toLong
+      val u = alpha.indices.map { i =>
+        val lam = math.max(loss(i) - lbar, 0L)
+        math.floor(alpha(i).toDouble * math.exp(0.1 * lam.toDouble / 1e6)
+          + 0.5).toLong
+      }
+      val su = u.sum.toDouble
+      alpha = alpha.indices.map(i =>
+        math.floor(0.99 * (u(i).toDouble * 1e6 / su) + 10000.0 / nd
+          + 0.5).toLong).toArray
+    }
+    import spark.implicits._
+    langs.indices.map(i => (langs(i), loss(i), alpha(i))).toSeq
+      .toDF("lang", "loss_micro", "alpha_micro")
+  }
+
+  /** Oracle of [[doremiWeights]]: the same per-domain NLL table, then
+    * [[DoremiIters]] multiplicative-weights rounds UNROLLED as CTE blocks
+    * (s_t: quantized mixture-mean loss; u_t: exp-updated mass; v_t: its
+    * total; a_t: normalized + uniform-smoothed α) — every floating step
+    * floor-quantized exactly as the Scala loop. */
+  private val doremiOracle = {
+    def round(t: Int): String =
+      s"""s$t AS (SELECT CAST(floor(sum(a.am * l.loss_micro)::DOUBLE
+         |                         / sum(a.am)::DOUBLE + 0.5) AS BIGINT) AS lbar
+         |      FROM a${t - 1} a JOIN l USING (lang)),
+         |u$t AS (SELECT a.lang,
+         |        CAST(floor(a.am * exp(0.1 * greatest(l.loss_micro - s$t.lbar, 0)::DOUBLE
+         |                              / 1e6) + 0.5) AS BIGINT) AS um
+         |      FROM a${t - 1} a JOIN l USING (lang), s$t),
+         |v$t AS (SELECT sum(um)::DOUBLE AS su FROM u$t),
+         |a$t AS (SELECT u.lang,
+         |        CAST(floor(0.99 * (u.um::DOUBLE * 1e6 / v$t.su)
+         |                   + 10000.0 / dd.d + 0.5) AS BIGINT) AS am
+         |      FROM u$t u, v$t, dd)""".stripMargin
+    s"""WITH t AS (SELECT lang, unnest($toksSql) AS token FROM documents),
+       |f AS MATERIALIZED (SELECT lang,
+       |       CAST(${VecOps.hash60Sql("token")} % $HashDim AS BIGINT) AS dim,
+       |       count(*) AS c
+       |     FROM t GROUP BY 1, 2),
+       |cr AS (SELECT dim, sum(c) AS cr FROM f GROUP BY dim),
+       |nn AS (SELECT sum(cr) AS nr FROM cr),
+       |w AS (SELECT dim,
+       |        -CAST(floor(ln((cr + 1)::DOUBLE / (nn.nr + $HashDim)::DOUBLE)
+       |                    * 1e6 + 0.5) AS BIGINT) AS nllm
+       |      FROM cr, nn),
+       |l AS MATERIALIZED (SELECT f.lang,
+       |       CAST(floor(sum(f.c * w.nllm)::DOUBLE / sum(f.c)::DOUBLE + 0.5)
+       |            AS BIGINT) AS loss_micro
+       |     FROM f JOIN w USING (dim) GROUP BY 1),
+       |dd AS (SELECT count(*)::BIGINT AS d FROM l),
+       |a0 AS (SELECT lang, CAST(floor(1e6 / dd.d + 0.5) AS BIGINT) AS am
+       |       FROM l, dd),
+       |${(1 to DoremiIters).map(round).mkString(",\n")}
+       |SELECT l.lang, l.loss_micro, a$DoremiIters.am AS alpha_micro
+       |FROM l JOIN a$DoremiIters USING (lang)""".stripMargin
+  }
+
   /** TRAINED QUALITY CLASSIFIER — batch-gradient-descent logistic
     * regression over the [[hashVec]] features (the fastText-style linear
     * scorer real pipelines train to replace hand-tuned keep rules; label
@@ -1167,6 +1286,9 @@ object TextQueries {
     // the paper's actual draw: Gumbel-top-k sampling without replacement
     // with probability ∝ the importance weight (deterministic noise)
     "quality_dsir_sample" -> ((s, dir) => dsirResample(docs(s, dir))),
+    // DoReMi domain-mixture weights: multiplicative-weights over per-lang
+    // excess loss under the corpus hashed-unigram LM (exact micro-nats)
+    "quality_doremi" -> ((s, dir) => doremiWeights(docs(s, dir))),
     // rank-frequency power-law fit (corpus-health diagnostic)
     "vocab_zipf" -> ((s, dir) => vocabZipf(docs(s, dir))),
     // CCNet head/middle/tail terciles per lang over the LM score
@@ -1301,6 +1423,7 @@ object TextQueries {
     "quality_distill_audit" -> logregDistillOracle,
     "quality_dsir" -> dsirOracle,
     "quality_dsir_sample" -> dsirResampleOracle,
+    "quality_doremi" -> doremiOracle,
     "vocab_zipf" -> vocabZipfOracle,
     "quality_buckets" -> qualityBucketsOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),

@@ -362,4 +362,42 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(rs1.length == 64 &&
       rs1.map(_.getAs[Long]("doc_id")).forall(_ < 80L))
   }
+
+  test("quality_doremi: uniform domains stay exactly uniform; mixture mass " +
+       "sums to ~1e6; a rare-vocabulary domain is upweighted monotonically") {
+    import spark.implicits._
+    // (1) identical text in every domain -> identical per-domain losses ->
+    // zero excess every round -> alpha stays EXACTLY uniform (exp(0) = 1
+    // and the smoothing step maps uniform to uniform)
+    val unif = (0L until 40L).map(i => (i, "alpha beta gamma delta", s"l${i % 4}"))
+      .toDF("doc_id", "text", "lang")
+    val u = graft.queries.TextQueries.doremiWeights(unif).collect()
+    assert(u.length == 4)
+    assert(u.map(_.getAs[Long]("loss_micro")).distinct.length == 1)
+    assert(u.map(_.getAs[Long]("alpha_micro")).distinct.length == 1)
+    // (2) the output is a quantized distribution: per-domain floor(x+0.5)
+    // rounding bounds |sum - 1e6| by the domain count
+    val fx = graft.queries.TextQueries
+      .doremiWeights(graft.sources.Tables.documents(spark, dir)).collect()
+    val mass = fx.map(_.getAs[Long]("alpha_micro")).sum
+    assert(math.abs(mass - 1000000L) <= fx.length, s"mixture mass $mass")
+    // (3) direction: a 10%-of-corpus domain with corpus-rare vocabulary has
+    // the higher unigram NLL and must END with more mixture mass than the
+    // 90% common-vocabulary domain; monotonicity must hold pairwise on the
+    // fixture too (equal-loss domains may tie, so weak ordering)
+    val mixed = ((0L until 90L)
+        .map(i => (i, "the quick brown fox jumps over the dog", "common")) ++
+      (90L until 100L)
+        .map(i => (i, "zyzzyva qoph xylem vexing quartz", "rare")))
+      .toDF("doc_id", "text", "lang")
+    val m = graft.queries.TextQueries.doremiWeights(mixed).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("loss_micro"), r.getAs[Long]("alpha_micro"))).toMap
+    assert(m("rare")._1 > m("common")._1, s"rare not harder: $m")
+    assert(m("rare")._2 > m("common")._2, s"rare not upweighted: $m")
+    for (a <- fx; b <- fx
+         if a.getAs[Long]("loss_micro") < b.getAs[Long]("loss_micro"))
+      assert(a.getAs[Long]("alpha_micro") <= b.getAs[Long]("alpha_micro"),
+        s"alpha not monotone in loss: $a vs $b")
+  }
 }
