@@ -400,4 +400,22 @@ class QueryInvariantsSpec extends AnyFunSuite {
       assert(a.getAs[Long]("alpha_micro") <= b.getAs[Long]("alpha_micro"),
         s"alpha not monotone in loss: $a vs $b")
   }
+
+  test("quality_logreg_apply_gk: sketch cut satisfies the rank theorem and " +
+       "agrees with the exact-rank variant's anchors") {
+    val gk = SparkEntry.queries("quality_logreg_apply_gk")(spark, dir)
+      .collect().head
+    assert(gk.getAs[Boolean]("oneshot_cut_ok"), s"oneshot theorem: $gk")
+    assert(gk.getAs[Boolean]("merged_cut_ok"), s"merged theorem: $gk")
+    // the margins under the sketch cut are the SAME trained margins the
+    // exact-rank variant emits per doc: n and sum(margin) must agree
+    val exact = SparkEntry.queries("quality_logreg_apply")(spark, dir)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("margin_micro")).as("ms"))
+      .collect().head
+    assert(gk.getAs[Long]("n") == exact.getAs[Long]("n"))
+    assert(gk.getAs[Long]("margin_sum") == exact.getAs[Long]("ms"))
+  }
 }
