@@ -125,6 +125,56 @@ class TopKAgg(k: Int) extends Aggregator[TopKItem, TopKBuf, Seq[TopKItem]] {
   def outputEncoder: Encoder[Seq[TopKItem]] = inner.outputEncoder
 }
 
+/** KMV (k-minimum-values) distinct-count buffer: the k smallest DISTINCT
+  * hash values seen so far, sorted ascending, length ≤ k. */
+case class KmvBuf(hs: Seq[Long])
+
+/** The KMV distinct-count sketch monoid (Bar-Yossef et al. 2002;
+  * Beyer et al. 2007 for the set-operation estimators): state is the k
+  * smallest distinct hash values, combine is an O(k) dedup-sorted-merge-
+  * truncate. Like [[TopKMonoid]] (its mirror image — k smallest, with
+  * dedup) the laws hold BIT-exactly: pure integer comparisons, no float
+  * arithmetic, and dedup makes the fold IDEMPOTENT, so re-processed rows
+  * cannot drift the state. That exactness is what distinguishes KMV from
+  * the repo's other distinct sketch: an HLL register set is deterministic
+  * but opaque, while the KMV state is a plain sorted array both engines
+  * can derive independently — the ESTIMATES (distinct count (k−1)·H/h_k,
+  * and intersection/Jaccard via the k-min union trick) are therefore
+  * hash-gradeable EXACTLY, not just theorem-bounded. At 100 TB: ≤ k longs
+  * per group cross the shuffle, and persisted per-partition sketches
+  * union-merge losslessly (the lakehouse sketch-table pattern), including
+  * across corpora for overlap estimation — which HLL union alone cannot
+  * grade exactly. */
+class KmvMonoid(k: Int) extends Monoid[KmvBuf] {
+  def zero: KmvBuf = KmvBuf(Vector.empty)
+  def combine(a: KmvBuf, b: KmvBuf): KmvBuf = {
+    val out = Vector.newBuilder[Long]
+    var (i, j, n) = (0, 0, 0)
+    var last = Long.MinValue // hashes are non-negative 60-bit; safe sentinel
+    while (n < k && (i < a.hs.length || j < b.hs.length)) {
+      val takeA = j >= b.hs.length || (i < a.hs.length && a.hs(i) <= b.hs(j))
+      val v = if (takeA) { val v = a.hs(i); i += 1; v }
+              else { val v = b.hs(j); j += 1; v }
+      if (v != last) { out += v; last = v; n += 1 }
+    }
+    KmvBuf(out.result())
+  }
+}
+
+/** KMV per group through the [[FoldAggregator]] factory: each hash lifts
+  * to a singleton state; only ≤ k longs per group cross the shuffle. */
+class KmvAgg(k: Int) extends Aggregator[Long, KmvBuf, Seq[Long]] {
+  private val inner = FoldAggregator[Long, KmvBuf, Seq[Long]](
+    new KmvMonoid(k), h => KmvBuf(Vector(h)), _.hs)(
+    Encoders.product[KmvBuf], ExpressionEncoder[Seq[Long]]())
+  def zero: KmvBuf = inner.zero
+  def reduce(b: KmvBuf, h: Long): KmvBuf = inner.reduce(b, h)
+  def merge(a: KmvBuf, b: KmvBuf): KmvBuf = inner.merge(a, b)
+  def finish(b: KmvBuf): Seq[Long] = inner.finish(b)
+  def bufferEncoder: Encoder[KmvBuf] = inner.bufferEncoder
+  def outputEncoder: Encoder[Seq[Long]] = inner.outputEncoder
+}
+
 /** Misra–Gries heavy-hitters buffer: at most m (token, count) entries. */
 case class MgBuf(counts: Map[String, Long])
 
@@ -201,6 +251,11 @@ object GraftAggs {
     * estimates with order-independent error ≤ N/(m+1). */
   def mgSketch(m: Int): UserDefinedFunction =
     udaf(new MgAgg(m), ExpressionEncoder[String]())
+
+  /** kmvSketch(k)(hashCol) -> array<long>: the k smallest distinct hashes,
+    * ascending — a fully DETERMINISTIC distinct/overlap sketch state. */
+  def kmvSketch(k: Int): UserDefinedFunction =
+    udaf(new KmvAgg(k), ExpressionEncoder[Long]())
 
   /** logWeightedVec(scoreCol, valueArrayCol) -> struct(z, v): the
     * attention/entropy monoid (reference attention.py:31-44). */

@@ -165,6 +165,39 @@ class MonoidLawsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- KmvMonoid (pure integer comparisons + dedup — bit-exact AND
+  //      idempotent, the only sketch here whose fold is a semilattice) ----
+
+  test("KMV monoid: associative, commutative, IDEMPOTENT, identity — " +
+       "EXACTLY; any fold shape == bottom-k of the distinct union") {
+    val k = 4
+    val m = new KmvMonoid(k)
+    def buf(hs: Long*): KmvBuf =
+      hs.foldLeft(m.zero)((b, h) => m.combine(b, KmvBuf(Vector(h))))
+    for (_ <- 1 to Iters) {
+      // small hash universe (0..11) to force heavy duplication across bufs
+      def rb() = buf(Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(12).toLong): _*)
+      val (a, b, c) = (rb(), rb(), rb())
+      assert(m.combine(m.combine(a, b), c) == m.combine(a, m.combine(b, c)))
+      assert(m.combine(a, b) == m.combine(b, a))
+      assert(m.combine(a, a) == a, s"not idempotent: $a")
+      assert(m.combine(a, m.zero) == a && m.combine(m.zero, a) == a)
+    }
+    for (_ <- 1 to 50) {
+      val hs = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(1000).toLong)
+      // random binary fold tree, as the MG test (Catalyst's merge orders)
+      def go(ts: Seq[Long]): KmvBuf =
+        if (ts.isEmpty) m.zero
+        else if (ts.size == 1) KmvBuf(Vector(ts.head))
+        else {
+          val cut = 1 + rnd.nextInt(ts.size - 1)
+          m.combine(go(ts.take(cut)), go(ts.drop(cut)))
+        }
+      val want = hs.distinct.sorted.take(k)
+      assert(go(hs).hs == want, s"fold ${go(hs).hs} vs $want")
+    }
+  }
+
   // ---- MgMonoid (contents fold-order-sensitive; the GUARANTEE is not) ----
 
   test("Misra–Gries monoid: never overcounts, undercount ≤ N/(m+1) for every fold shape") {
