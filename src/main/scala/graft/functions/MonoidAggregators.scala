@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{array_sort, array_union, element_at,
+  lit, size, slice, udaf, when}
 
 /** The commutative monoids at the heart of the reference
   * (reference core.py:15-64): `zero` = `init`, `reduce` = `proj_fold`,
@@ -256,6 +257,21 @@ object GraftAggs {
     * ascending — a fully DETERMINISTIC distinct/overlap sketch state. */
   def kmvSketch(k: Int): UserDefinedFunction =
     udaf(new KmvAgg(k), ExpressionEncoder[Long]())
+
+  /** [[KmvMonoid.combine]] as a pure Catalyst expression over two sketch
+    * ARRAYS — bottom-k of the distinct union. Bit-identical to the
+    * aggregator's merge (both are the set semilattice), which is what lets
+    * persisted sketch STATES merge inside any engine pass — a streaming
+    * foreachBatch fold, a sketch-table rollup — with no UDF. */
+  def kmvCombine(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** The KMV distinct estimate from a sketch array: exact size while the
+    * sketch is under-filled, else (k−1)·2⁶⁰/h_k (hash60's range). */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+        element_at(sk, k).cast("double"))
 
   /** logWeightedVec(scoreCol, valueArrayCol) -> struct(z, v): the
     * attention/entropy monoid (reference attention.py:31-44). */

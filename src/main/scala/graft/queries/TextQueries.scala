@@ -166,9 +166,7 @@ object TextQueries {
     val agg = h.groupBy(col("lang")).agg(
       countDistinct(col("h")).as("n_uniq"),
       graft.functions.GraftAggs.kmvSketch(KmvK)(col("h")).as("sk"))
-    val est = when(size(col("sk")) < KmvK, size(col("sk")).cast("double"))
-      .otherwise(lit((KmvK - 1).toDouble) * lit(KmvSpace) /
-        element_at(col("sk"), KmvK).cast("double"))
+    val est = graft.functions.GraftAggs.kmvEstimate(col("sk"), KmvK)
     agg.select(col("lang"), col("n_uniq"),
       size(col("sk")).cast("long").as("k_filled"),
       VecOps.qround(est, 4).as("kmv_est"),
@@ -198,6 +196,21 @@ object TextQueries {
             s"ELSE ${KmvK - 1}.0 * $KmvSpace / sk.hk::DOUBLE END", 4)} AS kmv_est,
        |  TRUE AS kmv_ok
        |FROM nu JOIN sk USING (lang)""".stripMargin
+
+  /** Oracle of `docs_kmv_stream` ([[graft.streaming.StreamingOps.kmvStream]]):
+    * the final streaming state is bit-identical to the one-shot sketch by
+    * the semilattice laws, so the oracle is the batch rank-filter
+    * derivation with the parity boolean asserted TRUE. */
+  private val kmvStreamOracle =
+    s"""WITH $kmvSkSql,
+       |sk AS (SELECT lang, count(*) AS kf, max(h) AS hk
+       |       FROM r WHERE rk <= $KmvK GROUP BY lang)
+       |SELECT lang, CAST(kf AS BIGINT) AS k_filled,
+       |  ${VecOps.qroundSql(
+            s"CASE WHEN kf < $KmvK THEN kf::DOUBLE " +
+            s"ELSE ${KmvK - 1}.0 * $KmvSpace / hk::DOUBLE END", 4)} AS kmv_est,
+       |  TRUE AS stream_matches_batch
+       |FROM sk""".stripMargin
 
   /** CORPUS-OVERLAP ESTIMATION from merged KMV sketches — the set
     * operation HLL union cannot grade exactly: for each lang pair, merge
@@ -1473,6 +1486,11 @@ object TextQueries {
     // cross-corpus overlap from merged KMV sketches: Jaccard estimated
     // from the k-min coincidence fraction, graded against the exact join
     "shingle_kmv_jaccard" -> ((s, dir) => shingleKmvJaccard(docs(s, dir))),
+    // the same sketch maintained as streaming state: semilattice merge
+    // per micro-batch, replay-safe by idempotence, final state graded
+    // bit-equal to the one-shot batch sketch
+    "docs_kmv_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.kmvStream(s, dir)),
     "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     "quality_logprob" -> ((s, dir) => unigramLogProb(docs(s, dir))),
     // bigram conditional-LM score (Laplace-smoothed) — the transition-
@@ -1629,6 +1647,7 @@ object TextQueries {
     "vocab_sketch_merge" -> vocabSketchMergeOracle,
     "shingle_kmv" -> shingleKmvOracle,
     "shingle_kmv_jaccard" -> shingleKmvJaccardOracle,
+    "docs_kmv_stream" -> kmvStreamOracle,
     "text_repetition" -> TextOps.repetitionSql("documents"),
     "quality_logprob" -> unigramLogProbOracle,
     "quality_bigram" -> bigramLogProbOracle,

@@ -468,6 +468,87 @@ object StreamingOps {
     * (The windowed/sessionize edges get the same property from
     * latest-batch-per-key upserts; for additive counts, deterministic
     * per-batch paths are the standard answer.) */
+  /** STREAMING KMV — the distinct/overlap sketch maintained as persisted
+    * state across micro-batches: per batch, the batch-local per-lang
+    * sketches ([[GraftAggs.kmvSketch]]) merge into the state table via
+    * [[GraftAggs.kmvCombine]] — the SAME monoid combine as the batch
+    * aggregator, expressed as a pure Catalyst array expression. Because
+    * the KMV fold is a SEMILATTICE (idempotent + commutative +
+    * associative, MonoidLawsSpec), exactly-once needs NO batch-id guard
+    * and no replay bookkeeping: foreachBatch's at-least-once replay
+    * re-merges a batch the state already absorbed and lands on the
+    * IDENTICAL state — the one stateful stream here whose correctness
+    * under replay is algebraic rather than protocol-enforced
+    * (KmvReplaySpec proves it by re-folding). Final state is therefore
+    * bit-identical to the one-shot batch sketch regardless of how the
+    * corpus was sliced into batches — `stream_matches_batch` grades that
+    * equality per lang, and the estimate hash-grades exactly like
+    * `shingle_kmv`. At 100 TB this is the sketch-table ingest loop: KBs
+    * of state per corpus partition, merged per arrival, never rescanned. */
+  def kmvStream(spark: SparkSession, dir: String): DataFrame = {
+    val staging = graft.sources.Scratch.dir("graft_kmv_src")
+    val ckpt = graft.sources.Scratch.dir("graft_kmv_ckpt")
+    val statePath = graft.sources.Scratch.dir("graft_kmv_state") + "/state"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    docs.repartition(4) // 4 landing files → 4 micro-batches at 1 file/trigger
+      .write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        kmvFoldBatch(batch, statePath)
+      }
+      .start()
+    q.awaitTermination()
+    val oneshot = kmvLangSketch(docs).withColumnRenamed("sk", "bsk")
+    spark.read.parquet(statePath)
+      .join(oneshot, Seq("lang"))
+      .select(col("lang"),
+        size(col("sk")).cast("long").as("k_filled"),
+        VecOps.qround(GraftAggs.kmvEstimate(col("sk"), KmvStreamK), 4)
+          .as("kmv_est"),
+        (col("sk") === col("bsk")).as("stream_matches_batch"))
+  }
+
+  /** Sketch budget — matches the batch `shingle_kmv` grade. */
+  val KmvStreamK = 256
+
+  /** Per-lang KMV sketch of a document batch's word-3-gram shingles. */
+  private def kmvLangSketch(batch: DataFrame): DataFrame =
+    batch.select(col("lang"),
+        explode(graft.operators.Dedup.shingles(
+          graft.operators.TextOps.tokens(col("text")))).as("sh"))
+      .select(col("lang"), VecOps.hash60(col("sh")).as("h"))
+      .groupBy(col("lang"))
+      .agg(GraftAggs.kmvSketch(KmvStreamK)(col("h")).as("sk"))
+
+  /** One micro-batch of the KMV ingest fold: batch-local sketches merge
+    * into the persisted per-lang state by the semilattice combine. No
+    * applied-batch-id guard on purpose — idempotence IS the replay
+    * protection (see [[kmvStream]]); the state write still materializes
+    * via localCheckpoint before overwriting its own source. */
+  private[graft] def kmvFoldBatch(batch: DataFrame, statePath: String): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val bsk = kmvLangSketch(batch).withColumnRenamed("sk", "bsk")
+    val st = if (Files.exists(java.nio.file.Paths.get(statePath)))
+      s.read.parquet(statePath)
+    else s.range(0).select(lit(null).cast("string").as("lang"),
+      lit(null).cast("array<bigint>").as("sk"))
+    val empty = array().cast("array<bigint>")
+    val merged = bsk.join(st, Seq("lang"), "full")
+      .select(col("lang"),
+        GraftAggs.kmvCombine(
+          coalesce(col("bsk"), empty), coalesce(col("sk"), empty),
+          KmvStreamK).as("sk"))
+      .localCheckpoint(eager = true) // materialize before overwriting source
+    merged.write.mode("overwrite").parquet(statePath)
+  }
+
   def dedupIngestStream(spark: SparkSession, dir: String): DataFrame = {
     val staging = graft.sources.Scratch.dir("graft_ingest_src")
     val out = graft.sources.Scratch.dir("graft_ingest_out")
