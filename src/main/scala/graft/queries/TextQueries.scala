@@ -1017,6 +1017,64 @@ object TextQueries {
        |FROM l JOIN a$DoremiIters USING (lang)""".stripMargin
   }
 
+  /** THE DOREMI WEIGHTS APPLIED — closes the loop the [[doremiWeights]]
+    * scaladoc promises: the trained mixture α becomes per-doc repeat
+    * factors via `corpus_remix`'s exact integer-Bernoulli protocol
+    * (CurationQueries.corpusRemix), with the fixed rational targets
+    * replaced by the learned α_micro/10⁶ shares. Per lang the factor is
+    * f = α·N_total / (10⁶·N_lang); each doc gets ⌊f⌋ epochs plus one more
+    * iff `hash60(doc) mod (10⁶·N_lang) < (α·N_total) mod (10⁶·N_lang)` —
+    * no float anywhere, so both engines replicate the identical doc set
+    * and the expected output size stays N_total·Σα/10⁶ ≈ N_total while
+    * the mix shifts toward harder domains. Scale shape: the α table is D
+    * rows (the doremi driver loop), counts are one tiny aggregate, both
+    * broadcast back; replication is a map-side explode at the scan — the
+    * only shuffle is the final (lang, epoch) cell count. LONG headroom:
+    * α·N_total ≈ 10⁶·N — exact to N ≈ 9·10¹² docs, beyond which reduce
+    * the fraction before multiplying. */
+  private def corpusRemixDoremi(d: DataFrame): DataFrame = {
+    val al = doremiWeights(d).select(col("lang"), col("alpha_micro"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val stats = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_lang")).as("n_total"))))
+      .join(broadcast(al), "lang")
+      .select(col("lang"),
+        (lit(1000000L) * col("n_lang")).as("d"),
+        ((col("alpha_micro") * col("n_total")) /
+          (lit(1000000L) * col("n_lang"))).cast("long").as("q"),
+        ((col("alpha_micro") * col("n_total")) %
+          (lit(1000000L) * col("n_lang"))).as("r"))
+    d.join(broadcast(stats), "lang")
+      .withColumn("k", col("q") +
+        when(VecOps.hash60(concat(lit("dremix:"), col("doc_id").cast("string")))
+          % col("d") < col("r"), 1L).otherwise(0L))
+      .where(col("k") > 0)
+      .select(col("lang"), explode(sequence(lit(0L), col("k") - 1)).as("epoch"))
+      .groupBy(col("lang"), col("epoch"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Oracle of [[corpusRemixDoremi]]: the full [[doremiOracle]] nested as
+    * the α CTE (DuckDB scopes its inner WITH), then `corpus_remix`'s
+    * integer-Bernoulli replication chain under tn/td = α_micro/10⁶. */
+  private val corpusRemixDoremiOracle =
+    s"""WITH al AS ($doremiOracle),
+       |rc AS (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY lang),
+       |rf AS (SELECT rc.lang, 1000000 * n_lang AS d,
+       |         (al.alpha_micro * nt.n_total) // (1000000 * n_lang) AS q,
+       |         (al.alpha_micro * nt.n_total) % (1000000 * n_lang) AS r
+       |       FROM rc JOIN al USING (lang)
+       |       CROSS JOIN (SELECT sum(n_lang)::BIGINT AS n_total FROM rc) nt),
+       |rk AS (SELECT d.lang,
+       |         q + CASE WHEN ${VecOps.hash60Sql(
+                   "'dremix:' || CAST(doc_id AS VARCHAR)")} % rf.d < r
+       |             THEN 1 ELSE 0 END AS k
+       |       FROM documents d JOIN rf USING (lang)),
+       |re AS (SELECT lang, unnest(generate_series(0, k - 1))::BIGINT AS epoch
+       |       FROM rk WHERE k > 0)
+       |SELECT lang, epoch, count(*)::BIGINT AS n_docs
+       |FROM re GROUP BY lang, epoch""".stripMargin
+
   /** TRAINED QUALITY CLASSIFIER — batch-gradient-descent logistic
     * regression over the [[hashVec]] features (the fastText-style linear
     * scorer real pipelines train to replace hand-tuned keep rules; label
@@ -1520,6 +1578,9 @@ object TextQueries {
     // the sketch-thresholded apply: GK shard->merge median cut replacing
     // the exact single-partition rank pass, graded by the rank theorem
     "quality_logreg_apply_gk" -> ((s, dir) => logregApplyGk(docs(s, dir), LrIters)),
+    // the DoReMi alphas APPLIED as per-doc repeat factors (exact
+    // integer-Bernoulli epochs, the corpus_remix protocol)
+    "corpus_remix_doremi" -> ((s, dir) => corpusRemixDoremi(docs(s, dir))),
     // rank-frequency power-law fit (corpus-health diagnostic)
     "vocab_zipf" -> ((s, dir) => vocabZipf(docs(s, dir))),
     // CCNet head/middle/tail terciles per lang over the LM score
@@ -1659,6 +1720,7 @@ object TextQueries {
     "quality_dsir_sample" -> dsirResampleOracle,
     "quality_doremi" -> doremiOracle,
     "quality_logreg_apply_gk" -> logregApplyGkOracle,
+    "corpus_remix_doremi" -> corpusRemixDoremiOracle,
     "vocab_zipf" -> vocabZipfOracle,
     "quality_buckets" -> qualityBucketsOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),

@@ -401,6 +401,31 @@ class QueryInvariantsSpec extends AnyFunSuite {
         s"alpha not monotone in loss: $a vs $b")
   }
 
+  test("corpus_remix_doremi: size-preserving, deterministic, and the mix " +
+       "moves toward the trained alphas") {
+    val d01 = "/root/testdata/sf0.01" // sf0.001's 10-doc langs make the
+    // Bernoulli epoch fraction too coarse for a share assertion
+    val alphas = SparkEntry.queries("quality_doremi")(spark, d01).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alpha_micro")).toMap
+    val mix = SparkEntry.queries("corpus_remix_doremi")(spark, d01).collect()
+    val perLang = mix.groupBy(_.getString(0))
+      .map { case (l, rows) => l -> rows.map(_.getAs[Long]("n_docs")).sum }
+    val total = perLang.values.sum.toDouble
+    val n = graft.sources.Tables.documents(spark, d01).count().toDouble
+    // E[output] = N·Σα/1e6 ≈ N; integer-Bernoulli noise is per-doc ±1 epoch
+    assert(math.abs(total - n) <= 0.10 * n, s"size $total vs corpus $n")
+    // the applied share tracks the trained mixture weight per domain
+    for ((l, a) <- alphas) {
+      val share = perLang.getOrElse(l, 0L).toDouble / total
+      assert(math.abs(share - a / 1e6) <= 0.05,
+        s"$l share $share vs alpha ${a / 1e6}")
+    }
+    // exact determinism: the Bernoulli decisions are hash-driven
+    val rerun = SparkEntry.queries("corpus_remix_doremi")(spark, d01).collect()
+    assert(mix.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      rerun.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("quality_logreg_apply_gk: sketch cut satisfies the rank theorem and " +
        "agrees with the exact-rank variant's anchors") {
     val gk = SparkEntry.queries("quality_logreg_apply_gk")(spark, dir)
