@@ -163,13 +163,38 @@ class KmvMonoid(k: Int) extends Monoid[KmvBuf] {
 }
 
 /** KMV per group through the [[FoldAggregator]] factory: each hash lifts
-  * to a singleton state; only ≤ k longs per group cross the shuffle. */
+  * to a singleton state; only ≤ k longs per group cross the shuffle.
+  *
+  * `reduce` short-circuits the monoid's singleton combine: once the
+  * sketch is full, a hash at or above the k-th minimum cannot enter the
+  * state, so the overwhelmingly common case is an O(1) compare instead of
+  * an O(k) merge-allocate (the expected number of real inserts over N
+  * distinct rows is only k·ln(N/k) — for k=256 over a few million
+  * shingles, a few thousand). Bit-identical to `combine(b, lift(h))` by
+  * the semilattice laws; KmvReduceSpec cross-checks the two paths. */
 class KmvAgg(k: Int) extends Aggregator[Long, KmvBuf, Seq[Long]] {
   private val inner = FoldAggregator[Long, KmvBuf, Seq[Long]](
     new KmvMonoid(k), h => KmvBuf(Vector(h)), _.hs)(
     Encoders.product[KmvBuf], ExpressionEncoder[Seq[Long]]())
   def zero: KmvBuf = inner.zero
-  def reduce(b: KmvBuf, h: Long): KmvBuf = inner.reduce(b, h)
+  def reduce(b: KmvBuf, h: Long): KmvBuf = {
+    val hs = b.hs
+    val n = hs.length
+    if (n == k && h >= hs(n - 1)) b // full sketch, above the k-th min
+    else {
+      var lo = 0
+      var hi = n
+      while (lo < hi) { // insert point in the ascending state
+        val m = (lo + hi) >>> 1
+        if (hs(m) < h) lo = m + 1 else hi = m
+      }
+      if (lo < n && hs(lo) == h) b // already present (idempotence)
+      else {
+        val grown = (hs.take(lo) :+ h) ++ hs.drop(lo)
+        KmvBuf(if (grown.length > k) grown.take(k) else grown)
+      }
+    }
+  }
   def merge(a: KmvBuf, b: KmvBuf): KmvBuf = inner.merge(a, b)
   def finish(b: KmvBuf): Seq[Long] = inner.finish(b)
   def bufferEncoder: Encoder[KmvBuf] = inner.bufferEncoder

@@ -159,10 +159,12 @@ object TextQueries {
   private val KmvSpace = 1152921504606846976.0 // 2^60, the hash60 range
 
   private def shingleKmv(d: DataFrame): DataFrame = {
+    // NgramHashes(toks, 3) == hash60(shingle) bit-exactly, one streamed md5
+    // per shingle in a tight loop — no shingle-string materialization (the
+    // interpreted transform/concat_ws HOF was ~60% of this query's CPU)
     val h = d.select(col("lang"),
-        explode(graft.operators.Dedup.shingles(TextOps.tokens(col("text"))))
-          .as("sh"))
-      .select(col("lang"), VecOps.hash60(col("sh")).as("h"))
+        explode(graft.functions.NativeExprs.ngramHashes(
+          TextOps.tokens(col("text")), 3)).as("h"))
     val agg = h.groupBy(col("lang")).agg(
       countDistinct(col("h")).as("n_uniq"),
       graft.functions.GraftAggs.kmvSketch(KmvK)(col("h")).as("sk"))
@@ -228,9 +230,8 @@ object TextQueries {
     graft.operators.Dedup.cacheScoped {
       val h = graft.operators.Dedup.eager(
         d.select(col("lang"),
-            explode(graft.operators.Dedup.shingles(TextOps.tokens(col("text"))))
-              .as("sh"))
-          .select(col("lang"), VecOps.hash60(col("sh")).as("h"))
+            explode(graft.functions.NativeExprs.ngramHashes(
+              TextOps.tokens(col("text")), 3)).as("h"))
           .distinct())
       val sk = h.groupBy(col("lang")).agg(
         graft.functions.GraftAggs.kmvSketch(KmvK)(col("h")).as("sk"),

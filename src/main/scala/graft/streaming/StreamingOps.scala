@@ -517,12 +517,13 @@ object StreamingOps {
   /** Sketch budget — matches the batch `shingle_kmv` grade. */
   val KmvStreamK = 256
 
-  /** Per-lang KMV sketch of a document batch's word-3-gram shingles. */
+  /** Per-lang KMV sketch of a document batch's word-3-gram shingles
+    * ([[graft.functions.NgramHashes]] == hash60(shingle) bit-exactly,
+    * one streamed md5 per shingle, no shingle-string materialization). */
   private def kmvLangSketch(batch: DataFrame): DataFrame =
     batch.select(col("lang"),
-        explode(graft.operators.Dedup.shingles(
-          graft.operators.TextOps.tokens(col("text")))).as("sh"))
-      .select(col("lang"), VecOps.hash60(col("sh")).as("h"))
+        explode(graft.functions.NativeExprs.ngramHashes(
+          graft.operators.TextOps.tokens(col("text")), 3)).as("h"))
       .groupBy(col("lang"))
       .agg(GraftAggs.kmvSketch(KmvStreamK)(col("h")).as("sk"))
 
