@@ -701,6 +701,46 @@ object Similarity {
         (col("s_top") - col("s_mmr")).as("gain"))
   }
 
+  /** CONTRASTIVE TRIPLET MINING — the training-data construction step of
+    * embedding-model pipelines (anchor, positive, hard negatives): per
+    * query, the positive is the retrieval rank-1 (self-supervised — for
+    * the perturbed query set that IS the source vector, the fact
+    * `similar_ann_probe_recall` grades), and the hard negatives are the
+    * top-`negK` vectors whose cosine falls AT OR BELOW `negHiTm`
+    * ten-thousandths — similar enough to be informative, below the
+    * near-dup bar, the band a contrastive miner actually samples from.
+    * Emits the triplet-loss margin `pos − neg` per pair.
+    *
+    * ONE pair scan, ONE window pass (the [[mmrGain]] lesson — no forked
+    * recompute): the positive (full-frame `first` over the cosine-desc
+    * order), and the band rank (a running conditional count — row_number
+    * restricted to band rows without a second sort) are window
+    * expressions over the SAME partitioning+ordering, so Catalyst plans a
+    * single exchange + sort. All comparisons are integer ten-thousandths
+    * with k_id tie-breaks — exact cross-engine. At 100 TB the brute pair
+    * stream swaps for IVF candidates exactly as [[mmrTopKIvf]] does: the
+    * positive from the probed top-1, the band from the probed lists. */
+  def tripletMine(q: DataFrame, kv: DataFrame, negK: Int,
+                  negHiTm: Long): DataFrame = {
+    val cosTm = floor(VecOps.cosine(col("qvec"), col("kvec")) * lit(1e4) +
+      lit(0.5)).cast("long")
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos_tm"), col("k_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    PairPlan.cross(kv, q)
+      .select(col("q_id"), col("k_id"), cosTm.as("cos_tm"))
+      .select(col("q_id"), col("k_id"), col("cos_tm"),
+        first(col("k_id")).over(full).as("pos_id"),
+        first(col("cos_tm")).over(full).as("pos_cos_tm"),
+        sum(when(col("cos_tm") <= negHiTm, 1L).otherwise(0L)).over(run)
+          .as("neg_rank"))
+      .filter(col("cos_tm") <= negHiTm && col("neg_rank") <= negK)
+      .select(col("q_id"), col("neg_rank"), col("pos_id"),
+        col("k_id").as("neg_id"), col("pos_cos_tm"),
+        col("cos_tm").as("neg_cos_tm"),
+        (col("pos_cos_tm") - col("cos_tm")).as("margin_tm"))
+  }
+
   /** The greedy MMR selection over ANY candidate id set: re-derive the
     * integer ten-thousandth relevance and pairwise sims from the vectors,
     * then `sel` integer-argmax rounds (see [[mmrTopK]] for the protocol). */

@@ -430,6 +430,12 @@ object SimilarityQueries {
   /** MMR selection depth (results emitted per query). */
   private val MmrSel = 5
 
+  /** triplet mining: hard negatives per anchor, band ceiling = the near-dup
+    * bar ([[MinCos]]·10⁴ ten-thousandths) — negatives are the hardest
+    * vectors that are NOT near-duplicates of the anchor. */
+  private val TripNegK = 3
+  private val TripNegHiTm: Long = (MinCos * 1e4).toLong
+
   /** Dual of [[Similarity.mmrTopK]]: integer-quantized relevance and
     * pairwise sims, then the greedy argmax unrolled as [[MmrSel]] chained
     * CTEs (fixed-depth loop → static SQL, the kmeans-chain pattern).
@@ -505,6 +511,30 @@ object SimilarityQueries {
        |SELECT rt.q_id, s_top, s_mmr, s_top - s_mmr AS gain
        |FROM rt JOIN rm ON rt.q_id = rm.q_id""".stripMargin
   }
+
+  /** Dual of [[Similarity.tripletMine]]: the same single window pass —
+    * full-frame first_value for the positive, a running conditional count
+    * for the band rank — over the brute pair stream. */
+  private val tripletsOracle =
+    s"""WITH q AS ($perturbedQCte),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
+       |p AS (SELECT q_id, k_id,
+       |        CAST(floor(($cosSql) * 1e4 + 0.5) AS BIGINT) AS cos_tm
+       |      FROM q CROSS JOIN k),
+       |r AS (SELECT q_id, k_id, cos_tm,
+       |        first_value(k_id) OVER wf AS pos_id,
+       |        first_value(cos_tm) OVER wf AS pos_cos_tm,
+       |        sum(CASE WHEN cos_tm <= $TripNegHiTm THEN 1 ELSE 0 END)
+       |          OVER wr AS neg_rank
+       |      FROM p
+       |      WINDOW wf AS (PARTITION BY q_id ORDER BY cos_tm DESC, k_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       |             wr AS (PARTITION BY q_id ORDER BY cos_tm DESC, k_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT q_id, CAST(neg_rank AS BIGINT) AS neg_rank, pos_id,
+       |  k_id AS neg_id, pos_cos_tm, cos_tm AS neg_cos_tm,
+       |  pos_cos_tm - cos_tm AS margin_tm
+       |FROM r WHERE cos_tm <= $TripNegHiTm AND neg_rank <= $TripNegK""".stripMargin
 
   /** Dual of [[Similarity.mmrTopKIvf]]: the full IVF search supplies the
     * candidate ids; relevance is re-derived from the PERTURBED query
@@ -1228,6 +1258,12 @@ object SimilarityQueries {
     // pure-relevance top-sel vs the MMR selection (exact integer sums)
     "similar_mmr_gain" -> ((s, dir) =>
       Similarity.mmrGain(qSide(s, dir), kvSide(s, dir), TopK, MmrSel)),
+    // contrastive triplet mining: anchor = perturbed query, positive =
+    // retrieval rank-1 (the source vector), hard negatives = top-k in the
+    // sub-near-dup cosine band, with the triplet-loss margin
+    "embed_triplets" -> ((s, dir) =>
+      Similarity.tripletMine(perturbedQSide(s, dir), kvSide(s, dir),
+        TripNegK, TripNegHiTm)),
     // the SemDeDup KEPT corpus (the dedup_corpus composition applied to
     // the semantic drop list): per-label survivor counts after anti-
     // joining the non-representative members out
@@ -1308,6 +1344,7 @@ object SimilarityQueries {
     "similar_mmr" -> mmrOracle,
     "similar_mmr_ivf" -> mmrIvfOracle,
     "similar_mmr_gain" -> mmrGainOracle,
+    "embed_triplets" -> tripletsOracle,
     "decontaminate_embed" -> embedDecontamOracle
   )
 }

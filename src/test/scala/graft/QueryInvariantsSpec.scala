@@ -48,6 +48,34 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSet == rerun.map(_.toSeq).toSet)
   }
 
+  test("embed_triplets: positives are the perturbation sources, negatives " +
+       "stay in the band, margins positive, ranks dense") {
+    val rows = run("embed_triplets").collect()
+    assert(rows.nonEmpty)
+    val hiTm = 4000L // MinCos * 1e4, the near-dup bar
+    rows.foreach { r =>
+      // the rank-1 positive IS the source vector of the perturbed anchor
+      // (cos ≈ 0.945 vs max pairwise ≈ 0.51 — the ann_probe geometry)
+      assert(r.getAs[Long]("pos_id") == r.getAs[Long]("q_id") - 1000000L,
+        s"positive is not the perturbation source: $r")
+      // negatives live strictly below the near-dup bar; margins positive
+      assert(r.getAs[Long]("neg_cos_tm") <= hiTm)
+      assert(r.getAs[Long]("pos_cos_tm") > hiTm)
+      assert(r.getAs[Long]("margin_tm") ==
+        r.getAs[Long]("pos_cos_tm") - r.getAs[Long]("neg_cos_tm"))
+      assert(r.getAs[Long]("margin_tm") > 0)
+    }
+    // dense 1..negK negative ranks per anchor, hardest (highest cos) first
+    for ((_, rs) <- rows.groupBy(_.getAs[Long]("q_id"))) {
+      val sorted = rs.sortBy(_.getAs[Long]("neg_rank"))
+      assert(sorted.map(_.getAs[Long]("neg_rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val cs = sorted.map(_.getAs[Long]("neg_cos_tm"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        "negatives not hardest-first")
+    }
+  }
+
   test("heavy_hitters_cms: the CMS estimate only ever OVERcounts") {
     val rows = run("heavy_hitters_cms").collect()
     assert(rows.length == 20)
