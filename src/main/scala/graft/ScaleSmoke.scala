@@ -138,7 +138,12 @@ object ScaleSmoke {
       "recall" -> (d => Dedup.minhashRecall(d).head().getLong(0)),
       // one logistic-GD iteration: two map-side-combined groupBys over
       // the sparse feature table — corpus-linear per round
-      "logreg" -> (d => graft.queries.TextQueries.logregTrain(d, 1).count()))
+      "logreg" -> (d => graft.queries.TextQueries.logregTrain(d, 1).count()),
+      // BM25 ranked search: the tf/df index build is corpus-linear, and
+      // under R× replication every query-term posting list grows R× while
+      // the per-query top-k stays bounded by the top-k monoid — scoring
+      // cost must track postings, not the corpus×query grid
+      "bm25" -> (d => graft.queries.TextQueries.searchBm25(d).count()))
 
     def run(corpus: DataFrame): Map[String, (Double, Long)] = {
       corpus.cache().count() // isolate replication cost from stage timing
@@ -212,7 +217,10 @@ object ScaleSmoke {
           (col("k_id") % 10).as("label")), 0.4).count()),
       // MMR rerank: candidate pull is the linear brute scan; the greedy
       // rounds run on M×k rows — corpus-independent after the pull
-      "mmr" -> (kv => Similarity.mmrTopK(qSide, kv, 10, 5).count()))
+      "mmr" -> (kv => Similarity.mmrTopK(qSide, kv, 10, 5).count()),
+      // triplet mining: one M×N pair stream through one window pass —
+      // linear in N at fixed M, like ann_brute plus the window sort
+      "triplets" -> (kv => Similarity.tripletMine(qSide, kv, 3, 4000L).count()))
     def runAnn(kv: DataFrame): Map[String, (Double, Long)] = {
       kv.cache().count()
       val out = annStages.map { case (name, f) =>

@@ -650,7 +650,7 @@ object TextQueries {
   private val Bm25QTerms = 2
   private val Bm25TopDocs = 5
 
-  private def searchBm25(d: DataFrame): DataFrame = {
+  private[graft] def searchBm25(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"), col("lang"),
       explode(TextOps.tokens(col("text"))).as("token"))
     // per-lang signature queries: top tokens by exact integer lang-share
