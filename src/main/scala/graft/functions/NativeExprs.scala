@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 
 /** Codegen'd fused multiply-accumulate over two `array<double>` columns —
@@ -400,6 +401,81 @@ object NgramHashKernel {
   }
 }
 
+/** JVM-static kernel for the winnowing fingerprint set — one pass over the
+  * normalized text: 60-bit md5 hashes of every char k-gram (the
+  * [[VecOps.hash60]] stream, same digest-byte trick as [[NgramHashKernel]]),
+  * then the DISTINCT minima over every sliding window of `w` consecutive
+  * hashes, ascending. The column formulation (`transform` over window
+  * starts of `array_min(slice(h, ...))`) re-evaluated the k-gram md5 map
+  * PER WINDOW under CollapseProject — w× the digest cost, the exact trap
+  * the minhash kernel escaped (see [[MinhashKernel]]); here the hashes are
+  * computed once and the window scan is pure long compares.
+  *
+  * Matches the SQL dual bit-exactly: `substr(t, i, k)` clamps at the
+  * string end, a text shorter than one k-gram hashes as a single
+  * (possibly short) gram, and a hash array shorter than `w` winnows as
+  * one whole-array window. */
+object WinnowKernel {
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def fps(t: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = t.toString
+    val n = math.max(s.length - (k - 1), 1)
+    val h = new Array[Long](n)
+    val digest = md.get()
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      digest.update(s.substring(i, math.min(i + k, s.length))
+        .getBytes(StandardCharsets.UTF_8))
+      val d = digest.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      h(i) = v >>> 4 // first 15 hex digits == hash60
+      i += 1
+    }
+    val wl = math.min(w, n)
+    val sel = new java.util.TreeSet[java.lang.Long]() // distinct + ascending
+    var st = 0
+    while (st <= n - wl) {
+      var m = Long.MaxValue
+      var j = st
+      while (j < st + wl) { if (h(j) < m) m = h(j); j += 1 }
+      sel.add(m)
+      st += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_winnow(text)`: ascending distinct winnowing fingerprints of a
+  * string column as array<long>. One tight-loop pass — see [[WinnowKernel]]. */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowKernel.fps(v.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowKernel.fps($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_ngram_hashes(tokens)`: 60-bit hashes of the token array's word
   * n-grams as array<long>. One tight-loop pass — see [[NgramHashKernel]]. */
 case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
@@ -549,6 +625,10 @@ object NativeExprs {
   /** word n-gram 60-bit hashes of an array<string> token column. */
   def ngramHashes(toks: Column, n: Int): Column =
     toCol(NgramHashes(toExpr(toks), n))
+
+  /** ascending distinct winnowing fingerprints of a string column. */
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    toCol(WinnowFps(toExpr(text), k, w))
 
   /** hamming distance between two packed array<long> sketches. */
   def hamming(a: Column, b: Column): Column = toCol(HammingDist(toExpr(a), toExpr(b)))

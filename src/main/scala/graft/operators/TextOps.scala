@@ -530,6 +530,48 @@ object TextOps {
        |    i -> ${VecOps.hash60Sql("substr(t, i, 8)")})) AS fp
        |FROM (SELECT doc_id, ${normTextSql("text")} AS t FROM $table)""".stripMargin
 
+  /** Winnowing k-gram length (chars of normalized text) and window width
+    * (consecutive k-gram hashes per selection window): any substring match
+    * of ≥ [[WinnowK]]+[[WinnowW]]−1 = 23 normalized chars between two
+    * documents is GUARANTEED to surface as a shared selected fingerprint
+    * (Schleimer–Wilkerson–Aiken 2003, the MOSS guarantee). */
+  val WinnowK = 8
+  val WinnowW = 16
+
+  /** WINNOWING FINGERPRINT SET — the LOCAL document fingerprint
+    * [[fingerprint]]'s global min-hash cannot give: per document, the
+    * DISTINCT minima of every sliding window of [[WinnowW]] consecutive
+    * k-gram hashes ([[WinnowK]]-char grams of the normalized text, stride
+    * 1). Because only hash VALUES are emitted (positions are not needed
+    * for set-overlap auditing), the rightmost-tie selection rule of the
+    * original algorithm drops out — the value set is tie-rule-invariant —
+    * and the guarantee above still holds: a shared ≥23-char run spans a
+    * full window in both documents, whose minimum is the same hash.
+    * Documents shorter than one window winnow their whole hash array.
+    *
+    * The kernel is the codegen'd [[graft.functions.WinnowFps]] native
+    * expression — the column formulation (`transform` of `array_min` over
+    * `slice`s of the hash array) re-ran the k-gram md5 map once PER WINDOW
+    * under CollapseProject, w× the digest cost (the [[graft.functions
+    * .MinhashKernel]] trap). Map-only: the 100 TB plan is a scan whose
+    * cost is one md5 per character of corpus text. */
+  def winnow(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.NativeExprs.winnowFps(
+        normText(col("text")), WinnowK, WinnowW).as("fps"))
+
+  /** SQL oracle dual of [[winnow]]. */
+  def winnowSql(table: String): String =
+    s"""SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    generate_series(1, len(h) - wl + 1),
+       |    i -> list_min(list_slice(h, i, i + wl - 1))))) AS fps
+       |FROM (SELECT doc_id, least($WinnowW, len(h)) AS wl, h
+       |      FROM (SELECT doc_id, list_transform(
+       |              generate_series(1, greatest(length(t) - ${WinnowK - 1}, 1)),
+       |              i -> ${VecOps.hash60Sql(s"substr(t, i, $WinnowK)")}) AS h
+       |            FROM (SELECT doc_id, ${normTextSql("text")} AS t
+       |                  FROM $table)))""".stripMargin
+
   /** TWO BPE training iterations — [[bpeStep]] finds and counts merge 1;
     * this APPLIES it (the actual token-stream rewrite, relationally) and
     * finds merge 2 from the post-merge adjacencies — proving the trainer

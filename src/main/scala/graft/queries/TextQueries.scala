@@ -617,6 +617,60 @@ object TextQueries {
        |  ${VecOps.qroundSql("tfidf", 4)} AS tfidf
        |FROM r WHERE rank <= $k""".stripMargin
 
+  /** hot-fingerprint drop for [[winnowMatches]]: a fingerprint selected in
+    * more than this many documents is boilerplate (MOSS drops over-common
+    * fingerprints for the same reason the dedup family caps hot band
+    * buckets — a template string must not go quadratic). */
+  private val WinnowCap = 8
+  /** minimum shared fingerprints for a reported pair (one coincidence is
+    * noise; two selected window minima in common is a real shared run). */
+  private val WinnowMinShared = 2
+
+  /** Per-doc winnowing fingerprint set ([[TextOps.winnow]]) with its size —
+    * the persisted artifact a 100 TB reuse-detection pipeline ships: KBs
+    * per doc, map-only to build, equi-joinable for the match step. */
+  private def winnowDocs(d: DataFrame): DataFrame =
+    TextOps.winnow(d).select(col("doc_id"),
+      size(col("fps")).cast("long").as("n_fp"), col("fps"))
+
+  /** THE MOSS MATCH STEP over [[TextOps.winnow]] sets: explode the
+    * per-doc fingerprints, drop fps selected in more than [[WinnowCap]]
+    * docs (boilerplate — the hot-bucket cap of this family), pair the
+    * survivors on fp equality, and report pairs sharing at least
+    * [[WinnowMinShared]] fingerprints. Scale shape: one fp-keyed shuffle;
+    * within a fp group pairs are ≤ C(cap,2) — bounded, never all-pairs
+    * (the cappedBandPairs argument). The fingerprint table is eager'd once
+    * (two plan branches: the hot-fp census and the pairing) and released
+    * by the scope. */
+  private def winnowMatches(d: DataFrame): DataFrame =
+    graft.operators.Dedup.cacheScoped {
+      val e = graft.operators.Dedup.eager(
+        TextOps.winnow(d).select(col("doc_id"), explode(col("fps")).as("fp")))
+      // per-doc fps are distinct, so the census counts DOCUMENTS per fp
+      val keptFp = e.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= WinnowCap).select(col("fp"))
+      val kept = e.join(keptFp, "fp")
+      kept.as("a").join(kept.as("b"), "fp")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= WinnowMinShared)
+    }
+
+  private val winnowDocsOracle =
+    s"""SELECT doc_id, len(fps)::BIGINT AS n_fp, fps
+       |FROM (${TextOps.winnowSql("documents")})""".stripMargin
+
+  private val winnowMatchesOracle =
+    s"""WITH s AS (${TextOps.winnowSql("documents")}),
+       |e AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+       |g AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= $WinnowCap),
+       |k AS (SELECT e.doc_id, e.fp FROM e JOIN g USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*)::BIGINT AS shared
+       |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin
+
   /** BM25 RANKED LEXICAL SEARCH — the retrieval mode the search pillar was
     * missing between exact phrase grep (`grep_phrase`) and embedding ANN
     * (`similar_*`): Okapi BM25 (Robertson–Walker, the default lexical
@@ -1647,6 +1701,12 @@ object TextQueries {
     "search_bm25" -> ((s, dir) => searchBm25(docs(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    // winnowing fingerprint SET (MOSS): distinct window minima of k-gram
+    // hashes — any ≥23-normalized-char shared run yields a shared value
+    "doc_winnow" -> ((s, dir) => winnowDocs(docs(s, dir))),
+    // the MOSS match step: doc pairs by shared selected fingerprints,
+    // boilerplate fps (shared by > cap docs) dropped before pairing
+    "winnow_matches" -> ((s, dir) => winnowMatches(docs(s, dir))),
     "token_count" -> ((s, dir) => TextOps.tokenCount(docs(s, dir))),
     "top_terms" -> ((s, dir) => topTerms(docs(s, dir))),
     "vocab_sketch" -> ((s, dir) => vocabSketch(docs(s, dir))),
@@ -1817,6 +1877,8 @@ object TextQueries {
     "search_bm25" -> searchBm25Oracle,
     "lang_id" -> TextOps.langIdSql("documents"),
     "doc_fingerprint" -> TextOps.fingerprintSql("documents"),
+    "doc_winnow" -> winnowDocsOracle,
+    "winnow_matches" -> winnowMatchesOracle,
     "token_count" -> TextOps.tokenCountSql("documents"),
     "top_terms" -> topTermsOracle(),
     "vocab_sketch" -> vocabSketchOracle,

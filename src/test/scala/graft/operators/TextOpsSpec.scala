@@ -100,4 +100,50 @@ class TextOpsSpec extends AnyFunSuite {
     // the clean doc is untouched
     assert(got(3L).getAs[Long]("len_raw") == got(3L).getAs[Long]("len_scrubbed"))
   }
+
+  test("winnow: the MOSS guarantee — any shared run of >= w+k-1 chars " +
+       "yields a shared fingerprint; short/degenerate docs still winnow") {
+    import org.apache.spark.sql.functions.col
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val wdocs = Seq(
+      (0L, s"alpha beta gamma $shared delta epsilon"),
+      (1L, s"completely different prefix text here $shared and a suffix"),
+      (2L, "nothing in common with anyone at all zzz qqq www"),
+      (3L, "tiny"), // shorter than one k-gram: one whole-string gram
+      (4L, "exactly eight") // shorter than one window: whole-array window
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnow(wdocs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // guarantee: docs 0 and 1 share a 52-char run >= 23 = WinnowK+WinnowW-1
+    assert(fps(0L).toSet.intersect(fps(1L).toSet).nonEmpty,
+      "shared >=23-char run produced no shared fingerprint")
+    // unrelated doc shares nothing with either
+    assert(fps(2L).toSet.intersect(fps(0L).toSet).isEmpty)
+    assert(fps(2L).toSet.intersect(fps(1L).toSet).isEmpty)
+    // degenerate docs produce exactly one fingerprint (one gram / window)
+    assert(fps(3L).length == 1 && fps(4L).nonEmpty)
+    // fingerprint arrays are ascending distinct (the kernel contract),
+    // and the global minimum k-gram hash is always selected (its window
+    // minimum is itself)
+    fps.values.foreach { a =>
+      assert(a == a.distinct.sorted, s"fps not ascending distinct: $a")
+      assert(a.nonEmpty)
+    }
+    // the kernel matches the interpreted column formulation bit-exactly
+    // on the whole fixture slice (the formulation the oracle mirrors)
+    val t = TextOps.normText(col("text"))
+    val k = graft.operators.TextOps.WinnowK
+    val w = graft.operators.TextOps.WinnowW
+    import org.apache.spark.sql.functions._
+    val h = transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => graft.functions.VecOps.hash60(t.substr(i, lit(k))))
+    val colForm = wdocs.select(col("doc_id"), h.as("h"))
+      .select(col("doc_id"), least(lit(w), size(col("h"))).as("wl"), col("h"))
+      .select(col("doc_id"), array_sort(array_distinct(transform(
+        sequence(lit(1), size(col("h")) - col("wl") + 1),
+        i => array_min(slice(col("h"), i, col("wl")))))).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(colForm == fps, "native kernel diverged from the column form")
+  }
 }
