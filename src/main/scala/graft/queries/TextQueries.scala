@@ -704,7 +704,10 @@ object TextQueries {
   private val Bm25QTerms = 2
   private val Bm25TopDocs = 5
 
-  private[graft] def searchBm25(d: DataFrame): DataFrame = {
+  /** The BM25 scored table `(q_lang, doc_id, score_micro)` — shared by
+    * [[searchBm25]] (pure lexical top-k) and [[searchHybridRrf]] (the
+    * lexical arm of the fusion). */
+  private[graft] def bm25Scores(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"), col("lang"),
       explode(TextOps.tokens(col("text"))).as("token"))
     // per-lang signature queries: top tokens by exact integer lang-share
@@ -742,16 +745,22 @@ object TextQueries {
         floor(idfMicro * tfnorm + lit(0.5)).cast("long").as("c_micro"))
     contrib.groupBy(col("q_lang"), col("doc_id"))
       .agg(sum(col("c_micro")).as("score_micro"))
+  }
+
+  private[graft] def searchBm25(d: DataFrame): DataFrame =
+    bm25Scores(d)
       .groupBy(col("q_lang"))
       .agg(graft.functions.GraftAggs.topK(Bm25TopDocs)(
         col("score_micro").cast("double"), col("doc_id")).as("top"))
       .select(col("q_lang"), posexplode(col("top")))
       .select(col("q_lang").as("lang"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("doc_id"), col("col.value").cast("long").as("score_micro"))
-  }
 
-  private val searchBm25Oracle =
-    s"""WITH toks AS (SELECT doc_id, lang, unnest($toksSql) AS token FROM documents),
+  /** The BM25 scored-table CTE chain (dual of [[bm25Scores]]) — ends at
+    * `s(q_lang, doc_id, score_micro)`; shared by the lexical-only and the
+    * hybrid-RRF oracles. */
+  private val bm25ScoreCtes =
+    s"""toks AS (SELECT doc_id, lang, unnest($toksSql) AS token FROM documents),
        |clt AS (SELECT lang, token, count(*)::BIGINT AS c_lt FROM toks GROUP BY 1, 2),
        |ct AS (SELECT token, count(*)::BIGINT AS c_t FROM toks GROUP BY 1),
        |qt AS (SELECT lang, token, row_number() OVER (PARTITION BY lang
@@ -773,13 +782,139 @@ object TextQueries {
        |      FROM tf JOIN q USING (token) JOIN dfd USING (token)
        |        JOIN dl USING (doc_id), st),
        |s AS (SELECT q_lang, doc_id,
-       |        CAST(sum(c_micro) AS BIGINT) AS score_micro FROM c GROUP BY 1, 2),
+       |        CAST(sum(c_micro) AS BIGINT) AS score_micro FROM c GROUP BY 1, 2)""".stripMargin
+
+  private val searchBm25Oracle =
+    s"""WITH $bm25ScoreCtes,
        |r AS (SELECT q_lang AS lang, doc_id, score_micro,
        |        row_number() OVER (PARTITION BY q_lang
        |          ORDER BY score_micro DESC, doc_id) AS rank
        |      FROM s)
        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score_micro
        |FROM r WHERE rank <= $Bm25TopDocs""".stripMargin
+
+  /** HYBRID RETRIEVAL — RECIPROCAL-RANK FUSION of the BM25 lexical ranking
+    * with a dense embedding ranking (the production retrieval pattern:
+    * lexical recall for rare exact terms, dense recall for paraphrase;
+    * Cormack et al., SIGIR'09 for RRF itself). Per-lang "domain probe"
+    * queries as in [[searchBm25]]:
+    *
+    *  - lexical arm: the shared [[bm25Scores]] table, top-[[RrfPoolK]]
+    *    per lang by `(score_micro DESC, doc_id)`;
+    *  - dense arm: each embedding quantized to 4-decimal INTEGER grid
+    *    units (`floor(v·10⁴ + ½)` per dimension — the repo's exact-integer
+    *    protocol; the fixture embeddings are unit-norm so dot = cosine for
+    *    ranking); the per-lang PROTOTYPE is the exact integer per-dimension
+    *    SUM of the lang's member vectors (an unnormalized centroid — a
+    *    positive scalar multiple, so the ranking is the centroid-cosine
+    *    ranking with zero division anywhere); each doc scores
+    *    `Σ_d proto[d]·q[d]`, an exact BIGINT, top-[[RrfPoolK]] per lang;
+    *  - fusion: `rrf_micro = Σ_arms 10⁶ div ([[RrfC]] + rank)` — exact
+    *    integer division on exact integer ranks, absent arm contributes 0 —
+    *    then top-[[RrfTop]] per lang by `(rrf_micro DESC, doc_id)`.
+    *
+    * Everything that crosses an engine boundary is an integer; ties break
+    * on doc_id in both engines ([[graft.functions.TopKMonoid]] / the
+    * oracle's window ORDER BY).
+    *
+    * Scale shape: the lexical arm is the BM25 inverted-index build (two
+    * token-keyed map-side-combined shuffles, postings-only scoring). The
+    * dense arm is ONE corpus-linear scan: the prototype table is
+    * n_lang × D integers (collect-free: built by a per-(lang,dim) shuffle
+    * of D longs per lang, then broadcast), so scoring is a broadcast
+    * crossJoin with n_lang rows — no M×N pair shuffle; the per-lang top-k
+    * rides the bounded monoid, k items per group across the shuffle.
+    * Overflow headroom: |q[d]| ≤ 10⁴, so a prototype dim ≤ N_lang·10⁴ and
+    * a score ≤ N_lang·10⁸·D — Long-safe to ~10⁹ docs per lang at D=64; a
+    * larger corpus drops the quantization to 10³ (same protocol, one
+    * constant). */
+  private val RrfPoolK = 10
+  private val RrfC = 60
+  private val RrfTop = 5
+
+  private[graft] def searchHybridRrf(d: DataFrame, e: DataFrame): DataFrame = {
+    import graft.functions.GraftAggs
+    // bounded per-lang pool: (lang, doc_id, rank) with rank 1..k by
+    // (score DESC, doc_id) — only k items per lang cross the shuffle
+    def pool(scored: DataFrame, score: String, rank: String): DataFrame =
+      scored.groupBy(col("lang"))
+        .agg(GraftAggs.topK(RrfPoolK)(
+          col(score).cast("double"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as(rank))
+    val lexPool = pool(
+      bm25Scores(d).select(col("q_lang").as("lang"),
+        col("doc_id"), col("score_micro")),
+      "score_micro", "rank_lex")
+    // dense arm: 4-decimal integer grid; prototype = exact per-dim SUM
+    // `vec` is the parquet float32 column widened to double by
+    // [[Tables.embeddings]] — the same exact widening as the oracle's
+    // ::DOUBLE[] cast, so the 4-decimal grid is bit-identical
+    val eq = e.select(col("vec_id"), expr(
+      "transform(vec, v -> CAST(floor(v * 10000.0 + 0.5) AS BIGINT))").as("qv"))
+    val lang = d.select(col("doc_id"), col("lang"))
+    val proto = eq.join(lang, eq("vec_id") === lang("doc_id"))
+      .select(col("lang"), posexplode(col("qv")))
+      .groupBy(col("lang"), col("pos"))
+      .agg(sum(col("col")).as("p"))
+      .groupBy(col("lang"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, p))), x -> x.p)")
+        .as("pv"))
+    val dense = eq.crossJoin(broadcast(proto))
+      .select(col("lang"), col("vec_id").as("doc_id"),
+        expr("aggregate(zip_with(pv, qv, (a, b) -> a * b), 0L, " +
+          "(acc, x) -> acc + x)").as("sd"))
+    val densePool = pool(dense, "sd", "rank_dense")
+    lexPool.join(densePool, Seq("lang", "doc_id"), "full_outer")
+      .select(col("lang"), col("doc_id"),
+        (coalesce(expr(s"1000000L div (${RrfC}L + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000L div (${RrfC}L + rank_dense)"), lit(0L)))
+          .as("rrf_micro"))
+      .groupBy(col("lang"))
+      .agg(GraftAggs.topK(RrfTop)(
+        col("rrf_micro").cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.value").cast("long").as("rrf_micro"))
+  }
+
+  private val searchHybridOracle =
+    s"""WITH $bm25ScoreCtes,
+       |lr AS (SELECT q_lang AS lang, doc_id,
+       |         row_number() OVER (PARTITION BY q_lang
+       |           ORDER BY score_micro DESC, doc_id) AS rl
+       |       FROM s),
+       |lp AS (SELECT lang, doc_id, rl FROM lr WHERE rl <= $RrfPoolK),
+       |eq AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |         v -> CAST(floor(v * 10000.0 + 0.5) AS BIGINT)) AS qv
+       |       FROM embeddings),
+       |ed AS (SELECT vec_id, i - 1 AS dd, qv[i] AS q
+       |       FROM eq, unnest(generate_series(1, len(qv))) AS u(i)),
+       |pr AS (SELECT doc.lang, ed.dd, CAST(sum(ed.q) AS BIGINT) AS p
+       |       FROM ed JOIN documents doc ON ed.vec_id = doc.doc_id
+       |       GROUP BY 1, 2),
+       |dsc AS (SELECT pr.lang, ed.vec_id AS doc_id,
+       |          CAST(sum(pr.p * ed.q) AS BIGINT) AS sd
+       |        FROM ed JOIN pr USING (dd) GROUP BY 1, 2),
+       |dr AS (SELECT lang, doc_id,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY sd DESC, doc_id) AS rd
+       |       FROM dsc),
+       |dp AS (SELECT lang, doc_id, rd FROM dr WHERE rd <= $RrfPoolK),
+       |f AS (SELECT coalesce(lp.lang, dp.lang) AS lang,
+       |        coalesce(lp.doc_id, dp.doc_id) AS doc_id,
+       |        CAST(coalesce(1000000 // ($RrfC + lp.rl), 0)
+       |           + coalesce(1000000 // ($RrfC + dp.rd), 0) AS BIGINT)
+       |          AS rrf_micro
+       |      FROM lp FULL JOIN dp ON lp.lang = dp.lang
+       |        AND lp.doc_id = dp.doc_id),
+       |rr AS (SELECT lang, doc_id, rrf_micro,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY rrf_micro DESC, doc_id) AS rank
+       |       FROM f)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, rrf_micro
+       |FROM rr WHERE rank <= $RrfTop""".stripMargin
 
   /** CCNet-style unigram language-model scoring: corpus token frequencies
     * → per-doc mean log probability (the perplexity-proxy quality filter a
@@ -1699,6 +1834,10 @@ object TextQueries {
     // BM25 ranked lexical search: per-lang signature-term queries over the
     // inverted-index statistics, exact-integer scores, top-k monoid
     "search_bm25" -> ((s, dir) => searchBm25(docs(s, dir))),
+    // hybrid retrieval: BM25 lexical ∪ dense prototype-cosine pools fused
+    // by reciprocal-rank fusion (exact integer ranks and rrf scores)
+    "search_hybrid_rrf" -> ((s, dir) =>
+      searchHybridRrf(docs(s, dir), Tables.embeddings(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     // winnowing fingerprint SET (MOSS): distinct window minima of k-gram
@@ -1875,6 +2014,7 @@ object TextQueries {
     "lang_kl" -> langKlOracle,
     "tfidf_top" -> tfidfTopOracle(),
     "search_bm25" -> searchBm25Oracle,
+    "search_hybrid_rrf" -> searchHybridOracle,
     "lang_id" -> TextOps.langIdSql("documents"),
     "doc_fingerprint" -> TextOps.fingerprintSql("documents"),
     "doc_winnow" -> winnowDocsOracle,

@@ -48,6 +48,34 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSet == rerun.map(_.toSeq).toSet)
   }
 
+  test("search_hybrid_rrf: fused ranks dense, every rrf score is a valid " +
+       "1- or 2-arm RRF sum, non-increasing, head beats any single arm") {
+    val rows = run("search_hybrid_rrf").collect()
+    assert(rows.nonEmpty)
+    // every fused score must be 1e6 div (60+r) for a pool rank r in 1..10,
+    // or a sum of one such term per arm — anything else is a fusion bug
+    val singles = (1 to 10).map(r => 1000000L / (60L + r)).toSet
+    val valid = singles ++ (for (a <- singles; b <- singles) yield a + b)
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.size >= 2, "expected several lang queries")
+    for ((lang, rs) <- byLang) {
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq, s"$lang fused ranks not dense")
+      val scores = sorted.map(_.getAs[Long]("rrf_micro"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$lang fused scores not sorted: ${scores.toSeq}")
+      assert(scores.forall(valid.contains),
+        s"$lang rrf value outside the reachable RRF sums: ${scores.toSeq}")
+      // the lexical rank-1 candidate alone contributes 1e6 div 61, so the
+      // fused maximum can never fall below a single arm's best
+      assert(scores.head >= 1000000L / 61L, s"$lang head below best arm")
+    }
+    // exact determinism (the oracle hash-grades it; pinned here too)
+    val rerun = run("search_hybrid_rrf").collect()
+    assert(rows.map(_.toSeq).toSet == rerun.map(_.toSeq).toSet)
+  }
+
   test("embed_triplets: positives are the perturbation sources, negatives " +
        "stay in the band, margins positive, ranks dense") {
     val rows = run("embed_triplets").collect()
