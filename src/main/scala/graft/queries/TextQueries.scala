@@ -832,7 +832,11 @@ object TextQueries {
   private val RrfC = 60
   private val RrfTop = 5
 
-  private[graft] def searchHybridRrf(d: DataFrame, e: DataFrame): DataFrame = {
+  /** The two per-lang candidate pools `(lang, doc_id, rank_lex|rank_dense)`
+    * — shared by [[searchHybridRrf]] (the fusion) and
+    * [[searchHybridOverlap]] (the arm-agreement audit). */
+  private[graft] def hybridPools(d: DataFrame,
+                                 e: DataFrame): (DataFrame, DataFrame) = {
     import graft.functions.GraftAggs
     // bounded per-lang pool: (lang, doc_id, rank) with rank 1..k by
     // (score DESC, doc_id) — only k items per lang cross the shuffle
@@ -865,7 +869,12 @@ object TextQueries {
       .select(col("lang"), col("vec_id").as("doc_id"),
         expr("aggregate(zip_with(pv, qv, (a, b) -> a * b), 0L, " +
           "(acc, x) -> acc + x)").as("sd"))
-    val densePool = pool(dense, "sd", "rank_dense")
+    (lexPool, pool(dense, "sd", "rank_dense"))
+  }
+
+  private[graft] def searchHybridRrf(d: DataFrame, e: DataFrame): DataFrame = {
+    import graft.functions.GraftAggs
+    val (lexPool, densePool) = hybridPools(d, e)
     lexPool.join(densePool, Seq("lang", "doc_id"), "full_outer")
       .select(col("lang"), col("doc_id"),
         (coalesce(expr(s"1000000L div (${RrfC}L + rank_lex)"), lit(0L)) +
@@ -879,8 +888,10 @@ object TextQueries {
         col("col.id").as("doc_id"), col("col.value").cast("long").as("rrf_micro"))
   }
 
-  private val searchHybridOracle =
-    s"""WITH $bm25ScoreCtes,
+  /** The two pool CTE chains (dual of [[hybridPools]]) — end at
+    * `lp(lang, doc_id, rl)` / `dp(lang, doc_id, rd)`. */
+  private val hybridPoolCtes =
+    s"""$bm25ScoreCtes,
        |lr AS (SELECT q_lang AS lang, doc_id,
        |         row_number() OVER (PARTITION BY q_lang
        |           ORDER BY score_micro DESC, doc_id) AS rl
@@ -901,7 +912,11 @@ object TextQueries {
        |         row_number() OVER (PARTITION BY lang
        |           ORDER BY sd DESC, doc_id) AS rd
        |       FROM dsc),
-       |dp AS (SELECT lang, doc_id, rd FROM dr WHERE rd <= $RrfPoolK),
+       |dp AS (SELECT lang, doc_id, rd FROM dr WHERE rd <= $RrfPoolK)"""
+      .stripMargin
+
+  private val searchHybridOracle =
+    s"""WITH $hybridPoolCtes,
        |f AS (SELECT coalesce(lp.lang, dp.lang) AS lang,
        |        coalesce(lp.doc_id, dp.doc_id) AS doc_id,
        |        CAST(coalesce(1000000 // ($RrfC + lp.rl), 0)
@@ -915,6 +930,48 @@ object TextQueries {
        |       FROM f)
        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, rrf_micro
        |FROM rr WHERE rank <= $RrfTop""".stripMargin
+
+  /** THE ARM-AGREEMENT AUDIT of the hybrid fusion — measured, not claimed:
+    * per lang, the sizes of the two candidate pools, their intersection,
+    * and the exact-integer pool Jaccard `10⁶·|∩| div |∪|`. Low agreement
+    * is the REASON fusion helps (the arms contribute different evidence);
+    * an agreement of 10⁶ would mean the dense arm adds nothing over BM25.
+    * Pools are lang-keyed k-row tables, so everything after [[hybridPools]]
+    * is a toy-sized join — the audit costs one extra broadcast join over
+    * the fusion's own inputs. */
+  private[graft] def searchHybridOverlap(d: DataFrame, e: DataFrame): DataFrame = {
+    val (lexPool, densePool) = hybridPools(d, e)
+    val lex = lexPool.groupBy(col("lang")).agg(count(lit(1)).as("n_lex"))
+    val den = densePool.groupBy(col("lang")).agg(count(lit(1)).as("n_dense"))
+    val both = lexPool.join(densePool, Seq("lang", "doc_id"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_both"))
+    lex.join(den, Seq("lang"), "full_outer")
+      .join(both, Seq("lang"), "left_outer")
+      .select(col("lang"),
+        coalesce(col("n_lex"), lit(0L)).as("n_lex"),
+        coalesce(col("n_dense"), lit(0L)).as("n_dense"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"))
+      .withColumn("jaccard_micro",
+        expr("1000000L * n_both div (n_lex + n_dense - n_both)"))
+  }
+
+  private val searchHybridOverlapOracle =
+    s"""WITH $hybridPoolCtes,
+       |lx AS (SELECT lang, count(*)::BIGINT AS n_lex FROM lp GROUP BY 1),
+       |dn AS (SELECT lang, count(*)::BIGINT AS n_dense FROM dp GROUP BY 1),
+       |bt AS (SELECT lp.lang, count(*)::BIGINT AS n_both
+       |       FROM lp JOIN dp ON lp.lang = dp.lang AND lp.doc_id = dp.doc_id
+       |       GROUP BY 1),
+       |j AS (SELECT coalesce(lx.lang, dn.lang) AS lang,
+       |        CAST(coalesce(lx.n_lex, 0) AS BIGINT) AS n_lex,
+       |        CAST(coalesce(dn.n_dense, 0) AS BIGINT) AS n_dense
+       |      FROM lx FULL JOIN dn ON lx.lang = dn.lang)
+       |SELECT j.lang, j.n_lex, j.n_dense,
+       |  CAST(coalesce(bt.n_both, 0) AS BIGINT) AS n_both,
+       |  CAST((1000000 * coalesce(bt.n_both, 0))
+       |    // (j.n_lex + j.n_dense - coalesce(bt.n_both, 0)) AS BIGINT)
+       |    AS jaccard_micro
+       |FROM j LEFT JOIN bt ON j.lang = bt.lang""".stripMargin
 
   /** CCNet-style unigram language-model scoring: corpus token frequencies
     * → per-doc mean log probability (the perplexity-proxy quality filter a
@@ -1838,6 +1895,10 @@ object TextQueries {
     // by reciprocal-rank fusion (exact integer ranks and rrf scores)
     "search_hybrid_rrf" -> ((s, dir) =>
       searchHybridRrf(docs(s, dir), Tables.embeddings(s, dir))),
+    // the fusion's arm-agreement audit: pool sizes, intersection, exact
+    // integer pool Jaccard per lang
+    "search_hybrid_overlap" -> ((s, dir) =>
+      searchHybridOverlap(docs(s, dir), Tables.embeddings(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     // winnowing fingerprint SET (MOSS): distinct window minima of k-gram
@@ -2015,6 +2076,7 @@ object TextQueries {
     "tfidf_top" -> tfidfTopOracle(),
     "search_bm25" -> searchBm25Oracle,
     "search_hybrid_rrf" -> searchHybridOracle,
+    "search_hybrid_overlap" -> searchHybridOverlapOracle,
     "lang_id" -> TextOps.langIdSql("documents"),
     "doc_fingerprint" -> TextOps.fingerprintSql("documents"),
     "doc_winnow" -> winnowDocsOracle,
