@@ -37,7 +37,16 @@ import org.apache.spark.sql.functions.{col, sum, xxhash64}
   *    read 0.198), so each row now carries the machine state it was
   *    actually measured under. busy_frac counts ALL cores' busy jiffies —
   *    this process included — so ~cpu_sec/(32·wall) of it is self-load;
-  *    the contention signal is busy_frac ≫ that.
+  *    the contention signal is busy_frac ≫ that. Sentinel runs (jiffies
+  *    did not advance) are DROPPED before the median — a single -1 among
+  *    three real fractions must not drag the median negative;
+  *  - I/O pressure is sampled per query too (`io_busy`: /proc/pressure/io
+  *    "some total=" deltas bracket each run, ÷ wall → fraction of the run
+  *    some task was stalled on I/O). The CPU-only busy_frac was blind to
+  *    the exact contention mode that inflated the r10 driver artifact 27%
+  *    on write-heavy queries (VERDICT r10 "What's wrong" #2: bucketed_join
+  *    2.45→8.40 s at busy_frac 0.049) — a disk-contended row now
+  *    adjudicates itself from the artifact alone.
   *
   * After the per-query loop, a full run also measures the reference's
   * RELATIVE-SPEED report (core.py:133-147 `check`: the blocked-vs-regular
@@ -72,6 +81,15 @@ object Bench {
       val total = f.sum
       (total - f(3) - (if (f.length > 4) f(4) else 0L), total)
     } catch { case _: Throwable => (0L, 0L) }
+
+  /** Cumulative microseconds some task was stalled on I/O, from PSI
+    * (/proc/pressure/io line 1, `some ... total=N`); -1 if unavailable. */
+  private def ioStallUs(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/pressure/io")
+      val line = try src.getLines().next() finally src.close()
+      line.split("total=")(1).trim.toLong
+    } catch { case _: Throwable => -1L }
 
   private def loadAvg(): String =
     try {
@@ -109,6 +127,10 @@ object Bench {
       // fixed per-task cost. Our object-agg states are bounded (vectors /
       // capped sketches), so 256k states stay well inside executor memory.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // shuffle/spill scratch on the RAM tmpfs when one exists — same
+      // rationale as graft.sources.Scratch: ephemeral files on this
+      // container's overlay FS cost ~2-4 ms each to create/delete
+      .config("spark.local.dir", graft.sources.Scratch.sparkLocalDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -126,31 +148,39 @@ object Bench {
       if (args.nonEmpty) SparkEntry.benchQueries.filter(args.toSet)
       else SparkEntry.benchQueries
 
-    val results =
-      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    val results = scala.collection.mutable
+      .LinkedHashMap[String, (Double, Double, Double, Double)]()
     val ratios =
       scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val stat0 = procStat()
 
     /** 1 warmup + [[Runs]] timed runs of `f`; per-run (wall, cpu,
-      * machine-busy fraction over exactly that run's window), median each. */
-    def sample(f: () => Unit): (Double, Double, Double) = {
+      * machine-busy fraction, io-stall fraction over exactly that run's
+      * window), median each — unavailable-sample sentinels (-1) dropped
+      * BEFORE the busy/io medians (a lone sentinel among real fractions
+      * must not drag the median to a meaningless negative). */
+    def sample(f: () => Unit): (Double, Double, Double, Double) = {
       f() // warmup (codegen + JIT + file listing)
       spark.catalog.clearCache()
       val runs = (1 to Runs).map { _ =>
         val s0 = procStat()
+        val io0 = ioStallUs()
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         f()
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
         val s1 = procStat()
+        val io1 = ioStallUs()
         val busy = if (s1._2 > s0._2)
           (s1._1 - s0._1).toDouble / (s1._2 - s0._2) else -1.0
+        val io = if (io0 >= 0 && io1 >= io0 && wall > 0)
+          (io1 - io0) / (wall * 1e6) else -1.0
         spark.catalog.clearCache() // next run repopulates its own caches
-        (wall, cpu, busy)
+        (wall, cpu, busy, io)
       }
-      (median(runs.map(_._1)), median(runs.map(_._2)), median(runs.map(_._3)))
+      (median(runs.map(_._1)), median(runs.map(_._2)),
+        medianValid(runs.map(_._3)), medianValid(runs.map(_._4)))
     }
 
     try {
@@ -161,7 +191,7 @@ object Bench {
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              (-1.0, -1.0, -1.0)
+              (-1.0, -1.0, -1.0, -1.0)
           }
       }
       // the reference's relative-speed report (full runs only): blocked
@@ -181,11 +211,13 @@ object Bench {
           }
       }
     } finally {
-      val qs = results.map { case (k, (w, _, _)) => s"\"$k\":${r3(w)}" }
+      val qs = results.map { case (k, (w, _, _, _)) => s"\"$k\":${r3(w)}" }
         .mkString("{", ",", "}")
-      val cs = results.map { case (k, (_, c, _)) => s"\"$k\":${r3(c)}" }
+      val cs = results.map { case (k, (_, c, _, _)) => s"\"$k\":${r3(c)}" }
         .mkString("{", ",", "}")
-      val bs = results.map { case (k, (_, _, b)) => s"\"$k\":${r3(b)}" }
+      val bs = results.map { case (k, (_, _, b, _)) => s"\"$k\":${r3(b)}" }
+        .mkString("{", ",", "}")
+      val is = results.map { case (k, (_, _, _, i)) => s"\"$k\":${r3(i)}" }
         .mkString("{", ",", "}")
       val kr = ratios.map { case (k, (bl, br)) =>
         s""""$k":{"blocked":${r3(bl)},"broadcast":${r3(br)},"ratio":${
@@ -199,7 +231,7 @@ object Bench {
           r3((stat1._1 - stat0._1).toDouble / (stat1._2 - stat0._2))
         else -1.0
       val line =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"busy_frac":$bs,"kernel_ratio":$kr,"runs":$Runs,"stat":"median","loadavg":"${loadAvg()}","machine_busy":$busy,"cores":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"busy_frac":$bs,"io_busy":$is,"kernel_ratio":$kr,"runs":$Runs,"stat":"median","loadavg":"${loadAvg()}","machine_busy":$busy,"cores":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
       println(line)
       Console.out.flush()
       System.err.println(line) // second channel in case stdout tail is clipped
@@ -220,7 +252,7 @@ object Bench {
       // line): headline numbers + the slowest queries only; the complete
       // per-query dicts live in bench_latest.json and the full line above.
       val slow = results.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(20)
-        .map { case (k, (w, _, _)) => s"\"$k\":${r3(w)}" }
+        .map { case (k, (w, _, _, _)) => s"\"$k\":${r3(w)}" }
         .mkString("{", ",", "}")
       val krShort = ratios.map { case (k, (bl, br)) =>
         s""""$k":${r3(bl / math.max(br, 1e-9))}""" }.mkString("{", ",", "}")
@@ -235,5 +267,12 @@ object Bench {
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s(s.size / 2)
+  }
+
+  /** Median over the non-sentinel (≥ 0) samples; -1 only when NO run
+    * produced a valid delta. */
+  private def medianValid(xs: Seq[Double]): Double = {
+    val v = xs.filter(_ >= 0)
+    if (v.nonEmpty) median(v) else -1.0
   }
 }

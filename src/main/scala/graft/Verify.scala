@@ -23,6 +23,10 @@ object Verify {
       // object aggregation up to 256k groups instead of the 128-key default
       .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // shuffle/spill scratch on the RAM tmpfs when one exists — same
+      // rationale as graft.sources.Scratch: ephemeral files on this
+      // container's overlay FS cost ~2-4 ms each to create/delete
+      .config("spark.local.dir", graft.sources.Scratch.sparkLocalDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

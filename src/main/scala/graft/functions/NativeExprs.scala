@@ -414,22 +414,46 @@ object NgramHashKernel {
   * Matches the SQL dual bit-exactly: `substr(t, i, k)` clamps at the
   * string end, a text shorter than one k-gram hashes as a single
   * (possibly short) gram, and a hash array shorter than `w` winnows as
-  * one whole-array window. */
+  * one whole-array window. Gram positions count Unicode CODE POINTS —
+  * the unit Spark's `substr` and DuckDB's `substr` both count — not
+  * UTF-16 units (a Java-String `substring` walk shifts gram boundaries
+  * on any non-BMP character and splits surrogate pairs, whose UTF-8
+  * encoding degenerates to replacement bytes); the grams are sliced
+  * straight out of the UTF-8 byte array via a precomputed per-code-point
+  * offset table, so the scan stays O(bytes) with zero per-gram String
+  * allocation. */
 object WinnowKernel {
   private val md = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** UTF-8 sequence length from its lead byte (valid input assumed —
+    * Spark strings are well-formed UTF-8). */
+  private def seqLen(b: Byte): Int = {
+    val u = b & 0xff
+    if (u < 0x80) 1 else if (u < 0xe0) 2 else if (u < 0xf0) 3 else 4
+  }
+
   def fps(t: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = t.toString
-    val n = math.max(s.length - (k - 1), 1)
+    val bytes = t.getBytes
+    // off(c) = byte offset of code point c; off(nc) = bytes.length —
+    // gram i covers bytes [off(i), off(min(i+k, nc)))
+    var nc = 0
+    var p = 0
+    while (p < bytes.length) { p += seqLen(bytes(p)); nc += 1 }
+    val off = new Array[Int](nc + 1)
+    p = 0
+    var c = 0
+    while (p < bytes.length) { off(c) = p; p += seqLen(bytes(p)); c += 1 }
+    off(nc) = bytes.length
+    val n = math.max(nc - (k - 1), 1)
     val h = new Array[Long](n)
     val digest = md.get()
     var i = 0
     while (i < n) {
       digest.reset()
-      digest.update(s.substring(i, math.min(i + k, s.length))
-        .getBytes(StandardCharsets.UTF_8))
+      val from = off(i)
+      digest.update(bytes, from, off(math.min(i + k, nc)) - from)
       val d = digest.digest()
       var v = 0L
       var b = 0

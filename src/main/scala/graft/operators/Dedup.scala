@@ -52,49 +52,6 @@ object Dedup {
     * which the blocked tile grid also uses.) */
   private def fanOut(df: DataFrame): DataFrame = PairPlan.fanOut(df)
 
-  /** Cache AND materialize before fan-in: a lazy `.cache()` does not stop
-    * Spark's CONCURRENT broadcast-exchange branches from each recomputing
-    * the plan — they all launch before any partition is published to the
-    * block store, so a signature table referenced by three broadcast
-    * subqueries pays the md5 kernel three times (measured: ~19 of
-    * dedup_clusters' 25 executor-CPU-s were racing broadcast stages).
-    * One eager count() serializes the first compute; every later branch
-    * reads InMemoryTableScan. The extra job is a cached-read, O(rows of a
-    * 16-long signature table) — noise at any scale next to a re-shingle. */
-  private[graft] def eager(df: DataFrame): DataFrame = {
-    val c = df.cache()
-    c.count()
-    Option(cacheScope.get()).foreach(_ += c)
-    c
-  }
-
-  /** Open [[eager]] caches created during `body` (on this thread,
-    * including those inside nested pipeline builders) and unpersist them
-    * all when it returns — for composite audits like [[minhashRecall]]
-    * that run two full pipelines whose INTERNAL caches (signature/shingle
-    * tables) would otherwise outlive the query and double its cache
-    * footprint (ADVICE r8 #3). The result is materialized INSIDE the
-    * scope (`localCheckpoint(eager = true)`, the [[Caching.scoped]]
-    * mechanism) so a lazy body cannot silently recompute — or, for
-    * nondeterministic intermediates, diverge — after its caches are gone
-    * (VERDICT r9 #8: the old `[T]` signature only documented that
-    * contract; this one enforces it by type). Checkpoint blocks are
-    * reclaimed by the ContextCleaner once the result is unreferenced.
-    * Scopes nest. */
-  private[graft] def cacheScoped(body: => DataFrame): DataFrame = {
-    val outer = cacheScope.get()
-    val mine = scala.collection.mutable.Buffer.empty[DataFrame]
-    cacheScope.set(mine)
-    try body.localCheckpoint(eager = true)
-    finally {
-      cacheScope.set(outer)
-      mine.foreach(_.unpersist(false))
-    }
-  }
-
-  private val cacheScope =
-    new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
-
   /** (doc_id, sig array<long> length K): per-doc minhash signature —
     * sig[j] = min over shingles of hash_j(shingle), where the K hash
     * functions come from ONE md5 per shingle via double hashing
@@ -176,7 +133,7 @@ object Dedup {
     * is the standard "materialize the LSH index once" step (16 longs per
     * doc — tiny relative to the corpus). */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val sig = eager(minhashSig(docs))
+    val sig = Caching.eager(minhashSig(docs))
     val bnd = minhashBands(sig)
     val cand = bnd.as("a").join(bnd.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -208,7 +165,7 @@ object Dedup {
     // star — uncached, the windowed-count shuffle+sort re-runs three times
     // per query. This is the (small) sized band index: 5 narrow columns ×
     // docs·bands rows.
-    val sized = eager(bnd.select(col("doc_id"), col("band"), col("key"))
+    val sized = Caching.eager(bnd.select(col("doc_id"), col("band"), col("key"))
       .withColumn("bucket_n", count(lit(1)).over(w))
       .withColumn("bucket_min", min(col("doc_id")).over(w)))
     val cold = sized.filter(col("bucket_n") <= cap)
@@ -226,7 +183,7 @@ object Dedup {
     * duplicate-heavy corpora. Same (doc_a, doc_b, est_jaccard) output;
     * within hot buckets only the spanning-star pairs are emitted. */
   def minhashPairsCapped(docs: DataFrame, cap: Int = BucketCap): DataFrame = {
-    val sig = eager(minhashSig(docs))
+    val sig = Caching.eager(minhashSig(docs))
     val cand = cappedBandPairs(minhashBands(sig), cap)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
@@ -270,7 +227,7 @@ object Dedup {
     // from the cached copy — a lazy cache on the union would recompute the
     // whole upstream pairs pipeline per branch (two scans race before
     // either publishes cache blocks)
-    val e = eager(edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val e = Caching.eager(edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     // Seeded start (VERDICT r5 #6): label(v) = min(v, min neighbor) — the
     // loop's first propagation iteration, but as ONE groupBy over the edge
@@ -474,7 +431,7 @@ object Dedup {
     val oldLabels = spark.read.parquet(s"$path/labels")
 
     // ---- batch arrival: only edges TOUCHING the batch are computed ----
-    val sigNew = eager(minhashSig(batch))
+    val sigNew = Caching.eager(minhashSig(batch))
     val bndNew = minhashBands(sigNew)
     val sigAll = sigEx.union(sigNew)
     val bndAll = bndEx.union(bndNew)
@@ -496,7 +453,7 @@ object Dedup {
     // materialize the (batch-sized) edge list once: it feeds the touched
     // set, the star construction, and the affected-subgraph CC — lazily it
     // would re-run the band join + signature verification three times
-    val newEdges = eager(newEdges0.select(col("doc_a"), col("doc_b")))
+    val newEdges = Caching.eager(newEdges0.select(col("doc_a"), col("doc_b")))
     val touched = newEdges.select(col("doc_a").as("doc_id"))
       .union(newEdges.select(col("doc_b").as("doc_id"))).distinct()
     // star edge touched-member → its old label (self-stars drop)
@@ -647,8 +604,8 @@ object Dedup {
                     edgesAmong: DataFrame => DataFrame): DataFrame = {
     // both driver-side control tables are batch-bounded: removed ids and
     // the affected cluster labels (≤ one per removed doc)
-    val removedIds = eager(removedIds0.select(col("doc_id")).distinct())
-    val affected = eager(oldLabels.join(removedIds, "doc_id")
+    val removedIds = Caching.eager(removedIds0.select(col("doc_id")).distinct())
+    val affected = Caching.eager(oldLabels.join(removedIds, "doc_id")
       .select(col("label")).distinct())
     val survivors = oldLabels.join(broadcast(affected), Seq("label"))
       .join(removedIds, Seq("doc_id"), "left_anti")
@@ -714,7 +671,7 @@ object Dedup {
     * signature are one shuffle on (doc, tok); pairing is band-bucketed,
     * never all-pairs; the verify join costs candidate-pairs × tokens. */
   def weightedTfPairs(docs: DataFrame): DataFrame = {
-    val tf = eager(
+    val tf = Caching.eager(
       fanOut(docs)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
@@ -727,7 +684,7 @@ object Dedup {
       (hp.getItem(1) % lit(VecOps.DhM2)).as("h2"))
     val mins = (0 until K).map(j =>
       min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j"))
-    val sig = eager(hashed.groupBy(col("doc_id"))
+    val sig = Caching.eager(hashed.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until K).map(j => col(s"m$j")): _*).as("sig")))
     val cand = cappedBandPairs(minhashBands(sig), BucketCap)
@@ -825,7 +782,7 @@ object Dedup {
     * dominates), then every batch equi-joins it — batch ingest never
     * re-signs the corpus. */
   def minhashRepIndex(existing: DataFrame): DataFrame = {
-    val sigOld = eager(minhashSig(existing))
+    val sigOld = Caching.eager(minhashSig(existing))
     minhashBands(sigOld)
       .groupBy(col("band"), col("key")).agg(min(col("doc_id")).as("rep_id"))
       .join(sigOld.select(col("doc_id").as("rep_id"), col("sig").as("sig_rep")),
@@ -844,7 +801,7 @@ object Dedup {
     // a caller looping over batches never accumulates dead cached tables.
     // Callers that manage the sig lifetime themselves (the streaming edge)
     // use [[admitCountsFromSig]] directly.
-    val sigNew = eager(minhashSig(newDocs))
+    val sigNew = Caching.eager(minhashSig(newDocs))
     val out = admitCountsFromSig(newDocs, sigNew, index, minEst)
       .localCheckpoint(true)
     sigNew.unpersist()
@@ -966,7 +923,7 @@ object Dedup {
     * corpus cannot go quadratic inside one band key. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    cap: Int = SimhashBucketCap): DataFrame = {
-    val sig = eager(simhashSig(docs)) // band explode + both verify joins
+    val sig = Caching.eager(simhashSig(docs)) // band explode + both verify joins
     val bandCols = (0 until 4).map(b =>
       shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L)))
     val bnd = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
@@ -1017,8 +974,8 @@ object Dedup {
     * docs via the broadcast semi-join prefilter — verification cost
     * tracks candidates, not corpus). */
   private def shingleCandPairs(docs: DataFrame, cap: Int): DataFrame = {
-    val sig = eager(minhashSig(docs))
-    val cand = eager(cappedBandPairs(minhashBands(sig), cap))
+    val sig = Caching.eager(minhashSig(docs))
+    val cand = Caching.eager(cappedBandPairs(minhashBands(sig), cap))
     // shingle sets are built ONLY for docs that appear in a candidate pair
     // (broadcast semi-join prefilter): verification cost tracks the
     // candidate count, not the corpus — at 100 TB candidates ≪ corpus, and
@@ -1026,7 +983,7 @@ object Dedup {
     // capped band join just bounded
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = eager(fanOut(docs)
+    val sets = Caching.eager(fanOut(docs)
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(shingles(col("toks"))).as("sh")))
@@ -1140,7 +1097,7 @@ object Dedup {
     * cost tracks true near-dup density, like every pairing path here. */
   def ssjoinPairs(docs: DataFrame, tauPm: Int = 700): DataFrame = {
     import graft.functions.NativeExprs
-    val sets = eager(fanOut(docs)
+    val sets = Caching.eager(fanOut(docs)
       .select(col("doc_id"),
         array_distinct(
           NativeExprs.ngramHashes(TextOps.tokens(col("text")), 3)).as("sh")))
@@ -1191,12 +1148,12 @@ object Dedup {
     * counts + 4-decimal ratios (denominator floored at 1 so an empty
     * truth set yields 0, not an ANSI divide-by-zero). */
   def minhashRecall(docs: DataFrame, tauPm: Int = 500, minEst: Double = 0.5,
-                    cap: Int = BucketCap): DataFrame = cacheScoped {
+                    cap: Int = BucketCap): DataFrame = Caching.scoped() {
     require(math.abs(tauPm / 1000.0 - minEst) < 1e-9,
       "recall AND precision must grade one duplicate definition: " +
         "exact tau and est threshold must match")
-    val truth = eager(ssjoinPairs(docs, tauPm).select(col("doc_a"), col("doc_b")))
-    val cand = eager(minhashPairsCapped(docs, cap))
+    val truth = Caching.eager(ssjoinPairs(docs, tauPm).select(col("doc_a"), col("doc_b")))
+    val cand = Caching.eager(minhashPairsCapped(docs, cap))
     val det = cand.filter(col("est_jaccard") >= minEst)
     val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_true"),
@@ -1218,7 +1175,7 @@ object Dedup {
         col("n_det_total"),
         VecOps.qround(col("n_det_true").cast("double") /
           greatest(col("n_det_total"), lit(1L)).cast("double"), 4).as("precision"))
-    out // checkpointed by cacheScoped; truth/cand released by the scope
+    out // checkpointed by Caching.scoped; truth/cand released by the scope
   }
 
   /** Oracle dual of [[minhashRecall]]: exact truth from the exhaustive

@@ -143,7 +143,7 @@ object EmbedStats {
                  dim: Int = Similarity.Dim): DataFrame = {
     require(iters >= 1, "powerTrain needs at least one iteration")
     // the quantized row table feeds every round — cache once
-    val xq = Dedup.eager(
+    val xq = Caching.eager(
       PairPlan.fanOut(vecs).select(qvec(col("vec")).as("xq")))
     var vq = v0Collected(vecs, dim)
     var last: DataFrame = null
@@ -172,7 +172,7 @@ object EmbedStats {
   def powerTrainConverged(vecs: DataFrame, epsGrid: Long, maxIters: Int,
                           dim: Int = Similarity.Dim): DataFrame = {
     require(maxIters >= 1, "powerTrainConverged needs at least one iteration")
-    val xq = Dedup.eager(
+    val xq = Caching.eager(
       PairPlan.fanOut(vecs).select(qvec(col("vec")).as("xq")))
     var vq = v0Collected(vecs, dim)
     var last: DataFrame = null
@@ -218,7 +218,7 @@ object EmbedStats {
     // both row tables are read by every round of their chain (plus the
     // deflation pass) — cache once, or each round re-runs the upstream
     // scan + quantize (+ deflate): measured 8.1 s -> ~3 s at sf0.1
-    val xq = Dedup.eager(
+    val xq = Caching.eager(
       PairPlan.fanOut(vecs).select(qvec(col("vec")).as("xq")))
     // v1 chain (identical to powerTrain's rounds)
     var vq1 = v0Collected(vecs, dim)
@@ -227,7 +227,7 @@ object EmbedStats {
     val v1lit = tl(vq1.toSeq)
     val proj = aggregate(zip_with(col("xq"), v1lit, (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
-    val xq2 = Dedup.eager(xq.select(col("xq"), proj.as("proj"))
+    val xq2 = Caching.eager(xq.select(col("xq"), proj.as("proj"))
       .select(transform(col("xq"), (x, i) =>
         x - floor(col("proj").cast("double") *
           element_at(v1lit, i + 1).cast("double") / lit(d00.toDouble) +

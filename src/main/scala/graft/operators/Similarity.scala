@@ -666,7 +666,7 @@ object Similarity {
     * self-similar; the magnitude is the redundancy the plain top-k would
     * have shipped. All integers — no float ordering anywhere. */
   def mmrGain(q: DataFrame, kv: DataFrame, k: Int, sel: Int): DataFrame =
-    Dedup.cacheScoped {
+    Caching.scoped() {
     val rInt = floor(VecOps.cosine(col("qvec"), col("kvec")) * lit(1e4) +
       lit(0.5)).cast("long")
     val wTop = Window.partitionBy(col("q_id")).orderBy(desc("r"), col("k_id"))
@@ -677,7 +677,7 @@ object Similarity {
     // relevance arm, and its full k-prefix seeds the MMR rerank (the same
     // table mmrTopK would have built). cacheScoped checkpoints the
     // answer-sized result and releases the candidate cache on exit.
-    val ranked = Dedup.eager(PairPlan.cross(kv, q)
+    val ranked = Caching.eager(PairPlan.cross(kv, q)
       .filter(col("k_id") =!= col("q_id"))
       .select(col("q_id"), col("k_id"), rInt.as("r"))
       .withColumn("rank", row_number().over(wTop))
@@ -711,13 +711,18 @@ object Similarity {
     * near-dup bar, the band a contrastive miner actually samples from.
     * Emits the triplet-loss margin `pos − neg` per pair.
     *
-    * ONE pair scan, ONE window pass (the [[mmrGain]] lesson — no forked
+    * ONE pair scan, one exchange+sort (the [[mmrGain]] lesson — no forked
     * recompute): the positive (full-frame `first` over the cosine-desc
-    * order), and the band rank (a running conditional count — row_number
+    * order) and the band rank (a running conditional count — row_number
     * restricted to band rows without a second sort) are window
-    * expressions over the SAME partitioning+ordering, so Catalyst plans a
-    * single exchange + sort. All comparisons are integer ten-thousandths
-    * with k_id tie-breaks — exact cross-engine. At 100 TB the brute pair
+    * expressions over the SAME partitioning+ordering; the band count
+    * references `pos_id`, so Catalyst stacks two Window nodes over the
+    * single exchange + sort (no second shuffle). All comparisons are
+    * integer ten-thousandths with k_id tie-breaks — exact cross-engine.
+    * The positive itself is EXCLUDED from the band (when a weak anchor's
+    * rank-1 cosine falls at or below `negHiTm`, the rank-1 row would
+    * otherwise pair with itself as a margin-0 "hard negative" — a
+    * degenerate triplet no loss can learn from). At 100 TB the brute pair
     * stream swaps for IVF candidates exactly as [[mmrTopKIvf]] does: the
     * positive from the probed top-1, the band from the probed lists. */
   def tripletMine(q: DataFrame, kv: DataFrame, negK: Int,
@@ -727,14 +732,15 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cos_tm"), col("k_id"))
     val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBand = col("cos_tm") <= negHiTm && col("k_id") =!= col("pos_id")
     PairPlan.cross(kv, q)
       .select(col("q_id"), col("k_id"), cosTm.as("cos_tm"))
       .select(col("q_id"), col("k_id"), col("cos_tm"),
         first(col("k_id")).over(full).as("pos_id"),
-        first(col("cos_tm")).over(full).as("pos_cos_tm"),
-        sum(when(col("cos_tm") <= negHiTm, 1L).otherwise(0L)).over(run)
-          .as("neg_rank"))
-      .filter(col("cos_tm") <= negHiTm && col("neg_rank") <= negK)
+        first(col("cos_tm")).over(full).as("pos_cos_tm"))
+      .withColumn("neg_rank",
+        sum(when(inBand, 1L).otherwise(0L)).over(run))
+      .filter(inBand && col("neg_rank") <= negK)
       .select(col("q_id"), col("neg_rank"), col("pos_id"),
         col("k_id").as("neg_id"), col("pos_cos_tm"),
         col("cos_tm").as("neg_cos_tm"),
@@ -748,11 +754,11 @@ object Similarity {
                 sel: Int): DataFrame = {
     val rInt = floor(VecOps.cosine(col("qvec"), col("kvec")) * lit(1e4) +
       lit(0.5)).cast("long")
-    val cand = Dedup.eager(candIds.join(q, "q_id").join(kv, "k_id")
+    val cand = Caching.eager(candIds.join(q, "q_id").join(kv, "k_id")
       .select(col("q_id"), col("k_id"), rInt.as("r"), col("kvec")))
     val sInt = floor(VecOps.cosine(col("va"), col("vb")) * lit(1e4) +
       lit(0.5)).cast("long")
-    val ps = Dedup.eager(
+    val ps = Caching.eager(
       cand.select(col("q_id"), col("k_id").as("ka"), col("kvec").as("va"))
         .join(cand.select(col("q_id"), col("k_id").as("kb"),
           col("kvec").as("vb")), "q_id")
@@ -837,8 +843,8 @@ object Similarity {
         ct.getField("list_id").as("l"))))
     // eager: referenced by the band table, BOTH verification joins, and
     // the final annotate join — all broadcast-sized here, and concurrent
-    // broadcast branches race a lazy cache (see Dedup.eager)
-    val asn = Dedup.eager(
+    // broadcast branches race a lazy cache (see Caching.eager)
+    val asn = Caching.eager(
       emb.select(col("vec_id"), col("vec"))
         .crossJoin(broadcast(centsRow(cents)))
         .select(col("vec_id"), col("vec"), best.getField("l").as("list_id"),

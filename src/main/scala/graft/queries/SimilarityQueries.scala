@@ -512,9 +512,11 @@ object SimilarityQueries {
        |FROM rt JOIN rm ON rt.q_id = rm.q_id""".stripMargin
   }
 
-  /** Dual of [[Similarity.tripletMine]]: the same single window pass —
-    * full-frame first_value for the positive, a running conditional count
-    * for the band rank — over the brute pair stream. */
+  /** Dual of [[Similarity.tripletMine]]: the same single exchange+sort —
+    * full-frame first_value for the positive, then a running conditional
+    * count for the band rank (the band excludes the positive itself, so a
+    * weak anchor cannot emit itself as a margin-0 negative) — over the
+    * brute pair stream. */
   private val tripletsOracle =
     s"""WITH q AS ($perturbedQCte),
        |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings),
@@ -523,18 +525,22 @@ object SimilarityQueries {
        |      FROM q CROSS JOIN k),
        |r AS (SELECT q_id, k_id, cos_tm,
        |        first_value(k_id) OVER wf AS pos_id,
-       |        first_value(cos_tm) OVER wf AS pos_cos_tm,
-       |        sum(CASE WHEN cos_tm <= $TripNegHiTm THEN 1 ELSE 0 END)
-       |          OVER wr AS neg_rank
+       |        first_value(cos_tm) OVER wf AS pos_cos_tm
        |      FROM p
        |      WINDOW wf AS (PARTITION BY q_id ORDER BY cos_tm DESC, k_id
-       |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
-       |             wr AS (PARTITION BY q_id ORDER BY cos_tm DESC, k_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+       |r2 AS (SELECT q_id, k_id, cos_tm, pos_id, pos_cos_tm,
+       |        sum(CASE WHEN cos_tm <= $TripNegHiTm AND k_id <> pos_id
+       |                 THEN 1 ELSE 0 END)
+       |          OVER wr AS neg_rank
+       |      FROM r
+       |      WINDOW wr AS (PARTITION BY q_id ORDER BY cos_tm DESC, k_id
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT q_id, CAST(neg_rank AS BIGINT) AS neg_rank, pos_id,
        |  k_id AS neg_id, pos_cos_tm, cos_tm AS neg_cos_tm,
        |  pos_cos_tm - cos_tm AS margin_tm
-       |FROM r WHERE cos_tm <= $TripNegHiTm AND neg_rank <= $TripNegK""".stripMargin
+       |FROM r2 WHERE cos_tm <= $TripNegHiTm AND k_id <> pos_id
+       |  AND neg_rank <= $TripNegK""".stripMargin
 
   /** Dual of [[Similarity.mmrTopKIvf]]: the full IVF search supplies the
     * candidate ids; relevance is re-derived from the PERTURBED query

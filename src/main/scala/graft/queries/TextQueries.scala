@@ -227,8 +227,8 @@ object TextQueries {
     * overlap question in O(k) per pair; the exact pairwise intersection
     * join here is the sf-scale anchor only. */
   private def shingleKmvJaccard(d: DataFrame): DataFrame =
-    graft.operators.Dedup.cacheScoped {
-      val h = graft.operators.Dedup.eager(
+    graft.operators.Caching.scoped() {
+      val h = graft.operators.Caching.eager(
         d.select(col("lang"),
             explode(graft.functions.NativeExprs.ngramHashes(
               TextOps.tokens(col("text")), 3)).as("h"))
@@ -628,10 +628,14 @@ object TextQueries {
 
   /** Per-doc winnowing fingerprint set ([[TextOps.winnow]]) with its size —
     * the persisted artifact a 100 TB reuse-detection pipeline ships: KBs
-    * per doc, map-only to build, equi-joinable for the match step. */
+    * per doc, map-only to build, equi-joinable for the match step. Graded
+    * EXPLODED to one `(doc_id, n_fp, fp)` row per fingerprint: the driver's
+    * pandas comparator cannot sort/hash an array cell (CORRECTNESS_r10's
+    * one red row), and the exploded form carries identical information
+    * (`fps` is distinct+ascending per doc, so the row set is the set). */
   private def winnowDocs(d: DataFrame): DataFrame =
     TextOps.winnow(d).select(col("doc_id"),
-      size(col("fps")).cast("long").as("n_fp"), col("fps"))
+      size(col("fps")).cast("long").as("n_fp"), explode(col("fps")).as("fp"))
 
   /** THE MOSS MATCH STEP over [[TextOps.winnow]] sets: explode the
     * per-doc fingerprints, drop fps selected in more than [[WinnowCap]]
@@ -643,8 +647,8 @@ object TextQueries {
     * (two plan branches: the hot-fp census and the pairing) and released
     * by the scope. */
   private def winnowMatches(d: DataFrame): DataFrame =
-    graft.operators.Dedup.cacheScoped {
-      val e = graft.operators.Dedup.eager(
+    graft.operators.Caching.scoped() {
+      val e = graft.operators.Caching.eager(
         TextOps.winnow(d).select(col("doc_id"), explode(col("fps")).as("fp")))
       // per-doc fps are distinct, so the census counts DOCUMENTS per fp
       val keptFp = e.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
@@ -658,7 +662,7 @@ object TextQueries {
     }
 
   private val winnowDocsOracle =
-    s"""SELECT doc_id, len(fps)::BIGINT AS n_fp, fps
+    s"""SELECT doc_id, len(fps)::BIGINT AS n_fp, unnest(fps) AS fp
        |FROM (${TextOps.winnowSql("documents")})""".stripMargin
 
   private val winnowMatchesOracle =
@@ -692,7 +696,10 @@ object TextQueries {
     * engines, doc_id breaking exact ties. The tf normalization
     * `(tf·(k1+1)) / (tf + k1·(0.25 + 0.75·dl/avgdl))` is pure IEEE
     * arithmetic written with the same literals and association order in
-    * both engines (b = 0.75 folded to the exact-in-binary 0.25 constant).
+    * both engines (b = 0.75 folded to the exact-in-binary 0.25 constant;
+    * the non-dyadic literals 2.2 / 1.2 are `::DOUBLE`-cast in the oracle
+    * so DuckDB cannot route them through exact DECIMAL arithmetic — a
+    * different IEEE op sequence that diverges ~2 ulp).
     *
     * Scale shape: tf and df are single token-keyed map-side-combined
     * shuffles (the inverted-index build); the query table (n_lang ×
@@ -776,8 +783,8 @@ object TextQueries {
        |        CAST(floor(
        |          CAST(floor(ln(1.0 + (st.n_docs - dfd.df + 0.5) / (dfd.df + 0.5))
        |                     * 1e6 + 0.5) AS BIGINT)
-       |          * ((tf.tf * 2.2) /
-       |             (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+       |          * ((tf.tf * 2.2::DOUBLE) /
+       |             (tf.tf + 1.2::DOUBLE * (0.25 + 0.75 * dl.dl / st.avgdl)))
        |          + 0.5) AS BIGINT) AS c_micro
        |      FROM tf JOIN q USING (token) JOIN dfd USING (token)
        |        JOIN dl USING (doc_id), st),
@@ -1147,10 +1154,10 @@ object TextQueries {
 
   /** The per-doc DSIR log-weight table (doc_id, score_micro) — shared by
     * the deterministic top-K cut and the Gumbel resample; callers wrap in
-    * [[graft.operators.Dedup.cacheScoped]] (the feature table is eager'd
+    * [[graft.operators.Caching.scoped]] (the feature table is eager'd
     * here and read three times). */
   private def dsirScoreTable(d: DataFrame, target: Column): DataFrame = {
-    val feats = graft.operators.Dedup.eager(
+    val feats = graft.operators.Caching.eager(
       d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
         .select(col("doc_id"),
           pmod(VecOps.hash60(col("token")), lit(HashDim)).as("dim"))
@@ -1177,7 +1184,7 @@ object TextQueries {
   private[graft] def dsirSelect(
       d: DataFrame,
       target: Column = col("lang") === "en"): DataFrame =
-    graft.operators.Dedup.cacheScoped {
+    graft.operators.Caching.scoped() {
       dsirScoreTable(d, target)
         .orderBy(col("score_micro").desc, col("doc_id"))
         .limit(DsirK.toInt)
@@ -1199,7 +1206,7 @@ object TextQueries {
   private[graft] def dsirResample(
       d: DataFrame,
       target: Column = col("lang") === "en"): DataFrame =
-    graft.operators.Dedup.cacheScoped {
+    graft.operators.Caching.scoped() {
       val g = VecOps.gumbel(concat(lit("dsir:"), col("doc_id").cast("string")))
       dsirScoreTable(d, target)
         .select(col("doc_id"), col("score_micro"),
@@ -1292,7 +1299,7 @@ object TextQueries {
       d: DataFrame, iters: Int = DoremiIters): DataFrame = {
     require(iters >= 1, s"doremi needs >= 1 round, got $iters")
     val spark = d.sparkSession
-    val f = graft.operators.Dedup.eager(
+    val f = graft.operators.Caching.eager(
       d.select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
         .select(col("lang"),
           pmod(VecOps.hash60(col("token")), lit(HashDim)).as("dim"))
@@ -1457,7 +1464,7 @@ object TextQueries {
 
   private[graft] def logregTrain(d: DataFrame, iters: Int): DataFrame = {
     val spark = d.sparkSession
-    val feats = graft.operators.Dedup.eager(
+    val feats = graft.operators.Caching.eager(
       hashVec(d).join(
         d.select(col("doc_id"),
           (col("lang") === "en").cast("long").as("y")), "doc_id"))
@@ -1511,19 +1518,19 @@ object TextQueries {
   /** Per-doc margins under the trained weights — the shared front half of
     * [[logregApply]] (exact-rank cut) and [[logregApplyGk]] (sketch cut):
     * an eager'd (doc_id, margin_micro) table of exact LONG dot products.
-    * Callers must run inside [[graft.operators.Dedup.cacheScoped]]. */
+    * Callers must run inside [[graft.operators.Caching.scoped]]. */
   private def trainedMargins(d: DataFrame, iters: Int): DataFrame = {
     val w = logregTrain(d, iters).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val wlit = array((0 until HashDim.toInt).map(i => lit(w(i.toLong))): _*)
     val term = element_at(wlit, (col("dim") + 1).cast("int")) * col("val")
-    graft.operators.Dedup.eager(
+    graft.operators.Caching.eager(
       hashVec(d).groupBy(col("doc_id"))
         .agg(sum(term).as("margin_micro")))
   }
 
   private def logregApply(d: DataFrame, iters: Int): DataFrame =
-    graft.operators.Dedup.cacheScoped {
+    graft.operators.Caching.scoped() {
     val margins = trainedMargins(d, iters)
     val n = margins.count()
     val kLo = ((n + 1) / 2).toInt // 1-based lower middle rank
@@ -1563,7 +1570,7 @@ object TextQueries {
     * LONG anchors (n, Σ margin) — never raw sketch values; a mis-merged
     * sketch flips a boolean and fails the hash gate. */
   private def logregApplyGk(d: DataFrame, iters: Int): DataFrame =
-    graft.operators.Dedup.cacheScoped {
+    graft.operators.Caching.scoped() {
       import graft.functions.GkOps._
       val margins = trainedMargins(d, iters)
       val m = margins.select(col("doc_id"), col("margin_micro"),

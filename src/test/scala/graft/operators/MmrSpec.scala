@@ -34,6 +34,29 @@ class MmrSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
   }
 
+  test("tripletMine: a weak anchor never emits its positive as a negative") {
+    // the rank-1 cosine (8944 tm) sits INSIDE the negative band (≤ 9000):
+    // before the ADVICE r10 fix the positive paired with itself as a
+    // margin-0 "hard negative" at neg_rank 1 and shifted every real rank
+    val q = Seq((100L, Array(1.0, 0.0, 0.0, 0.0))).toDF("q_id", "qvec")
+    val kv = Seq(
+      (1L, Array(1.0, 0.5, 0.0, 0.0)), // positive: cos_tm 8944
+      (2L, Array(1.0, 1.0, 0.0, 0.0)), // cos_tm 7071
+      (3L, Array(0.0, 1.0, 0.0, 0.0))  // cos_tm 0
+    ).toDF("k_id", "kvec")
+    val rows = Similarity.tripletMine(q, kv, negK = 5, negHiTm = 9000L).collect()
+    assert(rows.map(_.getAs[Long]("neg_id")).sorted.toSeq == Seq(2L, 3L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pos_id") == 1L)
+      assert(r.getAs[Long]("neg_id") != r.getAs[Long]("pos_id"),
+        s"degenerate triplet: $r")
+      assert(r.getAs[Long]("margin_tm") > 0, s"non-positive margin: $r")
+    }
+    // ranks stay dense 1..n after excluding the positive from the band
+    assert(rows.map(_.getAs[Long]("neg_rank")).sorted.toSeq ==
+      (1L to rows.length).toSeq)
+  }
+
   test("marginal score is non-increasing from step 2 onward") {
     // (step 1 -> 2 is only comparable when pairwise sims are nonnegative:
     // a negative max-sim makes the -3m penalty a bonus)

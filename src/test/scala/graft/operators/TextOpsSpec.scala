@@ -110,7 +110,13 @@ class TextOpsSpec extends AnyFunSuite {
       (1L, s"completely different prefix text here $shared and a suffix"),
       (2L, "nothing in common with anyone at all zzz qqq www"),
       (3L, "tiny"), // shorter than one k-gram: one whole-string gram
-      (4L, "exactly eight") // shorter than one window: whole-array window
+      (4L, "exactly eight"), // shorter than one window: whole-array window
+      // non-BMP (surrogate-pair) chars: gram boundaries must count CODE
+      // POINTS as Spark/DuckDB substr do — a UTF-16 walk shifts every gram
+      // after the first emoji and splits pairs into replacement bytes
+      // (ADVICE r10); this row diverges from the column form if the kernel
+      // ever regresses to String indexing
+      (5L, "emoji 🌍🌍 mixed 🚀 through the text here")
     ).toDF("doc_id", "text")
     val fps = TextOps.winnow(wdocs).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
