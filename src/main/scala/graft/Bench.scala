@@ -103,7 +103,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // tmpfs shuffle scratch + fork-free local FS (see Scratch.tuneLocalFs)
+    val spark = graft.sources.Scratch.tuneLocalFs(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // let AQE coalesce INSIDE cached plans (off by default): without it a
@@ -127,10 +128,6 @@ object Bench {
       // fixed per-task cost. Our object-agg states are bounded (vectors /
       // capped sketches), so 256k states stay well inside executor memory.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
-      // shuffle/spill scratch on the RAM tmpfs when one exists — same
-      // rationale as graft.sources.Scratch: ephemeral files on this
-      // container's overlay FS cost ~2-4 ms each to create/delete
-      .config("spark.local.dir", graft.sources.Scratch.sparkLocalDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

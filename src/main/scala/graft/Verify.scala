@@ -9,7 +9,8 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // tmpfs shuffle scratch + fork-free local FS (see Scratch.tuneLocalFs)
+    val spark = graft.sources.Scratch.tuneLocalFs(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // let AQE coalesce INSIDE cached plans (off by default): without it a
@@ -23,10 +24,6 @@ object Verify {
       // object aggregation up to 256k groups instead of the 128-key default
       .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
-      // shuffle/spill scratch on the RAM tmpfs when one exists — same
-      // rationale as graft.sources.Scratch: ephemeral files on this
-      // container's overlay FS cost ~2-4 ms each to create/delete
-      .config("spark.local.dir", graft.sources.Scratch.sparkLocalDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -70,4 +70,19 @@ object Scratch {
     * graft_ tree under [[root]] — Spark cleans its own subdirs at stop,
     * the shutdown hook and [[sweepStale]] cover crashes. */
   lazy val sparkLocalDir: String = dir("graft_spark_local")
+
+  /** The local-filesystem session tuning every entry point shares:
+    * shuffle scratch on the tmpfs [[root]], the fork-free
+    * [[FastLocalFileSystem]] for `file://`, and the FileSystem-API
+    * checkpoint manager so streaming checkpoints use it too (the
+    * FileContext default resolves its own local FS and keeps forking
+    * `readlink` per rename). */
+  def tuneLocalFs(
+      b: org.apache.spark.sql.SparkSession.Builder): org.apache.spark.sql.SparkSession.Builder =
+    b.config("spark.local.dir", sparkLocalDir)
+      .config("spark.hadoop.fs.file.impl",
+        classOf[FastLocalFileSystem].getName)
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
 }

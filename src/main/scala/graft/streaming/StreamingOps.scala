@@ -32,14 +32,27 @@ object StreamingOps {
   val StreamStatePartitions = 8
 
   /** Run `body` (build + start + drain a streaming query) with
-    * spark.sql.shuffle.partitions pinned to [[StreamStatePartitions]],
-    * restoring the session value after — batch read-backs outside still
-    * see the session default. */
+    * spark.sql.shuffle.partitions pinned to [[StreamStatePartitions]] and
+    * whole-stage codegen OFF, restoring the session values after — batch
+    * read-backs outside still see the session defaults.
+    *
+    * Why codegen off: a micro-batch stream RE-PLANS AND RE-COMPILES its
+    * query every trigger (and every foreachBatch action is its own
+    * analysis+Janino compile — per-batch literals like batch bounds make
+    * each generated class distinct, so the 100-entry codegen cache never
+    * hits). Profiled on `events_holt_stream`: task-execution CPU was
+    * 22 s of a 250 s process total — ~90% of the query's cost was
+    * driver-side compilation of plans that then process ≤ a few thousand
+    * rows per batch. Interpreted expression evaluation is the right
+    * trade at micro-batch row counts; large batch queries outside the
+    * harness keep codegen. */
   private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, StreamStatePartitions.toString)
-    try body finally spark.conf.set(key, prev)
+    val keys = Seq("spark.sql.shuffle.partitions" -> StreamStatePartitions.toString,
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   /** Tumbling 1-hour window per event_type: count, sum(value),

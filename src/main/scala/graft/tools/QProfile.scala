@@ -10,7 +10,7 @@ object QProfile {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    val spark = graft.sources.Scratch.tuneLocalFs(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
@@ -53,8 +53,15 @@ object QProfile {
       while (sampling) {
         val all = Thread.getAllStackTraces
         all.forEach { (t, st) =>
-          if (t.getName.contains("Executor task launch") && st.nonEmpty) {
-            val key = st.take(6).map(f => f.getClassName + "." + f.getMethodName).mkString(" <- ")
+          val group = if (t.getName.contains("Executor task launch")) "exec"
+            else if (t.getName.contains("stream execution") ||
+                     t.getName.contains("microBatch") || t.getName == "main" ||
+                     t.getName.contains("QueryStage")) "drv"
+            else null
+          if (group != null && st.nonEmpty && t.getState == Thread.State.RUNNABLE) {
+            val depth = if (st.exists(_.getClassName.contains("hadoop.util.Shell"))) 24 else 8
+            val key = group + "| " + st.take(depth).map(f =>
+              f.getClassName + "." + f.getMethodName).mkString(" <- ")
             samples.merge(key, 1, (a, b) => a + b)
           }
         }

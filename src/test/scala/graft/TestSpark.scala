@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * must not stop() it). Mirrors the Verify/Bench session config. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.sources.Scratch.tuneLocalFs(SparkSession.builder())
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
