@@ -143,7 +143,19 @@ object ScaleSmoke {
       // under R× replication every query-term posting list grows R× while
       // the per-query top-k stays bounded by the top-k monoid — scoring
       // cost must track postings, not the corpus×query grid
-      "bm25" -> (d => graft.queries.TextQueries.searchBm25(d).count()))
+      "bm25" -> (d => graft.queries.TextQueries.searchBm25(d).count()),
+      // MOSS winnow match step under MAXIMAL boilerplate pressure: every
+      // replica of a doc shares its whole fingerprint set, so every fp is
+      // selected in ≥ R documents — at R=10 the >8-doc hot-fp drop fires
+      // on the ENTIRE shared set, and only suffix-local fps survive to the
+      // pair join. This is the cap doing for fingerprints what the band
+      // cap does for MinHash buckets: the R²/2 pair blow-up never runs
+      "winnow" -> (d => graft.queries.TextQueries.winnowMatches(d).count()),
+      // trained-classifier GK cut: train (T map-side-combined epochs) +
+      // margin scoring (corpus-linear) + per-shard GK sketches union-merged
+      // — the 100 TB replacement for the exact global-window median
+      "gkcut" -> (d => graft.queries.TextQueries
+        .logregApplyGk(d, graft.queries.TextQueries.LrIters).count()))
 
     def run(corpus: DataFrame): Map[String, (Double, Long)] = {
       corpus.cache().count() // isolate replication cost from stage timing
@@ -236,6 +248,33 @@ object ScaleSmoke {
     val annOne = runAnn(kvBase)
     spark.catalog.clearCache()
     val annBig = runAnn(kvRep(rep))
+
+    // hybrid RRF composition (VERDICT r10 #4): both arms are probed
+    // individually (bm25 in the doc stages; the dense arm is one
+    // corpus-linear scan against broadcast per-lang prototypes by
+    // construction) — this run confirms the FUSED plan composes without a
+    // superlinear join appearing: the full_outer fusion joins two
+    // ≤ RrfPoolK-per-lang pools, rank-bounded at any corpus size. Docs and
+    // embeddings replicate in lockstep (vec_id tracks doc_id), so the
+    // dense arm's corpus and the lexical postings both grow R×.
+    val embBase = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("vec"))
+    def embRep(r: Int): DataFrame =
+      embBase.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .select((col("vec_id") * r + col("rep")).as("vec_id"), col("vec"))
+    def runHybrid(d: DataFrame, e: DataFrame): (Double, Long) = {
+      d.cache().count(); e.cache().count()
+      val t0 = System.nanoTime()
+      val n = graft.queries.TextQueries.searchHybridRrf(d, e).count()
+      val out = ((System.nanoTime() - t0) / 1e9, n)
+      d.unpersist(blocking = true)
+      e.unpersist(blocking = true)
+      out
+    }
+    runHybrid(base.limit(200), embBase.limit(200)) // warmup
+    spark.catalog.clearCache()
+    val hyOne = runHybrid(base, embBase)
+    spark.catalog.clearCache()
+    val hyBig = runHybrid(replicate(base, rep), embRep(rep))
 
     // interval-join scaling: replicas get DISJOINT user populations
     // (user_id remapped per replica) so qualifying pairs grow linearly —
@@ -358,6 +397,7 @@ object ScaleSmoke {
     }
     val qs = (stages.map { case (name, _) => fmt(name, one(name), big(name)) } ++
       annStages.map { case (name, _) => fmt(name, annOne(name), annBig(name)) } ++
+      Seq(fmt("hybrid_rrf", hyOne, hyBig)) ++
       evStages.map { case (name, _) => fmt(name, evOne(name), evBig(name)) } ++
       grStages.map { case (name, _) => fmt(name, grOne(name), grBig(name)) })
       .mkString("{", ",", "}")

@@ -463,13 +463,21 @@ object WinnowKernel {
     }
     val wl = math.min(w, n)
     val sel = new java.util.TreeSet[java.lang.Long]() // distinct + ascending
-    var st = 0
-    while (st <= n - wl) {
-      var m = Long.MaxValue
-      var j = st
-      while (j < st + wl) { if (h(j) < m) m = h(j); j += 1 }
-      sel.add(m)
-      st += 1
+    // monotonic-deque sliding minimum: O(n) total instead of O(n·w)
+    // (VERDICT r10 #7 note) — each index enters and leaves the deque once;
+    // the front always holds an argmin of the current window. Ties keep
+    // the later index (>= pop), which cannot change the emitted VALUE set.
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // live indices in dq(head until tail)
+    var j = 0
+    while (j < n) {
+      while (tail > head && h(dq(tail - 1)) >= h(j)) tail -= 1
+      dq(tail) = j
+      tail += 1
+      if (dq(head) <= j - wl) head += 1
+      if (j >= wl - 1) sel.add(h(dq(head)))
+      j += 1
     }
     val out = new Array[Long](sel.size)
     val it = sel.iterator()

@@ -646,7 +646,7 @@ object TextQueries {
     * (the cappedBandPairs argument). The fingerprint table is eager'd once
     * (two plan branches: the hot-fp census and the pairing) and released
     * by the scope. */
-  private def winnowMatches(d: DataFrame): DataFrame =
+  private[graft] def winnowMatches(d: DataFrame): DataFrame =
     graft.operators.Caching.scoped() {
       val e = graft.operators.Caching.eager(
         TextOps.winnow(d).select(col("doc_id"), explode(col("fps")).as("fp")))
@@ -674,6 +674,92 @@ object TextQueries {
        |  count(*)::BIGINT AS shared
        |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin
+
+  /** keep threshold for [[dedupWinnow]]'s exact verification, permille
+    * of k-gram-set Jaccard — compared by integer cross-multiplication. */
+  private val WinnowVerifyTauPm = 300L
+
+  /** WINNOW → EXACT-VERIFY COMPOSITION (VERDICT r10 #7): the
+    * reuse-detection pipeline a production corpus audit actually runs.
+    * [[winnowMatches]] surfaces candidate pairs from shared selected
+    * fingerprints (fp-bucketed, hot-fp-capped — never all-pairs); each
+    * candidate pair is then verified EXACTLY on the full DISTINCT
+    * char-[[TextOps.WinnowK]]-gram hash sets of its two documents:
+    * intersection and union as exact BIGINTs, Jaccard as their 4-decimal
+    * quantized ratio, and `keep` decided by integer cross-multiplication
+    * against [[WinnowVerifyTauPm]]‰ (no float compare at the threshold —
+    * the ssjoin protocol). A shared selected fingerprint IS a shared
+    * gram hash, so every candidate pair has n_inter ≥ shared ≥ 2.
+    *
+    * The gram-set table reuses the winnowing kernel at window width 1
+    * (every window of one hash = every hash; distinct ascending = the
+    * set) — one md5 per character, map-only, and bit-identical to the
+    * oracle's list_distinct(list_transform(...)) dual. Scale shape:
+    * grams are computed corpus-linear but JOINED only for candidate
+    * docs (the id semi-join below), so verification cost is
+    * candidate-bounded — the same argument as the MinHash family's
+    * candidate-only verification. 60-bit hashes stand in for the grams
+    * in BOTH engines, so counts match bit-exactly cross-engine. */
+  private[graft] def dedupWinnow(d: DataFrame): DataFrame =
+    graft.operators.Caching.scoped() {
+      val cand = graft.operators.Caching.eager(winnowMatches(d))
+      val ids = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b"))).distinct()
+      // candidate docs' distinct k-gram hash sets (winnow kernel, w = 1)
+      val g = graft.operators.Caching.eager(
+        d.join(ids, "doc_id").select(col("doc_id"),
+          explode(graft.functions.NativeExprs.winnowFps(
+            TextOps.normText(col("text")), TextOps.WinnowK, 1)).as("g")))
+      val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cand.select(col("doc_a"), col("doc_b"))
+        .join(g.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+        .join(g.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+      val uni = col("sza") + col("szb") - col("n_inter")
+      cand.join(inter, Seq("doc_a", "doc_b"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("n_inter"),
+          uni.as("n_union"),
+          VecOps.qround(col("n_inter").cast("double") / uni.cast("double"), 4)
+            .as("jaccard"),
+          (lit(1000L) * col("n_inter") >= lit(WinnowVerifyTauPm) * uni)
+            .as("keep"))
+    }
+
+  private val dedupWinnowOracle = {
+    val gramsSql =
+      s"""SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(length(t) - ${TextOps.WinnowK - 1}, 1)),
+         |    i -> ${VecOps.hash60Sql(s"substr(t, i, ${TextOps.WinnowK})")}))) AS g
+         |FROM (SELECT doc_id, ${TextOps.normTextSql("text")} AS t
+         |      FROM documents)""".stripMargin
+    s"""WITH s AS (${TextOps.winnowSql("documents")}),
+       |e AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+       |hot AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= $WinnowCap),
+       |k AS (SELECT e.doc_id, e.fp FROM e JOIN hot USING (fp)),
+       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        count(*)::BIGINT AS shared
+       |      FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared),
+       |ids AS (SELECT doc_a AS doc_id FROM m UNION SELECT doc_b FROM m),
+       |gr AS (SELECT gg.* FROM ($gramsSql) gg JOIN ids USING (doc_id)),
+       |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM gr GROUP BY 1),
+       |ix AS (SELECT m.doc_a, m.doc_b, count(*)::BIGINT AS n_inter
+       |       FROM m JOIN gr a ON a.doc_id = m.doc_a
+       |              JOIN gr b ON b.doc_id = m.doc_b AND b.g = a.g
+       |       GROUP BY 1, 2)
+       |SELECT m.doc_a, m.doc_b, m.shared, ix.n_inter,
+       |  (sa.sz + sb.sz - ix.n_inter)::BIGINT AS n_union,
+       |  ${VecOps.qroundSql(
+             "ix.n_inter::DOUBLE / (sa.sz + sb.sz - ix.n_inter)::DOUBLE", 4)}
+       |    AS jaccard,
+       |  (1000 * ix.n_inter >= $WinnowVerifyTauPm * (sa.sz + sb.sz - ix.n_inter))
+       |    AS keep
+       |FROM m JOIN ix USING (doc_a, doc_b)
+       |  JOIN sz sa ON sa.doc_id = m.doc_a
+       |  JOIN sz sb ON sb.doc_id = m.doc_b""".stripMargin
+  }
 
   /** BM25 RANKED LEXICAL SEARCH — the retrieval mode the search pillar was
     * missing between exact phrase grep (`grep_phrase`) and embedding ANN
@@ -1460,7 +1546,7 @@ object TextQueries {
     * [[HashDim]] longs (the bounded-literal protocol), never data; the
     * data-side cost is one margin groupBy + one gradient groupBy over
     * the sparse feature table. */
-  private val LrIters = 3
+  private[graft] val LrIters = 3
 
   private[graft] def logregTrain(d: DataFrame, iters: Int): DataFrame = {
     val spark = d.sparkSession
@@ -1569,7 +1655,7 @@ object TextQueries {
     * dependent, so the graded output is the theorem BOOLEANS plus exact
     * LONG anchors (n, Σ margin) — never raw sketch values; a mis-merged
     * sketch flips a boolean and fails the hash gate. */
-  private def logregApplyGk(d: DataFrame, iters: Int): DataFrame =
+  private[graft] def logregApplyGk(d: DataFrame, iters: Int): DataFrame =
     graft.operators.Caching.scoped() {
       import graft.functions.GkOps._
       val margins = trainedMargins(d, iters)
@@ -1914,6 +2000,9 @@ object TextQueries {
     // the MOSS match step: doc pairs by shared selected fingerprints,
     // boilerplate fps (shared by > cap docs) dropped before pairing
     "winnow_matches" -> ((s, dir) => winnowMatches(docs(s, dir))),
+    // winnow candidates verified exactly on full k-gram-set Jaccard —
+    // the reuse-detection composition (candidate-only verification)
+    "dedup_winnow" -> ((s, dir) => dedupWinnow(docs(s, dir))),
     "token_count" -> ((s, dir) => TextOps.tokenCount(docs(s, dir))),
     "top_terms" -> ((s, dir) => topTerms(docs(s, dir))),
     "vocab_sketch" -> ((s, dir) => vocabSketch(docs(s, dir))),
@@ -2088,6 +2177,7 @@ object TextQueries {
     "doc_fingerprint" -> TextOps.fingerprintSql("documents"),
     "doc_winnow" -> winnowDocsOracle,
     "winnow_matches" -> winnowMatchesOracle,
+    "dedup_winnow" -> dedupWinnowOracle,
     "token_count" -> TextOps.tokenCountSql("documents"),
     "top_terms" -> topTermsOracle(),
     "vocab_sketch" -> vocabSketchOracle,

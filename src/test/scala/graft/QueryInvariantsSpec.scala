@@ -76,6 +76,28 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSet == rerun.map(_.toSeq).toSet)
   }
 
+  test("dedup_winnow: candidate-only verification is consistent — every " +
+       "winnow_matches pair verified, intersection ≥ shared fps, exact " +
+       "integer keep threshold") {
+    val cand = run("winnow_matches").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val rows = run("dedup_winnow").collect()
+    // verification adds and drops nothing: the pair set IS the candidate set
+    assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet == cand)
+    rows.foreach { r =>
+      val (sh, i, u) = (r.getAs[Long]("shared"), r.getAs[Long]("n_inter"),
+        r.getAs[Long]("n_union"))
+      // a shared selected fingerprint IS a shared gram hash
+      assert(i >= sh && sh >= 2, s"intersection below shared fps: $r")
+      assert(u >= i && i >= 1, s"union/intersection inconsistent: $r")
+      // keep is the integer cross-multiplication of jaccard >= 0.3
+      assert(r.getAs[Boolean]("keep") == (1000L * i >= 300L * u), s"$r")
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("embed_triplets: positives are the perturbation sources, negatives " +
        "stay in the band, margins positive, ranks dense") {
     val rows = run("embed_triplets").collect()
