@@ -747,6 +747,58 @@ object Similarity {
         (col("pos_cos_tm") - col("cos_tm")).as("margin_tm"))
   }
 
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk, ACL'19 — the CCMatrix/
+    * NLLB parallel-corpus construction step): mine aligned (x, y) pairs
+    * from two embedding sides by MUTUAL-NEAREST-NEIGHBOR + RATIO MARGIN.
+    * A pair survives iff y is x's rank-1 neighbor AND x is y's rank-1
+    * neighbor AND the margin — the pair's cosine over the mean of both
+    * sides' top-`k` neighborhoods — clears `tauMicro`:
+    *
+    *   margin_micro = (2k · 10⁶ · cos_tm) div (Σtop-k cos_tm(x,·) +
+    *                                           Σtop-k cos_tm(·,y))
+    *
+    * Exact-integer protocol: cosines land on the ten-thousandth grid
+    * (`floor(cos·10⁴ + 0.5)` BIGINT), neighborhood sums are exact BIGINT
+    * sums of those, and the margin is one integer division (numerator
+    * ≤ 2k·10¹⁰ — Long-safe; denominator clamped to ≥ 1 identically in
+    * both engines, so a pathological all-negative neighborhood yields the
+    * same value cross-engine). Survivors necessarily have cos_tm > 0 and
+    * positive sums, so the integer division is sign-unambiguous on every
+    * emitted row.
+    *
+    * Plan shape — ONE pair scan, no forked recompute (the tripletMine
+    * lesson): cos_tm is computed once, then the forward rank and the
+    * forward top-k running sum stack as two Window nodes over ONE
+    * (x_id)-exchange, and the backward pair over ONE (y_id)-exchange —
+    * a linear chain, two exchanges total (the two directions genuinely
+    * need different partitionings). At 100 TB the brute pair stream swaps
+    * for IVF probed lists per direction exactly as [[mmrTopKIvf]]: the
+    * margin needs only each side's top-k, which the probed candidate
+    * lists provide, and mutual-best is an equi-join of the two rank-1
+    * tables. */
+  def mineBitext(x: DataFrame, y: DataFrame, k: Int,
+                 tauMicro: Long): DataFrame = {
+    val cosTm = floor(VecOps.cosine(col("xvec"), col("yvec")) * lit(1e4) +
+      lit(0.5)).cast("long")
+    val wx = Window.partitionBy(col("x_id")).orderBy(desc("cos_tm"), col("y_id"))
+    val wxF = wx.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wy = Window.partitionBy(col("y_id")).orderBy(desc("cos_tm"), col("x_id"))
+    val wyF = wy.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    PairPlan.cross(x, y)
+      .select(col("x_id"), col("y_id"), cosTm.as("cos_tm"))
+      .withColumn("fwd_rank", row_number().over(wx))
+      .withColumn("sx", sum(when(col("fwd_rank") <= k, col("cos_tm"))
+        .otherwise(0L)).over(wxF))
+      .withColumn("bwd_rank", row_number().over(wy))
+      .withColumn("sy", sum(when(col("bwd_rank") <= k, col("cos_tm"))
+        .otherwise(0L)).over(wyF))
+      .filter(col("fwd_rank") === 1 && col("bwd_rank") === 1)
+      .withColumn("margin_micro",
+        expr(s"(${2 * k}L * 1000000L * cos_tm) div greatest(sx + sy, 1L)"))
+      .filter(col("margin_micro") >= tauMicro)
+      .select(col("x_id"), col("y_id"), col("cos_tm"), col("margin_micro"))
+  }
+
   /** The greedy MMR selection over ANY candidate id set: re-derive the
     * integer ten-thousandth relevance and pairwise sims from the vectors,
     * then `sel` integer-argmax rounds (see [[mmrTopK]] for the protocol). */

@@ -542,6 +542,107 @@ object SimilarityQueries {
        |FROM r2 WHERE cos_tm <= $TripNegHiTm AND k_id <> pos_id
        |  AND neg_rank <= $TripNegK""".stripMargin
 
+  // ---- margin-based bitext mining fixture --------------------------------
+  // Two "languages" derived from the fixture: the x side is the raw corpus
+  // head; the y side is BtAlignedN deterministic perturbed copies (the
+  // "translations" — md5 noise stream `bt:<vec_id>:<d>`, reproduced exactly
+  // by the oracle) plus BtDecoyN raw vectors with NO counterpart in x (the
+  // unaligned sentences mining must reject). Amplitude 0.35 puts aligned
+  // pairs at cos ≈ 0.78 — well under the 0.945 retrieval geometry, so the
+  // RATIO margin (not raw cosine) is what separates them from the ~0.5
+  // random-neighbor band.
+  private val BtSrcN = 128
+  private val BtAlignedN = 96
+  private val BtDecoyN = 32
+  private val BtK = 4
+  private val BtAmp = 0.35
+  private val BtTauMicro = 1200000L
+
+  private def btXSide(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < BtSrcN)
+      .select(col("vec_id").as("x_id"), col("vec").as("xvec"))
+
+  private def btYSide(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val aligned = e.filter(col("vec_id") < BtAlignedN)
+      .select((col("vec_id") + QOffset).as("y_id"),
+        transform(col("vec"), (x, d) =>
+          x + lit(BtAmp) *
+            (VecOps.u01(concat(lit("bt:"), col("vec_id").cast("string"),
+              lit(":"), d.cast("string"))) - lit(0.5))).as("yvec"))
+    val decoys = e.filter(col("vec_id") >= BtSrcN &&
+        col("vec_id") < BtSrcN + BtDecoyN)
+      .select((col("vec_id") + QOffset).as("y_id"), col("vec").as("yvec"))
+    aligned.union(decoys)
+  }
+
+  /** Dual of [[Similarity.mineBitext]] over the same derived sides: the
+    * identical window chain — forward rank + forward top-k sum over the
+    * x partitioning, backward pair over the y partitioning — with the
+    * margin as one integer division of exact BIGINTs. */
+  private val bitextOracle = {
+    val cosXy =
+      "list_dot_product(xv, yv) / (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv)))"
+    s"""WITH x AS (SELECT vec_id AS x_id, embedding::DOUBLE[] AS xv
+       |           FROM embeddings WHERE vec_id < $BtSrcN),
+       |y AS (SELECT vec_id + $QOffset AS y_id,
+       |        list_transform(generate_series(0, ${Similarity.Dim - 1}),
+       |          d -> vv[d+1] + $BtAmp * (${VecOps.u01Sql("'bt:' || vec_id || ':' || d")} - 0.5)) AS yv
+       |      FROM (SELECT vec_id, embedding::DOUBLE[] AS vv
+       |            FROM embeddings WHERE vec_id < $BtAlignedN)
+       |      UNION ALL
+       |      SELECT vec_id + $QOffset, embedding::DOUBLE[]
+       |      FROM embeddings
+       |      WHERE vec_id >= $BtSrcN AND vec_id < ${BtSrcN + BtDecoyN}),
+       |p AS (SELECT x_id, y_id,
+       |        CAST(floor(($cosXy) * 1e4 + 0.5) AS BIGINT) AS cos_tm
+       |      FROM x CROSS JOIN y),
+       |r1 AS (SELECT x_id, y_id, cos_tm,
+       |         row_number() OVER (PARTITION BY x_id
+       |           ORDER BY cos_tm DESC, y_id) AS fwd_rank
+       |       FROM p),
+       |r2 AS (SELECT *, sum(CASE WHEN fwd_rank <= $BtK THEN cos_tm
+       |                          ELSE 0 END)
+       |           OVER (PARTITION BY x_id) AS sx
+       |       FROM r1),
+       |r3 AS (SELECT *, row_number() OVER (PARTITION BY y_id
+       |           ORDER BY cos_tm DESC, x_id) AS bwd_rank
+       |       FROM r2),
+       |r4 AS (SELECT *, sum(CASE WHEN bwd_rank <= $BtK THEN cos_tm
+       |                          ELSE 0 END)
+       |           OVER (PARTITION BY y_id) AS sy
+       |       FROM r3),
+       |m AS (SELECT x_id, y_id, cos_tm,
+       |        CAST((${2 * BtK} * 1000000 * cos_tm)
+       |             // greatest(sx + sy, 1) AS BIGINT) AS margin_micro
+       |      FROM r4 WHERE fwd_rank = 1 AND bwd_rank = 1)
+       |SELECT x_id, y_id, cos_tm, margin_micro
+       |FROM m WHERE margin_micro >= $BtTauMicro""".stripMargin
+  }
+
+  /** Accuracy summary of the mined pair set against the KNOWN alignment
+    * (y = x + QOffset for the perturbed copies): exact integer permille
+    * precision/recall — the graded claim that margin + mutual-best
+    * actually recovers the alignment and rejects the decoys. */
+  private val bitextAuditOracle =
+    s"""SELECT count(*)::BIGINT AS n_mined,
+       |  coalesce(sum(CASE WHEN y_id - $QOffset = x_id THEN 1 ELSE 0 END), 0)::BIGINT AS n_correct,
+       |  CAST(1000 * coalesce(sum(CASE WHEN y_id - $QOffset = x_id THEN 1 ELSE 0 END), 0)
+       |       // greatest(count(*), 1) AS BIGINT) AS precision_pm,
+       |  CAST(1000 * coalesce(sum(CASE WHEN y_id - $QOffset = x_id THEN 1 ELSE 0 END), 0)
+       |       // $BtAlignedN AS BIGINT) AS recall_pm
+       |FROM ($bitextOracle)""".stripMargin
+
+  private def bitextAudit(mined: DataFrame): DataFrame = {
+    val correct = sum(when(col("y_id") - QOffset === col("x_id"), 1L)
+      .otherwise(0L))
+    mined.agg(count(lit(1)).as("n_mined"),
+        coalesce(correct, lit(0L)).as("n_correct"))
+      .select(col("n_mined"), col("n_correct"),
+        expr("1000L * n_correct div greatest(n_mined, 1L)").as("precision_pm"),
+        expr(s"1000L * n_correct div ${BtAlignedN}L").as("recall_pm"))
+  }
+
   /** Dual of [[Similarity.mmrTopKIvf]]: the full IVF search supplies the
     * candidate ids; relevance is re-derived from the PERTURBED query
     * vectors exactly as the rerank does. */
@@ -1281,6 +1382,16 @@ object SimilarityQueries {
         .groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_kept"))
     }),
+    // margin-based bitext mining (mutual-best + ratio margin) over the
+    // derived two-language sides: recovers the planted alignment,
+    // rejects the unaligned decoys
+    "mine_bitext" -> ((s, dir) =>
+      Similarity.mineBitext(btXSide(s, dir), btYSide(s, dir),
+        BtK, BtTauMicro)),
+    // the graded accuracy of the mined set vs the known alignment
+    "mine_bitext_audit" -> ((s, dir) =>
+      bitextAudit(Similarity.mineBitext(btXSide(s, dir), btYSide(s, dir),
+        BtK, BtTauMicro))),
     // embedding-space decontamination: the drop list of train vectors
     // within cos >= tau of any (perturbed) eval vector — semantic leakage
     // the token-shingle decontaminate can't see
@@ -1351,6 +1462,8 @@ object SimilarityQueries {
     "similar_mmr_ivf" -> mmrIvfOracle,
     "similar_mmr_gain" -> mmrGainOracle,
     "embed_triplets" -> tripletsOracle,
+    "mine_bitext" -> bitextOracle,
+    "mine_bitext_audit" -> bitextAuditOracle,
     "decontaminate_embed" -> embedDecontamOracle
   )
 }

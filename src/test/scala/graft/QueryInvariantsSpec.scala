@@ -98,6 +98,36 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("mine_bitext: mutual-best injectivity, margins above tau, the " +
+       "planted alignment fully recovered, misses only on decoy-side ids") {
+    val rows = run("mine_bitext").collect()
+    val xs = rows.map(_.getAs[Long]("x_id"))
+    val ys = rows.map(_.getAs[Long]("y_id"))
+    // mutual-best makes the mined set a partial matching: no x or y twice
+    assert(xs.distinct.length == xs.length, "an x mined twice")
+    assert(ys.distinct.length == ys.length, "a y mined twice")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("margin_micro") >= 1200000L, s"margin below tau: $r")
+      assert(r.getAs[Long]("cos_tm") > 0L, s"non-positive mined cosine: $r")
+    }
+    // every planted translation (y = x + 1e6, x < 96) is recovered: its
+    // cosine ≈ 0.78 dominates the ~0.5 random band in BOTH directions
+    val aligned = rows.filter(r =>
+      r.getAs[Long]("y_id") - 1000000L == r.getAs[Long]("x_id"))
+    assert(aligned.length == 96, s"recall hole: ${aligned.length}/96")
+    // any false positive can only pair a translation-LESS source
+    // (x >= 96): an aligned source's forward rank-1 is its translation
+    rows.filterNot(r =>
+      r.getAs[Long]("y_id") - 1000000L == r.getAs[Long]("x_id"))
+      .foreach(r => assert(r.getAs[Long]("x_id") >= 96L,
+        s"aligned source mined against a wrong y: $r"))
+    // the audit row is the exact summary of this table
+    val audit = run("mine_bitext_audit").collect().head
+    assert(audit.getAs[Long]("n_mined") == rows.length)
+    assert(audit.getAs[Long]("n_correct") == aligned.length)
+    assert(audit.getAs[Long]("recall_pm") == 1000L)
+  }
+
   test("embed_triplets: positives are the perturbation sources, negatives " +
        "stay in the band, margins positive, ranks dense") {
     val rows = run("embed_triplets").collect()
