@@ -385,6 +385,53 @@ object TextQueries {
        |FROM m GROUP BY lang""".stripMargin
   }
 
+  /** k-anonymity threshold for [[kanonAudit]]: an equivalence class of
+    * fewer than this many rows is re-identification risk. */
+  private val KanonK = 5L
+  /** the generalization ladder: n_chars coarsened to these bucket widths
+    * (finer bucket = more granular quasi-identifier = more risk). */
+  private val KanonBuckets = Seq(10L, 100L, 1000L)
+
+  /** K-ANONYMITY AUDIT, graded (`docs_kanon`): the privacy risk report a
+    * corpus release runs AFTER [[piiScrubQ]]'s direct-identifier scrub —
+    * direct identifiers gone, QUASI-identifiers remain, and a row whose
+    * quasi-identifier tuple `(lang, source, n_chars bucket)` is shared by
+    * fewer than [[KanonK]] rows is linkable (Sweeney 2002). Reported at
+    * every rung of the generalization ladder [[KanonBuckets]] (the knob a
+    * k-anonymization pass turns until risk is acceptable): per (bucket,
+    * lang) the class count, rows in classes below k, and the minimum
+    * class size. All exact integers.
+    *
+    * Scale shape: class counting is ONE map-side-combined shuffle keyed
+    * by the quasi-identifier tuple (the explode multiplies map output by
+    * |ladder| = 3, collapsed by partial aggregation before the exchange);
+    * the rollup is a second tiny shuffle on (bucket, lang). No window, no
+    * join — corpus-linear at any scale. */
+  private def kanonAudit(d: DataFrame): DataFrame = {
+    val classes = d
+      .select(col("lang"), col("source"), col("n_chars"),
+        explode(lit(KanonBuckets.toArray)).as("bucket"))
+      .groupBy(col("bucket"), col("lang"), col("source"),
+        expr("n_chars div bucket").as("nb"))
+      .agg(count(lit(1)).as("cnt"))
+    classes.groupBy(col("bucket"), col("lang"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("cnt") < KanonK, col("cnt")).otherwise(0L))
+          .as("n_risky_rows"),
+        min(col("cnt")).as("k_min"))
+  }
+
+  private val kanonOracle =
+    s"""WITH lv AS (SELECT unnest([${KanonBuckets.mkString(", ")}]::BIGINT[]) AS bucket),
+       |c AS (SELECT bucket, lang, source, n_chars // bucket AS nb,
+       |        count(*)::BIGINT AS cnt
+       |      FROM documents, lv GROUP BY 1, 2, 3, 4)
+       |SELECT bucket, lang, count(*)::BIGINT AS n_classes,
+       |  CAST(coalesce(sum(CASE WHEN cnt < $KanonK THEN cnt ELSE 0 END), 0)
+       |    AS BIGINT) AS n_risky_rows,
+       |  min(cnt)::BIGINT AS k_min
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   /** Misra–Gries MERGEABILITY, graded (`heavy_hitters_merge`): one MG
     * summary per doc_id-shard, flat-merged by [[TextOps.mgMergeFlat]] —
     * pointwise sum, subtract the (m+1)-th largest, drop non-positives —
@@ -1976,6 +2023,8 @@ object TextQueries {
     "heavy_hitters" -> ((s, dir) => heavyHitters(docs(s, dir))),
     "heavy_hitters_merge" -> ((s, dir) => heavyHittersMerge(docs(s, dir))),
     "docs_pii_scrub" -> ((s, dir) => piiScrubQ(docs(s, dir))),
+    // k-anonymity risk report over the quasi-identifier ladder
+    "docs_kanon" -> ((s, dir) => kanonAudit(docs(s, dir))),
     // Count-Min sketch point queries, integer-exact (determinism = spec)
     "heavy_hitters_cms" -> ((s, dir) => cmsHitters(docs(s, dir))),
     // per-lang unigram KL drift vs the corpus blend (smoothed, micro-nat exact)
@@ -2167,6 +2216,7 @@ object TextQueries {
     "heavy_hitters" -> heavyHittersOracle(),
     "heavy_hitters_merge" -> heavyHittersMergeOracle(),
     "docs_pii_scrub" -> piiScrubOracle,
+    "docs_kanon" -> kanonOracle,
     "heavy_hitters_cms" -> cmsHittersOracle(),
     "lang_kl" -> langKlOracle,
     "tfidf_top" -> tfidfTopOracle(),

@@ -98,6 +98,32 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("docs_kanon: the generalization ladder is monotone — coarser " +
+       "buckets merge classes, so risk never increases up the ladder") {
+    val rows = run("docs_kanon").collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    for ((lang, rs) <- byLang) {
+      // buckets 10 | 100 | 1000 nest ((n div 100) div 10 = n div 1000), so
+      // every coarse class is a union of fine classes: class count and
+      // risky-row mass fall (weakly), the minimum class size rises
+      val ladder = rs.sortBy(_.getAs[Long]("bucket"))
+      assert(ladder.map(_.getAs[Long]("bucket")).toSeq == Seq(10L, 100L, 1000L))
+      def mono[T](f: org.apache.spark.sql.Row => Long, up: Boolean) = {
+        val v = ladder.map(f)
+        assert(v.zip(v.tail).forall { case (a, b) => if (up) a <= b else a >= b },
+          s"$lang ladder not monotone: ${v.toSeq}")
+      }
+      mono(_.getAs[Long]("n_classes"), up = false)
+      mono(_.getAs[Long]("n_risky_rows"), up = false)
+      mono(_.getAs[Long]("k_min"), up = true)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("k_min") >= 1L)
+        assert(r.getAs[Long]("n_risky_rows") >= 0L)
+      }
+    }
+  }
+
   test("mine_bitext: mutual-best injectivity, margins above tau, the " +
        "planted alignment fully recovered, misses only on decoy-side ids") {
     val rows = run("mine_bitext").collect()
