@@ -1067,6 +1067,95 @@ object Dedup {
        |          JOIN sets sb ON sb.doc_id = doc_b""".stripMargin
   }
 
+  /** THRESHOLD YIELD CURVE (`dedup_sweep`): the operational report that
+    * picks a dedup threshold — for each τ (permille) on the ladder, how
+    * many verified candidate pairs are duplicates, how many documents are
+    * touched, how many the greedy keep-smallest-id rule drops, and how
+    * many survive. One verification pass serves EVERY rung: the exact
+    * intersection/union BIGINTs are computed once per candidate pair,
+    * the (tiny, capped) pair table explodes ×|ladder|, and each rung's
+    * compare is the integer cross-multiplication `1000·∩ ≥ τ·∪` — no
+    * float at any boundary, so the curve is bit-stable cross-engine.
+    * A rung that drops nothing still emits its row (left join against
+    * the ladder), so the output schema is fixture-independent.
+    *
+    * The drop rule here is PAIRWISE greedy (a doc is dropped iff it has a
+    * duplicate with a smaller id) — the transitive-closure variant is
+    * [[duplicateClusters]]' job; a yield curve wants the cheap monotone
+    * rule. Scale shape: candidate-bounded like every verification stage
+    * (the pair table is the capped LSH candidate set), plus two tiny
+    * rollup shuffles. */
+  def dedupSweep(docs: DataFrame, taus: Seq[Long],
+                 cap: Int = BucketCap): DataFrame = {
+    val spark = docs.sparkSession
+    val interC = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val uniC = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - interC
+    val f = Caching.eager(shingleCandPairs(docs, cap)
+      .select(col("doc_a"), col("doc_b"), interC.as("n_inter"), uniC.as("n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        explode(lit(taus.toArray)).as("tau_pm"))
+      .filter(lit(1000L) * col("n_inter") >= col("tau_pm") * col("n_union")))
+    val pairsAgg = f.groupBy(col("tau_pm"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    val flagged = f.select(col("tau_pm"), col("doc_a").as("d"))
+      .union(f.select(col("tau_pm"), col("doc_b"))).distinct()
+      .groupBy(col("tau_pm")).agg(count(lit(1)).as("n_docs_flagged"))
+    val dropped = f.select(col("tau_pm"), col("doc_b")).distinct()
+      .groupBy(col("tau_pm")).agg(count(lit(1)).as("n_dropped"))
+    val nDocs = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+    spark.range(1).select(explode(lit(taus.toArray)).as("tau_pm"))
+      .join(pairsAgg, Seq("tau_pm"), "left")
+      .join(flagged, Seq("tau_pm"), "left")
+      .join(dropped, Seq("tau_pm"), "left")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tau_pm"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_docs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+  }
+
+  /** oracle dual of [[dedupSweep]]. */
+  def dedupSweepSql(table: String, taus: Seq[Long],
+                    cap: Int = BucketCap): String = {
+    val inter = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::BIGINT"
+    s"""WITH bnd AS (${minhashBandsSql(minhashSigSql(table))}),
+       |sized AS (SELECT doc_id, band, key,
+       |            count(*) OVER (PARTITION BY band, key) AS bucket_n,
+       |            min(doc_id) OVER (PARTITION BY band, key) AS bucket_min
+       |          FROM bnd),
+       |cold AS (SELECT * FROM sized WHERE bucket_n <= $cap),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |           FROM cold a JOIN cold b
+       |             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |           UNION
+       |           SELECT bucket_min AS doc_a, doc_id AS doc_b
+       |           FROM sized WHERE bucket_n > $cap AND doc_id <> bucket_min)),
+       |sets AS (SELECT doc_id, list_distinct(${shinglesSql(TextOps.tokensSql("text"))}) AS sh
+       |         FROM $table),
+       |p AS (SELECT doc_a, doc_b, $inter AS n_inter,
+       |        (len(sa.sh) + len(sb.sh))::BIGINT - $inter AS n_union
+       |      FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |                JOIN sets sb ON sb.doc_id = doc_b),
+       |lv AS (SELECT unnest([${taus.mkString(", ")}]::BIGINT[]) AS tau_pm),
+       |f AS (SELECT lv.tau_pm, p.doc_a, p.doc_b, p.n_inter, p.n_union
+       |      FROM p, lv WHERE 1000 * n_inter >= tau_pm * n_union),
+       |a1 AS (SELECT tau_pm, count(*)::BIGINT AS n_dup_pairs FROM f GROUP BY 1),
+       |a2 AS (SELECT tau_pm, count(DISTINCT d)::BIGINT AS n_docs_flagged
+       |       FROM (SELECT tau_pm, doc_a AS d FROM f
+       |             UNION SELECT tau_pm, doc_b FROM f) GROUP BY 1),
+       |a3 AS (SELECT tau_pm, count(DISTINCT doc_b)::BIGINT AS n_dropped
+       |       FROM f GROUP BY 1),
+       |n AS (SELECT count(*)::BIGINT AS n_docs FROM $table)
+       |SELECT lv.tau_pm, coalesce(a1.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+       |  coalesce(a2.n_docs_flagged, 0)::BIGINT AS n_docs_flagged,
+       |  coalesce(a3.n_dropped, 0)::BIGINT AS n_dropped,
+       |  (n.n_docs - coalesce(a3.n_dropped, 0))::BIGINT AS n_kept
+       |FROM lv LEFT JOIN a1 USING (tau_pm) LEFT JOIN a2 USING (tau_pm)
+       |  LEFT JOIN a3 USING (tau_pm), n""".stripMargin
+  }
+
   /** EXACT-threshold set-similarity join via prefix filtering (the
     * AllPairs/ppjoin family) — the deterministic counterpart of the
     * LSH pipeline above: [[ngramJaccardPairs]] verifies MINHASH-BAND

@@ -24,6 +24,10 @@ object DedupQueries {
     "dedup_minhash_capped" -> ((s, dir) => Dedup.minhashPairsCapped(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    // threshold yield curve over the verified candidate pairs: one
+    // verification pass, every tau rung graded from the same integers
+    "dedup_sweep" -> ((s, dir) =>
+      Dedup.dedupSweep(docs(s, dir), Seq(300L, 500L, 700L, 900L))),
     // EXACT-threshold Jaccard pair join (prefix filter / AllPairs):
     // guaranteed-complete, unlike the LSH-recall paths above
     "dedup_ssjoin" -> ((s, dir) => Dedup.ssjoinPairs(docs(s, dir))),
@@ -168,6 +172,8 @@ object DedupQueries {
     "dedup_minhash_tf" -> Dedup.weightedTfPairsSql("documents"),
     "dedup_simhash" -> Dedup.simhashPairsSql("documents"),
     "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents"),
+    "dedup_sweep" ->
+      Dedup.dedupSweepSql("documents", Seq(300L, 500L, 700L, 900L)),
     "dedup_ssjoin" -> Dedup.ssjoinPairsSql("documents"),
     "dedup_minhash_recall" -> Dedup.minhashRecallSql("documents"),
     "dedup_containment" -> Dedup.ngramContainmentPairsSql("documents"),

@@ -98,6 +98,30 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_sweep: the yield curve is monotone in tau and internally " +
+       "consistent (flagged bounds, kept + dropped = corpus)") {
+    val rows = run("dedup_sweep").collect().sortBy(_.getAs[Long]("tau_pm"))
+    assert(rows.map(_.getAs[Long]("tau_pm")).toSeq == Seq(300L, 500L, 700L, 900L))
+    val n = graft.sources.Tables.documents(spark, dir).count()
+    rows.foreach { r =>
+      val (p, fl, dr, kp) = (r.getAs[Long]("n_dup_pairs"),
+        r.getAs[Long]("n_docs_flagged"), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("n_kept"))
+      assert(dr <= fl && fl <= 2 * p, s"flag bounds broken: $r")
+      assert(kp + dr == n, s"kept + dropped != corpus: $r")
+    }
+    // raising tau can only shrink the duplicate relation
+    def mono(f: org.apache.spark.sql.Row => Long, up: Boolean) = {
+      val v = rows.map(f)
+      assert(v.zip(v.tail).forall { case (a, b) => if (up) a <= b else a >= b },
+        s"curve not monotone: ${v.toSeq}")
+    }
+    mono(_.getAs[Long]("n_dup_pairs"), up = false)
+    mono(_.getAs[Long]("n_docs_flagged"), up = false)
+    mono(_.getAs[Long]("n_dropped"), up = false)
+    mono(_.getAs[Long]("n_kept"), up = true)
+  }
+
   test("docs_kanon: the generalization ladder is monotone — coarser " +
        "buckets merge classes, so risk never increases up the ladder") {
     val rows = run("docs_kanon").collect()
