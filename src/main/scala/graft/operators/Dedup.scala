@@ -1067,6 +1067,46 @@ object Dedup {
        |          JOIN sets sb ON sb.doc_id = doc_b""".stripMargin
   }
 
+  /** PER-DOCUMENT DUPLICATION DENSITY (`doc_dup_density`): what fraction
+    * of each document's distinct word-3-gram shingles also appear in at
+    * least one OTHER document — the doc-level "how much of this text is
+    * duplicated elsewhere" signal (Lee et al. 2022 measure duplication at
+    * this granularity before choosing span- vs doc-level dedup). Pairwise
+    * dedup answers "which docs match"; this answers "how much of EACH doc
+    * is boilerplate/copied", the score a curation pass thresholds.
+    *
+    * Exact integers: shared-shingle counts are BIGINTs and the density is
+    * `1000·shared div total` (total ≥ 1 — [[shingles]] never emits an
+    * empty set). Scale shape: one distinct-shingle explode (map-only), a
+    * shingle-keyed census aggregate (map-side combined), one
+    * shingle-keyed join back, one doc-keyed rollup — corpus-linear, no
+    * pair join anywhere; a viral shingle inflates its census COUNT, never
+    * a pair count. */
+  def dupDensity(docs: DataFrame): DataFrame = {
+    val sh = Caching.eager(fanOut(docs)
+      .select(col("doc_id"), explode(array_distinct(
+        shingles(TextOps.tokens(col("text"))))).as("sh")))
+    val census = sh.groupBy(col("sh")).agg(count(lit(1)).as("nd"))
+    sh.join(census, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nd") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        expr("1000L * n_shared div n_shingles").as("density_pm"))
+  }
+
+  /** oracle dual of [[dupDensity]]. */
+  def dupDensitySql(table: String): String =
+    s"""WITH sh AS (SELECT doc_id,
+       |        unnest(list_distinct(${shinglesSql(TextOps.tokensSql("text"))})) AS sh
+       |      FROM $table),
+       |c AS (SELECT sh, count(*)::BIGINT AS nd FROM sh GROUP BY 1)
+       |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       |  CAST(coalesce(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_shared,
+       |  CAST(1000 * coalesce(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END), 0)
+       |       // count(*) AS BIGINT) AS density_pm
+       |FROM sh JOIN c USING (sh) GROUP BY doc_id""".stripMargin
+
   /** THRESHOLD YIELD CURVE (`dedup_sweep`): the operational report that
     * picks a dedup threshold — for each τ (permille) on the ladder, how
     * many verified candidate pairs are duplicates, how many documents are

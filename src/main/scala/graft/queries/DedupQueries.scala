@@ -28,6 +28,9 @@ object DedupQueries {
     // verification pass, every tau rung graded from the same integers
     "dedup_sweep" -> ((s, dir) =>
       Dedup.dedupSweep(docs(s, dir), Seq(300L, 500L, 700L, 900L))),
+    // per-doc duplication density: the fraction of each doc's shingles
+    // found in at least one other doc (doc-level curation signal)
+    "doc_dup_density" -> ((s, dir) => Dedup.dupDensity(docs(s, dir))),
     // EXACT-threshold Jaccard pair join (prefix filter / AllPairs):
     // guaranteed-complete, unlike the LSH-recall paths above
     "dedup_ssjoin" -> ((s, dir) => Dedup.ssjoinPairs(docs(s, dir))),
@@ -174,6 +177,7 @@ object DedupQueries {
     "dedup_ngram" -> Dedup.ngramJaccardPairsSql("documents"),
     "dedup_sweep" ->
       Dedup.dedupSweepSql("documents", Seq(300L, 500L, 700L, 900L)),
+    "doc_dup_density" -> Dedup.dupDensitySql("documents"),
     "dedup_ssjoin" -> Dedup.ssjoinPairsSql("documents"),
     "dedup_minhash_recall" -> Dedup.minhashRecallSql("documents"),
     "dedup_containment" -> Dedup.ngramContainmentPairsSql("documents"),

@@ -98,6 +98,29 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_dup_density: bounds hold, and both endpoints of any verified " +
+       "near-dup pair carry at least that pair's jaccard as density") {
+    val dens = run("doc_dup_density").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"),
+          r.getAs[Long]("density_pm"))).toMap
+    assert(dens.nonEmpty)
+    dens.values.foreach { case (tot, sh, d) =>
+      assert(tot >= 1 && sh >= 0 && sh <= tot)
+      assert(d == 1000L * sh / tot && d >= 0 && d <= 1000)
+    }
+    // shared(a) >= |a ∩ b| and |a| <= |a ∪ b|, so density(a) >= jaccard(a,b)
+    // for EVERY pair (a, b) — up to the 4-decimal rounding of the pair query
+    run("dedup_ngram").collect().foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      val floorJpm = math.floor(j * 1000).toLong - 1 // rounding slack
+      Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")).foreach { d =>
+        assert(dens(d)._3 >= floorJpm,
+          s"doc $d density ${dens(d)._3} below pair jaccard $j")
+      }
+    }
+  }
+
   test("dedup_sweep: the yield curve is monotone in tau and internally " +
        "consistent (flagged bounds, kept + dropped = corpus)") {
     val rows = run("dedup_sweep").collect().sortBy(_.getAs[Long]("tau_pm"))
