@@ -1067,6 +1067,92 @@ object Dedup {
        |          JOIN sets sb ON sb.doc_id = doc_b""".stripMargin
   }
 
+  /** the (bands, rows) factorizations of [[K]] the planner sweeps. */
+  private val LshConfigs: Seq[(Int, Int)] =
+    Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+  /** reference similarities for the analytic S-curve: a true near-dup and
+    * the random-overlap noise floor. */
+  private val LshSHi = 0.9
+  private val LshSLo = 0.3
+
+  /** analytic LSH detection probability 1 − (1 − s^r)^b, quantized to
+    * integer MICRO units at PLAN TIME in Scala — the literal lands in both
+    * the Spark plan and the oracle SQL, so no floating-point `pow` ever
+    * crosses an engine boundary. */
+  private def lshPMicro(s: Double, b: Int, r: Int): Long =
+    math.floor((1.0 - math.pow(1.0 - math.pow(s, r), b)) * 1e6 + 0.5).toLong
+
+  /** LSH BAND PLANNER (`lsh_plan`): the measurement a production dedup
+    * deploy runs before fixing (b, r) — for every factorization of the
+    * [[K]]-hash signature, the ANALYTIC S-curve endpoints (detection
+    * probability at near-dup similarity [[LshSHi]] and at the noise floor
+    * [[LshSLo]], plan-time integer micro literals) next to the MEASURED
+    * candidate mass on the actual corpus: Σ n·(n−1)/2 over that config's
+    * band buckets (the pair count a band join WOULD produce, computed
+    * from bucket sizes — no pair is ever materialized) and the number of
+    * buckets over [[BucketCap]] (the hot buckets the capped join would
+    * truncate). The signature table is computed ONCE and every config
+    * re-keys it (an explode — map-only); the rollup is one
+    * (config, band, key) aggregate and one config aggregate, both
+    * map-side combined. Corpus-linear at any scale. */
+  def lshPlan(docs: DataFrame, cap: Int = BucketCap): DataFrame = {
+    val sig = Caching.eager(minhashSig(docs))
+    val perConfig = LshConfigs.map { case (b, r) =>
+      val keys = (0 until b).map { i =>
+        concat_ws(":",
+          (0 until r).map(j => col("sig").getItem(i * r + j).cast("string")): _*)
+      }
+      sig.select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+        col("doc_id"), posexplode(array(keys: _*)))
+        .select(col("b"), col("r"), col("pos").cast("long").as("band"),
+          col("col").as("key"))
+    }.reduce(_ union _)
+    val buckets = perConfig
+      .groupBy(col("b"), col("r"), col("band"), col("key"))
+      .agg(count(lit(1)).as("nb"))
+    val measured = buckets.groupBy(col("b"), col("r"))
+      .agg(sum(expr("nb * (nb - 1L) div 2L")).as("n_cand_pairs"),
+        sum(when(col("nb") > cap, 1L).otherwise(0L)).as("n_hot_buckets"))
+    val analytic = LshConfigs.map { case (b, r) =>
+      (b.toLong, r.toLong, lshPMicro(LshSHi, b, r), lshPMicro(LshSLo, b, r),
+        b == B)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    analytic.toDF("b", "r", "p_hi_micro", "p_lo_micro", "chosen")
+      .join(measured, Seq("b", "r"))
+      .select(col("b"), col("r"), col("p_hi_micro"), col("p_lo_micro"),
+        col("n_cand_pairs"), col("n_hot_buckets"), col("chosen"))
+  }
+
+  /** oracle dual of [[lshPlan]] — same plan-time analytic literals, same
+    * bucket-size measurement. */
+  def lshPlanSql(table: String, cap: Int = BucketCap): String = {
+    val bandRows = LshConfigs.flatMap { case (b, r) =>
+      (0 until b).map { i =>
+        val key = (0 until r).map(j => s"CAST(sig[${i * r + j + 1}] AS VARCHAR)")
+          .mkString("concat_ws(':', ", ", ", ")")
+        s"SELECT $b::BIGINT AS b, $r::BIGINT AS r, $i::BIGINT AS band, doc_id, $key AS key FROM sig"
+      }
+    }.mkString("\n UNION ALL ")
+    val analytic = LshConfigs.map { case (b, r) =>
+      s"($b::BIGINT, $r::BIGINT, ${lshPMicro(LshSHi, b, r)}::BIGINT, " +
+        s"${lshPMicro(LshSLo, b, r)}::BIGINT, ${b == B})"
+    }.mkString(",\n  ")
+    s"""WITH sig AS (${minhashSigSql(table)}),
+       |br AS ($bandRows),
+       |bk AS (SELECT b, r, band, key, count(*)::BIGINT AS nb
+       |       FROM br GROUP BY 1, 2, 3, 4),
+       |ms AS (SELECT b, r, CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS n_cand_pairs,
+       |         CAST(coalesce(sum(CASE WHEN nb > $cap THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hot_buckets
+       |       FROM bk GROUP BY 1, 2),
+       |an(b, r, p_hi_micro, p_lo_micro, chosen) AS (VALUES
+       |  $analytic)
+       |SELECT an.b, an.r, p_hi_micro, p_lo_micro, n_cand_pairs,
+       |  n_hot_buckets, chosen
+       |FROM an JOIN ms ON an.b = ms.b AND an.r = ms.r""".stripMargin
+  }
+
   /** PER-DOCUMENT DUPLICATION DENSITY (`doc_dup_density`): what fraction
     * of each document's distinct word-3-gram shingles also appear in at
     * least one OTHER document — the doc-level "how much of this text is

@@ -31,6 +31,9 @@ object DedupQueries {
     // per-doc duplication density: the fraction of each doc's shingles
     // found in at least one other doc (doc-level curation signal)
     "doc_dup_density" -> ((s, dir) => Dedup.dupDensity(docs(s, dir))),
+    // LSH band planner: analytic S-curve endpoints next to the measured
+    // candidate mass per (bands, rows) factorization of the signature
+    "lsh_plan" -> ((s, dir) => Dedup.lshPlan(docs(s, dir))),
     // EXACT-threshold Jaccard pair join (prefix filter / AllPairs):
     // guaranteed-complete, unlike the LSH-recall paths above
     "dedup_ssjoin" -> ((s, dir) => Dedup.ssjoinPairs(docs(s, dir))),
@@ -178,6 +181,7 @@ object DedupQueries {
     "dedup_sweep" ->
       Dedup.dedupSweepSql("documents", Seq(300L, 500L, 700L, 900L)),
     "doc_dup_density" -> Dedup.dupDensitySql("documents"),
+    "lsh_plan" -> Dedup.lshPlanSql("documents"),
     "dedup_ssjoin" -> Dedup.ssjoinPairsSql("documents"),
     "dedup_minhash_recall" -> Dedup.minhashRecallSql("documents"),
     "dedup_containment" -> Dedup.ngramContainmentPairsSql("documents"),

@@ -98,6 +98,31 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh_plan: the factorization ladder nests — more bands never " +
+       "detect less or produce fewer candidates; exactly one chosen row") {
+    val rows = run("lsh_plan").collect().sortBy(_.getAs[Long]("b"))
+    assert(rows.map(r => (r.getAs[Long]("b"), r.getAs[Long]("r"))).toSeq ==
+      Seq((1L, 16L), (2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L)))
+    assert(rows.count(_.getAs[Boolean]("chosen")) == 1)
+    assert(rows.find(_.getAs[Boolean]("chosen")).get.getAs[Long]("b") == 4L)
+    // each rung's r divides the previous rung's r, so an r-row agreement
+    // implies agreement on every aligned r/2 block: the analytic curve AND
+    // the measured candidate multiplicity both rise monotonically with b
+    def mono(f: org.apache.spark.sql.Row => Long) = {
+      val v = rows.map(f)
+      assert(v.zip(v.tail).forall { case (a, c) => a <= c },
+        s"ladder not monotone: ${v.toSeq}")
+    }
+    mono(_.getAs[Long]("p_hi_micro"))
+    mono(_.getAs[Long]("p_lo_micro"))
+    mono(_.getAs[Long]("n_cand_pairs"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_hi_micro") >= r.getAs[Long]("p_lo_micro"),
+        s"noise detected above signal: $r")
+      assert(r.getAs[Long]("p_hi_micro") <= 1000000L)
+    }
+  }
+
   test("doc_dup_density: bounds hold, and both endpoints of any verified " +
        "near-dup pair carry at least that pair's jaccard as density") {
     val dens = run("doc_dup_density").collect()
