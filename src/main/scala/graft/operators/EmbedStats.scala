@@ -250,6 +250,84 @@ object EmbedStats {
       lit(ortho).as("ortho"))
   }
 
+  /** PCA PROJECTION (`embed_project`): every embedding's coordinates on
+    * the top-2 spectral directions — the dimensionality-reduction apply
+    * step the trainer family promises (visual maps, coarse indexes,
+    * whitening all start here). The two directions come from the exact
+    * chains this family already grades ([[powerTrain]]'s v₁, then
+    * [[powerDeflate]]'s v₂ over the integer-deflated matrix); the output
+    * coordinates are the EXACT BIGINT dots `c1 = Σ xq·vq₁`,
+    * `c2 = Σ xq·vq₂` on the quantized grid (|c| ≤ D·Q² ≈ 6.4·10⁹ —
+    * Long-safe), an unnormalized positive-scalar multiple of the PCA
+    * coordinates, so zero float crosses the engine boundary. Each chain
+    * round is one corpus pass (collect-requantize: D longs to the
+    * driver); the projection itself is one map-only scan. */
+  def projectTop2(vecs: DataFrame, iters: Int,
+                  dim: Int = Similarity.Dim): DataFrame = {
+    import org.apache.spark.sql.functions.{typedLit => tl}
+    val xqId = Caching.eager(
+      PairPlan.fanOut(vecs).select(col("vec_id"), qvec(col("vec")).as("xq")))
+    var vq1 = v0Collected(vecs, dim)
+    for (_ <- 0 until iters) vq1 = powerRoundQ(xqId, vq1)._2
+    val d00 = vq1.map(v => v * v).sum
+    val v1lit = tl(vq1.toSeq)
+    val proj1 = aggregate(zip_with(col("xq"), v1lit, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val xq2 = Caching.eager(xqId.select(col("xq"), proj1.as("proj"))
+      .select(transform(col("xq"), (x, i) =>
+        x - floor(col("proj").cast("double") *
+          element_at(v1lit, i + 1).cast("double") / lit(d00.toDouble) +
+          lit(0.5)).cast("long")).as("xq")))
+    var vq2 = v0Collected(vecs, dim)
+    for (_ <- 0 until iters) vq2 = powerRoundQ(xq2, vq2)._2
+    val v2lit = tl(vq2.toSeq)
+    val proj2 = aggregate(zip_with(col("xq"), v2lit, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val res = xqId.select(col("vec_id"), proj1.as("c1"), proj2.as("c2"))
+      .localCheckpoint(eager = true)
+    xqId.unpersist(false); xq2.unpersist(false)
+    res
+  }
+
+  /** Dual of [[projectTop2]]: the deflate oracle's two chains, then the
+    * two exact-BIGINT projection dots per vec_id. */
+  def projectTop2OracleSql(iters: Int): String = {
+    def chain(pfx: String, src: String, v0: String): String =
+      (1 to iters).map { t =>
+        val prev = if (t == 1) v0 else s"${pfx}vq${t - 1}"
+        s"""${pfx}s$t AS MATERIALIZED (SELECT vec_id, CAST(sum(xq * vq) AS BIGINT) AS s
+           |       FROM $src JOIN $prev ON $src.d = $prev.pos GROUP BY vec_id),
+           |${pfx}s3_$t AS MATERIALIZED (SELECT vec_id, CAST(floor(s::DOUBLE / $Q) AS BIGINT) AS s3 FROM ${pfx}s$t),
+           |${pfx}v$t AS MATERIALIZED (SELECT d AS pos, CAST(sum(s3 * xq) AS HUGEINT) AS v1raw
+           |       FROM $src JOIN ${pfx}s3_$t USING (vec_id) GROUP BY d),
+           |${pfx}st$t AS MATERIALIZED (SELECT CAST(sum(v1raw * v1raw) AS DOUBLE) AS nrm2
+           |        FROM ${pfx}v$t),
+           |${pfx}vq$t AS MATERIALIZED (SELECT pos, CAST(floor((v1raw::DOUBLE /
+           |           greatest(sqrt(nrm2), 1e-12)) * $Q + 0.5) AS BIGINT) AS vq
+           |        FROM ${pfx}v$t CROSS JOIN ${pfx}st$t)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, CAST(i AS BIGINT) AS d,
+       |             CAST(floor(e::DOUBLE * $Q + 0.5) AS BIGINT) AS xq
+       |           FROM (SELECT vec_id, unnest(embedding) AS e,
+       |                   unnest(range(len(embedding))) AS i FROM embeddings)),
+       |v0 AS (SELECT d AS pos, ${v0qSql("d")} AS vq
+       |       FROM (SELECT unnest(range(${Similarity.Dim})) AS d)),
+       |${chain("a", "x", "v0")},
+       |pj AS MATERIALIZED (SELECT vec_id, CAST(sum(xq * vq) AS BIGINT) AS proj
+       |      FROM x JOIN avq$iters ON x.d = avq$iters.pos GROUP BY vec_id),
+       |dd AS (SELECT CAST(sum(vq * vq) AS BIGINT) AS d00 FROM avq$iters),
+       |x2 AS MATERIALIZED (SELECT x.vec_id, x.d,
+       |        x.xq - CAST(floor(pj.proj::DOUBLE * a.vq::DOUBLE /
+       |          dd.d00::DOUBLE + 0.5) AS BIGINT) AS xq
+       |      FROM x JOIN pj USING (vec_id)
+       |      JOIN avq$iters a ON x.d = a.pos CROSS JOIN dd),
+       |${chain("b", "x2", "v0")},
+       |c2t AS (SELECT vec_id, CAST(sum(x.xq * b.vq) AS BIGINT) AS c2
+       |        FROM x JOIN bvq$iters b ON x.d = b.pos GROUP BY vec_id)
+       |SELECT pj.vec_id, pj.proj AS c1, c2t.c2
+       |FROM pj JOIN c2t USING (vec_id)""".stripMargin
+  }
+
   /** round-0 direction: the closed-form v0, collected (D longs). */
   private def v0Collected(vecs: DataFrame, dim: Int): Array[Long] = {
     val spark = vecs.sparkSession

@@ -1189,6 +1189,11 @@ object SimilarityQueries {
     "embed_power_deflate" -> ((s, dir) =>
       graft.operators.EmbedStats.powerDeflate(
         emb(s, dir).select(col("vec")), PowerIters)),
+    // PCA apply: every embedding's exact-BIGINT coordinates on the two
+    // trained spectral directions (the trainer family's apply step)
+    "embed_project" -> ((s, dir) =>
+      graft.operators.EmbedStats.projectTop2(
+        emb(s, dir).select(col("vec_id"), col("vec")), PowerIters)),
     "embed_centroids" -> ((s, dir) => centroids(emb(s, dir))),
     "embed_quantize" -> ((s, dir) => embedQuantize(emb(s, dir))),
     "similar_topk" -> ((s, dir) =>
@@ -1410,6 +1415,8 @@ object SimilarityQueries {
         PowerConvEps, PowerConvMax),
     "embed_power_deflate" ->
       graft.operators.EmbedStats.powerDeflateOracleSql(PowerIters),
+    "embed_project" ->
+      graft.operators.EmbedStats.projectTop2OracleSql(PowerIters),
     "embed_centroids" -> centroidsOracle,
     "embed_quantize" -> embedQuantizeOracle,
     "similar_topk" -> topkOracle,

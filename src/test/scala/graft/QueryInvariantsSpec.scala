@@ -98,6 +98,28 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_project: the projected energy is spectrally ordered and " +
+       "the two coordinates are near-uncorrelated") {
+    val rows = run("embed_project").collect()
+    assert(rows.nonEmpty)
+    val c1 = rows.map(_.getAs[Long]("c1").toDouble)
+    val c2 = rows.map(_.getAs[Long]("c2").toDouble)
+    val (e1, e2) = (c1.map(x => x * x).sum, c2.map(x => x * x).sum)
+    // the top direction captures at least as much energy as the second
+    // (Rayleigh ordering of the trained chain)
+    assert(e1 >= e2, s"spectral order violated: $e1 < $e2")
+    assert(e1 > 0 && e2 > 0, "degenerate projection")
+    // v2 comes from the v1-deflated matrix, so the coordinates decorrelate
+    // as the chains converge; at the graded 3 iterations the residual
+    // XᵀX-conjugacy error is ~0.17 on this fixture (exact DIRECTION
+    // orthogonality is graded by embed_power_deflate's `ortho` column —
+    // this bound only guards against a broken deflation, which would
+    // leave corr ≈ 1)
+    val corr = c1.zip(c2).map { case (a, b) => a * b }.sum /
+      (math.sqrt(e1) * math.sqrt(e2))
+    assert(math.abs(corr) < 0.3, s"projected coordinates correlated: $corr")
+  }
+
   test("lsh_plan: the factorization ladder nests — more bands never " +
        "detect less or produce fewer candidates; exactly one chosen row") {
     val rows = run("lsh_plan").collect().sortBy(_.getAs[Long]("b"))
