@@ -311,6 +311,56 @@ object Dedup {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
   }
 
+  /** PROVENANCE ACCOUNTING of the dedup pass (`dedup_attribution`): per
+    * source, how many documents the cluster rule drops, the exact drop
+    * rate in permille, and how many of those drops were CROSS-SOURCE
+    * (the kept representative lives in a different source) — the report
+    * that tells a corpus owner whether a source is losing mass to its own
+    * re-posts or to syndication elsewhere, the first question a licensing
+    * / provenance audit asks of a dedup run. Clustering happens on
+    * signatures exactly as [[dedupCorpus]]; this only joins the (tiny)
+    * drop list to the doc→source map twice (member side + representative
+    * side) and rolls up — corpus touched once, map-only. */
+  def dedupAttribution(docs: DataFrame, minEst: Double = 0.5,
+                       cap: Int = BucketCap): DataFrame = {
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    val drops = dedupClusters(docs, minEst, cap)
+      .filter(col("doc_id") =!= col("cluster"))
+      .join(srcOf, "doc_id")
+      .join(srcOf.select(col("doc_id").as("cluster"),
+        col("source").as("rep_source")), "cluster")
+    val agg = drops.groupBy(col("source")).agg(
+      count(lit(1)).as("nd"),
+      sum(when(col("rep_source") =!= col("source"), 1L).otherwise(0L))
+        .as("nx"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(agg, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        coalesce(col("nx"), lit(0L)).as("n_cross_source"))
+      .withColumn("drop_pm", expr("1000L * n_dropped div n_docs"))
+  }
+
+  /** SQL dual of [[dedupAttribution]]. */
+  def dedupAttributionSql(table: String, minEst: Double = 0.5,
+                          cap: Int = BucketCap): String =
+    s"""WITH clusters AS (${dedupClustersSql(table, minEst, cap)}),
+       |src AS (SELECT doc_id, source FROM $table),
+       |dr AS (SELECT s.source,
+       |         CASE WHEN rs.source <> s.source THEN 1 ELSE 0 END AS x
+       |       FROM clusters c JOIN src s ON s.doc_id = c.doc_id
+       |       JOIN src rs ON rs.doc_id = c.cluster
+       |       WHERE c.doc_id <> c.cluster),
+       |a AS (SELECT source, count(*)::BIGINT AS nd,
+       |        CAST(coalesce(sum(x), 0) AS BIGINT) AS nx
+       |      FROM dr GROUP BY 1),
+       |t AS (SELECT source, count(*)::BIGINT AS n_docs FROM $table GROUP BY 1)
+       |SELECT t.source, n_docs,
+       |  coalesce(a.nd, 0)::BIGINT AS n_dropped,
+       |  coalesce(a.nx, 0)::BIGINT AS n_cross_source,
+       |  CAST(1000 * coalesce(a.nd, 0) // n_docs AS BIGINT) AS drop_pm
+       |FROM t LEFT JOIN a USING (source)""".stripMargin
+
   /** [[dedupCorpus]] with a QUALITY-AWARE representative: production
     * dedup keeps the best member of each near-dup cluster, not the one
     * with the smallest id — a scraped page's longest capture usually has

@@ -47,6 +47,9 @@ object DedupQueries {
     "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(docs(s, dir))),
     // clusters -> kept corpus (anti-join the non-representative members)
     "dedup_corpus" -> ((s, dir) => Dedup.dedupCorpus(docs(s, dir))),
+    // provenance accounting: per-source drop rate and cross-source loss
+    "dedup_attribution" -> ((s, dir) =>
+      Dedup.dedupAttribution(docs(s, dir))),
     // quality-aware representative: keep each cluster's LONGEST member
     "dedup_corpus_best" -> ((s, dir) => Dedup.dedupCorpusBest(docs(s, dir))),
     // incremental ingest: odd doc_ids are the new batch, even the existing
@@ -187,6 +190,7 @@ object DedupQueries {
     "dedup_containment" -> Dedup.ngramContainmentPairsSql("documents"),
     "dedup_clusters" -> Dedup.dedupClustersSql("documents"),
     "dedup_corpus" -> Dedup.dedupCorpusSql("documents"),
+    "dedup_attribution" -> Dedup.dedupAttributionSql("documents"),
     "dedup_corpus_best" -> Dedup.dedupCorpusBestSql("documents"),
     "dedup_incremental" -> Dedup.incrementalDedupSql("documents"),
     "dedup_clusters_ingest" -> Dedup.clustersIngestSql("documents"),

@@ -98,6 +98,22 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_attribution: per-source bounds hold and the drop total " +
+       "reconciles exactly with the cluster drop list") {
+    val rows = run("dedup_attribution").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, x, pm) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("n_cross_source"), r.getAs[Long]("drop_pm"))
+      assert(x <= d && d <= n, s"bounds broken: $r")
+      assert(pm == 1000L * d / n, s"drop_pm not exact: $r")
+    }
+    // Σ per-source drops == the cluster rule's total drop count
+    val totalDrops = run("dedup_clusters").collect()
+      .count(r => r.getAs[Long]("doc_id") != r.getAs[Long]("cluster"))
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum == totalDrops)
+  }
+
   test("embed_project: the projected energy is spectrally ordered and " +
        "the two coordinates are near-uncorrelated") {
     val rows = run("embed_project").collect()
