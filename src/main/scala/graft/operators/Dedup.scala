@@ -1271,18 +1271,18 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         explode(lit(taus.toArray)).as("tau_pm"))
       .filter(lit(1000L) * col("n_inter") >= col("tau_pm") * col("n_union")))
+    // pair count + distinct-drop count share one aggregate pass; only the
+    // flagged-doc count needs the union explode
     val pairsAgg = f.groupBy(col("tau_pm"))
-      .agg(count(lit(1)).as("n_dup_pairs"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("doc_b")).as("n_dropped"))
     val flagged = f.select(col("tau_pm"), col("doc_a").as("d"))
       .union(f.select(col("tau_pm"), col("doc_b"))).distinct()
       .groupBy(col("tau_pm")).agg(count(lit(1)).as("n_docs_flagged"))
-    val dropped = f.select(col("tau_pm"), col("doc_b")).distinct()
-      .groupBy(col("tau_pm")).agg(count(lit(1)).as("n_dropped"))
     val nDocs = docs.groupBy().agg(count(lit(1)).as("n_docs"))
     spark.range(1).select(explode(lit(taus.toArray)).as("tau_pm"))
       .join(pairsAgg, Seq("tau_pm"), "left")
       .join(flagged, Seq("tau_pm"), "left")
-      .join(dropped, Seq("tau_pm"), "left")
       .crossJoin(broadcast(nDocs))
       .select(col("tau_pm"),
         coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
