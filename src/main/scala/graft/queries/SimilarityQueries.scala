@@ -542,6 +542,37 @@ object SimilarityQueries {
        |FROM r2 WHERE cos_tm <= $TripNegHiTm AND k_id <> pos_id
        |  AND neg_rank <= $TripNegK""".stripMargin
 
+  /** RETRIEVAL-EVAL MRR (`similar_mrr_eval`): per perturbed query, the
+    * rank of its KNOWN source vector in the exact top-[[TopK]] cosine
+    * ranking and the reciprocal-rank contribution `10⁶ div rank` (0 on a
+    * miss) — the eval metric a retrieval stack reports next to recall@k,
+    * here graded exactly because the fixture plants the relevant
+    * document (q = perturbed copy of k_id = q_id − [[QOffset]]). Pure
+    * integers; misses survive as explicit 0-rows via the left join, so
+    * the row set is the query set at any SF. */
+  private def mrrEval(s: SparkSession, dir: String): DataFrame = {
+    val hits = Similarity
+      .cosineTopK(perturbedQSide(s, dir), kvSide(s, dir), TopK)
+      .filter(col("k_id") === col("q_id") - QOffset)
+      .select(col("q_id"), col("rank").as("src_rank"))
+    perturbedQSide(s, dir).select(col("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("src_rank"), lit(0L)).as("src_rank"))
+      .withColumn("rr_micro",
+        when(col("src_rank") > 0L, expr("1000000L div src_rank"))
+          .otherwise(0L))
+  }
+
+  private val mrrEvalOracle =
+    s"""WITH t AS (${probeBruteSql(TopK)}),
+       |q AS ($perturbedQCte),
+       |h AS (SELECT q_id, rank FROM t WHERE k_id = q_id - $QOffset)
+       |SELECT q.q_id, coalesce(h.rank, 0)::BIGINT AS src_rank,
+       |  CASE WHEN h.rank IS NOT NULL THEN CAST(1000000 // h.rank AS BIGINT)
+       |       ELSE 0 END AS rr_micro
+       |FROM (SELECT q_id FROM q) q LEFT JOIN h USING (q_id)""".stripMargin
+
   // ---- margin-based bitext mining fixture --------------------------------
   // Two "languages" derived from the fixture: the x side is the raw corpus
   // head; the y side is BtAlignedN deterministic perturbed copies (the
@@ -1390,6 +1421,8 @@ object SimilarityQueries {
     // margin-based bitext mining (mutual-best + ratio margin) over the
     // derived two-language sides: recovers the planted alignment,
     // rejects the unaligned decoys
+    // retrieval-eval MRR against the planted sources (exact integers)
+    "similar_mrr_eval" -> ((s, dir) => mrrEval(s, dir)),
     "mine_bitext" -> ((s, dir) =>
       Similarity.mineBitext(btXSide(s, dir), btYSide(s, dir),
         BtK, BtTauMicro)),
@@ -1469,6 +1502,7 @@ object SimilarityQueries {
     "similar_mmr_ivf" -> mmrIvfOracle,
     "similar_mmr_gain" -> mmrGainOracle,
     "embed_triplets" -> tripletsOracle,
+    "similar_mrr_eval" -> mrrEvalOracle,
     "mine_bitext" -> bitextOracle,
     "mine_bitext_audit" -> bitextAuditOracle,
     "decontaminate_embed" -> embedDecontamOracle

@@ -98,6 +98,21 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("similar_mrr_eval: one row per query, rr consistent with rank, " +
+       "and the planted sources dominate (every source found at rank 1)") {
+    val rows = run("similar_mrr_eval").collect()
+    assert(rows.length == 64, s"row set is not the query set: ${rows.length}")
+    rows.foreach { r =>
+      val (rk, rr) = (r.getAs[Long]("src_rank"), r.getAs[Long]("rr_micro"))
+      assert(rk >= 0 && rk <= 10)
+      assert(rr == (if (rk > 0) 1000000L / rk else 0L), s"rr mismatch: $r")
+    }
+    // the perturbation geometry puts every source at cos ≈ 0.945, far
+    // above the ~0.5 random band — rank 1 for every query on this fixture
+    assert(rows.forall(_.getAs[Long]("src_rank") == 1L),
+      "a planted source lost rank 1")
+  }
+
   test("dedup_attribution: per-source bounds hold and the drop total " +
        "reconciles exactly with the cluster drop list") {
     val rows = run("dedup_attribution").collect()
