@@ -805,7 +805,75 @@ object StreamQueries {
        |       TRUE AS hll_ok
        |FROM events GROUP BY 1""".stripMargin
 
+  /** HOUR-OVER-HOUR DISTRIBUTION DRIFT (`events_drift`): per hour window,
+    * KL(P_h ‖ P_{h−1}) of the event-type distribution against the
+    * preceding hour under Laplace smoothing over the global type
+    * vocabulary — the monitoring signal that catches a traffic-mix shift
+    * (a client rollout, a bot burst) that per-type volume counts alone
+    * don't localize. The first hour has no baseline and is not emitted;
+    * an hour whose predecessor is silent likewise (gap = no baseline).
+    *
+    * Exactness is the `lang_kl` protocol: the only float op is ln of a
+    * ratio of exact integer-valued doubles, quantized to micro-nats;
+    * the accumulation `Σ (c+1)·lr_micro` is an exact LONG and `kl_nats`
+    * divides identical integers in both engines. Shape: one
+    * (hour, type)-keyed count shuffle; everything after runs on the
+    * hours × types grid (types is a broadcast handful) — corpus-linear. */
+  private def eventsDrift(e: DataFrame): DataFrame = {
+    val cnt = e.select(expr("unix_timestamp(ts) div 3600").as("hr"),
+        col("event_type"))
+      .groupBy(col("hr"), col("event_type")).agg(count(lit(1)).as("c"))
+    graft.operators.Caching.scoped(cnt) {
+      val types = cnt.select(col("event_type")).distinct()
+      val vDf = types.agg(count(lit(1)).as("v"))
+      val hours = cnt.groupBy(col("hr")).agg(sum(col("c")).as("n_h"))
+      val grid = hours.crossJoin(broadcast(types))
+        .join(cnt, Seq("hr", "event_type"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val prev = grid.select((col("hr") + 1).as("hr"), col("event_type"),
+        col("c").as("c_prev"), col("n_h").as("n_prev"))
+      val ratio = ((col("c") + 1).cast("double") *
+          (col("n_prev") + col("v")).cast("double")) /
+        ((col("n_h") + col("v")).cast("double") *
+          (col("c_prev") + 1).cast("double"))
+      val lr = floor(log(ratio) * lit(1e6) + lit(0.5)).cast("long")
+      grid.join(prev, Seq("hr", "event_type"))
+        .crossJoin(broadcast(vDf))
+        .groupBy(col("hr"), col("n_h"), col("v"))
+        .agg(sum((col("c") + lit(1L)) * lr).as("num"))
+        .select(col("hr"), col("n_h").as("n_events"),
+          col("num").as("kl_num_micro"),
+          (col("num").cast("double") /
+            ((col("n_h") + col("v")).cast("double") * lit(1e6))).as("kl_nats"))
+    }
+  }
+
+  private val eventsDriftOracle =
+    s"""WITH c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+       |        event_type, count(*)::BIGINT AS c
+       |      FROM events GROUP BY 1, 2),
+       |ty AS (SELECT DISTINCT event_type FROM c),
+       |vv AS (SELECT count(*)::BIGINT AS v FROM ty),
+       |h AS (SELECT hr, CAST(sum(c) AS BIGINT) AS n_h FROM c GROUP BY 1),
+       |g AS (SELECT h.hr, h.n_h, ty.event_type, coalesce(c.c, 0) AS c
+       |      FROM h CROSS JOIN ty
+       |      LEFT JOIN c ON c.hr = h.hr AND c.event_type = ty.event_type),
+       |p AS (SELECT hr + 1 AS hr, event_type, c AS c_prev, n_h AS n_prev FROM g),
+       |q AS (SELECT g.hr, g.n_h, vv.v,
+       |        CAST(floor(ln(((g.c + 1)::DOUBLE * (p.n_prev + vv.v)::DOUBLE) /
+       |                      ((g.n_h + vv.v)::DOUBLE * (p.c_prev + 1)::DOUBLE))
+       |                   * 1e6 + 0.5) AS BIGINT) AS lr,
+       |        g.c
+       |      FROM g JOIN p ON p.hr = g.hr AND p.event_type = g.event_type
+       |      CROSS JOIN vv)
+       |SELECT hr, n_h AS n_events,
+       |  CAST(sum((c + 1) * lr) AS BIGINT) AS kl_num_micro,
+       |  CAST(sum((c + 1) * lr) AS DOUBLE) / ((n_h + v)::DOUBLE * 1e6) AS kl_nats
+       |FROM q GROUP BY hr, n_h, v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hour-over-hour event-type distribution drift (exact-integer KL)
+    "events_drift" -> ((s, dir) => eventsDrift(Tables.events(s, dir))),
     // per-window exact distinct users + tolerance-graded HLL estimate
     "events_window_users" -> ((s, dir) => eventsWindowUsers(Tables.events(s, dir))),
     // weekly cohort retention matrix (first-seen cohorts x week offset)
@@ -902,6 +970,7 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_drift" -> eventsDriftOracle,
     "events_window_users" -> eventsWindowUsersOracle,
     "events_retention" -> eventsRetentionOracle,
     "events_winsorized" -> eventsWinsorizedOracle,

@@ -98,6 +98,30 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_drift: every emitted hour has a baseline hour, KL is " +
+       "non-negative up to quantization, totals reconcile with the raw " +
+       "hourly volumes") {
+    val rows = run("events_drift").collect()
+    assert(rows.nonEmpty)
+    val vols = graft.sources.Tables.events(spark, dir)
+      .groupBy(expr("unix_timestamp(ts) div 3600").as("hr"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("hr") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val hr = r.getAs[Long]("hr")
+      // an emitted row needs BOTH its own hour and the preceding one
+      assert(vols.contains(hr) && vols.contains(hr - 1), s"baseline gap: $hr")
+      assert(r.getAs[Long]("n_events") == vols(hr), s"volume mismatch: $r")
+      // Gibbs: KL >= 0 exactly; the micro-nat quantization of each log
+      // ratio can push the sum a hair under zero, never more than ~1e-6
+      assert(r.getAs[Double]("kl_nats") >= -1e-5, s"negative KL: $r")
+    }
+    // every hour with a predecessor IS emitted
+    val emitted = rows.map(_.getAs[Long]("hr")).toSet
+    vols.keys.filter(h => vols.contains(h - 1)).foreach(h =>
+      assert(emitted.contains(h), s"hour $h with baseline not emitted"))
+  }
+
   test("similar_mrr_eval: one row per query, rr consistent with rank, " +
        "and the planted sources dominate (every source found at rank 1)") {
     val rows = run("similar_mrr_eval").collect()
