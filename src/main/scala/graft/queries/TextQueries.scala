@@ -1681,6 +1681,69 @@ object TextQueries {
       (col("margin_micro") * lit(2L) > lit(msum)).as("keep"))
   }
 
+  /** keep-rate rungs for [[logregCalibration]], permille of corpus. */
+  private val CalibRungs = Seq(250L, 500L, 750L)
+
+  /** CLASSIFIER OPERATING CURVE (`quality_calibration`): the eval step
+    * between training (`quality_logreg`) and deployment
+    * (`quality_logreg_apply`) — at each keep-rate rung (keep the top p‰
+    * of the corpus by trained margin), the exact precision and recall
+    * against the planted label (y = lang=='en', the signal the trainer
+    * fit). This is how a production quality filter PICKS its keep rate:
+    * sweep the cut, read the curve. Ranking is exact cross-engine
+    * (integer margins, doc_id tiebreak); the rung test is the integer
+    * cross-multiplication `1000·rank ≤ p·n`; precision/recall are exact
+    * integer permille. The rank pass shares [[logregApply]]'s exact-rank
+    * protocol (and its documented 100 TB swap: thresholds from the GK
+    * sketch exactly as [[logregApplyGk]]).
+    *
+    * Honest fixture note: the synthetic langs share one vocabulary, so
+    * the curve sits near the base rate (~408‰ at every rung at sf0.1) —
+    * the measurement is real and exactly graded; the fixture simply has
+    * little signal for it to find, which is precisely what an operating
+    * curve is for a pipeline to discover BEFORE deploying a filter. */
+  private def logregCalibration(d: DataFrame, iters: Int): DataFrame =
+    graft.operators.Caching.scoped() {
+      val margins = trainedMargins(d, iters)
+      val y = d.select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("y"))
+      val joined = margins.join(y, "doc_id")
+      val tot = joined.agg(count(lit(1)), sum(col("y"))).collect()(0)
+      val (n, nTrue) = (tot.getLong(0), tot.getLong(1))
+      val wr = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("margin_micro"), col("doc_id"))
+      joined.select(col("y"), row_number().over(wr).cast("long").as("rk"))
+        .select(col("y"), col("rk"),
+          explode(lit(CalibRungs.toArray)).as("keep_pm"))
+        .filter(col("rk") * lit(1000L) <= col("keep_pm") * lit(n))
+        .groupBy(col("keep_pm"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("y")).as("n_true_kept"))
+        .select(col("keep_pm"), col("n_kept"), col("n_true_kept"),
+          expr("1000L * n_true_kept div n_kept").as("precision_pm"),
+          expr(s"1000L * n_true_kept div ${math.max(nTrue, 1L)}L")
+            .as("recall_pm"))
+    }
+
+  // lazy: logregOracle is declared further down the object body
+  private lazy val logregCalibrationOracle =
+    s"""${logregOracle.substring(0, logregOracle.lastIndexOf("SELECT"))}
+       |, mg AS MATERIALIZED (SELECT f.doc_id, CAST(SUM(wm * val) AS BIGINT) AS margin_micro
+       |     FROM f JOIN w$LrIters USING (dim) GROUP BY f.doc_id),
+       |yj AS (SELECT mg.doc_id, mg.margin_micro,
+       |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |       FROM mg JOIN documents d USING (doc_id)),
+       |rkt AS (SELECT y,
+       |          row_number() OVER (ORDER BY margin_micro DESC, doc_id) AS rk,
+       |          count(*) OVER () AS n, sum(y) OVER () AS n_true
+       |        FROM yj),
+       |lv AS (SELECT unnest([${CalibRungs.mkString(", ")}]::BIGINT[]) AS keep_pm)
+       |SELECT keep_pm, count(*)::BIGINT AS n_kept,
+       |  CAST(sum(y) AS BIGINT) AS n_true_kept,
+       |  CAST(1000 * sum(y) // count(*) AS BIGINT) AS precision_pm,
+       |  CAST(1000 * sum(y) // greatest(max(n_true), 1) AS BIGINT) AS recall_pm
+       |FROM rkt, lv WHERE rk * 1000 <= keep_pm * n
+       |GROUP BY keep_pm""".stripMargin
+
   /** GK rank-error budget of the sketch-cut variant below. */
   private val GkApplyEps = 0.01
 
@@ -2082,6 +2145,9 @@ object TextQueries {
     // above the corpus-median margin — 2·margin > m_lo+m_hi over the two
     // middle order statistics (all-LONG; no sigmoid, no float median)
     "quality_logreg_apply" -> ((s, dir) => logregApply(docs(s, dir), LrIters)),
+    // the operating curve: precision/recall at each keep-rate rung
+    "quality_calibration" -> ((s, dir) =>
+      logregCalibration(docs(s, dir), LrIters)),
     // distillation agreement audit: confusion counts between the
     // rule-based keep (the teacher) and the trained median-cut keep
     "quality_distill_audit" -> ((s, dir) => logregDistillAudit(docs(s, dir))),
@@ -2241,6 +2307,7 @@ object TextQueries {
     "text_hashvec" -> hashVecOracle,
     "quality_logreg" -> logregOracle,
     "quality_logreg_apply" -> logregApplyOracle,
+    "quality_calibration" -> logregCalibrationOracle,
     "quality_distill_audit" -> logregDistillOracle,
     "quality_dsir" -> dsirOracle,
     "quality_dsir_sample" -> dsirResampleOracle,

@@ -98,6 +98,27 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_calibration: kept counts are the exact rank cuts, the " +
+       "permille ratios are exact, recall climbs with the keep rate") {
+    val rows = run("quality_calibration").collect()
+      .sortBy(_.getAs[Long]("keep_pm"))
+    assert(rows.map(_.getAs[Long]("keep_pm")).toSeq == Seq(250L, 500L, 750L))
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val n = docs.count()
+    val nTrue = docs.filter(col("lang") === "en").count()
+    rows.foreach { r =>
+      val (p, k, t) = (r.getAs[Long]("keep_pm"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_true_kept"))
+      assert(k == p * n / 1000L, s"rank cut not exact: $r (n=$n)")
+      assert(t <= k && t <= nTrue)
+      assert(r.getAs[Long]("precision_pm") == 1000L * t / k)
+      assert(r.getAs[Long]("recall_pm") == 1000L * t / nTrue)
+    }
+    // keeping more can only find more true docs
+    val recalls = rows.map(_.getAs[Long]("recall_pm"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+  }
+
   test("events_drift: every emitted hour has a baseline hour, KL is " +
        "non-negative up to quantization, totals reconcile with the raw " +
        "hourly volumes") {
