@@ -96,4 +96,82 @@ object Triangles {
     closed.agg(count(lit(1)).as("n_triangles"))
       .select(lit(nEdges).as("n_edges"), col("n_triangles"))
   }
+
+  /** K-CORE DECOMPOSITION at fixed k (`parts_kcore`): iteratively peel
+    * every node of degree < k until fixpoint — the maximal subgraph where
+    * every node keeps ≥ k neighbors, the classic cohesion measure
+    * (Seidman 1983) and the third member of the iterated-graph family
+    * next to pointer-jumping CC and PageRank. Each peel round is one
+    * degree aggregate (|E| → |V|, map-side combined) and one
+    * two-sided semi-join of the edge list against the survivors —
+    * `localCheckpoint` cuts the per-round lineage (the bpe_train
+    * pattern) and the survivor side rides the same edge-count broadcast
+    * gate as [[triangleCount]]'s arms. Rounds are data-bounded (the
+    * degeneracy cascade; observed ≤ 8 on the co-purchase graph at every
+    * SF) and capped at `maxRounds`; `rounds` counts peels INCLUDING the
+    * confirming pass, `converged` records whether the fixpoint was
+    * reached. Output is the one-row core summary — core membership at
+    * node level is `e`'s endpoint set, reported here as its count. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int,
+            broadcastMaxEdges: Long = BroadcastMaxEdges): DataFrame = {
+    val spark = edges.sparkSession
+    var e = edges.localCheckpoint(true)
+    var prev = e.count()
+    var rounds = 0L
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val keep = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("v"))
+      def keepSide(key: String) = {
+        val s = keep.select(col("v").as(key))
+        if (prev <= broadcastMaxEdges) broadcast(s) else s.hint("SHUFFLE_HASH")
+      }
+      val e2 = e.join(keepSide("a"), "a").join(keepSide("b"), "b")
+        .localCheckpoint(true)
+      val n = e2.count()
+      rounds += 1
+      converged = n == prev
+      prev = n
+      e = e2
+    }
+    val nNodes = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .distinct().count()
+    import spark.implicits._
+    Seq((k.toLong, nNodes, prev, rounds, converged))
+      .toDF("k", "n_core_nodes", "n_core_edges", "rounds", "converged")
+  }
+
+  /** oracle dual of [[kCore]] over the part co-purchase graph: the peel
+    * unrolled to `maxRounds` MATERIALIZED rounds (peeling a fixpoint is a
+    * no-op, so e_maxRounds IS the core no matter when convergence hit);
+    * `rounds` recovers from the count trace as the first round whose
+    * edge count matches its predecessor's. */
+  def kCoreSql(k: Int, maxRounds: Int): String = {
+    val rounds = (1 to maxRounds).map { t =>
+      s"""d$t AS MATERIALIZED (SELECT v, count(*) AS d FROM
+         |  (SELECT a AS v FROM e${t - 1} UNION ALL SELECT b FROM e${t - 1})
+         |  GROUP BY v),
+         |k$t AS MATERIALIZED (SELECT v FROM d$t WHERE d >= $k),
+         |e$t AS MATERIALIZED (SELECT e.a, e.b FROM e${t - 1} e
+         |  JOIN k$t ka ON ka.v = e.a JOIN k$t kb ON kb.v = e.b)""".stripMargin
+    }.mkString(",\n")
+    val trace = (0 to maxRounds)
+      .map(t => s"SELECT $t AS t, (SELECT count(*) FROM e$t) AS n")
+      .mkString(" UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT l.l_partkey AS a, r.l_partkey AS b
+       |  FROM lineitem l JOIN lineitem r
+       |  ON l.l_orderkey = r.l_orderkey AND l.l_partkey < r.l_partkey),
+       |$rounds,
+       |c AS MATERIALIZED ($trace),
+       |conv AS (SELECT min(a.t) AS rounds FROM c a
+       |         JOIN c b ON b.t = a.t - 1 AND b.n = a.n)
+       |SELECT $k::BIGINT AS k,
+       |  (SELECT count(DISTINCT v) FROM
+       |     (SELECT a AS v FROM e$maxRounds
+       |      UNION ALL SELECT b FROM e$maxRounds))::BIGINT AS n_core_nodes,
+       |  (SELECT count(*) FROM e$maxRounds)::BIGINT AS n_core_edges,
+       |  COALESCE((SELECT rounds FROM conv), $maxRounds)::BIGINT AS rounds,
+       |  (SELECT rounds FROM conv) IS NOT NULL AS converged""".stripMargin
+  }
 }

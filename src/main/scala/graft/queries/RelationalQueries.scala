@@ -812,6 +812,12 @@ object RelationalQueries {
   /** PageRank iterations graded by `link_rank` — matches the other
     * composed trainer loops' depth (kmeans_train, pq_train). */
   private val LinkRankIters = 3
+  /** k-core threshold: below the co-purchase degree median (≈ 115-119 at
+    * the graded SFs) so the peel does real work but a core SURVIVES at
+    * sf0.01/0.1; at sf0.001 (median 89) the cascade legitimately empties
+    * the graph — both regimes graded. Max rounds: observed ≤ 8. */
+  private val KCoreK = 80
+  private val KCoreMaxRounds = 12
 
   /** ε-stop parameters graded by `link_rank_conv`: stop when the max rank
     * movement < 9.0·(1/N). Measured movement·N decays ≈0.85×/round from
@@ -835,6 +841,13 @@ object RelationalQueries {
       graft.operators.Triangles.triangleCount(
         graft.operators.Triangles.coEdges(
           Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))),
+    // k-core decomposition of the co-purchase graph: peel degree<k
+    // nodes to fixpoint, report the core summary + round count
+    "parts_kcore" -> ((s, dir) =>
+      graft.operators.Triangles.kCore(
+        graft.operators.Triangles.coEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey"),
+        KCoreK, KCoreMaxRounds)),
     // CONNECTED COMPONENTS of the support>=2 co-purchase graph, reported
     // as a component-size histogram — the corpus-health view of graph
     // structure (the fixture shows a PHASE TRANSITION: sf0.01's denser
@@ -881,6 +894,8 @@ object RelationalQueries {
       LinkRankEpsRel, LinkRankConvMax),
     // the oracle needs no orientation: with edges normalized a < b, the
     // ordered triple join a<b<c touches each triangle exactly once
+    "parts_kcore" ->
+      graft.operators.Triangles.kCoreSql(KCoreK, KCoreMaxRounds),
     "parts_triangles" ->
       """WITH e AS (SELECT DISTINCT l.l_partkey AS a, r.l_partkey AS b
         |           FROM lineitem l JOIN lineitem r

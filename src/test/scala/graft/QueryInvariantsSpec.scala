@@ -98,6 +98,26 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore: a K5 clique with a path tail peels to exactly the clique " +
+       "in two rounds; the fixture query converges within its cap") {
+    import spark.implicits._
+    // K5 on 1..5 (every degree 4) + tail 5-6-7 (degrees 2 and 1)
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (clique ++ Seq((5L, 6L), (6L, 7L))).toDF("a", "b")
+    val r = graft.operators.Triangles.kCore(edges, 3, 12).collect().head
+    assert(r.getAs[Long]("n_core_nodes") == 5)
+    assert(r.getAs[Long]("n_core_edges") == 10)
+    // round 1 peels the tail, round 2 confirms the fixpoint
+    assert(r.getAs[Long]("rounds") == 2)
+    assert(r.getAs[Boolean]("converged"))
+    // and the graded fixture query reaches its fixpoint within the cap
+    val f = run("parts_kcore").collect().head
+    assert(f.getAs[Boolean]("converged"))
+    assert(f.getAs[Long]("rounds") <= 12)
+    assert(f.getAs[Long]("n_core_edges") >= 0 &&
+      f.getAs[Long]("n_core_nodes") >= 0)
+  }
+
   test("quality_calibration: kept counts are the exact rank cuts, the " +
        "permille ratios are exact, recall climbs with the keep rate") {
     val rows = run("quality_calibration").collect()
