@@ -390,6 +390,89 @@ object Multimodal {
       .withColumn("n_same", count(lit(1)).over(grp))
   }
 
+  /** IMAGE NEAR-DUP PAIRS (`media_dedup`): the multimodal dedup
+    * composition — [[ppmPhash]]'s 24-bit dHash banded into three 8-bit
+    * LSH keys, candidates paired through the SAME hot-bucket spanning
+    * star as every text LSH path ([[graft.operators.Dedup.cappedBandPairs]]
+    * — a viral thumbnail must not go quadratic), then verified on full
+    * phash hamming ≤ `maxHamming`. This is document MinHash dedup
+    * re-instantiated on the image modality: banding, capping, and
+    * candidate-only verification all reuse the text family's machinery
+    * and scale arguments verbatim; only the fingerprint (pixels → dHash
+    * instead of shingles → minhash) is modality-specific. Map-only
+    * fingerprints, one band-keyed shuffle, pairs bounded per bucket. */
+  def ppmPhashPairs(docs: DataFrame, maxHamming: Long = 4L,
+                    cap: Int = graft.operators.Dedup.BucketCap): DataFrame =
+    graft.operators.Caching.scoped() {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val ph = graft.operators.Caching.eager(
+        docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+          it.map { id =>
+            (id, dhash(thumbGray(ppmPayload(id), ThumbW, ThumbH, 0),
+              ThumbW, ThumbH))
+          }
+        }.toDF("doc_id", "phash"))
+      val bands = ph.select(col("doc_id"), explode(array((0 until 3).map { b =>
+        struct(lit(b.toLong).as("band"),
+          shiftright(col("phash"), 8 * b).bitwiseAND(lit(255L)).as("key"))
+      }: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      graft.operators.Dedup.cappedBandPairs(bands, cap)
+        .join(ph.select(col("doc_id").as("doc_a"), col("phash").as("ph_a")), "doc_a")
+        .join(ph.select(col("doc_id").as("doc_b"), col("phash").as("ph_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("cast(bit_count(ph_a ^ ph_b) as bigint)").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }
+
+  /** oracle dual of [[ppmPhashPairs]]: the phash CTE chain, the same
+    * three 8-bit bands, the same spanning-star cap, hamming via xor. */
+  def ppmPhashPairsSql(table: String, maxHamming: Long = 4L,
+                       cap: Int = graft.operators.Dedup.BucketCap): String = {
+    val (tw, th) = (ThumbW, ThumbH)
+    s"""WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+       |              FROM $table),
+       |px AS (SELECT doc_id, (i // 3) % $tw AS x, (i // 3) // $tw AS y,
+       |         (doc_id * 7 +
+       |          3 * ((((i // 3) // $tw) * h // $th) * w
+       |               + (((i // 3) % $tw) * w // $tw)) + i % 3) % 256 AS v
+       |       FROM dims, unnest(generate_series(0, ${3 * tw * th - 1})) AS u(i)),
+       |g AS (SELECT doc_id, x, y, sum(v) AS g FROM px GROUP BY doc_id, x, y),
+       |bits AS (
+       |  SELECT a.doc_id, a.y * ${tw - 1} + a.x AS bit,
+       |         CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS s0
+       |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < ${tw - 1}
+       |  UNION ALL
+       |  SELECT a.doc_id, ${th * (tw - 1)} + a.x * ${th - 1} + a.y AS bit,
+       |         CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS s0
+       |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.x = a.x AND b.y = a.y + 1
+       |  WHERE a.y < ${th - 1}),
+       |ph AS MATERIALIZED (SELECT doc_id,
+       |        CAST(sum(s0 * (1::BIGINT << CAST(bit AS INTEGER))) AS BIGINT) AS phash
+       |      FROM bits GROUP BY doc_id),
+       |bnd AS (SELECT doc_id, b AS band, (phash >> (8 * b)) & 255 AS key
+       |        FROM ph, unnest([0, 1, 2]) AS t(b)),
+       |sized AS (SELECT doc_id, band, key,
+       |            count(*) OVER (PARTITION BY band, key) AS bucket_n,
+       |            min(doc_id) OVER (PARTITION BY band, key) AS bucket_min
+       |          FROM bnd),
+       |cold AS (SELECT * FROM sized WHERE bucket_n <= $cap),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |           FROM cold a JOIN cold b
+       |             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |           UNION
+       |           SELECT bucket_min AS doc_a, doc_id AS doc_b
+       |           FROM sized WHERE bucket_n > $cap AND doc_id <> bucket_min))
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+       |FROM cand JOIN ph pa ON pa.doc_id = doc_a
+       |          JOIN ph pb ON pb.doc_id = doc_b
+       |WHERE bit_count(xor(pa.phash, pb.phash)) <= $maxHamming""".stripMargin
+  }
+
   /** DuckDB oracle dual of [[ppmPhash]]: thumb gray sums in closed form
     * over the pixel formula (same sample positions as [[ppmThumbsSql]]),
     * dHash bits via self-joins on neighbor cells, hamming via xor. */

@@ -41,6 +41,10 @@ object MediaQueries {
     // brightness-shift invariance MEASURED, dup group sizes emitted
     "media_phash" -> ((s, dir) =>
       Multimodal.ppmPhash(Tables.documents(s, dir))),
+    // image near-dup PAIRS: banded phash LSH + hamming verification -
+    // the text dedup machinery re-instantiated on the image modality
+    "media_dedup" -> ((s, dir) =>
+      Multimodal.ppmPhashPairs(Tables.documents(s, dir))),
     // ViT patchify: the whole-patch grid of the parsed raster, one row
     // per PxP patch with its byte-exact channel checksum
     "media_patches" -> ((s, dir) =>
@@ -67,6 +71,7 @@ object MediaQueries {
     "media_thumbs" -> Multimodal.ppmThumbsSql("documents"),
     "media_audio" -> Multimodal.wavFeaturesSql("documents"),
     "media_phash" -> Multimodal.ppmPhashSql("documents"),
+    "media_dedup" -> Multimodal.ppmPhashPairsSql("documents"),
     "media_patches" -> Multimodal.ppmPatchesSql("documents"),
     "media_audio_frames" -> Multimodal.wavFramesSql("documents"),
     "media_audio_spectrum" -> Multimodal.wavSpectrumSql("documents"),

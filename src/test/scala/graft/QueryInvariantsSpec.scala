@@ -98,6 +98,22 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("media_dedup: every pair's hamming re-derives from the graded " +
+       "phash table, bounds hold, ordering canonical") {
+    val ph = run("media_phash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    val rows = run("media_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, h) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))
+      assert(a < b, s"pair not canonical: $r")
+      assert(h >= 0 && h <= 4, s"hamming out of band: $r")
+      assert(java.lang.Long.bitCount(ph(a) ^ ph(b)) == h,
+        s"hamming disagrees with the phash table: $r")
+    }
+  }
+
   test("kCore: a K5 clique with a path tail peels to exactly the clique " +
        "in two rounds; the fixture query converges within its cap") {
     import spark.implicits._
