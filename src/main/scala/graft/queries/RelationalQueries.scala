@@ -581,6 +581,47 @@ object RelationalQueries {
        |       valid_to IS NULL AS is_current
        |FROM iv WHERE NOT del""".stripMargin
 
+  /** POINT-IN-TIME SCD2 LOOKUP (`orders_pit_scd2`): every order enriched
+    * with the customer dimension row that was VALID AT the order's epoch
+    * — the correctness pattern that separates a warehouse from a
+    * snapshot join (joining `is_current` rows backdates later updates
+    * onto old facts). The order's version epoch derives deterministically
+    * from `o_orderdate` (`year % 3`, spanning the SCD fixture's three
+    * versions); the join is an equi-join on custkey with the validity
+    * range as a residual filter — planned as one BroadcastHashJoin over
+    * the dimension-sized SCD2 table (at 100 TB: the dimension still
+    * broadcasts; facts never shuffle for a PIT lookup). Deleted-at-v2
+    * customers correctly drop their epoch-2 orders; money sums follow
+    * the −2 qround protocol. */
+  private def ordersPitScd2(s: SparkSession, dir: String): DataFrame = {
+    val scd = customerScd2(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      (year(col("o_orderdate")) % 3).cast("long").as("v"),
+      col("o_totalprice"))
+    o.join(broadcast(scd),
+        col("o_custkey") === col("c_custkey") &&
+          col("valid_from") <= col("v") &&
+          (col("valid_to").isNull || col("valid_to") > col("v")))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        VecOps.qround(sum(col("o_totalprice")), -2).as("order_value"),
+        VecOps.qround(sum(col("c_acctbal")), -2).as("balance_at_time"))
+  }
+
+  private val ordersPitScd2Oracle =
+    s"""WITH scd AS ($customerScd2Oracle),
+       |o AS (SELECT o_orderkey, o_custkey,
+       |        CAST(year(o_orderdate) % 3 AS BIGINT) AS v, o_totalprice
+       |      FROM orders)
+       |SELECT v, count(*)::BIGINT AS n_orders,
+       |  count(DISTINCT o_custkey)::BIGINT AS n_customers,
+       |  ${VecOps.qroundSql("sum(o_totalprice)", -2)} AS order_value,
+       |  ${VecOps.qroundSql("sum(c_acctbal)", -2)} AS balance_at_time
+       |FROM o JOIN scd ON o_custkey = c_custkey
+       |  AND valid_from <= v AND (valid_to IS NULL OR valid_to > v)
+       |GROUP BY v""".stripMargin
+
   /** TPC-H Q5-style local-supplier volume: the six-table join with the
     * non-key correlation condition `c_nationkey = s_nationkey` (revenue
     * only counts when the customer and supplier share a nation) — the
@@ -887,7 +928,9 @@ object RelationalQueries {
     // incremental materialized-view refresh: V_old (+) delta aggregate
     "revenue_mv_refresh" -> revenueMvRefresh _,
     "customer_upsert_mor" -> customerUpsertMor _,
-    "customer_scd2" -> customerScd2 _
+    "customer_scd2" -> customerScd2 _,
+    // point-in-time SCD2 dimension lookup per order epoch
+    "orders_pit_scd2" -> ordersPitScd2 _
   )
 
   val oracles: Map[String, String] = Map(
@@ -930,6 +973,7 @@ object RelationalQueries {
     "returned_revenue" -> returnedRevenueOracle,
     "customer_upsert_mor" -> customerUpsertMorOracle,
     "customer_scd2" -> customerScd2Oracle,
+    "orders_pit_scd2" -> ordersPitScd2Oracle,
     "revenue_mv_refresh" -> revenueMvOracle,
     "tpch_q1" -> q1Oracle,
     "tpch_q6" -> q6Oracle,

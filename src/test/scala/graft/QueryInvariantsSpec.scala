@@ -98,6 +98,20 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("orders_pit_scd2: all three epochs emitted, and the v2 deletions " +
+       "shrink the matched customer set relative to v0") {
+    val rows = run("orders_pit_scd2").collect().sortBy(_.getAs[Long]("v"))
+    assert(rows.map(_.getAs[Long]("v")).toSeq == Seq(0L, 1L, 2L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orders") >= r.getAs[Long]("n_customers"))
+      assert(r.getAs[Long]("n_customers") > 0)
+    }
+    // customers deleted at version 2 must drop their epoch-2 orders:
+    // the PIT join (unlike an is_current snapshot join) sees the deletion
+    assert(rows(2).getAs[Long]("n_customers") < rows(0).getAs[Long]("n_customers"),
+      "v2 matched at least as many customers as v0 — deletion not applied")
+  }
+
   test("media_dedup: every pair's hamming re-derives from the graded " +
        "phash table, bounds hold, ordering canonical") {
     val ph = run("media_phash").collect()
