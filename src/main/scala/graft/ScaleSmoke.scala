@@ -144,6 +144,10 @@ object ScaleSmoke {
       // the per-query top-k stays bounded by the top-k monoid — scoring
       // cost must track postings, not the corpus×query grid
       "bm25" -> (d => graft.queries.TextQueries.searchBm25(d).count()),
+      // per-doc duplication density under MAXIMAL near-dup pressure: every
+      // replica shares its source's shingles, so the census counts grow R x
+      // per shingle while rows stay one per (doc, shingle) - corpus-linear
+      "density" -> (d => Dedup.dupDensity(d).count()),
       // MOSS winnow match step under MAXIMAL boilerplate pressure: every
       // replica of a doc shares its whole fingerprint set, so every fp is
       // selected in ≥ R documents — at R=10 the >8-doc hot-fp drop fires
@@ -337,6 +341,7 @@ object ScaleSmoke {
           (col("l_partkey") * r + col("rep")).as("l_partkey"),
           (col("l_suppkey") * r + col("rep")).as("l_suppkey"))
     var ccRounds = -1 // set by the components stage, read per corpus below
+    var kcRounds = -1L // set by the kcore stage, read per corpus below
     val grStages: Seq[(String, DataFrame => Long)] = Seq(
       // degree-oriented triangle count through the DEFAULT closing-join
       // gate (broadcast: the fixture's edge set sits far under
@@ -370,7 +375,17 @@ object ScaleSmoke {
       // 3 PageRank rounds (the graded link_rank shape): per-iteration cost
       // is one |V|-rank shuffle + one |E|-message re-aggregation — both
       // must track the replicated graph linearly
-      "pagerank" -> (li => graft.operators.LinkRank.ranks(li, 3).count()))
+      "pagerank" -> (li => graft.operators.LinkRank.ranks(li, 3).count()),
+      // k-core peeling: under DISJOINT replication every replica runs the
+      // identical cascade, so the peel ROUND COUNT must stay FLAT (the
+      // pointer-jumping-rounds argument) while per-round work grows R-linear
+      "kcore" -> { li =>
+        val r = graft.operators.Triangles.kCore(
+          graft.operators.Triangles.coEdges(li, "l_orderkey", "l_partkey"),
+          70, 12).head()
+        kcRounds = r.getAs[Long]("rounds")
+        r.getAs[Long]("n_core_edges")
+      })
     def runGr(li: DataFrame): Map[String, (Double, Long)] = {
       li.cache().count()
       val out = grStages.map { case (name, f) =>
@@ -385,9 +400,11 @@ object ScaleSmoke {
     spark.catalog.clearCache()
     val grOne = runGr(liBase)
     val ccRounds1 = ccRounds
+    val kcRounds1 = kcRounds
     spark.catalog.clearCache()
     val grBig = runGr(liRep(rep))
     val ccRoundsR = ccRounds
+    val kcRoundsR = kcRounds
 
     val nDocs = base.count()
     def fmt(name: String, o: (Double, Long), b: (Double, Long)): String = {
@@ -402,7 +419,7 @@ object ScaleSmoke {
       grStages.map { case (name, _) => fmt(name, grOne(name), grBig(name)) })
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scale_smoke","rep":$rep,"docs_1x":$nDocs,"cc_rounds_1x":$ccRounds1,"cc_rounds_${rep}x":$ccRoundsR,"stages":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"scale_smoke","rep":$rep,"docs_1x":$nDocs,"cc_rounds_1x":$ccRounds1,"cc_rounds_${rep}x":$ccRoundsR,"kcore_rounds_1x":$kcRounds1,"kcore_rounds_${rep}x":$kcRoundsR,"stages":$qs,"sf":"$sfDir"}"""
     println(line)
     System.err.println(line)
     spark.stop()
