@@ -1681,6 +1681,40 @@ object TextQueries {
       (col("margin_micro") * lit(2L) > lit(msum)).as("keep"))
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX (`lang_id_eval`): the heuristic
+    * classifier's predictions crossed with the fixture's TRUE lang label
+    * — per (actual, predicted) cell the count and its exact permille
+    * share of the actual lang's rows (the row-normalized confusion
+    * matrix every classifier eval reports; the diagonal cells are the
+    * per-lang recall). One broadcast-joinable prediction table + one
+    * (lang, pred) rollup; exact integers only.
+    *
+    * Honest fixture note: the synthetic langs share an English-heavy
+    * token distribution, so the stopword heuristic predicts `en` (~91%)
+    * or `und` for every true lang — the matrix exposes that the
+    * heuristic has no discriminative power HERE, which is exactly the
+    * finding this eval exists to surface before anyone trusts
+    * `lang_id`'s output downstream (the quality_calibration stance). */
+  private def langIdEval(d: DataFrame): DataFrame = {
+    val pred = TextOps.langId(d).select(col("doc_id"), col("lang_pred"))
+    val cells = d.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    cells.join(tot, "lang")
+      .select(col("lang"), col("lang_pred"), col("n"),
+        expr("1000L * n div n_lang").as("cell_pm"))
+  }
+
+  private val langIdEvalOracle =
+    s"""WITH p AS (${TextOps.langIdSql("documents")}),
+       |cells AS (SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+       |          FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+       |        FROM cells GROUP BY 1)
+       |SELECT cells.lang, lang_pred, n,
+       |  CAST(1000 * n // n_lang AS BIGINT) AS cell_pm
+       |FROM cells JOIN tot USING (lang)""".stripMargin
+
   /** keep-rate rungs for [[logregCalibration]], permille of corpus. */
   private val CalibRungs = Seq(250L, 500L, 750L)
 
@@ -2105,6 +2139,8 @@ object TextQueries {
     "search_hybrid_overlap" -> ((s, dir) =>
       searchHybridOverlap(docs(s, dir), Tables.embeddings(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+    // the classifier eval: row-normalized confusion matrix vs true lang
+    "lang_id_eval" -> ((s, dir) => langIdEval(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     // winnowing fingerprint SET (MOSS): distinct window minima of k-gram
     // hashes — any ≥23-normalized-char shared run yields a shared value
@@ -2290,6 +2326,7 @@ object TextQueries {
     "search_hybrid_rrf" -> searchHybridOracle,
     "search_hybrid_overlap" -> searchHybridOverlapOracle,
     "lang_id" -> TextOps.langIdSql("documents"),
+    "lang_id_eval" -> langIdEvalOracle,
     "doc_fingerprint" -> TextOps.fingerprintSql("documents"),
     "doc_winnow" -> winnowDocsOracle,
     "winnow_matches" -> winnowMatchesOracle,

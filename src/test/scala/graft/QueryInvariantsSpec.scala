@@ -98,6 +98,36 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("lang_id_eval: the confusion matrix reconciles with lang_id row " +
+       "for row and each actual lang's cells account for all its docs") {
+    val rows = run("lang_id_eval").collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val perLang = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == perLang.keySet, "a lang missing from the matrix")
+    for ((lang, rs) <- byLang) {
+      val total = rs.map(_.getAs[Long]("n")).sum
+      assert(total == perLang(lang), s"$lang cells don't cover its docs")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("cell_pm") ==
+          1000L * r.getAs[Long]("n") / total, s"cell_pm not exact: $r")
+      }
+    }
+    // cross-operator: cell counts re-derive from the graded lang_id table
+    val pred = run("lang_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    val actual = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = actual.groupBy { case (id, l) => (l, pred(id)) }
+      .map { case (k, v) => k -> v.length.toLong }
+    rows.foreach { r =>
+      assert(expect((r.getAs[String]("lang"), r.getAs[String]("lang_pred")))
+        == r.getAs[Long]("n"), s"cell disagrees with lang_id: $r")
+    }
+  }
+
   test("orders_pit_scd2: all three epochs emitted, and the v2 deletions " +
        "shrink the matched customer set relative to v0") {
     val rows = run("orders_pit_scd2").collect().sortBy(_.getAs[Long]("v"))
