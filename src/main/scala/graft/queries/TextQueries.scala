@@ -1956,6 +1956,58 @@ object TextQueries {
     * integer sums cast to double round identically). */
   private val ZipfR = 1000
 
+  /** number of corpus-prefix checkpoints for [[vocabHeaps]]. */
+  private val HeapsCuts = 10
+
+  /** HEAPS'-LAW TYPE GROWTH (`vocab_heaps`): distinct word-3-gram
+    * shingle TYPES as a function of corpus size at [[HeapsCuts]]
+    * doc-id-prefix checkpoints — the corpus-health curve next to the
+    * Zipf fit (natural text grows its type inventory ~K·n^β, β≈0.5;
+    * template-flooded or dedup-starved corpora flatten or kink it). The
+    * unit is the SHINGLE, not the unigram, because the fixture's unigram
+    * vocabulary is closed (31 words — saturates at the first checkpoint,
+    * a degenerate curve); the 3-gram type space is combinatorial and
+    * genuinely grows. ONE pass serves every checkpoint: each shingle's
+    * FIRST-occurrence doc id is one type-space-sized aggregate, and
+    * V(cut) = #{types: first < cut} / n(cut) = Σ_{doc < cut} shingles
+    * both roll up from explodes over the checkpoint ladder (map-side
+    * combined — never one pass per cut). Exact integers only; the
+    * β∈(0,1) concavity is asserted in the invariants spec rather than
+    * fitted here (the zipf OLS already grades a quantized log-log fit;
+    * this table is its raw-data dual). */
+  private def vocabHeaps(d: DataFrame): DataFrame = {
+    val n = d.count()
+    val cuts = (1 to HeapsCuts).map(i => i.toLong * n / HeapsCuts)
+    val cutsArr = lit(cuts.toArray)
+    val sh = d.select(col("doc_id"),
+      explode(graft.operators.Dedup.shingles(TextOps.tokens(col("text"))))
+        .as("s"))
+    val nSh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      .select(col("doc_id"), col("nt"), explode(cutsArr).as("cut"))
+      .filter(col("doc_id") < col("cut"))
+      .groupBy(col("cut")).agg(sum(col("nt")).as("n_shingles"))
+    val vocab = sh.groupBy(col("s")).agg(min(col("doc_id")).as("fd"))
+      .select(col("fd"), explode(cutsArr).as("cut"))
+      .filter(col("fd") < col("cut"))
+      .groupBy(col("cut")).agg(count(lit(1)).as("n_types"))
+    nSh.join(vocab, "cut").select(col("cut"), col("n_shingles"), col("n_types"))
+  }
+
+  private val vocabHeapsOracle =
+    s"""WITH n AS (SELECT count(*) AS n FROM documents),
+       |cuts AS (SELECT CAST(i * n.n / $HeapsCuts AS BIGINT) AS cut
+       |         FROM n, unnest(generate_series(1, $HeapsCuts)) AS t(i)),
+       |tk AS (SELECT doc_id,
+       |         unnest(${graft.operators.Dedup.shinglesSql(toksSql)}) AS s
+       |       FROM documents),
+       |nt AS (SELECT cut, CAST(sum(c) AS BIGINT) AS n_shingles
+       |       FROM (SELECT doc_id, count(*) AS c FROM tk GROUP BY 1) d, cuts
+       |       WHERE d.doc_id < cuts.cut GROUP BY cut),
+       |fd AS (SELECT s, min(doc_id) AS fd FROM tk GROUP BY 1),
+       |vc AS (SELECT cut, count(*)::BIGINT AS n_types
+       |       FROM fd, cuts WHERE fd.fd < cuts.cut GROUP BY cut)
+       |SELECT cut, n_shingles, n_types FROM nt JOIN vc USING (cut)""".stripMargin
+
   private def vocabZipf(d: DataFrame): DataFrame = {
     val freq = d.select(explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
@@ -2204,6 +2256,8 @@ object TextQueries {
     "corpus_remix_doremi" -> ((s, dir) => corpusRemixDoremi(docs(s, dir))),
     // rank-frequency power-law fit (corpus-health diagnostic)
     "vocab_zipf" -> ((s, dir) => vocabZipf(docs(s, dir))),
+    // Heaps'-law vocabulary growth at 10 corpus-prefix checkpoints
+    "vocab_heaps" -> ((s, dir) => vocabHeaps(docs(s, dir))),
     // CCNet head/middle/tail terciles per lang over the LM score
     "quality_buckets" -> ((s, dir) => qualityBuckets(docs(s, dir))),
     "docs_chunks" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
@@ -2352,6 +2406,7 @@ object TextQueries {
     "quality_logreg_apply_gk" -> logregApplyGkOracle,
     "corpus_remix_doremi" -> corpusRemixDoremiOracle,
     "vocab_zipf" -> vocabZipfOracle,
+    "vocab_heaps" -> vocabHeapsOracle,
     "quality_buckets" -> qualityBucketsOracle,
     "docs_chunks" -> TextOps.chunkSql("documents"),
     "docs_packed" -> TextOps.packSql("documents"),

@@ -98,6 +98,23 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab_heaps: the type-growth curve is monotone and concave " +
+       "overall, types never exceed occurrences") {
+    val rows = run("vocab_heaps").collect().sortBy(_.getAs[Long]("cut"))
+    assert(rows.length == 10)
+    val ns = rows.map(_.getAs[Long]("n_shingles"))
+    val vs = rows.map(_.getAs[Long]("n_types"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a < b })
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b },
+      "type count shrank — impossible for a prefix curve")
+    rows.foreach(r => assert(r.getAs[Long]("n_types") <=
+      r.getAs[Long]("n_shingles")))
+    // sub-linear growth: the first checkpoint discovers more new types
+    // than the last (Heaps concavity at curve scale)
+    val incs = vs.zip(vs.tail).map { case (a, b) => b - a }
+    assert(vs.head > incs.last, s"no saturation: head=${vs.head} last inc=${incs.last}")
+  }
+
   test("lang_id_eval: the confusion matrix reconciles with lang_id row " +
        "for row and each actual lang's cells account for all its docs") {
     val rows = run("lang_id_eval").collect()
