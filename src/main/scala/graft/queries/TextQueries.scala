@@ -1975,13 +1975,20 @@ object TextQueries {
     * β∈(0,1) concavity is asserted in the invariants spec rather than
     * fitted here (the zipf OLS already grades a quantized log-log fit;
     * this table is its raw-data dual). */
-  private def vocabHeaps(d: DataFrame): DataFrame = {
+  private def vocabHeaps(d: DataFrame): DataFrame =
+   graft.operators.Caching.scoped() {
     val n = d.count()
     val cuts = (1 to HeapsCuts).map(i => i.toLong * n / HeapsCuts)
     val cutsArr = lit(cuts.toArray)
-    val sh = d.select(col("doc_id"),
-      explode(graft.operators.Dedup.shingles(TextOps.tokens(col("text"))))
-        .as("s"))
+    // the exploded shingle stream feeds BOTH the per-doc counts and the
+    // first-occurrence census — eager'd so the scan runs once; types ride
+    // the NATIVE shingle-hash kernel (== hash60(shingle) bit-exactly, one
+    // streamed md5 per shingle) instead of the interpreted
+    // transform/concat_ws string HOF, the same swap that cut the KMV
+    // family's CPU ~4× — LONG census keys, no shingle string anywhere
+    val sh = graft.operators.Caching.eager(d.select(col("doc_id"),
+      explode(graft.functions.NativeExprs.ngramHashes(
+        TextOps.tokens(col("text")), 3)).as("s")))
     val nSh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
       .select(col("doc_id"), col("nt"), explode(cutsArr).as("cut"))
       .filter(col("doc_id") < col("cut"))
@@ -1991,15 +1998,16 @@ object TextQueries {
       .filter(col("fd") < col("cut"))
       .groupBy(col("cut")).agg(count(lit(1)).as("n_types"))
     nSh.join(vocab, "cut").select(col("cut"), col("n_shingles"), col("n_types"))
-  }
+   }
 
   private val vocabHeapsOracle =
     s"""WITH n AS (SELECT count(*) AS n FROM documents),
        |cuts AS (SELECT CAST(i * n.n / $HeapsCuts AS BIGINT) AS cut
        |         FROM n, unnest(generate_series(1, $HeapsCuts)) AS t(i)),
-       |tk AS (SELECT doc_id,
-       |         unnest(${graft.operators.Dedup.shinglesSql(toksSql)}) AS s
-       |       FROM documents),
+       |tk AS MATERIALIZED (SELECT doc_id, ${VecOps.hash60Sql("sh")} AS s
+       |       FROM (SELECT doc_id,
+       |               unnest(${graft.operators.Dedup.shinglesSql(toksSql)}) AS sh
+       |             FROM documents)),
        |nt AS (SELECT cut, CAST(sum(c) AS BIGINT) AS n_shingles
        |       FROM (SELECT doc_id, count(*) AS c FROM tk GROUP BY 1) d, cuts
        |       WHERE d.doc_id < cuts.cut GROUP BY cut),
