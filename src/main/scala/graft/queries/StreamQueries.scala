@@ -878,9 +878,102 @@ object StreamQueries {
        |  CAST(sum((c + 1) * lr) AS DOUBLE) / ((n_h + v)::DOUBLE * 1e6) AS kl_nats
        |FROM q GROUP BY hr, n_h, v""".stripMargin
 
+  /** POPULATION STABILITY INDEX (`events_psi`): day-over-day drift of
+    * the NUMERIC `value` distribution over ten global decile bins — the
+    * standard production monitor for a numeric feature (the categorical
+    * twin is [[eventsDrift]]'s KL). Bin edges are EXACT ORDER STATISTICS
+    * of the micro-quantized value (`floor(v·10⁶+0.5)` LONG; edge_j = the
+    * ⌈j·n/10⌉-th smallest — a 9-long bounded-literal collect, the
+    * logregApply exact-rank protocol, with the same documented 100 TB
+    * swap: edges from the GK sketch). Binning is pure integer compares;
+    * per-(day, bin) counts Laplace-smooth over the 10-bin grid, and
+    *
+    *   psi_num = Σ_bins [(c+1)(n_prev+10) − (c_prev+1)(n_day+10)]·lr_micro
+    *
+    * accumulates EXACTLY in LONG (lr_micro = the micro-quantized ln of a
+    * ratio of exact integer products — the lang_kl protocol; bound
+    * ~6.6·10¹⁷ at fixture scale, lift to decimal(38,0) beyond), with
+    * `psi` dividing identical integers in both engines. Day 0 has no
+    * baseline and is not emitted. One value scan + one rank pass + one
+    * (day, bin) count shuffle; the grid work is 10·days rows. */
+  private def eventsPsi(e: DataFrame): DataFrame =
+    graft.operators.Caching.scoped() {
+      val spark = e.sparkSession
+      val v = graft.operators.Caching.eager(
+        e.select(expr("unix_timestamp(ts) div 86400").as("day"),
+          floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vm")))
+      val n = v.count()
+      val ranks = (1 to 9).map(j => math.max(j * n / 10, 1L))
+      val wr = org.apache.spark.sql.expressions.Window.orderBy(col("vm"))
+      val rkMap = v.select(col("vm"), row_number().over(wr).cast("long").as("rk"))
+        .filter(col("rk").isin(ranks.map(Long.box): _*))
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      val edges = ranks.map(rkMap)
+      val bin = edges.foldLeft(lit(0L)) { (acc, ed) =>
+        acc + when(col("vm") > lit(ed), 1L).otherwise(0L)
+      }
+      val counts = v.select(col("day"), bin.as("bin"))
+        .groupBy(col("day"), col("bin")).agg(count(lit(1)).as("c"))
+      val days = counts.groupBy(col("day")).agg(sum(col("c")).as("n_d"))
+      val bins = spark.range(10).select(col("id").as("bin"))
+      val grid = days.crossJoin(broadcast(bins))
+        .join(counts, Seq("day", "bin"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val prev = grid.select((col("day") + 1).as("day"), col("bin"),
+        col("c").as("cp"), col("n_d").as("np"))
+      val ratio = ((col("c") + 1).cast("double") *
+          (col("np") + 10).cast("double")) /
+        ((col("n_d") + 10).cast("double") * (col("cp") + 1).cast("double"))
+      val lr = floor(log(ratio) * lit(1e6) + lit(0.5)).cast("long")
+      grid.join(prev, Seq("day", "bin"))
+        .groupBy(col("day"), col("n_d"), col("np"))
+        .agg(sum(((col("c") + 1) * (col("np") + 10) -
+          (col("cp") + 1) * (col("n_d") + 10)) * lr).as("num"))
+        .select(col("day"), col("n_d").as("n_events"),
+          col("num").as("psi_num_micro"),
+          (col("num").cast("double") /
+            ((col("n_d") + 10).cast("double") *
+              (col("np") + 10).cast("double") * lit(1e6))).as("psi"))
+    }
+
+  private val eventsPsiOracle = {
+    val rankList = (1 to 9)
+      .map(j => s"greatest($j * nn.n // 10, 1)").mkString(", ")
+    val binExpr = (1 to 9)
+      .map(j => s"CASE WHEN vm > ed.edges[$j] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+       |        CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+       |      FROM events),
+       |nn AS (SELECT count(*) AS n FROM v),
+       |rk AS (SELECT vm, row_number() OVER (ORDER BY vm) AS rk FROM v),
+       |ed AS (SELECT list(vm ORDER BY rk) AS edges
+       |       FROM rk, nn WHERE rk IN ($rankList)),
+       |b AS (SELECT day, CAST($binExpr AS BIGINT) AS bin FROM v, ed),
+       |c0 AS (SELECT day, bin, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+       |d AS (SELECT day, CAST(sum(c) AS BIGINT) AS n_d FROM c0 GROUP BY 1),
+       |g AS (SELECT d.day, d.n_d, t.bin, coalesce(c0.c, 0) AS c
+       |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) t
+       |      LEFT JOIN c0 ON c0.day = d.day AND c0.bin = t.bin),
+       |p AS (SELECT day + 1 AS day, bin, c AS cp, n_d AS np FROM g),
+       |q AS (SELECT g.day, g.n_d, p.np, g.c, p.cp,
+       |        CAST(floor(ln(((g.c + 1)::DOUBLE * (p.np + 10)::DOUBLE) /
+       |                      ((g.n_d + 10)::DOUBLE * (p.cp + 1)::DOUBLE))
+       |                   * 1e6 + 0.5) AS BIGINT) AS lr
+       |      FROM g JOIN p ON p.day = g.day AND p.bin = g.bin)
+       |SELECT day, n_d AS n_events,
+       |  CAST(sum(((c + 1) * (np + 10) - (cp + 1) * (n_d + 10)) * lr)
+       |    AS BIGINT) AS psi_num_micro,
+       |  CAST(sum(((c + 1) * (np + 10) - (cp + 1) * (n_d + 10)) * lr)
+       |    AS DOUBLE) / ((n_d + 10)::DOUBLE * (np + 10)::DOUBLE * 1e6) AS psi
+       |FROM q GROUP BY day, n_d, np""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hour-over-hour event-type distribution drift (exact-integer KL)
     "events_drift" -> ((s, dir) => eventsDrift(Tables.events(s, dir))),
+    // day-over-day PSI of the numeric value over exact decile bins
+    "events_psi" -> ((s, dir) => eventsPsi(Tables.events(s, dir))),
     // the streamed twin: hourly type counts maintained as streaming
     // state, the KL tail in batch over the read-back - same graded rows
     "events_drift_stream" -> ((s, dir) =>
@@ -983,6 +1076,7 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "events_drift" -> eventsDriftOracle,
     "events_drift_stream" -> eventsDriftOracle,
+    "events_psi" -> eventsPsiOracle,
     "events_window_users" -> eventsWindowUsersOracle,
     "events_retention" -> eventsRetentionOracle,
     "events_winsorized" -> eventsWinsorizedOracle,

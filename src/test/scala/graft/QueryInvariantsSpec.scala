@@ -98,6 +98,27 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_psi: every emitted day has a baseline, PSI is " +
+       "non-negative up to quantization, volumes reconcile") {
+    val rows = run("events_psi").collect()
+    assert(rows.nonEmpty)
+    val vols = graft.sources.Tables.events(spark, dir)
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val day = r.getAs[Long]("day")
+      assert(vols.contains(day) && vols.contains(day - 1), s"baseline gap: $day")
+      assert(r.getAs[Long]("n_events") == vols(day), s"volume mismatch: $r")
+      // every PSI term (p−q)·ln(p/q) is non-negative (the factors share
+      // sign); micro-nat quantization can dip the sum a hair below zero
+      assert(r.getAs[Double]("psi") >= -1e-5, s"negative PSI: $r")
+    }
+    val emitted = rows.map(_.getAs[Long]("day")).toSet
+    vols.keys.filter(d => vols.contains(d - 1)).foreach(d =>
+      assert(emitted.contains(d), s"day $d with baseline not emitted"))
+  }
+
   test("vocab_heaps: the type-growth curve is monotone and concave " +
        "overall, types never exceed occurrences") {
     val rows = run("vocab_heaps").collect().sortBy(_.getAs[Long]("cut"))
