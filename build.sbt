@@ -32,4 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A full code cache silently disables JIT compilation mid-suite and flips
+  // generated code to interpreted — the leading candidate for the r11 bench
+  // artifact's 5-7x CPU inflation on codegen-heavy queries (VERDICT r11 #1).
+  // The JDK 17 default (240m) is marginal for a 259-query suite that
+  // whole-stage-codegens thousands of classes; 512m removes the cliff, and
+  // Bench now reports occupancy at suite end so the artifact can prove it.
+  "-XX:ReservedCodeCacheSize=512m",
 )
