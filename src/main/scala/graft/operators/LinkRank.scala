@@ -47,21 +47,39 @@ object LinkRank {
   val RankDigits = 9
 
   /** Directed symmetric edge list: 2·l_partkey ↔ 2·l_suppkey+1, one edge
-    * per distinct shipping pair per direction. */
-  def edges(li: DataFrame): DataFrame =
-    li.select((col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
-      .union(li.select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")))
-      .distinct()
+    * per distinct shipping pair per direction. The distinct runs on the
+    * ONE-direction pair set (half the shuffle of distinct-after-union) and
+    * the two directions are unioned after — they cannot collide because src
+    * parity differs (odd = supplier, even = part), so the union of two
+    * distinct sets is distinct. */
+  def edges(li: DataFrame): DataFrame = {
+    val pairs = li
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+    pairs.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst"))
+      .union(pairs.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst")))
+  }
+
+  /** [[edges]] with each edge's src out-degree attached (window, not
+    * groupBy+join — one exchange by src instead of two plus a join), plus
+    * the node table and count, materialized once for an iteration loop.
+    * `ew` comes back checkpointed PARTITIONED BY src and `nodes` inherits
+    * that partitioning (node = src), so each iteration's rank join
+    * (node = src) and movement join (node = node) are exchange-free — the
+    * only per-round data movement is the groupBy(dst) message shuffle. */
+  private def edgeSetup(li: DataFrame): (DataFrame, DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val ew = edges(li)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint(true)
+    val nodes = ew.select(col("src").as("node")).distinct()
+    (ew, nodes, nodes.count())
+  }
 
   /** `iters` PageRank iterations over [[edges]] of `li`; returns
     * (node, r) with r quantized to the iteration grid — hash-gradable. */
   def ranks(li: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "ranks needs at least one iteration")
-    val e = edges(li).localCheckpoint(true)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ew = e.join(deg, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
-    val n = nodes.count()
+    val (ew, nodes, n) = edgeSetup(li)
     var r = nodes.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("r"))
     for (_ <- 1 to iters) {
       r = ew.join(r, col("node") === col("src"))
@@ -93,29 +111,58 @@ object LinkRank {
     * chain and the oracle's CTE depth. */
   def ranksConverged(li: DataFrame, epsRel: Double, maxIters: Int): DataFrame = {
     require(maxIters >= 1, "ranksConverged needs at least one iteration")
-    val e = edges(li).localCheckpoint(true)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ew = e.join(deg, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
-    val n = nodes.count()
+    val (ew, nodes, n) = edgeSetup(li)
     val eps = epsRel / n.toDouble
     var r = nodes.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("r"))
       .localCheckpoint(true)
-    var it = 0
-    var moved = Double.MaxValue
-    while (moved >= eps && it < maxIters) {
-      it += 1
-      val next = ew.join(r, col("node") === col("src"))
+    def step(prev: DataFrame): DataFrame =
+      ew.join(prev.select(col("node"), col("r")), col("node") === col("src"))
         .groupBy(col("dst").as("node"))
         .agg(VecOps.qround(
           lit(Residual) / lit(n.toDouble) +
             lit(Damping) * sum(col("r") / col("deg")), RankDigits).as("r"))
-        .localCheckpoint(true)
-      // the symmetric graph has no dangling nodes, so every node appears
-      // on both sides — an inner join covers the full vertex set
-      moved = next.join(r.withColumnRenamed("r", "rp"), "node")
-        .agg(max(abs(col("r") - col("rp")))).head.getDouble(0)
-      r = next
+    var it = 0
+    var moved = Double.MaxValue
+    // TWO rounds per materialization barrier (VERDICT r11 "Next" #3a; was
+    // one barrier + one |V|⋈|V| movement join EACH round): both rounds'
+    // ranks plus the incoming rank ride in ONE lazily-checkpointed plan —
+    // the intermediate round's subplan appears twice (feeding round 2 and
+    // as the movement column) but its message shuffle is a ReusedExchange,
+    // so only its ~|V|-row final agg re-runs — and the movement scalars
+    // are the action that materializes the checkpoint. Per block: two |E|
+    // message shuffles (each mapped once), one barrier, one scalar job,
+    // one planning/codegen cycle. The symmetric graph has no dangling
+    // nodes, so the inner movement joins cover the full vertex set, and
+    // both rounds' stopping checks are exact: if round it+1's movement is
+    // already below ε the loop stops THERE and emits round it+1's ranks,
+    // which rode along as a column.
+    while (moved >= eps && it < maxIters) {
+      if (it + 1 == maxIters) { // odd budget left: one last single round
+        val next = step(r)
+          .join(r.select(col("node"), col("r").as("r0")), "node")
+          .localCheckpoint(false)
+        moved = next.agg(max(abs(col("r") - col("r0")))).head.getDouble(0)
+        r = next.select(col("node"), col("r"))
+        it += 1
+      } else {
+        val r1 = step(r)
+        val pair = step(r1)
+          .join(r1.select(col("node"), col("r").as("r1")), "node")
+          .join(r.select(col("node"), col("r").as("r0")), "node")
+          .localCheckpoint(false)
+        val m = pair.agg(max(abs(col("r1") - col("r0"))).as("m1"),
+          max(abs(col("r") - col("r1"))).as("m2")).head
+        val m1 = m.getDouble(0)
+        if (m1 < eps) { // converged after the block's FIRST round
+          moved = m1
+          r = pair.select(col("node"), col("r1").as("r"))
+          it += 1
+        } else {
+          moved = m.getDouble(1)
+          r = pair.select(col("node"), col("r"))
+          it += 2
+        }
+      }
     }
     r.select(lit(it.toLong).as("iters"), col("node"), col("r"))
   }
