@@ -209,6 +209,20 @@ class QueryInvariantsSpec extends AnyFunSuite {
         s"(trained diag $trained vs heuristic $heuristic)")
   }
 
+  test("events_psi_gk: nine decile rows, monotone exact target ranks, " +
+       "every merged sketch edge inside its rank-interval theorem") {
+    val rows = run("events_psi_gk").collect().sortBy(_.getAs[Long]("j"))
+    assert(rows.map(_.getAs[Long]("j")).toSeq == (1L to 9L))
+    val n = rows.head.getAs[Long]("n_events")
+    assert(n > 0 && rows.forall(_.getAs[Long]("n_events") == n))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("target_rank") ==
+        math.max(r.getAs[Long]("j") * n / 10, 1L), s"target rank off: $r")
+      assert(r.getAs[Boolean]("merged_edge_ok"),
+        s"decile ${r.getAs[Long]("j")} edge outside the 2eps rank interval")
+    }
+  }
+
   test("orders_pit_scd2: all three epochs emitted, and the v2 deletions " +
        "shrink the matched customer set relative to v0") {
     val rows = run("orders_pit_scd2").collect().sortBy(_.getAs[Long]("v"))
