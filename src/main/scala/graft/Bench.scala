@@ -126,14 +126,14 @@ object Bench {
 
   /** Cumulative JIT compilation milliseconds (CompilationMXBean); -1 if the
     * JVM does not support compilation-time monitoring. */
-  private def jitMs(): Long = {
+  private[graft] def jitMs(): Long = {
     val b = java.lang.management.ManagementFactory.getCompilationMXBean
     if (b != null && b.isCompilationTimeMonitoringSupported)
       b.getTotalCompilationTime else -1L
   }
 
   /** Cumulative GC milliseconds summed over all collectors. */
-  private def gcMs(): Long = {
+  private[graft] def gcMs(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(b => math.max(b.getCollectionTime, 0L)).sum
@@ -144,7 +144,7 @@ object Bench {
     * code cache silently disables compilation mid-suite — the leading
     * candidate for the r11 artifact's 5-7× CPU inflation — so the artifact
     * records occupancy at suite end. */
-  private def codeCache(): (Long, Long) = {
+  private[graft] def codeCache(): (Long, Long) = {
     import scala.jdk.CollectionConverters._
     val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
       .asScala.filter(p =>

@@ -159,7 +159,24 @@ object ScaleSmoke {
       // margin scoring (corpus-linear) + per-shard GK sketches union-merged
       // — the 100 TB replacement for the exact global-window median
       "gkcut" -> (d => graft.queries.TextQueries
-        .logregApplyGk(d, graft.queries.TextQueries.LrIters).count()))
+        .logregApplyGk(d, graft.queries.TextQueries.LrIters).count()),
+      // threshold yield sweep (VERDICT r11 "Next" #5): ONE verification
+      // pass serving four τ rungs — under R× near-dup replication the
+      // candidate set is what grows (capped per bucket), and the sweep
+      // must stay CANDIDATE-linear: its cost curve tracks `pairs`, never
+      // the corpus square
+      "sweep" -> (d => Dedup.dedupSweep(d, Seq(300L, 500L, 700L, 900L))
+        .count()),
+      // provenance attribution: clustering on signatures (contains the CC
+      // rounds) + two broadcast-scale joins of the drop list to the
+      // doc→source map — candidate-linear like the cluster stage it wraps
+      "attrib" -> (d => Dedup.dedupAttribution(d).count()),
+      // image near-dup LSH under R× more distinct images: the 24-bit
+      // dHash's three 8-bit band keys span only 256 buckets each, so
+      // bucket sizes grow R-linearly with the corpus and the spanning-star
+      // cap must do for thumbnails what it does for text buckets — pair
+      // output stays cap-bounded while fingerprints stay corpus-linear
+      "media" -> (d => graft.operators.Multimodal.ppmPhashPairs(d).count()))
 
     def run(corpus: DataFrame): Map[String, (Double, Long)] = {
       corpus.cache().count() // isolate replication cost from stage timing
@@ -236,7 +253,18 @@ object ScaleSmoke {
       "mmr" -> (kv => Similarity.mmrTopK(qSide, kv, 10, 5).count()),
       // triplet mining: one M×N pair stream through one window pass —
       // linear in N at fixed M, like ann_brute plus the window sort
-      "triplets" -> (kv => Similarity.tripletMine(qSide, kv, 3, 4000L).count()))
+      "triplets" -> (kv => Similarity.tripletMine(qSide, kv, 3, 4000L).count()),
+      // margin-based bitext mining (VERDICT r11 "Next" #5): the fixed
+      // 64-query x side against the replicated y side — one pair scan
+      // through two stacked Window exchanges; the rank-1/top-k windows
+      // must keep the cost in the pair-stream band (linear in N at fixed
+      // M, the ann_brute bound plus the two window sorts), never a
+      // pair-of-pairs blow-up. τ = 0 so the filter cannot hide the
+      // window work behind an empty output
+      "bitext" -> (kv => Similarity.mineBitext(
+        qSide.select(col("q_id").as("x_id"), col("qvec").as("xvec")),
+        kv.select(col("k_id").as("y_id"), col("kvec").as("yvec")),
+        4, 0L).count()))
     def runAnn(kv: DataFrame): Map[String, (Double, Long)] = {
       kv.cache().count()
       val out = annStages.map { case (name, f) =>
@@ -418,8 +446,16 @@ object ScaleSmoke {
       evStages.map { case (name, _) => fmt(name, evOne(name), evBig(name)) } ++
       grStages.map { case (name, _) => fmt(name, grOne(name), grBig(name)) })
       .mkString("{", ",", "}")
+    // JVM-state footer (VERDICT r11 "Next" #7: the same JIT/GC blind spot
+    // the bench artifact had): cumulative JIT/GC time and code-cache
+    // occupancy at suite end, so a degraded-JVM probe run adjudicates
+    // itself the way a degraded bench run now does
+    val (ccUsed, ccMax) = Bench.codeCache()
+    val jvm =
+      s""""jvm":{"jit_ms":${Bench.jitMs()},"gc_ms":${Bench.gcMs()},""" +
+        s""""code_cache_used_mb":${ccUsed / (1 << 20)},"code_cache_max_mb":${ccMax / (1 << 20)}}"""
     val line =
-      s"""{"metric":"scale_smoke","rep":$rep,"docs_1x":$nDocs,"cc_rounds_1x":$ccRounds1,"cc_rounds_${rep}x":$ccRoundsR,"kcore_rounds_1x":$kcRounds1,"kcore_rounds_${rep}x":$kcRoundsR,"stages":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"scale_smoke","rep":$rep,"docs_1x":$nDocs,"cc_rounds_1x":$ccRounds1,"cc_rounds_${rep}x":$ccRoundsR,"kcore_rounds_1x":$kcRounds1,"kcore_rounds_${rep}x":$kcRoundsR,"stages":$qs,$jvm,"sf":"$sfDir"}"""
     println(line)
     System.err.println(line)
     spark.stop()
