@@ -1938,9 +1938,9 @@ object TextQueries {
             .as("recall_pm"))
     }
 
-  // lazy: logregOracle is declared further down the object body
+  // lazy: logregCtes is declared further down the object body
   private lazy val logregCalibrationOracle =
-    s"""${logregOracle.substring(0, logregOracle.lastIndexOf("SELECT"))}
+    s"""WITH $logregCtes
        |, mg AS MATERIALIZED (SELECT f.doc_id, CAST(SUM(wm * val) AS BIGINT) AS margin_micro
        |     FROM f JOIN w$LrIters USING (dim) GROUP BY f.doc_id),
        |yj AS (SELECT mg.doc_id, mg.margin_micro,
@@ -2035,7 +2035,12 @@ object TextQueries {
           greatest(col("n_docs"), lit(1L)).cast("double"), 4).as("agreement"))
   }
 
-  private val logregOracle = {
+  /** The trained-weights CTE chain shared by every logreg-family oracle —
+    * a NAMED prefix the derived oracles concatenate explicitly (`WITH
+    * $logregCtes, ...`), replacing the `substring(0, lastIndexOf(
+    * "SELECT"))` surgery that silently corrupted any future edit putting
+    * a subquery SELECT inside the final statement (ADVICE r11 #4). */
+  private val logregCtes: String = {
     def iterCtes(t: Int): String =
       s"""z$t AS MATERIALIZED (SELECT doc_id, any_value(y) AS y,
          |        SUM(wm * val) AS zm
@@ -2049,22 +2054,25 @@ object TextQueries {
          |        wm + CAST(floor(coalesce(g, 0)::DOUBLE / (2.0 * nn.n) + 0.5) AS BIGINT) AS wm
          |      FROM w${t - 1} LEFT JOIN g$t ON g$t.dim = w${t - 1}.dim
          |      CROSS JOIN nn)""".stripMargin
-    s"""WITH hv AS ($hashVecOracle),
+    s"""hv AS ($hashVecOracle),
        |f AS MATERIALIZED (SELECT hv.doc_id, hv.dim, hv.val,
        |       CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
        |     FROM hv JOIN documents d ON d.doc_id = hv.doc_id),
        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
        |w0 AS (SELECT unnest(generate_series(0, ${HashDim - 1}))::BIGINT AS dim,
        |       CAST(0 AS BIGINT) AS wm),
-       |${(1 to LrIters).map(iterCtes).mkString(",\n")}
-       |SELECT dim, wm AS w_micro, wm::DOUBLE / 1e6 AS w FROM w$LrIters""".stripMargin
+       |${(1 to LrIters).map(iterCtes).mkString(",\n")}""".stripMargin
   }
+
+  private val logregOracle =
+    s"""WITH $logregCtes
+       |SELECT dim, wm AS w_micro, wm::DOUBLE / 1e6 AS w FROM w$LrIters""".stripMargin
 
   /** Oracle of [[logregDistillAudit]]: both sides' oracles joined —
     * the rule keep recomputed inline, the model keep via the shared
     * trained-weights chain. */
   private val logregDistillOracle =
-    s"""${logregOracle.substring(0, logregOracle.lastIndexOf("SELECT"))}
+    s"""WITH $logregCtes
        |, mg AS MATERIALIZED (SELECT f.doc_id, CAST(SUM(wm * val) AS BIGINT) AS margin_micro
        |     FROM f JOIN w$LrIters USING (dim) GROUP BY f.doc_id),
        |md AS (SELECT SUM(CASE WHEN rk = (n + 1) // 2 THEN margin_micro ELSE 0 END)
@@ -2097,7 +2105,7 @@ object TextQueries {
     * distill oracle's shared `mg` CTE for hygiene, though there the
     * margin never reaches an output column. */
   private val logregApplyOracle =
-    s"""${logregOracle.substring(0, logregOracle.lastIndexOf("SELECT"))}
+    s"""WITH $logregCtes
        |, mg AS MATERIALIZED (SELECT f.doc_id, CAST(SUM(wm * val) AS BIGINT) AS margin_micro
        |     FROM f JOIN w$LrIters USING (dim) GROUP BY f.doc_id),
        |md AS (SELECT SUM(CASE WHEN rk = (n + 1) // 2 THEN margin_micro ELSE 0 END)
@@ -2113,7 +2121,7 @@ object TextQueries {
     * sketch booleans asserted TRUE (the `events_quantiles_sketch`
     * pattern — the theorem holds or the hash gate fails). */
   private val logregApplyGkOracle =
-    s"""${logregOracle.substring(0, logregOracle.lastIndexOf("SELECT"))}
+    s"""WITH $logregCtes
        |, mg AS MATERIALIZED (SELECT f.doc_id, CAST(SUM(wm * val) AS BIGINT) AS margin_micro
        |     FROM f JOIN w$LrIters USING (dim) GROUP BY f.doc_id)
        |SELECT count(*)::BIGINT AS n,

@@ -33,9 +33,16 @@ class FastRawLocalFileSystem extends RawLocalFileSystem {
     GROUP_READ, GROUP_WRITE, GROUP_EXECUTE,
     OTHERS_READ, OTHERS_WRITE, OTHERS_EXECUTE)
 
-  override def setPermission(p: Path, perm: FsPermission): Unit =
+  override def setPermission(p: Path, perm: FsPermission): Unit = {
+    val s = perm.toShort
+    // setuid/setgid/sticky (bits 9-11) have no PosixFilePermission
+    // representation — silently dropping them would deviate for any
+    // non-scratch caller, since this FS is installed session-wide
+    // (ADVICE r11 #3). Those calls take Hadoop's chmod path instead;
+    // no scratch/parquet/checkpoint write ever sets a special bit, so
+    // the fork-free fast path still covers the hot paths.
+    if ((s & 0xE00) != 0) { super.setPermission(p, perm); return }
     try {
-      val s = perm.toShort
       val set = new java.util.HashSet[PosixFilePermission]()
       var i = 0
       while (i < 9) {
@@ -50,4 +57,5 @@ class FastRawLocalFileSystem extends RawLocalFileSystem {
       case _: UnsupportedOperationException => // non-POSIX FS: Hadoop's path
         super.setPermission(p, perm)
     }
+  }
 }

@@ -32,9 +32,24 @@ object Scratch {
       .getOrElse(Paths.get(sys.props("java.io.tmpdir")))
   }
 
+  /** Every tree this JVM creates embeds its PID (`..._p<pid>_...`), so
+    * the sweeper can tell a crashed owner from a LIVE one. */
+  private val ownPid = ProcessHandle.current().pid()
+  private val PidPat = ".*_p(\\d+)_.*".r
+
+  private def ownerAlive(name: String): Boolean = name match {
+    case PidPat(pid) =>
+      try ProcessHandle.of(pid.toLong).isPresent
+      catch { case _: Exception => false }
+    case _ => false // pre-PID layout: age is the only signal
+  }
+
   /** Stale trees from a crashed JVM (shutdown hook never ran) would pin
     * tmpfs RAM until reboot — sweep graft_* dirs older than 2 h once per
-    * JVM. Live runs finish in minutes, so the margin is ample. */
+    * JVM, but NEVER a tree whose owning PID is still alive (ADVICE r11
+    * #2: the age cutoff alone would delete another still-running JVM's
+    * shuffle files and streaming checkpoints if a run ever exceeded 2 h
+    * or two runs overlapped across that boundary). */
   private def sweepStale(): Unit =
     try {
       import scala.jdk.CollectionConverters._
@@ -42,6 +57,7 @@ object Scratch {
       Files.list(root).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("graft_"))
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .filter(p => !ownerAlive(p.getFileName.toString))
         .foreach(deleteTree)
     } catch { case _: Exception => () }
 
@@ -59,9 +75,10 @@ object Scratch {
   }, "graft-scratch-cleaner"))
 
   /** A fresh temp directory under [[root]], registered for recursive
-    * deletion at exit. */
+    * deletion at exit; the name embeds this JVM's PID so [[sweepStale]]
+    * in a LATER process can prove the owner is gone before deleting. */
   def dir(prefix: String): String = {
-    val p = Files.createTempDirectory(root, prefix)
+    val p = Files.createTempDirectory(root, s"${prefix}_p${ownPid}_")
     roots.add(p)
     p.toString
   }
