@@ -69,6 +69,87 @@ object CurationQueries {
        |  sum(n_chars)::BIGINT AS n_chars
        |FROM a GROUP BY split, lang""".stripMargin
 
+  /** NEAR-DUP SPLIT-LEAKAGE AUDIT (`split_leakage_audit`) — the eval
+    * every train/val/test carve-up needs before anyone trusts a held-out
+    * number: a document and its near-duplicate landing in DIFFERENT
+    * splits silently leaks training text into the eval sets. The audit
+    * quantifies that exposure for three split rules over the MinHash
+    * near-dup clusters ([[graft.operators.Dedup.dedupClusters]] — the
+    * graded dedup pass itself, so audit and dedup agree by construction):
+    *
+    *   - `by_doc`     — the naive per-document hash split;
+    *   - `by_source`  — the DEPLOYED `corpus_split` rule (hash of
+    *                    source): group-aware, but `dedup_attribution`
+    *                    proves cross-SOURCE near-dups exist, so this
+    *                    rule still leaks — the audit measures how much;
+    *   - `by_cluster` — hash of the cluster representative: spanning is
+    *                    structurally zero (every member shares the key),
+    *                    the leakage-safe rule the audit recommends.
+    *
+    * Per rule: clusters spanning >1 split, docs exposed in them, and the
+    * exact permille of clustered docs exposed. All-integer counts over
+    * the same "split:" hash protocol the deployed rule uses. Scale:
+    * clustering is the signature-side dedup pass; the audit itself is
+    * one (cluster)-keyed aggregate over its output plus a broadcast-size
+    * source join — corpus touched once. */
+  private def splitLeakageAudit(d: DataFrame): DataFrame =
+    graft.operators.Caching.scoped() {
+      val cl = graft.operators.Caching.eager(
+        graft.operators.Dedup.dedupClusters(d)
+          .join(d.select(col("doc_id"), col("source")), "doc_id"))
+      def splitOf(key: org.apache.spark.sql.Column) = {
+        val h = VecOps.hash60(concat(lit("split:"), key)) % 100
+        when(h < 10, "test").when(h < 20, "val").otherwise("train")
+      }
+      val rules = Seq(
+        ("by_doc", splitOf(col("doc_id").cast("string"))),
+        ("by_source", splitOf(col("source"))),
+        ("by_cluster", splitOf(col("cluster").cast("string"))))
+      rules.map { case (name, sp) =>
+        cl.select(col("cluster"), sp.as("split"))
+          .groupBy(col("cluster"))
+          .agg(countDistinct(col("split")).as("ns"), count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_spanning"),
+            sum(when(col("ns") > 1, col("sz")).otherwise(0L))
+              .as("n_docs_exposed"),
+            sum(col("sz")).as("n_docs_clustered"))
+          .select(lit(name).as("rule"), col("n_clusters"),
+            col("n_spanning"), col("n_docs_exposed"),
+            col("n_docs_clustered"))
+      }.reduce(_ union _)
+        .withColumn("exposed_pm",
+          expr("1000L * n_docs_exposed div greatest(n_docs_clustered, 1L)"))
+    }
+
+  private val splitLeakageOracle = {
+    def splitCase(key: String) =
+      s"""CASE WHEN ${VecOps.hash60Sql(s"'split:' || $key")} % 100 < 10 THEN 'test'
+         |     WHEN ${VecOps.hash60Sql(s"'split:' || $key")} % 100 < 20 THEN 'val'
+         |     ELSE 'train' END""".stripMargin
+    s"""WITH cl0 AS (${graft.operators.Dedup.dedupClustersSql("documents")}),
+       |cl AS (SELECT cl0.doc_id, cl0.cluster, d.source
+       |       FROM cl0 JOIN documents d USING (doc_id)),
+       |r AS (SELECT 'by_doc' AS rule, cluster,
+       |        ${splitCase("CAST(doc_id AS VARCHAR)")} AS split FROM cl
+       |      UNION ALL
+       |      SELECT 'by_source' AS rule, cluster,
+       |        ${splitCase("source")} AS split FROM cl
+       |      UNION ALL
+       |      SELECT 'by_cluster' AS rule, cluster,
+       |        ${splitCase("CAST(cluster AS VARCHAR)")} AS split FROM cl),
+       |per AS (SELECT rule, cluster, count(DISTINCT split) AS ns,
+       |          count(*)::BIGINT AS sz
+       |        FROM r GROUP BY 1, 2)
+       |SELECT rule, count(*)::BIGINT AS n_clusters,
+       |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+       |  CAST(sum(CASE WHEN ns > 1 THEN sz ELSE 0 END) AS BIGINT) AS n_docs_exposed,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs_clustered,
+       |  CAST(1000 * sum(CASE WHEN ns > 1 THEN sz ELSE 0 END)
+       |       // greatest(sum(sz), 1) AS BIGINT) AS exposed_pm
+       |FROM per GROUP BY rule""".stripMargin
+  }
+
   /** Corpus remix to a TARGET language mix via per-doc repeat factors —
     * the data-mixing step of an LLM pipeline (down-sample the dominant
     * language, give the tail extra epochs). For each lang, the repeat
@@ -566,6 +647,9 @@ object CurationQueries {
     "sample_stratified" -> ((s, dir) => stratifiedSample(docs(s, dir))),
     // group-aware (leakage-safe) train/val/test split by source hash
     "corpus_split" -> ((s, dir) => corpusSplit(docs(s, dir))),
+    // near-dup leakage across splits under three rules (doc/source/
+    // cluster hash) — the held-out-integrity audit of the split above
+    "split_leakage_audit" -> ((s, dir) => splitLeakageAudit(docs(s, dir))),
     // epoch-based remix to a target language mix (integer-exact factors)
     "corpus_remix" -> ((s, dir) => corpusRemix(docs(s, dir))),
     "sample_weighted" -> ((s, dir) => weightedSample(s, docs(s, dir))),
@@ -583,6 +667,7 @@ object CurationQueries {
     "decontaminate" -> Decontaminate.flagSql("documents"),
     "sample_stratified" -> stratifiedOracle,
     "corpus_split" -> corpusSplitOracle,
+    "split_leakage_audit" -> splitLeakageOracle,
     "corpus_remix" -> corpusRemixOracle,
     "sample_weighted" -> weightedOracle,
     "sample_temperature" -> temperatureOracle,

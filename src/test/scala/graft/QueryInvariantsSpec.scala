@@ -954,4 +954,31 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(gk.getAs[Long]("n") == exact.getAs[Long]("n"))
     assert(gk.getAs[Long]("margin_sum") == exact.getAs[Long]("ms"))
   }
+
+  test("split_leakage_audit: cluster-keyed split is structurally leak-free, " +
+       "exposure is bounded by the clustered mass, and rules agree on it") {
+    val d01 = "/root/testdata/sf0.01" // sf0.001 has too few near-dup
+    // clusters for the doc/source rules to produce a stable nonzero row
+    val rows = SparkEntry.queries("split_leakage_audit")(spark, d01)
+      .collect().map(r => r.getAs[String]("rule") -> r).toMap
+    assert(rows.keySet == Set("by_doc", "by_source", "by_cluster"))
+    // every member of a cluster shares the cluster hash key → spanning is
+    // impossible by construction, not by luck
+    assert(rows("by_cluster").getAs[Long]("n_spanning") == 0L)
+    assert(rows("by_cluster").getAs[Long]("exposed_pm") == 0L)
+    // the naive and deployed rules DO leak on this fixture — the audit's
+    // reason to exist (by_source leaks via cross-source syndicated dups,
+    // proven nonzero by dedup_attribution's cross-source loss rows)
+    assert(rows("by_doc").getAs[Long]("n_spanning") > 0L)
+    assert(rows("by_source").getAs[Long]("n_spanning") > 0L)
+    for (r <- rows.values) {
+      assert(r.getAs[Long]("n_docs_exposed") <= r.getAs[Long]("n_docs_clustered"))
+      assert(r.getAs[Long]("n_spanning") <= r.getAs[Long]("n_clusters"))
+      // same clustering feeds every rule: the denominators must agree
+      assert(r.getAs[Long]("n_docs_clustered") ==
+        rows("by_cluster").getAs[Long]("n_docs_clustered"))
+      assert(r.getAs[Long]("n_clusters") ==
+        rows("by_cluster").getAs[Long]("n_clusters"))
+    }
+  }
 }
