@@ -47,14 +47,22 @@ object Decontaminate {
   /** For every training document (`doc_id % evalMod != 0`): the number of
     * shingle positions whose hash appears in the eval slice
     * (`doc_id % evalMod == 0`), and the keep/drop flag. */
-  def flag(docs: DataFrame, evalMod: Int = 41): DataFrame = {
+  def flag(docs: DataFrame, evalMod: Int = 41): DataFrame =
     // fan the scan out before the tokenize+md5 shingle kernel — same
     // few-splits guard as every other corpus-linear kernel (Dedup.fanOut):
     // no-op on a many-split cluster, keeps the per-byte work off 1-2 cores
     // on compacted/fixture inputs (VERDICT r5 #7: `curate` was the one
     // ScaleSmoke stage without it, and the one superlinear ratio)
-    val sh = PairPlan.fanOut(docs)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    flagFromToks(
+      PairPlan.fanOut(docs)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      evalMod)
+
+  /** [[flag]] over an already-tokenized (doc_id, toks) corpus — the
+    * shared-tokenize entry composed pipelines feed from one cached
+    * fanned-out tokenize (see TextOps.textQualityFromToks). */
+  def flagFromToks(tokd: DataFrame, evalMod: Int = 41): DataFrame = {
+    val sh = tokd
       .select(col("doc_id"), explode(shingleHashes(col("toks"))).as("sh"))
     val evalSet = sh.filter(col("doc_id") % evalMod === 0)
       .select(col("sh").as("eh")).distinct()

@@ -67,10 +67,16 @@ object Dedup {
     * earlier K-column shapes even re-ran md5 K× under CollapseProject, see
     * round-4 history). Bit-identical to [[minhashSigSql]]. */
   def minhashSig(docs: DataFrame): DataFrame =
-    fanOut(docs)
-      .select(col("doc_id"),
-        graft.functions.NativeExprs.minhashSig(
-          TextOps.tokens(col("text"))).as("sig"))
+    minhashSigFromToks(
+      fanOut(docs)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
+
+  /** [[minhashSig]] over an already-tokenized (doc_id, toks) corpus —
+    * the shared-tokenize entry for composed pipelines (the native kernel
+    * consumes the token array directly). */
+  def minhashSigFromToks(tokd: DataFrame): DataFrame =
+    tokd.select(col("doc_id"),
+      graft.functions.NativeExprs.minhashSig(col("toks")).as("sig"))
 
   /** Exploded grading form of [[minhashSig]]: (doc_id, j, minhash) — the
     * driver's compare harness cannot sort an array column, so the graded
@@ -182,8 +188,13 @@ object Dedup {
   /** [[minhashPairs]] with the hot-bucket cap — the skew-safe variant for
     * duplicate-heavy corpora. Same (doc_a, doc_b, est_jaccard) output;
     * within hot buckets only the spanning-star pairs are emitted. */
-  def minhashPairsCapped(docs: DataFrame, cap: Int = BucketCap): DataFrame = {
-    val sig = Caching.eager(minhashSig(docs))
+  def minhashPairsCapped(docs: DataFrame, cap: Int = BucketCap): DataFrame =
+    minhashPairsCappedFromSig(Caching.eager(minhashSig(docs)), cap)
+
+  /** [[minhashPairsCapped]] from a signature table the caller already
+    * built (and cached — it feeds three plan references below). Lets
+    * composed pipelines derive signatures from a shared tokenize. */
+  def minhashPairsCappedFromSig(sig: DataFrame, cap: Int = BucketCap): DataFrame = {
     val cand = cappedBandPairs(minhashBands(sig), cap)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
@@ -293,6 +304,15 @@ object Dedup {
                     cap: Int = BucketCap): DataFrame =
     connectedComponents(
       minhashPairsCapped(docs, cap).filter(col("est_jaccard") >= minEst))
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+
+  /** [[dedupClusters]] over an already-tokenized (doc_id, toks) corpus —
+    * the shared-tokenize entry for composed pipelines. */
+  def dedupClustersFromToks(tokd: DataFrame, minEst: Double = 0.5,
+                            cap: Int = BucketCap): DataFrame =
+    connectedComponents(
+      minhashPairsCappedFromSig(Caching.eager(minhashSigFromToks(tokd)), cap)
+        .filter(col("est_jaccard") >= minEst))
       .select(col("id").as("doc_id"), col("label").as("cluster"))
 
   /** The corpus-level payoff of the whole pipeline: documents minus every

@@ -42,14 +42,19 @@ object SpanDedup {
     * exact duplicated-token coverage (interval union), coverage fraction,
     * and the keep decision. Every input doc appears (clean docs with
     * zeros). */
-  def spanCoverage(docs: DataFrame): DataFrame = {
-    // corpus-linear tokenize+hash work: fan out few-split inputs. The
-    // window table feeds THREE plan references (dup counts, the join-back,
-    // and base stats ride the same tokenize) — cache it so the corpus is
-    // tokenized+hashed once, not per reference (the same sized-band-table
-    // pattern the LSH path uses; at 100 TB this is a persisted artifact)
-    val toks = PairPlan.fanOut(docs)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+  def spanCoverage(docs: DataFrame): DataFrame =
+    // corpus-linear tokenize+hash work: fan out few-split inputs
+    spanCoverageFromToks(
+      PairPlan.fanOut(docs)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
+
+  /** [[spanCoverage]] over an already-tokenized (doc_id, toks) corpus —
+    * the shared-tokenize entry for composed pipelines. The window table
+    * feeds THREE plan references (dup counts, the join-back, and base
+    * stats ride the same tokenize) — cache it so the corpus is
+    * tokenized+hashed once, not per reference (the same sized-band-table
+    * pattern the LSH path uses; at 100 TB this is a persisted artifact) */
+  def spanCoverageFromToks(toks: DataFrame): DataFrame = {
     val base = toks.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
       greatest(size(col("toks")) - lit(W - 1), lit(1)).cast("long")

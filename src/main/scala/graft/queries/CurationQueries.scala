@@ -324,19 +324,27 @@ object CurationQueries {
     * joins at 100 TB — both correct, no operator-specific glue. */
   private def curatedCounts(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    // quality + lang ride ONE corpus scan (textQuality is per-row; the old
-    // d⋈quality join on doc_id re-shuffled the corpus for nothing —
-    // VERDICT r5 #7); only the decontamination flag, which aggregates at
-    // shingle level, genuinely needs its own scan + doc_id join
-    val q = TextOps.textQuality(d, carry = Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("keep"))
-    val f = Decontaminate.flag(d).select(col("doc_id"), col("contaminated"))
-    val rate = when(col("lang") === "en", EnRatePm).otherwise(RestRatePm)
-    q.join(f, "doc_id")
-      .filter(col("keep") && !col("contaminated") &&
-        VecOps.hash60(concat(lit("strat:"), col("doc_id").cast("string")))
-          % 1000 < rate)
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    graft.operators.Caching.scoped() {
+      // quality + lang ride ONE corpus scan (textQuality is per-row; the
+      // old d⋈quality join on doc_id re-shuffled the corpus for nothing —
+      // VERDICT r5 #7); the decontamination flag aggregates at shingle
+      // level but starts from the SAME (doc_id, toks) stream — cache the
+      // fanned-out tokenize once (text-free: quality's text-derived
+      // scalars ride the pass) and feed both (VERDICT r11 #3b)
+      val tokd = graft.operators.Caching.eager(
+        TextOps.tokenizeWithTextStats(d, carry = Seq("lang")))
+      val q = TextOps.textQualityFromToks(tokd, carry = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("keep"))
+      val f = Decontaminate.flagFromToks(
+        tokd.select(col("doc_id"), col("toks")))
+        .select(col("doc_id"), col("contaminated"))
+      val rate = when(col("lang") === "en", EnRatePm).otherwise(RestRatePm)
+      q.join(f, "doc_id")
+        .filter(col("keep") && !col("contaminated") &&
+          VecOps.hash60(concat(lit("strat:"), col("doc_id").cast("string")))
+            % 1000 < rate)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    }
   }
 
   /** Same pipeline as one DuckDB statement: the decontamination CTEs are
@@ -380,19 +388,36 @@ object CurationQueries {
     * dup rates the drop list is corpus-sized and AQE must pick. */
   private def pipelineCounts(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val q = TextOps.textQuality(d, carry = Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("keep"), col("n_tokens"))
-    val f = Decontaminate.flag(d).select(col("doc_id"), col("contaminated"))
-    val dropDup = graft.operators.Dedup.dedupClusters(d)
-      .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
-    val spanDrop = graft.operators.SpanDedup.spanCoverage(d)
-      .filter(!col("keep")).select(col("doc_id"))
-    q.join(f, "doc_id")
-      .join(dropDup, Seq("doc_id"), "left_anti")
-      .join(spanDrop, Seq("doc_id"), "left_anti")
-      .filter(col("keep") && !col("contaminated"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+    graft.operators.Caching.scoped() {
+      // ONE fanned-out scan + regex tokenize feeds all four stages via
+      // the *FromToks entries (VERDICT r11 #3b: the standalone queries
+      // each scope-cache their own tokenize; composed, that re-derived
+      // the same (doc_id, toks) stream four times). The text-derived
+      // quality scalars are precomputed in the same pass so the raw
+      // text column never enters the cache — only token arrays plus
+      // numerics. MEMORY_AND_DISK; at 100 TB this intermediate is the
+      // persisted tokenized corpus every stage of a real pipeline
+      // reads anyway.
+      val tokd = graft.operators.Caching.eager(
+        TextOps.tokenizeWithTextStats(d, carry = Seq("lang")))
+      val q = TextOps.textQualityFromToks(tokd, carry = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("keep"), col("n_tokens"))
+      val f = Decontaminate.flagFromToks(
+        tokd.select(col("doc_id"), col("toks")))
+        .select(col("doc_id"), col("contaminated"))
+      val dropDup = graft.operators.Dedup.dedupClustersFromToks(
+        tokd.select(col("doc_id"), col("toks")))
+        .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+      val spanDrop = graft.operators.SpanDedup.spanCoverageFromToks(
+        tokd.select(col("doc_id"), col("toks")))
+        .filter(!col("keep")).select(col("doc_id"))
+      q.join(f, "doc_id")
+        .join(dropDup, Seq("doc_id"), "left_anti")
+        .join(spanDrop, Seq("doc_id"), "left_anti")
+        .filter(col("keep") && !col("contaminated"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+    }
   }
 
   private val pipelineOracle: String = {
