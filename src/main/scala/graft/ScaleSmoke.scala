@@ -45,6 +45,10 @@ object ScaleSmoke {
     val sfDir = args.headOption
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val rep = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional trailing stage names: probe only those (adjudicating a
+    // single outlier ratio without paying the full ~10-minute suite)
+    val only = args.drop(2).toSet
+    def keep(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.sources.Scratch.tuneLocalFs(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -74,7 +78,7 @@ object ScaleSmoke {
 
     // each stage runs the pipeline from the raw corpus up to its own
     // output (cumulative cost — what a user of that stage actually pays)
-    val stages: Seq[(String, DataFrame => Long)] = Seq(
+    val stagesAll: Seq[(String, DataFrame => Long)] = Seq(
       // force the signature kernel through an aggregate sink — a bare
       // count() lets Catalyst prune the minhash computation entirely and
       // times an empty scan
@@ -177,6 +181,7 @@ object ScaleSmoke {
       // cap must do for thumbnails what it does for text buckets — pair
       // output stays cap-bounded while fingerprints stay corpus-linear
       "media" -> (d => graft.operators.Multimodal.ppmPhashPairs(d).count()))
+    val stages = stagesAll.filter { case (n, _) => keep(n) }
 
     def run(corpus: DataFrame): Map[String, (Double, Long)] = {
       corpus.cache().count() // isolate replication cost from stage timing
@@ -189,11 +194,15 @@ object ScaleSmoke {
       out
     }
 
-    run(base.limit(200)) // warmup: codegen + JIT on a slice, then discard
-    spark.catalog.clearCache()
-    val one = run(base)
-    spark.catalog.clearCache()
-    val big = run(replicate(base, rep))
+    val (one, big) = if (stages.isEmpty) (Map.empty[String, (Double, Long)],
+      Map.empty[String, (Double, Long)])
+    else {
+      run(base.limit(200)) // warmup: codegen + JIT on a slice, then discard
+      spark.catalog.clearCache()
+      val o = run(base)
+      spark.catalog.clearCache()
+      (o, run(replicate(base, rep)))
+    }
 
     // ANN corpus scaling: 64 fixed queries against the kv corpus at 1× and
     // R× (vec_id remapped, vectors unchanged). Brute top-k is linear in N
@@ -208,9 +217,9 @@ object ScaleSmoke {
       .select(col("k_id").as("q_id"), col("kvec").as("qvec"))
     // PQ probes run against the FROZEN 1× codebook (the real ingest path:
     // a new batch encodes against the existing quantizer, never retrains)
-    val pqCb = graft.operators.Pq.codebook(Tables.embeddings(spark, sfDir))
+    lazy val pqCb = graft.operators.Pq.codebook(Tables.embeddings(spark, sfDir))
       .localCheckpoint(true)
-    val annStages: Seq[(String, DataFrame => Long)] = Seq(
+    val annStagesAll: Seq[(String, DataFrame => Long)] = Seq(
       "ann_brute" -> (kv => Similarity.cosineTopK(qSide, kv, 10).count()),
       "ann_probe" -> (kv => Similarity.annTopKProbed(qSide, kv, 10).count()),
       // Gram matrix: corpus-linear by construction (D²/2 terms per row
@@ -265,6 +274,7 @@ object ScaleSmoke {
         qSide.select(col("q_id").as("x_id"), col("qvec").as("xvec")),
         kv.select(col("k_id").as("y_id"), col("kvec").as("yvec")),
         4, 0L).count()))
+    val annStages = annStagesAll.filter { case (n, _) => keep(n) }
     def runAnn(kv: DataFrame): Map[String, (Double, Long)] = {
       kv.cache().count()
       val out = annStages.map { case (name, f) =>
@@ -275,11 +285,15 @@ object ScaleSmoke {
       kv.unpersist(blocking = true)
       out
     }
-    runAnn(kvBase.limit(500)) // warmup
-    spark.catalog.clearCache()
-    val annOne = runAnn(kvBase)
-    spark.catalog.clearCache()
-    val annBig = runAnn(kvRep(rep))
+    val (annOne, annBig) = if (annStages.isEmpty)
+      (Map.empty[String, (Double, Long)], Map.empty[String, (Double, Long)])
+    else {
+      runAnn(kvBase.limit(500)) // warmup
+      spark.catalog.clearCache()
+      val o = runAnn(kvBase)
+      spark.catalog.clearCache()
+      (o, runAnn(kvRep(rep)))
+    }
 
     // hybrid RRF composition (VERDICT r10 #4): both arms are probed
     // individually (bm25 in the doc stages; the dense arm is one
@@ -302,11 +316,14 @@ object ScaleSmoke {
       e.unpersist(blocking = true)
       out
     }
-    runHybrid(base.limit(200), embBase.limit(200)) // warmup
-    spark.catalog.clearCache()
-    val hyOne = runHybrid(base, embBase)
-    spark.catalog.clearCache()
-    val hyBig = runHybrid(replicate(base, rep), embRep(rep))
+    val (hyOne, hyBig) = if (!keep("hybrid_rrf")) ((0.0, 0L), (0.0, 0L))
+    else {
+      runHybrid(base.limit(200), embBase.limit(200)) // warmup
+      spark.catalog.clearCache()
+      val o = runHybrid(base, embBase)
+      spark.catalog.clearCache()
+      (o, runHybrid(replicate(base, rep), embRep(rep)))
+    }
 
     // interval-join scaling: replicas get DISJOINT user populations
     // (user_id remapped per replica) so qualifying pairs grow linearly —
@@ -330,7 +347,7 @@ object ScaleSmoke {
         b.filter(col("event_type") === "view")
           .select(col("key"), col("t")), 3600L).count()
     }
-    val evStages: Seq[(String, DataFrame => Long)] = Seq(
+    val evStagesAll: Seq[(String, DataFrame => Long)] = Seq(
       "interval" -> intervalCount,
       // EWMA: the event-volume rollup is the only corpus-sized work; the
       // recursion folds the calendar-bounded hourly series (same length
@@ -338,6 +355,7 @@ object ScaleSmoke {
       "ewma" -> (e => graft.operators.Resample.hourlyEwma(e)
         .agg(sum(col("ewma_milli")).as("s"), count(lit(1)).as("n"))
         .head().getLong(1)))
+    val evStages = evStagesAll.filter { case (n, _) => keep(n) }
     def runEv(e: DataFrame): Map[String, (Double, Long)] = {
       e.cache().count()
       val out = evStages.map { case (name, f) =>
@@ -348,11 +366,15 @@ object ScaleSmoke {
       e.unpersist(blocking = true)
       out
     }
-    runEv(evBase.limit(2000)) // warmup
-    spark.catalog.clearCache()
-    val evOne = runEv(evBase)
-    spark.catalog.clearCache()
-    val evBig = runEv(evRep(rep))
+    val (evOne, evBig) = if (evStages.isEmpty)
+      (Map.empty[String, (Double, Long)], Map.empty[String, (Double, Long)])
+    else {
+      runEv(evBase.limit(2000)) // warmup
+      spark.catalog.clearCache()
+      val o = runEv(evBase)
+      spark.catalog.clearCache()
+      (o, runEv(evRep(rep)))
+    }
 
     // graph scaling (VERDICT r8 #5, carried to r10): the part co-purchase
     // graph at 1× and R× with DISJOINT replicas — BOTH keys remapped per
@@ -370,7 +392,7 @@ object ScaleSmoke {
           (col("l_suppkey") * r + col("rep")).as("l_suppkey"))
     var ccRounds = -1 // set by the components stage, read per corpus below
     var kcRounds = -1L // set by the kcore stage, read per corpus below
-    val grStages: Seq[(String, DataFrame => Long)] = Seq(
+    val grStagesAll: Seq[(String, DataFrame => Long)] = Seq(
       // degree-oriented triangle count through the DEFAULT closing-join
       // gate (broadcast: the fixture's edge set sits far under
       // BroadcastMaxEdges even at R×)
@@ -414,6 +436,7 @@ object ScaleSmoke {
         kcRounds = r.getAs[Long]("rounds")
         r.getAs[Long]("n_core_edges")
       })
+    val grStages = grStagesAll.filter { case (n, _) => keep(n) }
     def runGr(li: DataFrame): Map[String, (Double, Long)] = {
       li.cache().count()
       val out = grStages.map { case (name, f) =>
@@ -424,15 +447,21 @@ object ScaleSmoke {
       li.unpersist(blocking = true)
       out
     }
-    runGr(liBase.limit(3000)) // warmup
-    spark.catalog.clearCache()
-    val grOne = runGr(liBase)
-    val ccRounds1 = ccRounds
-    val kcRounds1 = kcRounds
-    spark.catalog.clearCache()
-    val grBig = runGr(liRep(rep))
-    val ccRoundsR = ccRounds
-    val kcRoundsR = kcRounds
+    val (grOne, ccRounds1, kcRounds1) = if (grStages.isEmpty)
+      (Map.empty[String, (Double, Long)], -1, -1L)
+    else {
+      runGr(liBase.limit(3000)) // warmup
+      spark.catalog.clearCache()
+      val o = runGr(liBase)
+      (o, ccRounds, kcRounds)
+    }
+    val (grBig, ccRoundsR, kcRoundsR) = if (grStages.isEmpty)
+      (Map.empty[String, (Double, Long)], -1, -1L)
+    else {
+      spark.catalog.clearCache()
+      val b = runGr(liRep(rep))
+      (b, ccRounds, kcRounds)
+    }
 
     val nDocs = base.count()
     def fmt(name: String, o: (Double, Long), b: (Double, Long)): String = {
@@ -442,7 +471,7 @@ object ScaleSmoke {
     }
     val qs = (stages.map { case (name, _) => fmt(name, one(name), big(name)) } ++
       annStages.map { case (name, _) => fmt(name, annOne(name), annBig(name)) } ++
-      Seq(fmt("hybrid_rrf", hyOne, hyBig)) ++
+      (if (keep("hybrid_rrf")) Seq(fmt("hybrid_rrf", hyOne, hyBig)) else Nil) ++
       evStages.map { case (name, _) => fmt(name, evOne(name), evBig(name)) } ++
       grStages.map { case (name, _) => fmt(name, grOne(name), grBig(name)) })
       .mkString("{", ",", "}")
