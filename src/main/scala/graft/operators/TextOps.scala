@@ -671,37 +671,49 @@ object TextOps {
       .agg(max(when(col("role") === "prev", col("tok"))).as("tok_prev"),
         max(when(col("role") === "next2", col("nxt"))).as("tok_next2"))
     // merge-adjacency flags m−2 ∈ M / m+2 ∈ M from the merge list itself
-    val m = Caching.eager(merged
+    val m = merged
       .join(nbrTok, Seq("doc_id", "mj"), "left")
       .join(merged.select(col("doc_id"), (col("mj") + 2).as("mj"),
         lit(true).as("prev_merge")), Seq("doc_id", "mj"), "left")
       .join(merged.select(col("doc_id"), (col("mj") - 2).as("mj"),
         lit(true).as("next_merge")), Seq("doc_id", "mj"), "left")
       .crossJoin(broadcast(top1.select(col("a").as("m_a"), col("b").as("m_b"),
-        concat(col("a"), col("b")).as("m_ab")))))
-    // removed old pairs at {m−1, m, m+1}; values are known from (a, b)
-    // plus the two neighbor lookups; distinct on position dedupes the
-    // m+1 = m'−1 overlap of adjacent merges (both emit the same values)
-    val removed = m.filter(col("tok_prev").isNotNull)
-        .select(col("doc_id"), (col("mj") - 1).as("p"),
-          col("tok_prev").as("pa"), col("m_a").as("pb"))
-      .union(m.select(col("doc_id"), col("mj").as("p"),
-        col("m_a").as("pa"), col("m_b").as("pb")))
-      .union(m.filter(col("tok_next2").isNotNull)
-        .select(col("doc_id"), (col("mj") + 1).as("p"),
-          col("m_b").as("pa"), col("tok_next2").as("pb")))
+        concat(col("a"), col("b")).as("m_ab"))))
+    // the five delta rules as ONE array-explode over the merge list (a
+    // single plan reference, so m needs no cache of its own): removed
+    // old pairs at {m−1, m, m+1} with d = −1 — values known from (a, b)
+    // plus the two neighbor lookups — and the two added pairs with
+    // d = +1. The distinct() runs on (doc_id, p, kind, ...): it dedupes
+    // exactly the m+1 = m'−1 overlap of adjacent merges (both emit the
+    // same 'rm' row) while the 'al'/'ar' added rows, keyed by their own
+    // merge position, are never collapsed — two merges legitimately
+    // adding the same pair both count
+    val entries = array(
+      when(col("tok_prev").isNotNull, struct(
+        (col("mj") - 1).as("p"), lit("rm").as("kind"),
+        col("tok_prev").as("a2"), col("m_a").as("b2"), lit(-1L).as("d"))),
+      struct(col("mj").as("p"), lit("rm").as("kind"),
+        col("m_a").as("a2"), col("m_b").as("b2"), lit(-1L).as("d")),
+      when(col("tok_next2").isNotNull, struct(
+        (col("mj") + 1).as("p"), lit("rm").as("kind"),
+        col("m_b").as("a2"), col("tok_next2").as("b2"), lit(-1L).as("d"))),
+      when(col("tok_prev").isNotNull && col("prev_merge").isNull, struct(
+        col("mj").as("p"), lit("al").as("kind"),
+        col("tok_prev").as("a2"), col("m_ab").as("b2"), lit(1L).as("d"))),
+      when(col("tok_next2").isNotNull, struct(
+        col("mj").as("p"), lit("ar").as("kind"),
+        col("m_ab").as("a2"),
+        when(col("next_merge").isNotNull, col("m_ab"))
+          .otherwise(col("tok_next2")).as("b2"), lit(1L).as("d"))))
+    val delta = m.select(col("doc_id"), explode(entries).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("doc_id"), col("e.p").as("p"), col("e.kind").as("kind"),
+        col("e.a2").as("a2"), col("e.b2").as("b2"), col("e.d").as("d"))
       .distinct()
-      .select(col("pa").as("a2"), col("pb").as("b2"), lit(-1L).as("d"))
-    val added = m.filter(col("tok_prev").isNotNull && col("prev_merge").isNull)
-        .select(col("tok_prev").as("a2"), col("m_ab").as("b2"))
-      .union(m.filter(col("tok_next2").isNotNull)
-        .select(col("m_ab").as("a2"),
-          when(col("next_merge").isNotNull, col("m_ab"))
-            .otherwise(col("tok_next2")).as("b2")))
-      .select(col("a2"), col("b2"), lit(1L).as("d"))
+      .select(col("a2"), col("b2"), col("d"))
     val top2 = counts1
       .select(col("a").as("a2"), col("b").as("b2"), col("pair_n").as("d"))
-      .union(removed).union(added)
+      .union(delta)
       .groupBy(col("a2"), col("b2")).agg(sum(col("d")).as("pair_n2"))
       .filter(col("pair_n2") > 0)
       .orderBy(desc("pair_n2"), col("a2"), col("b2")).limit(1)
