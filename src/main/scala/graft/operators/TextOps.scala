@@ -820,17 +820,24 @@ object TextOps {
       .localCheckpoint(true)
     val merges = Seq.newBuilder[DataFrame]
     for (it <- 1 to iters) {
-      val pairs = tok.withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      val willRewrite = rewriteAll || it < iters
+      // when a rewrite follows, the adjacency table feeds BOTH the count
+      // and the occurrence scan — cache it for the iteration so the
+      // ordered window pass runs once, not twice (released below; the
+      // last count-only iteration skips the cache, it has one reader)
+      val pairs0 = tok.withColumn("nxt", lead(col("tok"), 1).over(byDoc))
         .filter(col("nxt").isNotNull)
+      val pairs = if (willRewrite) pairs0.cache() else pairs0
       // the 1-row merge decision is frozen eagerly: the rewrite below and
       // the final merge-table union both read it without re-counting
+      // (this action also populates the pairs cache)
       val top = pairs.groupBy(col("tok").as("a"), col("nxt").as("b"))
         .agg(count(lit(1)).as("pair_n"))
         .orderBy(desc("pair_n"), col("a"), col("b")).limit(1)
         .localCheckpoint(true)
       merges += top.select(lit(it.toLong).as("it"),
         col("a"), col("b"), col("pair_n"))
-      if (rewriteAll || it < iters) {
+      if (willRewrite) {
         val occ = pairs.join(broadcast(top),
             col("tok") === col("a") && col("nxt") === col("b"))
           .select(col("doc_id"), col("j"))
@@ -857,6 +864,7 @@ object TextOps {
           rewritten.select(col("doc_id"),
             row_number().over(byDoc).cast("long").as("j"), col("tok"))
         }
+        pairs.unpersist(blocking = false)
       }
     }
     (merges.result().reduce(_ union _), tok)
