@@ -181,6 +181,42 @@ object TextOps {
        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpe
        |FROM $table""".stripMargin
 
+  /** TOKENIZER FERTILITY per language (`token_fertility`) — the
+    * tokenizer-health report multilingual pipelines track: languages a
+    * tokenizer serves badly burn more tokens per character (high
+    * fertility), which skews both the effective data mix and the compute
+    * cost per byte of each language. Per lang, over the BPE-ish token
+    * stream of [[tokenCount]]: doc/char/token totals as exact LONG sums
+    * and two integer-division ratios — `fert_milli` (tokens per 1000
+    * chars) and `chars_per_tok_milli` — dividing identical operands in
+    * both engines, so the report is bit-stable. One map-side-combined
+    * aggregate over a corpus-linear scan; scales trivially. */
+  def tokenFertility(docs: DataFrame): DataFrame = {
+    val bpe = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    docs.select(col("lang"), length(col("text")).cast("long").as("nc"),
+        size(bpe).cast("long").as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+        sum(col("nt")).as("sum_tokens"))
+      .select(col("lang"), col("n_docs"), col("sum_chars"), col("sum_tokens"),
+        expr("1000L * sum_tokens div greatest(sum_chars, 1L)").as("fert_milli"),
+        expr("1000L * sum_chars div greatest(sum_tokens, 1L)")
+          .as("chars_per_tok_milli"))
+  }
+
+  /** SQL oracle dual of [[tokenFertility]]. */
+  def tokenFertilitySql(table: String): String =
+    s"""WITH t AS (SELECT lang, length(text)::BIGINT AS nc,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS nt
+       |  FROM $table)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+       |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+       |  CAST(1000 * sum(nt) // greatest(sum(nc), 1) AS BIGINT) AS fert_milli,
+       |  CAST(1000 * sum(nc) // greatest(sum(nt), 1) AS BIGINT) AS chars_per_tok_milli
+       |FROM t GROUP BY lang""".stripMargin
+
   /** Gopher-style repetition signals — the standard repetitious-text
     * quality filter for LLM corpora (Rae et al. 2021 §A1.1 uses
     * most-common-word fraction and duplicate-n-gram fractions; our docs

@@ -69,6 +69,45 @@ object CurationQueries {
        |  sum(n_chars)::BIGINT AS n_chars
        |FROM a GROUP BY split, lang""".stripMargin
 
+  /** target shard payload in chars — sized so the fixture produces a
+    * multi-shard manifest per language at every SF (a real export
+    * targets ~256 MB of compressed bytes; the arithmetic is identical). */
+  private val ShardChars = 16384L
+
+  /** EXPORT-SHARDING PLANNER (`corpus_shards`) — the write-side step
+    * between curation and tokenization: assign documents to fixed-budget
+    * output shards within each language partition, in the deterministic
+    * (lang, doc_id) order every re-run reproduces. A doc is never split:
+    * shard_id = exclusive-prefix-sum(n_chars) div target — the greedy
+    * bin-fill whose shards overshoot the budget by at most one document,
+    * the same all-integer prefix arithmetic as [[TextOps.pack]]. Output:
+    * the shard MANIFEST (per (lang, shard_id): doc count, payload chars,
+    * [first,last] doc_id) — what an exporter hands the writer tasks.
+    * Scale: the per-lang ordered prefix sum is one sort partition per
+    * lang as written; the 100 TB form is pack's documented two-pass
+    * range-partitioned scan (per-partition sums + broadcast offsets),
+    * with the downstream div/groupBy unchanged. */
+  private def corpusShards(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("s", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .withColumn("shard_id", expr(s"s div $ShardChars"))
+      .groupBy(col("lang"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("doc_from"), max(col("doc_id")).as("doc_to"))
+  }
+
+  private val corpusShardsOracle =
+    s"""WITH o AS (SELECT lang, doc_id, n_chars,
+       |  CAST(COALESCE(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+       |  FROM documents)
+       |SELECT lang, s // $ShardChars AS shard_id, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  min(doc_id) AS doc_from, max(doc_id) AS doc_to
+       |FROM o GROUP BY 1, 2""".stripMargin
+
   /** NEAR-DUP SPLIT-LEAKAGE AUDIT (`split_leakage_audit`) — the eval
     * every train/val/test carve-up needs before anyone trusts a held-out
     * number: a document and its near-duplicate landing in DIFFERENT
@@ -672,6 +711,8 @@ object CurationQueries {
     "sample_stratified" -> ((s, dir) => stratifiedSample(docs(s, dir))),
     // group-aware (leakage-safe) train/val/test split by source hash
     "corpus_split" -> ((s, dir) => corpusSplit(docs(s, dir))),
+    // export-shard manifest: fixed-budget greedy bin-fill per lang
+    "corpus_shards" -> ((s, dir) => corpusShards(docs(s, dir))),
     // near-dup leakage across splits under three rules (doc/source/
     // cluster hash) — the held-out-integrity audit of the split above
     "split_leakage_audit" -> ((s, dir) => splitLeakageAudit(docs(s, dir))),
@@ -692,6 +733,7 @@ object CurationQueries {
     "decontaminate" -> Decontaminate.flagSql("documents"),
     "sample_stratified" -> stratifiedOracle,
     "corpus_split" -> corpusSplitOracle,
+    "corpus_shards" -> corpusShardsOracle,
     "split_leakage_audit" -> splitLeakageOracle,
     "corpus_remix" -> corpusRemixOracle,
     "sample_weighted" -> weightedOracle,

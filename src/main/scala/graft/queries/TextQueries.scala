@@ -2406,6 +2406,8 @@ object TextQueries {
     // the reuse-detection composition (candidate-only verification)
     "dedup_winnow" -> ((s, dir) => dedupWinnow(docs(s, dir))),
     "token_count" -> ((s, dir) => TextOps.tokenCount(docs(s, dir))),
+    // per-lang tokenizer fertility (tokens per 1000 chars, exact)
+    "token_fertility" -> ((s, dir) => TextOps.tokenFertility(docs(s, dir))),
     "top_terms" -> ((s, dir) => topTerms(docs(s, dir))),
     "vocab_sketch" -> ((s, dir) => vocabSketch(docs(s, dir))),
     // two-level HLL rollup == one-shot sketch (mergeability, graded)
@@ -2590,6 +2592,7 @@ object TextQueries {
     "winnow_matches" -> winnowMatchesOracle,
     "dedup_winnow" -> dedupWinnowOracle,
     "token_count" -> TextOps.tokenCountSql("documents"),
+    "token_fertility" -> TextOps.tokenFertilitySql("documents"),
     "top_terms" -> topTermsOracle(),
     "vocab_sketch" -> vocabSketchOracle,
     "vocab_sketch_merge" -> vocabSketchMergeOracle,

@@ -955,6 +955,43 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(gk.getAs[Long]("margin_sum") == exact.getAs[Long]("ms"))
   }
 
+  test("corpus_shards: every doc lands in exactly one shard, ids are dense " +
+       "per lang, and no shard overshoots the budget by more than one doc") {
+    val rows = SparkEntry.queries("corpus_shards")(spark, dir).collect()
+    val docs = graft.sources.Tables.documents(spark, dir)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val maxDoc = docs.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("n_chars"))).head.getLong(0)
+    for (r <- rows) {
+      // greedy bin-fill: a shard exceeds the target only by its last doc
+      assert(r.getAs[Long]("n_chars") < 16384L + maxDoc, s"overshoot: $r")
+      assert(r.getAs[Long]("doc_from") <= r.getAs[Long]("doc_to"))
+    }
+    for ((lang, rs) <- rows.groupBy(_.getAs[String]("lang"))) {
+      val ids = rs.map(_.getAs[Long]("shard_id")).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1L,
+        s"$lang shard ids not dense: ${ids.mkString(",")}")
+      // deterministic order: consecutive shards cover disjoint,
+      // increasing doc_id ranges
+      val byId = rs.sortBy(_.getAs[Long]("shard_id"))
+      for (Array(a, b) <- byId.sliding(2).map(_.toArray) if b != null)
+        assert(a.getAs[Long]("doc_to") < b.getAs[Long]("doc_from"))
+    }
+  }
+
+  test("token_fertility: exact totals and the two integer ratios invert " +
+       "within integer-division slack") {
+    val rows = SparkEntry.queries("token_fertility")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (c, t) = (r.getAs[Long]("sum_chars"), r.getAs[Long]("sum_tokens"))
+      assert(r.getAs[Long]("fert_milli") == 1000L * t / math.max(c, 1L))
+      assert(r.getAs[Long]("chars_per_tok_milli") == 1000L * c / math.max(t, 1L))
+      // a token is at least one char: fertility can never exceed 1000‰
+      assert(r.getAs[Long]("fert_milli") <= 1000L, s"fertility > 1/char: $r")
+    }
+  }
+
   test("split_leakage_audit: cluster-keyed split is structurally leak-free, " +
        "exposure is bounded by the clustered mass, and rules agree on it") {
     val d01 = "/root/testdata/sf0.01" // sf0.001 has too few near-dup
