@@ -361,6 +361,82 @@ object Dedup {
       .withColumn("drop_pm", expr("1000L * n_dropped div n_docs"))
   }
 
+  /** TRANSITIVE-CHAINING AUDIT of the cluster rule (`dedup_chain_audit`)
+    * — the standard criticism of connected-component dedup made
+    * measurable: CC unions a~b and b~c into one cluster even when a and
+    * c share nothing, so a cluster's KEEP-ONE rule can drop documents
+    * that are not actually near-duplicates of the kept representative.
+    * The audit verifies every member against its cluster REPRESENTATIVE
+    * on the EXACT distinct-shingle sets (the same verification protocol
+    * as `dedup_ngram`): per cluster-size bucket it reports member
+    * counts, how many members fall below `tauPm` Jaccard against the
+    * representative (the docs a star-shaped re-check would evict), and
+    * the min/mean member↔rep Jaccard in exact micro units
+    * (jac_micro = 10⁶·∩ div ∪; mean over members divides exact LONG
+    * sums). All comparisons are integer cross-multiplications.
+    *
+    * Scale: clustering is the signature-side pass the corpus already
+    * pays; the audit pairs are ONE row per clustered member (the dup
+    * mass, ≪ corpus), and shingle sets are built only for docs in those
+    * pairs (the broadcast semi-join prefilter of [[ngramJaccardPairs]]).
+    * Two doc_id equi-joins attach the sets; one bucket rollup. */
+  def chainAudit(docs: DataFrame, minEst: Double = 0.5, tauPm: Long = 300L,
+                 cap: Int = BucketCap): DataFrame = Caching.scoped() {
+    val cl = Caching.eager(dedupClusters(docs, minEst, cap))
+    val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("cl_size"))
+    val pairs = cl.filter(col("doc_id") =!= col("cluster"))
+    val ids = cl.select(col("doc_id")).distinct()
+    val sets = Caching.eager(fanOut(docs)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingles(TextOps.tokens(col("text")))).as("sh")))
+    val interC = size(array_intersect(col("sh_m"), col("sh_r"))).cast("long")
+    val uniC = (size(col("sh_m")) + size(col("sh_r"))).cast("long") - interC
+    pairs
+      .join(sets.select(col("doc_id"), col("sh").as("sh_m")), "doc_id")
+      .join(sets.select(col("doc_id").as("cluster"), col("sh").as("sh_r")),
+        "cluster")
+      .select(col("cluster"), interC.as("ni"), greatest(uniC, lit(1L)).as("nu"))
+      .join(sizes, "cluster")
+      .groupBy(col("cl_size"))
+      .agg(countDistinct(col("cluster")).as("n_clusters"),
+        count(lit(1)).as("n_members"),
+        sum(when(lit(1000L) * col("ni") < lit(tauPm) * col("nu"), 1L)
+          .otherwise(0L)).as("n_chained"),
+        min(expr("1000000L * ni div nu")).as("min_jac_micro"),
+        sum(expr("1000000L * ni div nu")).as("sum_jac_micro"))
+      .select(col("cl_size"), col("n_clusters"), col("n_members"),
+        col("n_chained"),
+        col("min_jac_micro"),
+        expr("sum_jac_micro div n_members").as("mean_jac_micro"))
+  }
+
+  /** SQL dual of [[chainAudit]]. */
+  def chainAuditSql(table: String, minEst: Double = 0.5, tauPm: Long = 300L,
+                    cap: Int = BucketCap): String =
+    s"""WITH cl AS (${dedupClustersSql(table, minEst, cap)}),
+       |sz AS (SELECT cluster, count(*)::BIGINT AS cl_size FROM cl GROUP BY 1),
+       |sets AS (SELECT doc_id,
+       |           list_distinct(${shinglesSql(TextOps.tokensSql("text"))}) AS sh
+       |         FROM $table
+       |         WHERE doc_id IN (SELECT doc_id FROM cl)),
+       |pr AS (SELECT cl.cluster,
+       |         len(list_filter(sm.sh, x -> list_contains(sr.sh, x)))::BIGINT AS ni,
+       |         greatest(len(sm.sh) + len(sr.sh)
+       |           - len(list_filter(sm.sh, x -> list_contains(sr.sh, x))), 1)::BIGINT AS nu
+       |       FROM cl
+       |       JOIN sets sm ON sm.doc_id = cl.doc_id
+       |       JOIN sets sr ON sr.doc_id = cl.cluster
+       |       WHERE cl.doc_id <> cl.cluster)
+       |SELECT sz.cl_size, count(DISTINCT pr.cluster)::BIGINT AS n_clusters,
+       |  count(*)::BIGINT AS n_members,
+       |  CAST(sum(CASE WHEN 1000 * ni < $tauPm * nu THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_chained,
+       |  CAST(min(1000000 * ni // nu) AS BIGINT) AS min_jac_micro,
+       |  CAST(sum(1000000 * ni // nu) // count(*) AS BIGINT) AS mean_jac_micro
+       |FROM pr JOIN sz USING (cluster)
+       |GROUP BY sz.cl_size""".stripMargin
+
   /** SQL dual of [[dedupAttribution]]. */
   def dedupAttributionSql(table: String, minEst: Double = 0.5,
                           cap: Int = BucketCap): String =

@@ -50,6 +50,9 @@ object DedupQueries {
     // provenance accounting: per-source drop rate and cross-source loss
     "dedup_attribution" -> ((s, dir) =>
       Dedup.dedupAttribution(docs(s, dir))),
+    // transitive-chaining audit: member-vs-representative exact Jaccard
+    // per cluster-size bucket (the CC-dedup failure mode, measured)
+    "dedup_chain_audit" -> ((s, dir) => Dedup.chainAudit(docs(s, dir))),
     // quality-aware representative: keep each cluster's LONGEST member
     "dedup_corpus_best" -> ((s, dir) => Dedup.dedupCorpusBest(docs(s, dir))),
     // incremental ingest: odd doc_ids are the new batch, even the existing
@@ -191,6 +194,7 @@ object DedupQueries {
     "dedup_clusters" -> Dedup.dedupClustersSql("documents"),
     "dedup_corpus" -> Dedup.dedupCorpusSql("documents"),
     "dedup_attribution" -> Dedup.dedupAttributionSql("documents"),
+    "dedup_chain_audit" -> Dedup.chainAuditSql("documents"),
     "dedup_corpus_best" -> Dedup.dedupCorpusBestSql("documents"),
     "dedup_incremental" -> Dedup.incrementalDedupSql("documents"),
     "dedup_clusters_ingest" -> Dedup.clustersIngestSql("documents"),

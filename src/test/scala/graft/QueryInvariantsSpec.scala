@@ -992,6 +992,29 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_chain_audit: bounds hold, members reconcile with the cluster " +
+       "table, and chaining (the audited failure mode) is present") {
+    val d01 = "/root/testdata/sf0.01" // sf0.001 has only pair clusters
+    val rows = SparkEntry.queries("dedup_chain_audit")(spark, d01).collect()
+    assert(rows.nonEmpty)
+    val cl = SparkEntry.queries("dedup_clusters")(spark, d01).collect()
+    val sizes = cl.groupBy(_.getAs[Long]("cluster")).map(_._2.length)
+    // per bucket: members = n_clusters·(size−1); audit covers every member
+    for (r <- rows) {
+      val sz = r.getAs[Long]("cl_size")
+      assert(r.getAs[Long]("n_members") == r.getAs[Long]("n_clusters") * (sz - 1))
+      assert(r.getAs[Long]("n_clusters") == sizes.count(_ == sz))
+      assert(r.getAs[Long]("n_chained") <= r.getAs[Long]("n_members"))
+      assert(r.getAs[Long]("min_jac_micro") <= r.getAs[Long]("mean_jac_micro"))
+      assert(r.getAs[Long]("mean_jac_micro") <= 1000000L)
+    }
+    assert(rows.map(_.getAs[Long]("n_members")).sum ==
+      cl.length - sizes.size, "every non-representative member audited")
+    // the audit exists because CC chains: some member on this fixture
+    // falls below the tau bar against its representative
+    assert(rows.map(_.getAs[Long]("n_chained")).sum > 0L)
+  }
+
   test("split_leakage_audit: cluster-keyed split is structurally leak-free, " +
        "exposure is bounded by the clustered mass, and rules agree on it") {
     val d01 = "/root/testdata/sf0.01" // sf0.001 has too few near-dup
