@@ -411,6 +411,63 @@ object Dedup {
         expr("sum_jac_micro div n_members").as("mean_jac_micro"))
   }
 
+  /** THE FIX THE CHAIN AUDIT DEMANDS (`dedup_corpus_verified`):
+    * keep-one-per-cluster, but a member is dropped ONLY if it exactly
+    * verifies against the kept representative (1000·∩ ≥ τ·∪ on the
+    * distinct-shingle sets) — the star-verified drop rule that cannot
+    * lose a document to transitive chaining. Members that fail the
+    * star check survive; [[chainAudit]] measures how many those are
+    * (on this fixture most multi-member clusters chain, so the
+    * verified corpus keeps strictly more than [[dedupCorpus]]).
+    * Same candidate-bounded cost shape as the audit: one exact
+    * verification row per clustered member, sets built only for
+    * clustered docs, then one broadcast anti-join against the (tiny)
+    * verified drop list and a per-lang rollup. */
+  def dedupCorpusVerified(docs: DataFrame, minEst: Double = 0.5,
+                          tauPm: Long = 300L, cap: Int = BucketCap): DataFrame =
+    Caching.scoped() {
+      val cl = Caching.eager(dedupClusters(docs, minEst, cap))
+      val pairs = cl.filter(col("doc_id") =!= col("cluster"))
+      val ids = cl.select(col("doc_id")).distinct()
+      val sets = Caching.eager(fanOut(docs)
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          array_distinct(shingles(TextOps.tokens(col("text")))).as("sh")))
+      val interC = size(array_intersect(col("sh_m"), col("sh_r"))).cast("long")
+      val uniC = (size(col("sh_m")) + size(col("sh_r"))).cast("long") - interC
+      val drop = pairs
+        .join(sets.select(col("doc_id"), col("sh").as("sh_m")), "doc_id")
+        .join(sets.select(col("doc_id").as("cluster"), col("sh").as("sh_r")),
+          "cluster")
+        .select(col("doc_id"), interC.as("ni"), greatest(uniC, lit(1L)).as("nu"))
+        .filter(lit(1000L) * col("ni") >= lit(tauPm) * col("nu"))
+        .select(col("doc_id"))
+      docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    }
+
+  /** SQL dual of [[dedupCorpusVerified]]. */
+  def dedupCorpusVerifiedSql(table: String, minEst: Double = 0.5,
+                             tauPm: Long = 300L, cap: Int = BucketCap): String =
+    s"""WITH cl AS (${dedupClustersSql(table, minEst, cap)}),
+       |sets AS (SELECT doc_id,
+       |           list_distinct(${shinglesSql(TextOps.tokensSql("text"))}) AS sh
+       |         FROM $table
+       |         WHERE doc_id IN (SELECT doc_id FROM cl)),
+       |drp AS (SELECT cl.doc_id
+       |        FROM cl
+       |        JOIN sets sm ON sm.doc_id = cl.doc_id
+       |        JOIN sets sr ON sr.doc_id = cl.cluster
+       |        WHERE cl.doc_id <> cl.cluster
+       |          AND 1000 * len(list_filter(sm.sh, x -> list_contains(sr.sh, x)))
+       |              >= $tauPm * greatest(len(sm.sh) + len(sr.sh)
+       |                 - len(list_filter(sm.sh, x -> list_contains(sr.sh, x))), 1))
+       |SELECT lang, count(*)::BIGINT AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM $table WHERE doc_id NOT IN (SELECT doc_id FROM drp)
+       |GROUP BY lang""".stripMargin
+
   /** SQL dual of [[chainAudit]]. */
   def chainAuditSql(table: String, minEst: Double = 0.5, tauPm: Long = 300L,
                     cap: Int = BucketCap): String =

@@ -53,6 +53,9 @@ object DedupQueries {
     // transitive-chaining audit: member-vs-representative exact Jaccard
     // per cluster-size bucket (the CC-dedup failure mode, measured)
     "dedup_chain_audit" -> ((s, dir) => Dedup.chainAudit(docs(s, dir))),
+    // the fix the audit demands: drop only star-VERIFIED members
+    "dedup_corpus_verified" -> ((s, dir) =>
+      Dedup.dedupCorpusVerified(docs(s, dir))),
     // quality-aware representative: keep each cluster's LONGEST member
     "dedup_corpus_best" -> ((s, dir) => Dedup.dedupCorpusBest(docs(s, dir))),
     // incremental ingest: odd doc_ids are the new batch, even the existing
@@ -195,6 +198,7 @@ object DedupQueries {
     "dedup_corpus" -> Dedup.dedupCorpusSql("documents"),
     "dedup_attribution" -> Dedup.dedupAttributionSql("documents"),
     "dedup_chain_audit" -> Dedup.chainAuditSql("documents"),
+    "dedup_corpus_verified" -> Dedup.dedupCorpusVerifiedSql("documents"),
     "dedup_corpus_best" -> Dedup.dedupCorpusBestSql("documents"),
     "dedup_incremental" -> Dedup.incrementalDedupSql("documents"),
     "dedup_clusters_ingest" -> Dedup.clustersIngestSql("documents"),

@@ -1015,6 +1015,27 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_chained")).sum > 0L)
   }
 
+  test("dedup_corpus_verified: keeps at least the blind cluster rule's " +
+       "corpus, never more than the full corpus, and rescues chained docs") {
+    val d01 = "/root/testdata/sf0.01"
+    def perLang(name: String) =
+      SparkEntry.queries(name)(spark, d01).collect()
+        .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_kept")).toMap
+    val blind = perLang("dedup_corpus")
+    val ver = perLang("dedup_corpus_verified")
+    val all = graft.sources.Tables.documents(spark, d01)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    for ((l, n) <- all) {
+      // verified drop set is a subset of the cluster drop set per doc
+      assert(ver.getOrElse(l, 0L) >= blind.getOrElse(l, 0L), s"$l")
+      assert(ver.getOrElse(l, 0L) <= n, s"$l")
+    }
+    // chain_audit proved chained members exist -> the verified rule must
+    // rescue at least one document overall
+    assert(ver.values.sum > blind.values.sum)
+  }
+
   test("split_leakage_audit: cluster-keyed split is structurally leak-free, " +
        "exposure is bounded by the clustered mass, and rules agree on it") {
     val d01 = "/root/testdata/sf0.01" // sf0.001 has too few near-dup
