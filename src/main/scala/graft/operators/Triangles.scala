@@ -127,8 +127,11 @@ object Triangles {
         val s = keep.select(col("v").as(key))
         if (prev <= broadcastMaxEdges) broadcast(s) else s.hint("SHUFFLE_HASH")
       }
+      // lazy checkpoint: the survivor count is the materializing action,
+      // one job barrier per peel round instead of two (the
+      // link_rank_conv lesson, same as connectedComponents' loop)
       val e2 = e.join(keepSide("a"), "a").join(keepSide("b"), "b")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val n = e2.count()
       rounds += 1
       converged = n == prev
