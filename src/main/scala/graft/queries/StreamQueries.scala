@@ -1138,7 +1138,12 @@ object StreamQueries {
       valueQuantilesMerge(Tables.events(s, dir))),
     // conversion funnel: first view, first click after it, first purchase after that
     "events_funnel" -> ((s, dir) =>
-      Funnel.funnel(Tables.events(s, dir), FunnelSteps))
+      Funnel.funnel(Tables.events(s, dir), FunnelSteps)),
+    // the SAME funnel run as a live state machine (file source →
+    // flatMapGroupsWithState greedy latch → upsert sink), graded against
+    // the identical oracle as the batch dual
+    "events_funnel_stream" -> ((s, dir) =>
+      StreamingOps.funnelFileStream(s, dir, FunnelSteps))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1183,6 +1188,7 @@ object StreamQueries {
     "events_type_topk" -> typeTopEventsOracle,
     "events_quantiles_sketch" -> quantilesSketchOracle,
     "events_quantiles_merge" -> quantilesMergeOracle,
-    "events_funnel" -> Funnel.funnelSql("events", FunnelSteps)
+    "events_funnel" -> Funnel.funnelSql("events", FunnelSteps),
+    "events_funnel_stream" -> Funnel.funnelSql("events", FunnelSteps)
   )
 }

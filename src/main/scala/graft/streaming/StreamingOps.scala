@@ -786,6 +786,64 @@ object StreamingOps {
         col("start_s"), col("end_s"))
   }
 
+  /** The deployable streaming edge for [[FunnelStream]]: file-stream
+    * source → flatMapGroupsWithState funnel state machine → checkpointed
+    * foreachBatch parquet sink (Update-mode upsert keyed on user_id), read
+    * back as the batch dual's (user_id, stage, t1..tN) shape so it grades
+    * against the SAME DuckDB oracle as `events_funnel`. The step-type
+    * filter runs before the state shuffle — at 100 TB only funnel-relevant
+    * events reach the state store, and the state itself is one Long per
+    * step per active user. */
+  def funnelFileStream(spark: SparkSession, dir: String,
+                       steps: Seq[String]): DataFrame = {
+    val out = graft.sources.Scratch.dir("graft_funnel_out")
+    val ckpt = graft.sources.Scratch.dir("graft_funnel_ckpt")
+    withStreamPartitions(spark) {
+      val q = startFunnelStream(spark,
+        graft.sources.Tables.eventsStream(spark, dir), steps, out, ckpt,
+        Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    readFunnelSink(spark, out, steps.length)
+  }
+
+  /** Start the funnel upsert pipeline over any streaming `events` source.
+    * Factored out so the parity spec drives the exact production pipeline
+    * through a median-event-time outage split (the same protocol as
+    * [[startSessionStream]]'s restart proof). */
+  def startFunnelStream(spark: SparkSession, source: DataFrame,
+                        steps: Seq[String], out: String, ckpt: String,
+                        trigger: Trigger): StreamingQuery = {
+    import spark.implicits._
+    val ev = source
+      .filter(col("event_type").isin(steps.map(s => s: Any): _*))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        col("event_id").cast("long").as("event_id"))
+      .as[FunEvent]
+    FunnelStream.funnel(ev, steps)(spark).toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+  }
+
+  /** Latest-batch-per-user read-back, unpacked to the batch funnel's
+    * (user_id, stage, t1..tN) columns. */
+  def readFunnelSink(spark: SparkSession, out: String, n: Int): DataFrame = {
+    val latest = Window.partitionBy(col("user_id")).orderBy(desc("batch_id"))
+    spark.read.parquet(out)
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(col("user_id") +: col("stage") +:
+        (1 to n).map(k => element_at(col("ts"), k).as(s"t$k")): _*)
+  }
+
   /** DuckDB oracle dual (two-pass stable logsumexp). */
   def windowedAggSql(table: String): String =
     s"""WITH b AS (SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS w_start,

@@ -290,6 +290,74 @@ class StreamingParitySpec extends AnyFunSuite {
         s"${(batch -- streamed).take(3)} missing")
   }
 
+  test("funnel restart: recovered greedy latch across the outage == batch min-window chain") {
+    // the funnel state machine's checkpoint property: a user mid-funnel at
+    // the cut (viewed in run 1, clicks/purchases in run 2) must resume from
+    // RECOVERED latched times — lost state forgets t1 and the run-2 click
+    // can never latch t2. Split at the median EVENT TIME (files land
+    // roughly in time order — the greedy latch's documented source
+    // contract; see FunnelStream).
+    val steps = Seq("view", "click", "purchase")
+    val frnd = new Random(7)
+    // purchases rare and clicks uncommon, so many users sit mid-funnel at
+    // the median-time cut and their run-2 latch depends on recovered state
+    val funnelEvents = (0 until 900).map { i =>
+      val r = frnd.nextInt(20)
+      val ty = if (r < 8) "view" else if (r < 12) "click"
+        else if (r == 12) "purchase" else "scroll" // noise: filtered pre-state
+      SpecEv(i.toLong,
+        new Timestamp((base + frnd.nextInt(6 * 3600)) * 1000L),
+        frnd.nextInt(60).toLong, ty, 0.0)
+    }
+    val staging = java.nio.file.Files.createTempDirectory("graft_funres_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_funres_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_funres_ckpt").toString
+    val cutMs = funnelEvents.map(_.ts.getTime).sorted.apply(funnelEvents.size / 2)
+    val (half1, half2) = funnelEvents.partition(_.ts.getTime < cutMs)
+    // sanity: some user is genuinely mid-funnel at the cut (stage strictly
+    // increases when run-2 events arrive), so a run-2 latch depends on the
+    // RECOVERED run-1 state and recovery is load-bearing
+    def greedyStage(evs: Seq[SpecEv]): Map[Long, Int] =
+      evs.sortBy(e => (e.ts.getTime, e.event_id)).groupBy(_.user_id).map {
+        case (u, es) =>
+          val ts = Array.fill(steps.length)(-1L)
+          for (e <- es; k <- steps.indices)
+            if (ts(k) < 0L && e.event_type == steps(k) &&
+              (k == 0 || (ts(k - 1) >= 0L && e.ts.getTime / 1000L > ts(k - 1))))
+              ts(k) = e.ts.getTime / 1000L
+          u -> ts.count(_ >= 0L)
+      }
+    val s1 = greedyStage(half1)
+    val sAll = greedyStage(funnelEvents)
+    val spanning = sAll.count { case (u, s) =>
+      val p = s1.getOrElse(u, 0); p >= 1 && s > p
+    }
+    assert(spanning > 0, "no user is mid-funnel at the cut — recovery untested")
+    half1.toDF().coalesce(1).write.parquet(s"$staging/wave_a")
+    val schema = spark.read.parquet(s"$staging/wave_a").schema
+    def source = spark.readStream.schema(schema)
+      .option("basePath", staging.toString)
+      .parquet(s"$staging/wave_*")
+    val trig = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+
+    val q1 = StreamingOps.startFunnelStream(spark, source, steps, out, ckpt, trig)
+    try q1.awaitTermination() finally q1.stop()
+    assert(spark.read.parquet(out).count() > 0, "run 1 sank nothing")
+
+    half2.toDF().coalesce(1).write.parquet(s"$staging/wave_b")
+    val q2 = StreamingOps.startFunnelStream(spark, source, steps, out, ckpt, trig)
+    try q2.awaitTermination() finally q2.stop()
+
+    def tup5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val streamed = tup5(StreamingOps.readFunnelSink(spark, out, steps.length))
+    val batch = tup5(graft.operators.Funnel.funnel(funnelEvents.toDF(), steps))
+    assert(streamed == batch,
+      s"restart funnel diverges: ${(streamed -- batch).take(3)} extra, " +
+        s"${(batch -- streamed).take(3)} missing")
+  }
+
   test("ingest dedup restart: resumed batches extend the sink, never re-count") {
     // restart proof for the SECOND streaming edge family (additive-count
     // sink with per-batch-id overwrite paths, vs the windowed edge's
