@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,7 +83,15 @@ object Resample {
   /** Dense gap-filled hourly count series per type, one row per type with
     * the sorted (hr, v) array `s` — the input both recursive smoothers
     * fold over. */
-  private def hourlySeries(events: DataFrame): DataFrame = {
+  private def hourlySeries(events: DataFrame): DataFrame =
+    hourlyGrid(events)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hr"), col("v")))).as("s"))
+
+  /** The same dense calendar as a FLAT (event_type, hr, v) table — the
+    * input for the window-expressible monitors ([[hourlyCusum]],
+    * [[hourlySeasonal]]), which need no array fold. */
+  private def hourlyGrid(events: DataFrame): DataFrame = {
     val bins = events
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
       .agg(count(lit(1)).as("v"))
@@ -96,9 +104,158 @@ object Resample {
       .crossJoin(broadcast(cal))
     grid.join(bins, Seq("event_type", "hr"), "left")
       .select(col("event_type"), col("hr"), coalesce(col("v"), lit(0L)).as("v"))
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(struct(col("hr"), col("v")))).as("s"))
   }
+
+  /** Exact-integer floor(a / b) where both operands are exact BIGINTs far
+    * below 2^53 — the powerRound s3 pattern: floor a DOUBLE quotient, NOT
+    * integer `div` (Spark truncates toward zero, DuckDB floors; they
+    * differ on negative numerators, which [[hourlySeasonal]] hits). */
+  private def floorDiv(a: Column, b: Long): Column =
+    floor(a.cast("double") / lit(b.toDouble)).cast("long")
+
+  /** CUSUM change-point monitor over the hourly volume series per type —
+    * the sequential-detection rung of the monitor ladder (EWMA smooths,
+    * Holt forecasts, drift/PSI compare distributions; CUSUM detects a
+    * sustained LEVEL SHIFT with the classic Page statistic
+    * s_t = max(0, s_{t−1} + (x_t − μ − k))).
+    *
+    * No recursion is needed: the reset-at-zero fold has the closed form
+    * s_t = cum_t − min(0, min_{j≤t} cum_j) over the drift-adjusted prefix
+    * sums cum_t = Σ_{i≤t}(x_i − μ − k) — so unlike the EWMA/Holt array
+    * folds this is two stacked window passes over ONE keyed exchange,
+    * embarrassingly parallel per series and exchange-free to scale to any
+    * number of series. μ is the in-control baseline: the exact mean of
+    * each type's first [[CusumBaseHours]] calendar hours, in milli-units
+    * by integer floor. Every quantity is an exact BIGINT (milli-events),
+    * so the statistic hash-matches cross-engine.
+    *
+    * Output: one row per (type, hour) with the running statistic and the
+    * alarm flag s > h. Fixed defaults kMilli/hMilli ≈ 0.5σ/4.5σ of this
+    * fixture's Poisson noise — the conventional CUSUM design point. */
+  val CusumBaseHours = 24
+  def hourlyCusum(events: DataFrame, kMilli: Long = 2500L,
+                  hMilli: Long = 25000L): DataFrame = {
+    val byTy = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val full = Window.partitionBy(col("event_type"))
+    val run = byTy.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = hourlyGrid(events)
+      .withColumn("rn", row_number().over(byTy))
+    val mu = floorDiv(
+      sum(when(col("rn") <= CusumBaseHours, col("v"))).over(full) * 1000L,
+      CusumBaseHours.toLong)
+    val dev = g.withColumn("mu_milli", mu)
+      .withColumn("dev", col("v") * 1000L - col("mu_milli") - lit(kMilli))
+    val s = dev
+      .withColumn("cum", sum(col("dev")).over(run))
+      .withColumn("rmin", min(col("cum")).over(run))
+      .withColumn("cusum_milli", col("cum") - least(col("rmin"), lit(0L)))
+    s.select(col("event_type"),
+      date_format(col("hr"), "yyyy-MM-dd HH").as("hr"),
+      col("v").as("n"), col("mu_milli"), col("cusum_milli"),
+      when(col("cusum_milli") > hMilli, 1L).otherwise(0L).as("alarm"))
+  }
+
+  /** DuckDB dual of [[hourlyCusum]] — same calendar, same closed form. */
+  def hourlyCusumSql(table: String, kMilli: Long = 2500L,
+                     hMilli: Long = 25000L): String =
+    s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+       |             count(*)::BIGINT AS v
+       |           FROM $table GROUP BY 1, 2),
+       |lim AS (SELECT date_trunc('hour', min(ts)) AS h0,
+       |               date_trunc('hour', max(ts)) AS h1 FROM $table),
+       |cal AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+       |        FROM lim),
+       |ty AS (SELECT DISTINCT event_type FROM $table),
+       |j AS (SELECT ty.event_type, cal.hr, coalesce(b.v, 0)::BIGINT AS v,
+       |        row_number() OVER (PARTITION BY ty.event_type
+       |          ORDER BY cal.hr) AS rn
+       |      FROM ty CROSS JOIN cal
+       |      LEFT JOIN b ON b.event_type = ty.event_type AND b.hr = cal.hr),
+       |base AS (SELECT event_type,
+       |    CAST(floor((1000 * sum(CASE WHEN rn <= $CusumBaseHours THEN v END))::DOUBLE
+       |               / $CusumBaseHours.0) AS BIGINT) AS mu_milli
+       |  FROM j GROUP BY 1),
+       |c AS (SELECT j.event_type, hr, v, mu_milli,
+       |        1000 * v - mu_milli - $kMilli AS dev
+       |      FROM j JOIN base USING (event_type)),
+       |w AS (SELECT *, sum(dev) OVER (PARTITION BY event_type ORDER BY hr
+       |                 ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+       |s AS (SELECT *, min(cum) OVER (PARTITION BY event_type ORDER BY hr
+       |                 ROWS UNBOUNDED PRECEDING) AS rmin FROM w)
+       |SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hr, v AS n,
+       |       mu_milli, cum - least(rmin, 0) AS cusum_milli,
+       |       CASE WHEN cum - least(rmin, 0) > $hMilli
+       |            THEN 1 ELSE 0 END::BIGINT AS alarm
+       |FROM s""".stripMargin
+
+  /** Classical additive seasonal decomposition of the hourly series —
+    * trend via the centered 24-hour moving average, seasonal index as the
+    * per-hour-of-day mean of the detrended series, residual as what's
+    * left: x_t = trend_t + seasonal_{hod(t)} + resid_t. The
+    * moving-average decomposition (the first pass of STL / X-11 style
+    * pipelines), not a recursive smoother — so like [[hourlyCusum]] it is
+    * pure stacked windows + one tiny reaggregation, no fold.
+    *
+    * Exactness: trend_milli = ⌊1000·Σ₂₄v/24⌋ over the full centered frame
+    * (rows −12..+11; rows without a full frame are dropped, the classical
+    * convention); seasonal_milli = ⌊Σdetrended/count⌋ per (type, hod) via
+    * the floored-DOUBLE-quotient pattern (detrended sums go NEGATIVE —
+    * integer `div` would diverge cross-engine); resid is a difference of
+    * exact BIGINTs. Scale: the grid is calendar-bounded, the hod index
+    * is a 24-row-per-type broadcast join. */
+  def hourlySeasonal(events: DataFrame): DataFrame = {
+    val byTy = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val ma = byTy.rowsBetween(-12, 11)
+    val g = hourlyGrid(events)
+      .withColumn("w_n", count(lit(1)).over(ma))
+      .withColumn("w_sum", sum(col("v")).over(ma))
+      .filter(col("w_n") === 24)
+      .withColumn("trend_milli", floorDiv(col("w_sum") * 1000L, 24L))
+      .withColumn("hod", hour(col("hr")))
+      .withColumn("det", col("v") * 1000L - col("trend_milli"))
+    val idx = g.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("det")).as("dsum"), count(lit(1)).as("dn"))
+      .select(col("event_type"), col("hod"),
+        floor(col("dsum").cast("double") / col("dn").cast("double"))
+          .cast("long").as("seasonal_milli"))
+    g.join(broadcast(idx), Seq("event_type", "hod"))
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH").as("hr"),
+        col("v").as("n"), col("trend_milli"), col("seasonal_milli"),
+        (col("det") - col("seasonal_milli")).as("resid_milli"))
+  }
+
+  /** DuckDB dual of [[hourlySeasonal]]. */
+  def hourlySeasonalSql(table: String): String =
+    s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+       |             count(*)::BIGINT AS v
+       |           FROM $table GROUP BY 1, 2),
+       |lim AS (SELECT date_trunc('hour', min(ts)) AS h0,
+       |               date_trunc('hour', max(ts)) AS h1 FROM $table),
+       |cal AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+       |        FROM lim),
+       |ty AS (SELECT DISTINCT event_type FROM $table),
+       |j AS (SELECT ty.event_type, cal.hr, coalesce(b.v, 0)::BIGINT AS v
+       |      FROM ty CROSS JOIN cal
+       |      LEFT JOIN b ON b.event_type = ty.event_type AND b.hr = cal.hr),
+       |m AS (SELECT *,
+       |        count(*) OVER win AS w_n, sum(v) OVER win AS w_sum
+       |      FROM j
+       |      WINDOW win AS (PARTITION BY event_type ORDER BY hr
+       |                     ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+       |t AS (SELECT event_type, hr, v,
+       |        CAST(floor((1000 * w_sum)::DOUBLE / 24.0) AS BIGINT) AS trend_milli,
+       |        date_part('hour', hr)::BIGINT AS hod
+       |      FROM m WHERE w_n = 24),
+       |d AS (SELECT *, 1000 * v - trend_milli AS det FROM t),
+       |idx AS (SELECT event_type, hod,
+       |          CAST(floor(sum(det)::DOUBLE / count(*)::DOUBLE) AS BIGINT)
+       |            AS seasonal_milli
+       |        FROM d GROUP BY 1, 2)
+       |SELECT d.event_type, strftime(d.hr, '%Y-%m-%d %H') AS hr, d.v AS n,
+       |       d.trend_milli, idx.seasonal_milli,
+       |       d.det - idx.seasonal_milli AS resid_milli
+       |FROM d JOIN idx ON d.event_type = idx.event_type AND d.hod = idx.hod""".stripMargin
 
   private val holtLExpr: String =
     """case when size(acc) = 0 then x.v * 1000L

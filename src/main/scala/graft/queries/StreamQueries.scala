@@ -1112,6 +1112,15 @@ object StreamQueries {
     // one-step-ahead forecast — the float-free double smoother
     "events_holt" -> ((s, dir) =>
       graft.operators.Resample.hourlyHolt(Tables.events(s, dir))),
+    // Page's CUSUM level-shift detector — the sequential-detection rung
+    // of the monitor ladder, via the reset-at-zero closed form (prefix
+    // sum minus floored prefix min): stacked windows, no recursion
+    "events_cusum" -> ((s, dir) =>
+      graft.operators.Resample.hourlyCusum(Tables.events(s, dir))),
+    // classical additive decomposition: centered-MA trend, hour-of-day
+    // seasonal index, residual — the STL-style first pass, all windows
+    "events_seasonal" -> ((s, dir) =>
+      graft.operators.Resample.hourlySeasonal(Tables.events(s, dir))),
     // the Holt recursion resumed across micro-batches from persisted
     // COUPLED state (level and trend both carried)
     "events_holt_stream" -> ((s, dir) =>
@@ -1175,6 +1184,8 @@ object StreamQueries {
     "events_ewma" -> graft.operators.Resample.hourlyEwmaSql("events"),
     "events_ewma_stream" -> graft.operators.Resample.hourlyEwmaSql("events"),
     "events_holt" -> graft.operators.Resample.hourlyHoltSql("events"),
+    "events_cusum" -> graft.operators.Resample.hourlyCusumSql("events"),
+    "events_seasonal" -> graft.operators.Resample.hourlySeasonalSql("events"),
     "events_holt_stream" -> graft.operators.Resample.hourlyHoltSql("events"),
     "events_sessions" -> sessionsOracle,
     "events_sessions_stream" -> sessionsOracle,

@@ -111,4 +111,49 @@ class ResampleSpec extends AnyFunSuite {
     assert(out.length == 4)
     assert(out.forall(r => r.getLong(3) == 1000L))
   }
+
+  test("hourlyCusum: a planted level shift alarms after the detection delay, never before") {
+    // baseline day: v = 10/hr (mu = 10000 milli). Day 2 hours 0-5 stay at
+    // 10, hours 6-23 shift to 15: dev = +2500/hr, so the statistic climbs
+    // 2500 per shift hour and crosses h = 25000 at the 11th shift hour —
+    // alarm on exactly the last 8 hours, statistic 45000 at the end.
+    val events = (
+      (0 until 24).flatMap(h => Seq.fill(10)(("a", hts(1, h)))) ++
+      (0 until 6).flatMap(h => Seq.fill(10)(("a", hts(2, h)))) ++
+      (6 until 24).flatMap(h => Seq.fill(15)(("a", hts(2, h))))
+    ).map { case (t, s) => (t, s, 1L) }.toDF("event_type", "ts", "user_id")
+    val out = Resample.hourlyCusum(events).collect()
+      .map(r => r.getString(1) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out.size == 48)
+    assert(out.values.forall(_._1 == 10000L), "baseline mean is exact")
+    // pre-shift: the -2500 drift pins the statistic at zero
+    assert((0 until 24).forall(h => out(f"2024-01-01 $h%02d") == ((10000L, 0L, 0L))))
+    assert((0 until 6).forall(h => out(f"2024-01-02 $h%02d")._2 == 0L))
+    // shift hours: statistic climbs 2500j; alarm strictly above 25000
+    for (j <- 1 to 18) {
+      val (_, s, a) = out(f"2024-01-02 ${5 + j}%02d")
+      assert(s == 2500L * j, s"shift hour $j statistic")
+      assert(a == (if (2500L * j > 25000L) 1L else 0L), s"shift hour $j alarm")
+    }
+  }
+
+  test("hourlySeasonal: a perfectly periodic series decomposes with zero residuals") {
+    // v = 2 for hod < 12, 4 otherwise, for 3 days: every centered 24-row
+    // frame contains each hod exactly once, so trend = 3000 milli
+    // everywhere, the seasonal index recovers ±1000 exactly, and the
+    // residual is identically zero.
+    val events = (1 to 3).flatMap(d => (0 until 24).flatMap(h =>
+      Seq.fill(if (h < 12) 2 else 4)(("a", hts(d, h)))))
+      .map { case (t, s) => (t, s, 1L) }.toDF("event_type", "ts", "user_id")
+    val out = Resample.hourlySeasonal(events).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // 72 hours minus 12 head rows and 11 tail rows without a full frame
+    assert(out.length == 72 - 12 - 11)
+    assert(out.forall(_._3 == 3000L), "trend is the exact period mean")
+    assert(out.forall { case (hr, n, _, s, _) =>
+      s == (if (n == 2L) -1000L else 1000L) }, "seasonal index exact")
+    assert(out.forall(_._5 == 0L), "residuals identically zero")
+  }
 }
