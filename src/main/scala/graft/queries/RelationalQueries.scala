@@ -909,6 +909,10 @@ object RelationalQueries {
         .groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
         .groupBy(col("comp_size")).agg(count(lit(1)).as("n_comps"))
     }),
+    // market-basket association rules: support/confidence/lift per
+    // frequent co-purchase pair, exact integer micro-units
+    "parts_assoc" -> ((s, dir) =>
+      graft.operators.Assoc.pairRules(Tables.lineitem(s, dir))),
     "volume_shipping" -> (volumeShipping _),
     "market_share" -> (marketShare _),
     "returned_revenue" -> (returnedRevenue _),
@@ -934,6 +938,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "parts_assoc" -> graft.operators.Assoc.pairRulesSql("lineitem"),
     "link_rank" -> graft.operators.LinkRank.ranksSql(LinkRankIters),
     "link_rank_conv" -> graft.operators.LinkRank.ranksConvSql(
       LinkRankEpsRel, LinkRankConvMax),

@@ -432,6 +432,54 @@ object TextQueries {
        |  min(cnt)::BIGINT AS k_min
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** L-DIVERSITY AUDIT, graded (`docs_ldiversity`): the rung ABOVE
+    * k-anonymity on the privacy ladder (Machanavajjhala et al. 2007) —
+    * a class can satisfy k yet still leak if every member shares the
+    * same SENSITIVE value (the homogeneity attack k-anonymity cannot
+    * see). Sensitive attribute here: the document's leading token (a
+    * deterministic content proxy on this fixture; a deployment plugs its
+    * real sensitive column into the same shape). Per equivalence class
+    * of [[kanonAudit]]'s quasi-identifier ladder, l = distinct sensitive
+    * values; reported per (bucket, lang) as class count, minimum l,
+    * classes below [[LdivL]], and rows in those classes.
+    *
+    * Scale: one exact distinct-count aggregate keyed by the QI tuple —
+    * at 100 TB the countDistinct becomes the two-level (QI, sens)
+    * pre-distinct the engine already plans for exact distincts, still
+    * corpus-linear; the rollup side is ladder-bounded. Theorem pinned in
+    * the invariants spec: l ≤ class size, and min-l is non-decreasing as
+    * the ladder coarsens (merging classes unions sensitive sets). */
+  private val LdivL = 3L
+  private def ldivAudit(d: DataFrame): DataFrame = {
+    val classes = d
+      .select(col("lang"), col("source"), col("n_chars"),
+        element_at(TextOps.tokens(col("text")), 1).as("sens"),
+        explode(lit(KanonBuckets.toArray)).as("bucket"))
+      .groupBy(col("bucket"), col("lang"), col("source"),
+        expr("n_chars div bucket").as("nb"))
+      .agg(countDistinct(col("sens")).as("l"), count(lit(1)).as("cnt"))
+    classes.groupBy(col("bucket"), col("lang"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("l")).as("l_min"),
+        sum(when(col("l") < LdivL, 1L).otherwise(0L)).as("n_homog_classes"),
+        sum(when(col("l") < LdivL, col("cnt")).otherwise(0L))
+          .as("n_homog_rows"))
+  }
+
+  private val ldivOracle =
+    s"""WITH lv AS (SELECT unnest([${KanonBuckets.mkString(", ")}]::BIGINT[]) AS bucket),
+       |c AS (SELECT bucket, lang, source, n_chars // bucket AS nb,
+       |        count(DISTINCT ${TextOps.tokensSql("text")}[1])::BIGINT AS l,
+       |        count(*)::BIGINT AS cnt
+       |      FROM documents, lv GROUP BY 1, 2, 3, 4)
+       |SELECT bucket, lang, count(*)::BIGINT AS n_classes,
+       |  min(l)::BIGINT AS l_min,
+       |  CAST(coalesce(sum(CASE WHEN l < $LdivL THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_homog_classes,
+       |  CAST(coalesce(sum(CASE WHEN l < $LdivL THEN cnt ELSE 0 END), 0)
+       |    AS BIGINT) AS n_homog_rows
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   /** Misra–Gries MERGEABILITY, graded (`heavy_hitters_merge`): one MG
     * summary per doc_id-shard, flat-merged by [[TextOps.mgMergeFlat]] —
     * pointwise sum, subtract the (m+1)-th largest, drop non-positives —
@@ -2370,6 +2418,7 @@ object TextQueries {
     "docs_pii_scrub" -> ((s, dir) => piiScrubQ(docs(s, dir))),
     // k-anonymity risk report over the quasi-identifier ladder
     "docs_kanon" -> ((s, dir) => kanonAudit(docs(s, dir))),
+    "docs_ldiversity" -> ((s, dir) => ldivAudit(docs(s, dir))),
     // Count-Min sketch point queries, integer-exact (determinism = spec)
     "heavy_hitters_cms" -> ((s, dir) => cmsHitters(docs(s, dir))),
     // per-lang unigram KL drift vs the corpus blend (smoothed, micro-nat exact)
@@ -2577,6 +2626,7 @@ object TextQueries {
     "heavy_hitters_merge" -> heavyHittersMergeOracle(),
     "docs_pii_scrub" -> piiScrubOracle,
     "docs_kanon" -> kanonOracle,
+    "docs_ldiversity" -> ldivOracle,
     "heavy_hitters_cms" -> cmsHittersOracle(),
     "lang_kl" -> langKlOracle,
     "tfidf_top" -> tfidfTopOracle(),

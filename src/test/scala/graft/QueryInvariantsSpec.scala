@@ -469,6 +469,55 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("docs_ldiversity: merging classes unions sensitive sets — min-l " +
+       "never falls up the ladder, homogeneous mass never grows") {
+    val rows = run("docs_ldiversity").collect()
+    assert(rows.nonEmpty)
+    for ((lang, rs) <- rows.groupBy(_.getAs[String]("lang"))) {
+      val ladder = rs.sortBy(_.getAs[Long]("bucket"))
+      assert(ladder.map(_.getAs[Long]("bucket")).toSeq == Seq(10L, 100L, 1000L))
+      def mono(f: org.apache.spark.sql.Row => Long, up: Boolean) = {
+        val v = ladder.map(f)
+        assert(v.zip(v.tail).forall { case (a, b) => if (up) a <= b else a >= b },
+          s"$lang l-ladder not monotone: ${v.toSeq}")
+      }
+      mono(_.getAs[Long]("l_min"), up = true)
+      mono(_.getAs[Long]("n_homog_classes"), up = false)
+      mono(_.getAs[Long]("n_homog_rows"), up = false)
+      rs.foreach(r => assert(r.getAs[Long]("l_min") >= 1L))
+    }
+  }
+
+  test("parts_assoc: rule algebra — confidence bounds support, lift is " +
+       "symmetric in its inputs, and a hand basket set checks exactly") {
+    val rows = run("parts_assoc").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cab, cba, s) = (r.getAs[Long]("conf_ab_micro"),
+        r.getAs[Long]("conf_ba_micro"), r.getAs[Long]("support_micro"))
+      // n_a <= N so pair_n/n_a >= pair_n/N (floor keeps weak order)
+      assert(cab >= s && cba >= s, s"confidence below support: $r")
+      assert(r.getAs[Long]("pair_n") >= graft.operators.Assoc.MinSupport)
+      assert(r.getAs[Long]("lift_micro") >= 0L)
+    }
+    // hand check: orders {1,2} {1,2} {1,3} {2} -> pair(1,2): n=2,
+    // conf both ways 2/3, lift 4*2/(3*3), support 2/4
+    val spark2 = spark
+    import spark2.implicits._
+    val li = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L), (40L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Assoc.pairRules(li).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("part_a") == 1L && r.getAs[Long]("part_b") == 2L)
+    assert(r.getAs[Long]("pair_n") == 2L)
+    assert(r.getAs[Long]("conf_ab_micro") == 666666L)
+    assert(r.getAs[Long]("conf_ba_micro") == 666666L)
+    assert(r.getAs[Long]("lift_micro") == 888888L)
+    assert(r.getAs[Long]("support_micro") == 500000L)
+  }
+
   test("mine_bitext: mutual-best injectivity, margins above tau, the " +
        "planted alignment fully recovered, misses only on decoy-side ids") {
     val rows = run("mine_bitext").collect()
