@@ -145,6 +145,74 @@ object Triangles {
       .toDF("k", "n_core_nodes", "n_core_edges", "rounds", "converged")
   }
 
+  /** SYNCHRONOUS LABEL PROPAGATION community detection (Raghavan et al.
+    * 2007) — the modularity-flavored member of the graph family: CC asks
+    * "connected at all?", LPA asks "densely connected to WHOM?". Every
+    * node starts as its own label; each round every node adopts the most
+    * frequent label among its NEIGHBORS, ties broken to the smallest
+    * label; after a FIXED number of synchronous rounds the label is the
+    * community id. Fixed rounds (not fixpoint) because synchronous LPA
+    * can 2-cycle on bipartite structure — a fixed even/odd round count is
+    * the standard determinism fix, and both engines unroll the identical
+    * rounds so the grade is exact, oscillation or not.
+    *
+    * Per round: one edge⋈label join + a two-level aggregate (count per
+    * (node, label), then argmax with the (count DESC, label ASC)
+    * tiebreak as ONE max(struct(cnt, −label)) — no window pass). The
+    * join side follows the triangle family's broadcast gate: labels
+    * broadcast while |V| is broadcastable, SHUFFLE_HASH beyond — and the
+    * lazy-checkpoint + count barrier per round is the shared iterative-
+    * graph protocol ([[kCore]], connectedComponents, LinkRank). */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       broadcastMaxEdges: Long = BroadcastMaxEdges): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    val nEdges = e.count()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    var labels = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .distinct().select(col("id"), col("id").as("label"))
+      .localCheckpoint(false)
+    var r = 0
+    while (r < rounds) {
+      val lab = labels.select(col("id").as("dst"), col("label").as("nl"))
+      val side = if (nEdges <= broadcastMaxEdges) broadcast(lab)
+        else lab.hint("SHUFFLE_HASH")
+      val next = sym.join(side, "dst")
+        .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("nl")).as("neg"))).as("m"))
+        .select(col("src").as("id"), (-col("m.neg")).as("label"))
+        .localCheckpoint(false)
+      // the count is the lazy checkpoint's materializing action (one
+      // barrier per round); every node has a neighbor here by
+      // construction (it came off an edge), so no label is lost
+      next.count()
+      labels = next
+      r += 1
+    }
+    labels
+  }
+
+  /** oracle dual of [[labelPropagation]]: the rounds unrolled, the argmax
+    * as a row_number window with the same (count DESC, label ASC)
+    * tiebreak. `edges0Sql` supplies the (a, b) edge CTE body. */
+  def labelPropagationSql(edges0Sql: String, rounds: Int): String = {
+    val rs = (1 to rounds).map { t =>
+      s"""c$t AS MATERIALIZED (SELECT sym.src, l.label AS nl, count(*) AS cnt
+         |  FROM sym JOIN l${t - 1} l ON l.id = sym.dst
+         |  GROUP BY 1, 2),
+         |l$t AS MATERIALIZED (SELECT src AS id, nl AS label FROM (
+         |  SELECT src, nl, row_number() OVER (PARTITION BY src
+         |    ORDER BY cnt DESC, nl ASC) AS rn FROM c$t) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($edges0Sql),
+       |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM sym),
+       |$rs
+       |SELECT id, label FROM l$rounds""".stripMargin
+  }
+
   /** oracle dual of [[kCore]] over the part co-purchase graph: the peel
     * unrolled to `maxRounds` MATERIALIZED rounds (peeling a fixpoint is a
     * no-op, so e_maxRounds IS the core no matter when convergence hit);

@@ -861,6 +861,9 @@ object RelationalQueries {
     * empties the graph in 8 rounds — both regimes inside the cap. */
   private val KCoreK = 70
   private val KCoreMaxRounds = 12
+  /** fixed synchronous LPA rounds (fixpoint is not determinism-safe:
+    * sync LPA can 2-cycle; both engines unroll these exact rounds). */
+  private val LpaRounds = 3
 
   /** ε-stop parameters graded by `link_rank_conv`: stop when the max rank
     * movement < 9.0·(1/N). Measured movement·N decays ≈0.85×/round from
@@ -913,6 +916,22 @@ object RelationalQueries {
     // frequent co-purchase pair, exact integer micro-units
     "parts_assoc" -> ((s, dir) =>
       graft.operators.Assoc.pairRules(Tables.lineitem(s, dir))),
+    // label-propagation communities over the support>=2 co-purchase
+    // graph (3 synchronous rounds, min-label tiebreak), reported as the
+    // community-size histogram — CC's "connected?" refined to "densely
+    // connected to whom?"
+    "parts_lpa" -> ((s, dir) => {
+      val it = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+      val e = it.as("a").join(it.as("b"),
+          col("a.g") === col("b.g") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("a"), col("b.p").as("b"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select(col("a"), col("b"))
+      graft.operators.Triangles.labelPropagation(e, LpaRounds)
+        .groupBy(col("label")).agg(count(lit(1)).as("comm_size"))
+        .groupBy(col("comm_size")).agg(count(lit(1)).as("n_comms"))
+    }),
     "volume_shipping" -> (volumeShipping _),
     "market_share" -> (marketShare _),
     "returned_revenue" -> (returnedRevenue _),
@@ -939,6 +958,17 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "parts_assoc" -> graft.operators.Assoc.pairRulesSql("lineitem"),
+    "parts_lpa" -> {
+      val edges0 =
+        """SELECT a.l_partkey AS a, b.l_partkey AS b
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+      s"""SELECT comm_size, count(*)::BIGINT AS n_comms FROM (
+         |  SELECT label, count(*)::BIGINT AS comm_size FROM (
+         |    ${graft.operators.Triangles.labelPropagationSql(edges0, LpaRounds)}
+         |  ) GROUP BY label) GROUP BY comm_size""".stripMargin
+    },
     "link_rank" -> graft.operators.LinkRank.ranksSql(LinkRankIters),
     "link_rank_conv" -> graft.operators.LinkRank.ranksConvSql(
       LinkRankEpsRel, LinkRankConvMax),

@@ -77,4 +77,35 @@ class TrianglesSpec extends AnyFunSuite {
       assert(!static.contains("broadcasthashjoin"), static.take(1500))
     } finally spark.conf.set(thr, saved)
   }
+
+  test("labelPropagation separates bridge-joined communities CC would merge") {
+    // two triangles joined by ONE bridge edge: connected components says
+    // one component; 3 synchronous LPA rounds with the (count DESC, label
+    // ASC) tiebreak resolve to {1,2,3}->1 and {4,5,6}->3 (hand-traced:
+    // the bridge node 4 briefly adopts 3's label in round 1, but its
+    // denser side reclaims it by round 3) — the density structure CC is
+    // blind to.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = Triangles.labelPropagation(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), got.toString)
+    // sanity that CC merges them (the contrast the operator exists for)
+    val cc = Dedup.connectedComponents(
+      edges.select(col("a").as("doc_a"), col("b").as("doc_b"))).collect()
+      .map(_.getLong(1)).distinct
+    assert(cc.length == 1)
+  }
+
+  test("labelPropagation on disjoint cliques converges to per-clique min labels") {
+    val edges = (for { i <- 0 until 3; j <- i + 1 until 3 }
+      yield (i.toLong + 1, j.toLong + 1)) ++
+      (for { i <- 0 until 4; j <- i + 1 until 4 }
+        yield (i.toLong + 10, j.toLong + 10))
+    val got = Triangles.labelPropagation(edges.toDF("a", "b"), 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 3L).forall(got(_) == 1L), got.toString)
+    assert((10L to 13L).forall(got(_) == 10L), got.toString)
+  }
 }
