@@ -47,10 +47,18 @@ object Triangles {
   def triangleCount(edges: DataFrame,
                     broadcastMaxEdges: Long = BroadcastMaxEdges): DataFrame = {
     val e = edges.localCheckpoint(true) // built once, read by 3 plan arms
-    // one count over the checkpointed edges drives the distribution switch
-    // (the PairPlan.Auto pattern, by exact count instead of plan stats —
-    // the checkpoint hides stats from Catalyst) and is reused as n_edges
-    val nEdges = e.count()
+    // one aggregate over the checkpointed edges drives the distribution
+    // switch (the PairPlan.Auto pattern, by exact count instead of plan
+    // stats — the checkpoint hides stats from Catalyst), is reused as
+    // n_edges, and yields the max node id that gates the packed-key probe
+    val st = e.agg(count(lit(1)).as("n"),
+      max(greatest(col("a"), col("b"))).as("mx")).head
+    val nEdges = st.getLong(0)
+    // the closing probe is the operator's hot loop (one hash lookup per
+    // wedge): while ids fit in 32 bits, pack (x, y) into ONE long key —
+    // half the hashing/compare work per probe vs a two-long struct key.
+    // Graphs with wider ids keep the two-column join, same semantics.
+    val packable = !st.isNullAt(1) && st.getLong(1) < (1L << 31)
     // one switch drives every broadcast in the operator: |V| ≤ 2·|E|, so
     // the edge-count gate also bounds the degree table within 2× of the
     // closing side's ceiling — when the graph outgrows it, EVERY arm
@@ -90,9 +98,15 @@ object Triangles {
     val wedges = o.as("e1").join(o.as("e2"), "src")
       .where(col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
-    val closeSide = if (smallGraph) broadcast(e) else e.hint("SHUFFLE_HASH")
-    val closed = wedges
-      .join(closeSide, wedges("x") === e("a") && wedges("y") === e("b"))
+    val closed = if (packable) {
+      val ep = e.select((shiftleft(col("a"), 32) + col("b")).as("ab"))
+      val closeSide = if (smallGraph) broadcast(ep) else ep.hint("SHUFFLE_HASH")
+      wedges.select((shiftleft(col("x"), 32) + col("y")).as("xy"))
+        .join(closeSide, col("xy") === col("ab"))
+    } else {
+      val closeSide = if (smallGraph) broadcast(e) else e.hint("SHUFFLE_HASH")
+      wedges.join(closeSide, wedges("x") === e("a") && wedges("y") === e("b"))
+    }
     closed.agg(count(lit(1)).as("n_triangles"))
       .select(lit(nEdges).as("n_edges"), col("n_triangles"))
   }
