@@ -435,7 +435,23 @@ object ScaleSmoke {
           70, 12).head()
         kcRounds = r.getAs[Long]("rounds")
         r.getAs[Long]("n_core_edges")
-      })
+      },
+      // synchronous LPA (the graded parts_lpa shape): a FIXED 3 rounds by
+      // construction, so the probe grades pure per-round linearity — the
+      // edge⋈label join and the two-level argmax aggregate
+      "lpa" -> { li =>
+        val it = li.select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+        val e = it.as("a").join(it.as("b"),
+            col("a.g") === col("b.g") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("a"), col("b.p").as("b"))
+          .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+          .select(col("a"), col("b"))
+        graft.operators.Triangles.labelPropagation(e, 3).count()
+      },
+      // association rules (the graded parts_assoc shape): the basket
+      // self-join fan-out is basket-size-bounded and DISJOINT replication
+      // keeps basket sizes constant, so pairs grow R-linearly
+      "assoc" -> (li => graft.operators.Assoc.pairRules(li).count()))
     val grStages = grStagesAll.filter { case (n, _) => keep(n) }
     def runGr(li: DataFrame): Map[String, (Double, Long)] = {
       li.cache().count()
