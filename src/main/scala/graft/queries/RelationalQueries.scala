@@ -465,6 +465,50 @@ object RelationalQueries {
        |  ${VecOps.qroundSql("rev_c::DOUBLE / 100.0", 2)} AS revenue
        |FROM r""".stripMargin
 
+  /** PARETO / CUMULATIVE-SHARE ANALYSIS of supplier revenue
+    * (`supplier_pareto`): suppliers ranked by revenue, each annotated
+    * with its cumulative revenue share and whether it belongs to the
+    * minimal prefix covering 80% of total revenue — the 80/20 view every
+    * spend dashboard opens with. Revenue is integer PENNIES up front
+    * (the [[lineRevPennies]] protocol), the share an exact micro-unit
+    * division, and the top-80 flag the exact integer inequality
+    * 10·(cum − rev) < 8·total (the supplier is needed iff the prefix
+    * BEFORE it is still under 80%). The unpartitioned rank window runs
+    * over the per-supplier AGGREGATE — supplier-count rows, the same
+    * post-agg exact-rank pattern as the other ≤1000-row order windows;
+    * the event-volume side is one map-combined groupBy. */
+  private def supplierPareto(li: DataFrame): DataFrame = {
+    val rev = li.groupBy(col("l_suppkey").as("suppkey"))
+      .agg(sum(lineRevPennies).as("rev_c"))
+    val w = Window.orderBy(desc("rev_c"), col("suppkey"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_c", sum(col("rev_c")).over(cum))
+      .crossJoin(broadcast(rev.agg(sum(col("rev_c")).as("total_c"))))
+      .select(col("suppkey"), col("rev_c"), col("rank"),
+        expr("1000000L * cum_c div total_c").as("cum_share_micro"),
+        when(lit(10L) * (col("cum_c") - col("rev_c")) <
+          lit(8L) * col("total_c"), 1L).otherwise(0L).as("in_top80"))
+  }
+
+  private val supplierParetoOracle =
+    s"""WITH r AS (SELECT l_suppkey AS suppkey,
+       |             sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+       |                            + 0.5) AS BIGINT)) AS rev_c
+       |           FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM r),
+       |w AS (SELECT suppkey, CAST(rev_c AS BIGINT) AS rev_c,
+       |        row_number() OVER (ORDER BY rev_c DESC, suppkey) AS rank,
+       |        CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, suppkey
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+       |      FROM r)
+       |SELECT suppkey, rev_c, rank::BIGINT AS rank,
+       |  1000000 * cum_c // total_c AS cum_share_micro,
+       |  CASE WHEN 10 * (cum_c - rev_c) < 8 * total_c
+       |       THEN 1 ELSE 0 END::BIGINT AS in_top80
+       |FROM w CROSS JOIN t""".stripMargin
+
   private def customerUpsertMor(s: SparkSession, dir: String): DataFrame = {
     val root = graft.sources.Scratch.dir("graft_mor")
     val base = Tables.customer(s, dir)
@@ -947,6 +991,8 @@ object RelationalQueries {
     "part_profit" -> partProfit,
     "shipping_priority" -> shippingPriority,
     "supplier_waiting" -> supplierWaiting,
+    // 80/20 cumulative-share ranking in exact pennies/micro-shares
+    "supplier_pareto" -> ((s, dir) => supplierPareto(Tables.lineitem(s, dir))),
     "customer_upsert" -> customerUpsert _,
     // incremental materialized-view refresh: V_old (+) delta aggregate
     "revenue_mv_refresh" -> revenueMvRefresh _,
@@ -958,6 +1004,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "parts_assoc" -> graft.operators.Assoc.pairRulesSql("lineitem"),
+    "supplier_pareto" -> supplierParetoOracle,
     "parts_lpa" -> {
       val edges0 =
         """SELECT a.l_partkey AS a, b.l_partkey AS b

@@ -222,6 +222,44 @@ object StreamQueries {
         coalesce(col("ts_s") - lag(col("ts_s"), 1).over(w), lit(0L)).as("gap_s"))
   }
 
+  /** FIRST-ORDER MARKOV TRANSITION MATRIX of the event-type sequence per
+    * user (`events_markov`) — the sequence-analytics view next to the
+    * funnel: which event type follows which, and with what probability.
+    * One keyed window pass (the userRunning ordering protocol: ts_s then
+    * event_id) produces the lagged type, one aggregate counts (from, to),
+    * and the row-conditional probability is an exact integer micro-unit
+    * division against the from-row total (a |types|²-sized table — the
+    * rollup side is always tiny). At 100 TB: one event-volume exchange,
+    * map-combined count, nothing else. */
+  private def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    val t = events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    t.groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("1000000L * n div n_from").as("p_micro"))
+  }
+
+  private val typeTransitionsOracle =
+    s"""WITH e AS (SELECT user_id, event_id,
+       |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+       |           FROM events),
+       |t AS (SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+       |        ORDER BY ts_s, event_id) AS prev FROM e),
+       |c AS (SELECT prev AS from_type, event_type AS to_type,
+       |        count(*)::BIGINT AS n
+       |      FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, n,
+       |  1000000 * n // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+       |    AS p_micro
+       |FROM c""".stripMargin
+
   private val userRunningOracle =
     s"""WITH e AS (SELECT user_id, event_id,
        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value FROM events)
@@ -1136,6 +1174,8 @@ object StreamQueries {
       AsOfJoin.asOf(Tables.events(s, dir), "purchase", "view")),
     "events_quantiles" -> ((s, dir) => valueQuantiles(Tables.events(s, dir))),
     "events_running" -> ((s, dir) => userRunning(Tables.events(s, dir))),
+    // first-order Markov transition matrix of the per-user type sequence
+    "events_markov" -> ((s, dir) => typeTransitions(Tables.events(s, dir))),
     "events_salted_join" -> ((s, dir) => saltedTypeJoin(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) => userTypePivot(Tables.events(s, dir))),
     "events_typestats" -> ((s, dir) => typeStats(Tables.events(s, dir))),
@@ -1193,6 +1233,7 @@ object StreamQueries {
     "events_asof" -> AsOfJoin.asOfSql("events", "purchase", "view"),
     "events_quantiles" -> quantilesOracle,
     "events_running" -> userRunningOracle,
+    "events_markov" -> typeTransitionsOracle,
     "events_salted_join" -> saltedTypeJoinOracle,
     "events_pivot" -> userTypePivotOracle,
     "events_typestats" -> typeStatsOracle,

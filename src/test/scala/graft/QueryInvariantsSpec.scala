@@ -488,6 +488,38 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_markov: rows of the transition matrix are proper " +
+       "distributions and transition mass reconciles with the stream") {
+    val rows = run("events_markov").collect()
+    assert(rows.nonEmpty)
+    // per from-state the micro probabilities floor-sum to 10^6 within the
+    // row's fan-out (each floor loses < 1)
+    for ((from, rs) <- rows.groupBy(_.getAs[String]("from_type"))) {
+      val s = rs.map(_.getAs[Long]("p_micro")).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length,
+        s"$from row mass $s over ${rs.length} targets")
+      rs.foreach(r => assert(r.getAs[Long]("p_micro") > 0L))
+    }
+    // total transitions = events - one per user with >= 1 event
+    val ev = graft.sources.Tables.events(spark, dir)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+  }
+
+  test("supplier_pareto: dense ranks, monotone cumulative share closing " +
+       "at exactly 10^6, and the top-80 flag is a rank prefix") {
+    val rows = run("supplier_pareto").collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    val shares = rows.map(_.getAs[Long]("cum_share_micro"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last == 1000000L, s"last share ${shares.last}")
+    val flags = rows.map(_.getAs[Long]("in_top80"))
+    assert(flags.head == 1L, "the top supplier is always needed for 80%")
+    // prefix property: once the flag drops to 0 it never returns
+    assert(!flags.zip(flags.tail).exists { case (a, b) => a == 0L && b == 1L })
+  }
+
   test("parts_assoc: rule algebra — confidence bounds support, lift is " +
        "symmetric in its inputs, and a hand basket set checks exactly") {
     val rows = run("parts_assoc").collect()
