@@ -886,7 +886,14 @@ object TextOps {
             Window.partitionBy(col("doc_id"), col("isl")).orderBy(col("j"))))
           .filter(col("rk") % 2 === 1)
           .select(col("doc_id"), col("j").as("mj"))
+        // only docs with >= 1 occurrence change this round (a few percent
+        // of the corpus per merge on realistic token distributions) — the
+        // rest pass through with (j, tok) untouched, paying neither the
+        // merge joins nor the reindex window. For unchanged docs the
+        // reindex is the identity, so the split is exact.
+        val aff = merged.select(col("doc_id")).distinct()
         val rewritten = tok
+          .join(aff, Seq("doc_id"), "left_semi")
           .join(merged.select(col("doc_id"), col("mj").as("j"),
             lit(true).as("is_m")), Seq("doc_id", "j"), "left")
           .join(merged.select(col("doc_id"), (col("mj") + 1).as("j"),
@@ -896,9 +903,10 @@ object TextOps {
             top.select(concat(col("a"), col("b")).as("mtok"))))
           .select(col("doc_id"), col("j"),
             when(col("is_m"), col("mtok")).otherwise(col("tok")).as("tok"))
+        val reindexed = rewritten.select(col("doc_id"),
+          row_number().over(byDoc).cast("long").as("j"), col("tok"))
         tok = Caching.scoped(merged) {
-          rewritten.select(col("doc_id"),
-            row_number().over(byDoc).cast("long").as("j"), col("tok"))
+          tok.join(aff, Seq("doc_id"), "left_anti").union(reindexed)
         }
         pairs.unpersist(blocking = false)
       }
