@@ -188,6 +188,137 @@ object Resample {
        |            THEN 1 ELSE 0 END::BIGINT AS alarm
        |FROM s""".stripMargin
 
+  /** KLEINBERG BURST DETECTION over the hourly volume series — the
+    * 2-state automaton (base rate λ₀, burst rate λ₁ = 2λ₀, entry cost γ)
+    * decoded by exact-integer VITERBI: the state-machine/dynamic-
+    * programming member of the monitor ladder (EWMA smooths, CUSUM
+    * detects one level shift, burst detection segments the series into
+    * base/burst intervals — Kleinberg, KDD 2002).
+    *
+    * EXACTNESS: only cost DIFFERENCES matter to the argmin path, and
+    * with λ₁ = 2λ₀ the per-hour differential cost is
+    * d_t = λ₀ − x_t·ln2 — so the whole decode runs on exact BIGINT
+    * micro-nats with ln2 as ONE fixed integer literal (693147) and
+    * λ₀ as an exact floor division; no per-row transcendentals, no
+    * cross-engine float risk anywhere. Ties prefer staying in the
+    * current state; the final state prefers base.
+    *
+    * SHAPE: the forward recurrence is a fold over the sorted per-type
+    * hourly array carrying (c0, c1, p0, p1) — the same calendar-bounded
+    * array-fold scale shape as [[hourlyEwma]]/[[hourlyHolt]] (the
+    * recursion is over HOURS, never events) — and the backtrace is a
+    * second fold over the reversed forward array. Both engines unroll
+    * the identical integer recurrences. */
+  val BurstGammaMicro = 5000000L
+  val Ln2Micro = 693147L
+  private val burstFwdStep: String =
+    s"""(acc, x) -> array_append(acc, named_struct(
+       |  'hr', x.hr, 'v', x.v,
+       |  'c0', case when size(acc) = 0 then 0L
+       |        else least(element_at(acc, -1).c0, element_at(acc, -1).c1) end,
+       |  'c1', (case when size(acc) = 0 then $BurstGammaMicro
+       |         else least(element_at(acc, -1).c1,
+       |                    element_at(acc, -1).c0 + $BurstGammaMicro) end)
+       |        + x.d,
+       |  'p0', case when size(acc) = 0 then 0L
+       |        when element_at(acc, -1).c0 <= element_at(acc, -1).c1 then 0L
+       |        else 1L end,
+       |  'p1', case when size(acc) = 0 then 0L
+       |        when element_at(acc, -1).c1 <=
+       |             element_at(acc, -1).c0 + $BurstGammaMicro then 1L
+       |        else 0L end))""".stripMargin
+  def hourlyBurst(events: DataFrame): DataFrame = {
+    // per type: dense (hr, v) array + the exact-integer base rate
+    val series = hourlyGrid(events)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hr"), col("v")))).as("s0"),
+        sum(col("v")).as("tot"), count(lit(1)).as("nh"))
+      .withColumn("lam0_micro",
+        floor((col("tot") * 1000000L).cast("double") / col("nh").cast("double"))
+          .cast("long"))
+      // annotate each element with its differential burst cost d_t
+      .withColumn("s", expr(
+        s"""transform(s0, x -> named_struct('hr', x.hr, 'v', x.v,
+           |  'd', lam0_micro - x.v * $Ln2Micro))""".stripMargin))
+    val fwd = series.withColumn("f", expr(
+      s"""aggregate(s,
+         |  cast(array() as array<struct<hr:timestamp, v:bigint, c0:bigint,
+         |                               c1:bigint, p0:bigint, p1:bigint>>),
+         |  $burstFwdStep)""".stripMargin))
+    // backtrace: walk the reversed forward array; emit the state AT each
+    // step, then hop to its recorded predecessor
+    val path = fwd.withColumn("p", expr(
+      """aggregate(reverse(f),
+        |  named_struct(
+        |    's', case when element_at(f, -1).c1 < element_at(f, -1).c0
+        |         then 1L else 0L end,
+        |    'o', cast(array() as array<struct<hr:timestamp, v:bigint,
+        |                                      st:bigint>>)),
+        |  (acc, x) -> named_struct(
+        |    's', case when acc.s = 0L then x.p0 else x.p1 end,
+        |    'o', array_append(acc.o,
+        |           named_struct('hr', x.hr, 'v', x.v, 'st', acc.s))))""".stripMargin))
+    path.select(col("event_type"), explode(col("p.o")).as("r"))
+      .select(col("event_type"),
+        date_format(col("r.hr"), "yyyy-MM-dd HH").as("hr"),
+        col("r.v").as("n"), col("r.st").as("burst"))
+  }
+
+  /** DuckDB dual of [[hourlyBurst]] — forward recursive CTE carrying
+    * (c0, c1, p0, p1), backward recursive CTE walking the pointers. */
+  def hourlyBurstSql(table: String): String =
+    s"""WITH RECURSIVE
+       |b AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+       |             count(*)::BIGINT AS v
+       |      FROM $table GROUP BY 1, 2),
+       |lim AS (SELECT date_trunc('hour', min(ts)) AS h0,
+       |               date_trunc('hour', max(ts)) AS h1 FROM $table),
+       |cal AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+       |        FROM lim),
+       |ty AS (SELECT DISTINCT event_type FROM $table),
+       |j AS (SELECT ty.event_type, cal.hr, coalesce(b.v, 0)::BIGINT AS v,
+       |        row_number() OVER (PARTITION BY ty.event_type
+       |          ORDER BY cal.hr) AS rn
+       |      FROM ty CROSS JOIN cal
+       |      LEFT JOIN b ON b.event_type = ty.event_type AND b.hr = cal.hr),
+       |lam AS (SELECT event_type,
+       |          CAST(floor((1000000 * sum(v))::DOUBLE / count(*)::DOUBLE)
+       |               AS BIGINT) AS lam0,
+       |          max(rn) AS maxrn
+       |        FROM j GROUP BY 1),
+       |d AS (SELECT j.*, lam.lam0 - j.v * $Ln2Micro AS dd, lam.maxrn
+       |      FROM j JOIN lam USING (event_type)),
+       |fwd(event_type, rn, hr, v, c0, c1, p0, p1, maxrn) AS (
+       |  SELECT event_type, rn, hr, v, CAST(0 AS BIGINT),
+       |         $BurstGammaMicro + dd, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |         maxrn
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.event_type, d.rn, d.hr, d.v,
+       |         least(fwd.c0, fwd.c1),
+       |         least(fwd.c1, fwd.c0 + $BurstGammaMicro) + d.dd,
+       |         CASE WHEN fwd.c0 <= fwd.c1 THEN 0 ELSE 1 END,
+       |         CASE WHEN fwd.c1 <= fwd.c0 + $BurstGammaMicro
+       |              THEN 1 ELSE 0 END,
+       |         d.maxrn
+       |  FROM d JOIN fwd ON d.event_type = fwd.event_type
+       |                 AND d.rn = fwd.rn + 1),
+       |fm AS MATERIALIZED (SELECT * FROM fwd),
+       |bk(event_type, rn, st) AS (
+       |  SELECT event_type, rn,
+       |         CASE WHEN c1 < c0 THEN 1 ELSE 0 END
+       |  FROM fm WHERE rn = maxrn
+       |  UNION ALL
+       |  SELECT f.event_type, f.rn,
+       |         CASE WHEN bk.st = 0 THEN f2.p0 ELSE f2.p1 END
+       |  FROM bk
+       |  JOIN fm f2 ON f2.event_type = bk.event_type AND f2.rn = bk.rn
+       |  JOIN fm f ON f.event_type = bk.event_type AND f.rn = bk.rn - 1)
+       |SELECT fm.event_type, strftime(fm.hr, '%Y-%m-%d %H') AS hr,
+       |       fm.v AS n, bk.st::BIGINT AS burst
+       |FROM fm JOIN bk ON bk.event_type = fm.event_type
+       |                AND bk.rn = fm.rn""".stripMargin
+
   /** Classical additive seasonal decomposition of the hourly series —
     * trend via the centered 24-hour moving average, seasonal index as the
     * per-hour-of-day mean of the detrended series, residual as what's

@@ -1159,6 +1159,9 @@ object StreamQueries {
     // seasonal index, residual — the STL-style first pass, all windows
     "events_seasonal" -> ((s, dir) =>
       graft.operators.Resample.hourlySeasonal(Tables.events(s, dir))),
+    // Kleinberg 2-state burst segmentation, exact-integer Viterbi decode
+    "events_burst" -> ((s, dir) =>
+      graft.operators.Resample.hourlyBurst(Tables.events(s, dir))),
     // the Holt recursion resumed across micro-batches from persisted
     // COUPLED state (level and trend both carried)
     "events_holt_stream" -> ((s, dir) =>
@@ -1226,6 +1229,7 @@ object StreamQueries {
     "events_holt" -> graft.operators.Resample.hourlyHoltSql("events"),
     "events_cusum" -> graft.operators.Resample.hourlyCusumSql("events"),
     "events_seasonal" -> graft.operators.Resample.hourlySeasonalSql("events"),
+    "events_burst" -> graft.operators.Resample.hourlyBurstSql("events"),
     "events_holt_stream" -> graft.operators.Resample.hourlyHoltSql("events"),
     "events_sessions" -> sessionsOracle,
     "events_sessions_stream" -> sessionsOracle,

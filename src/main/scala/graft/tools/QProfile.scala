@@ -14,6 +14,7 @@ object QProfile {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.shuffle.sort.bypassMergeThreshold", sys.env.getOrElse("GRAFT_BYPASS", "200"))
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", sys.env.getOrElse("GRAFT_OHA", "128"))
       .config("spark.sql.session.timeZone", "UTC")

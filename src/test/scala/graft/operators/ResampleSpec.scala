@@ -138,6 +138,26 @@ class ResampleSpec extends AnyFunSuite {
     }
   }
 
+  test("hourlyBurst: Viterbi decodes exactly the planted surge interval") {
+    // 48 hours at v = 4 except a 6-hour surge at v = 20: total 288 over
+    // 48 h makes lam0 exactly 6e6 micro. Differential costs: base hours
+    // +3227412 (burst state pays), surge hours -7862940 (burst state
+    // gains ~7.9e6/h, entry costs 5e6) — the optimal path is burst for
+    // exactly the surge, never extended into a base hour.
+    val events = ((0 until 24).map(h => (1, h, 4)) ++
+      (0 until 24).map(h => (2, h, if (h >= 6 && h < 12) 20 else 4)))
+      .flatMap { case (d, h, v) => Seq.fill(v)(("a", hts(d, h))) }
+      .map { case (t, s) => (t, s, 1L) }.toDF("event_type", "ts", "user_id")
+    val out = Resample.hourlyBurst(events).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(out.size == 48)
+    val expected = (0 until 24).map(h => f"2024-01-01 $h%02d" -> 0L).toMap ++
+      (0 until 24).map(h =>
+        f"2024-01-02 $h%02d" -> (if (h >= 6 && h < 12) 1L else 0L)).toMap
+    assert(out == expected,
+      s"diverges at ${out.toSet.diff(expected.toSet).toSeq.sortBy(_._1)}")
+  }
+
   test("hourlySeasonal: a perfectly periodic series decomposes with zero residuals") {
     // v = 2 for hod < 12, 4 otherwise, for 3 days: every centered 24-row
     // frame contains each hod exactly once, so trend = 3000 milli
