@@ -1187,19 +1187,39 @@ object StreamingOps {
     * pins the micro-batch sequence exactly to `dfs` order — the
     * watermark trajectory becomes deterministic, which is what lets a
     * late-data run be hash-graded at all. */
+  /** Stage `dfs` (same schema) as one parquet file each under `dir`, with
+    * mtimes ascending in sequence order, so FileStreamSource (oldest
+    * first) + maxFilesPerTrigger=1 delivers them as a PINNED micro-batch
+    * sequence. ONE Spark job: the slices union behind a slice tag,
+    * repartition on it (co-locating each slice in one task → exactly one
+    * file per slice dir), and write partitioned; the tag never enters the
+    * file contents (partition columns don't), and the driver then flattens
+    * the files out of their slice dirs with ordered mtimes. The previous
+    * form wrote each slice as its own scan+coalesce job — 4 sequential
+    * jobs per staged stream. */
   private def stageOrdered(dir: String, dfs: Seq[DataFrame]): Unit = {
     import scala.jdk.CollectionConverters._
+    require(dfs.nonEmpty)
+    dfs.zipWithIndex
+      .map { case (df, i) => df.withColumn("graft_slice", lit(i)) }
+      .reduce(_ unionByName _)
+      .repartition(dfs.size, col("graft_slice"))
+      .write.mode("append").partitionBy("graft_slice").parquet(dir)
     val d = java.nio.file.Paths.get(dir)
-    val seen = scala.collection.mutable.Set[java.nio.file.Path]()
     var stamp = System.currentTimeMillis() - 600000L
-    for (df <- dfs) {
-      df.coalesce(1).write.mode("append").parquet(dir)
-      val fresh = Files.list(d).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).filterNot(seen).toSeq
-      fresh.foreach(p => Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(stamp)))
-      seen ++= fresh
+    for (i <- dfs.indices) {
+      val sub = d.resolve(s"graft_slice=$i")
+      val parts = Files.list(sub).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      // one task per slice value -> exactly one part file
+      require(parts.size == 1, s"slice $i wrote ${parts.size} files")
+      val dst = d.resolve(s"slice_$i.parquet")
+      Files.move(parts.head, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(stamp))
       stamp += 10000L
+      Files.list(sub).iterator().asScala.foreach(Files.delete)
+      Files.delete(sub)
     }
   }
 
