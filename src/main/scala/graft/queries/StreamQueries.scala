@@ -222,6 +222,55 @@ object StreamQueries {
         coalesce(col("ts_s") - lag(col("ts_s"), 1).over(w), lit(0L)).as("gap_s"))
   }
 
+  /** MANN–WHITNEY U TWO-SAMPLE TEST (`events_ab_u`) — the A/B-test
+    * primitive the suite's monitors lack: does cohort A's value
+    * distribution stochastically dominate cohort B's, per event type?
+    * Cohorts split on user-id parity (a deployment plugs its assignment
+    * column into the same shape). EXACT INTEGERS throughout: doubled
+    * average ranks absorb ties without fractions (a tie group spanning
+    * min-rank r with c members has average rank r + (c−1)/2, so 2·avg =
+    * 2r + c − 1 — both engines' rank() is min-rank), U from the rank-sum
+    * identity, and the probability-of-superiority AUC = U/(n_a·n_b) as a
+    * floored micro-unit. The self-check u2_a + u2_b = 2·n_a·n_b is
+    * pinned in the invariants spec. One keyed window pass (rank within
+    * type) + one aggregate; per-type value ranking shuffles once on the
+    * type key — at 100 TB the rank becomes the GK-sketch two-pass the
+    * quantile family already documents. */
+  private def mannWhitney(events: DataFrame): DataFrame = {
+    val byTyVal = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val ties = Window.partitionBy(col("event_type"), col("value"))
+    val r = events
+      .select(col("event_type"), col("value"),
+        (col("user_id") % 2 === 0).as("in_a"))
+      .withColumn("r2", lit(2L) * rank().over(byTyVal) +
+        count(lit(1)).over(ties) - 1L)
+    r.groupBy(col("event_type"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("in_a"), col("r2")).otherwise(0L)).as("r2_a"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
+        (lit(2L) * col("n_a") * col("n_b") - col("u2_a")).as("u2_b"),
+        expr("1000000L * u2_a div (2L * n_a * n_b)").as("auc_micro"))
+  }
+
+  private val mannWhitneyOracle =
+    s"""WITH r AS (SELECT event_type, user_id % 2 = 0 AS in_a,
+       |    2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+       |      + count(*) OVER (PARTITION BY event_type, value) - 1 AS r2
+       |  FROM events),
+       |a AS (SELECT event_type,
+       |        sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       |        sum(CASE WHEN in_a THEN 0 ELSE 1 END)::BIGINT AS n_b,
+       |        CAST(sum(CASE WHEN in_a THEN r2 ELSE 0 END) AS BIGINT) AS r2_a
+       |      FROM r GROUP BY 1)
+       |SELECT event_type, n_a, n_b,
+       |  r2_a - n_a * (n_a + 1) AS u2_a,
+       |  2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+       |  1000000 * (r2_a - n_a * (n_a + 1)) // (2 * n_a * n_b) AS auc_micro
+       |FROM a""".stripMargin
+
   /** FIRST-ORDER MARKOV TRANSITION MATRIX of the event-type sequence per
     * user (`events_markov`) — the sequence-analytics view next to the
     * funnel: which event type follows which, and with what probability.
@@ -1179,6 +1228,8 @@ object StreamQueries {
     "events_running" -> ((s, dir) => userRunning(Tables.events(s, dir))),
     // first-order Markov transition matrix of the per-user type sequence
     "events_markov" -> ((s, dir) => typeTransitions(Tables.events(s, dir))),
+    // Mann-Whitney U / probability-of-superiority per type, exact ints
+    "events_ab_u" -> ((s, dir) => mannWhitney(Tables.events(s, dir))),
     "events_salted_join" -> ((s, dir) => saltedTypeJoin(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) => userTypePivot(Tables.events(s, dir))),
     "events_typestats" -> ((s, dir) => typeStats(Tables.events(s, dir))),
@@ -1238,6 +1289,7 @@ object StreamQueries {
     "events_quantiles" -> quantilesOracle,
     "events_running" -> userRunningOracle,
     "events_markov" -> typeTransitionsOracle,
+    "events_ab_u" -> mannWhitneyOracle,
     "events_salted_join" -> saltedTypeJoinOracle,
     "events_pivot" -> userTypePivotOracle,
     "events_typestats" -> typeStatsOracle,

@@ -506,6 +506,24 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == expected)
   }
 
+  test("events_ab_u: the U identity holds and AUC lives in [0, 10^6]") {
+    val rows = run("events_ab_u").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val (ua, ub) = (r.getAs[Long]("u2_a"), r.getAs[Long]("u2_b"))
+      // rank-sum identity: U_A + U_B = n_A*n_B exactly (doubled form)
+      assert(ua + ub == 2L * na * nb, r.toString)
+      assert(ua >= 0L && ub >= 0L, r.toString)
+      val auc = r.getAs[Long]("auc_micro")
+      assert(auc >= 0L && auc <= 1000000L)
+      // parity cohorts on a symmetric fixture: AUC near 1/2, never at
+      // the degenerate endpoints (which would mean a cohort is empty
+      // or the split leaked into the value column)
+      assert(auc > 300000L && auc < 700000L, s"suspicious AUC $auc")
+    }
+  }
+
   test("supplier_pareto: dense ranks, monotone cumulative share closing " +
        "at exactly 10^6, and the top-80 flag is a rank prefix") {
     val rows = run("supplier_pareto").collect().sortBy(_.getAs[Long]("rank"))
