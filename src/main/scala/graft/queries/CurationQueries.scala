@@ -703,7 +703,82 @@ object CurationQueries {
        |  UNION ALL SELECT 'events_value_0_100', n, CAST(nv AS BIGINT) FROM eq
        |  UNION ALL SELECT 'orders_custkey_fk', n, CAST(nv AS BIGINT) FROM fq)""".stripMargin
 
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVALS (`corpus_bootstrap`) — error
+    * bars for a corpus statistic (mean document length per language), the
+    * uncertainty-quantification step every dashboard number should carry.
+    * The Poisson bootstrap (Chamandy et al. / the streaming-bootstrap
+    * standard) replaces sample-with-replacement by an independent
+    * Poisson(1) weight per (doc, replicate) — embarrassingly parallel,
+    * single-pass, no global resample.
+    *
+    * EXACT INTEGERS end to end: the weight comes from comparing the
+    * deterministic 60-bit md5 draw directly against the Poisson(1) CDF
+    * pre-scaled to 2⁶⁰ as SIX fixed integer literals (mass beyond k = 6
+    * — ~6·10⁻⁵ — truncates to 6 identically in both engines; no doubles,
+    * no transcendentals at query time). Replicate means are floored
+    * micro-units; the CI is exact order statistics over the B = 32
+    * replicate means per language (2nd / 16th / 31st, ties broken by
+    * replicate id). Scale: the explode is ×B on the doc-stats pass, the
+    * rollup is languages × B rows. */
+  private val BootB = 32
+  private val Pois1Cdf60 = Seq(424136118829305344L, 848272237658610688L,
+    1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+    1152236456152946176L)
+  private def poisWeight(h: org.apache.spark.sql.Column) =
+    Pois1Cdf60.zipWithIndex.foldRight(lit(6L): org.apache.spark.sql.Column) {
+      case ((t, k), rest) => when(h < t, k.toLong).otherwise(rest)
+    }
+  private def bootstrap(d: DataFrame): DataFrame = {
+    val est = d.groupBy(col("lang"))
+      .agg(expr("1000000L * sum(n_chars) div count(1)").as("est_micro"))
+    val h = VecOps.hash60(concat(lit("boot:"), col("doc_id").cast("string"),
+      lit(":"), col("b").cast("string")))
+    val reps = d.select(col("lang"), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("w", poisWeight(h))
+      .groupBy(col("lang"), col("b"))
+      .agg(expr("1000000L * sum(w * n_chars) div greatest(sum(w), 1L)")
+        .as("m"))
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("m"), col("b"))
+    reps.withColumn("rk", row_number().over(byLang))
+      .groupBy(col("lang"))
+      .agg(max(when(col("rk") === 2, col("m"))).as("boot_lo_micro"),
+        max(when(col("rk") === BootB / 2, col("m"))).as("boot_med_micro"),
+        max(when(col("rk") === BootB - 1, col("m"))).as("boot_hi_micro"))
+      .join(est, "lang")
+      .select(col("lang"), col("est_micro"), col("boot_lo_micro"),
+        col("boot_med_micro"), col("boot_hi_micro"))
+  }
+
+  private val bootstrapOracle = {
+    val h = VecOps.hash60Sql(
+      "'boot:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    val cases = Pois1Cdf60.zipWithIndex
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }.mkString(" ")
+    s"""WITH est AS (SELECT lang,
+       |    1000000 * sum(n_chars) // count(*) AS est_micro
+       |  FROM documents GROUP BY 1),
+       |r AS (SELECT lang, doc_id, n_chars, b, $h AS h
+       |      FROM documents, unnest(generate_series(0, ${BootB - 1})) AS u(b)),
+       |w AS (SELECT lang, b, CASE $cases ELSE 6 END AS w, n_chars FROM r),
+       |m AS (SELECT lang, b,
+       |        1000000 * sum(w * n_chars) // greatest(sum(w), 1) AS m
+       |      FROM w GROUP BY 1, 2),
+       |rk AS (SELECT lang, m, row_number() OVER (PARTITION BY lang
+       |         ORDER BY m, b) AS rk FROM m)
+       |SELECT rk.lang, est.est_micro,
+       |  CAST(max(CASE WHEN rk = 2 THEN m END) AS BIGINT) AS boot_lo_micro,
+       |  CAST(max(CASE WHEN rk = ${BootB / 2} THEN m END) AS BIGINT)
+       |    AS boot_med_micro,
+       |  CAST(max(CASE WHEN rk = ${BootB - 1} THEN m END) AS BIGINT)
+       |    AS boot_hi_micro
+       |FROM rk JOIN est ON est.lang = rk.lang
+       |GROUP BY rk.lang, est.est_micro""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Poisson-bootstrap CI for mean doc length per language, exact ints
+    "corpus_bootstrap" -> ((s, dir) => bootstrap(Tables.documents(s, dir))),
     "data_quality_audit" -> (dataQualityAudit _),
     "docs_diff" -> ((s, dir) => docsDiff(docs(s, dir))),
     // eval-set n-gram leakage flags over the training slice
@@ -728,6 +803,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_bootstrap" -> bootstrapOracle,
     "data_quality_audit" -> dataQualityOracle,
     "docs_diff" -> docsDiffOracle,
     "decontaminate" -> Decontaminate.flagSql("documents"),

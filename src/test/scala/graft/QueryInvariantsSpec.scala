@@ -506,6 +506,23 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == expected)
   }
 
+  test("corpus_bootstrap: ordered CI brackets the point estimate with " +
+       "positive width") {
+    val rows = run("corpus_bootstrap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, lo, med, hi) = (r.getAs[Long]("est_micro"),
+        r.getAs[Long]("boot_lo_micro"), r.getAs[Long]("boot_med_micro"),
+        r.getAs[Long]("boot_hi_micro"))
+      assert(lo <= med && med <= hi, s"CI not ordered: $r")
+      assert(lo < hi, s"degenerate CI: $r")
+      // with >=100 docs per language the 2nd..31st replicate-mean band
+      // brackets the plug-in estimate (fails loudly if a fixture change
+      // ever makes the resampling or the estimator drift apart)
+      assert(lo <= est && est <= hi, s"estimate outside CI: $r")
+    }
+  }
+
   test("events_ab_u: the U identity holds and AUC lives in [0, 10^6]") {
     val rows = run("events_ab_u").collect()
     assert(rows.nonEmpty)
