@@ -354,7 +354,21 @@ object ScaleSmoke {
       // at any R — only the counts grow)
       "ewma" -> (e => graft.operators.Resample.hourlyEwma(e)
         .agg(sum(col("ewma_milli")).as("s"), count(lit(1)).as("n"))
-        .head().getLong(1)))
+        .head().getLong(1)),
+      // the window-form monitors share the EWMA's calendar-bounded shape:
+      // the event-volume rollup is the only R-sized work; CUSUM's stacked
+      // prefix windows, the decomposition's centered MA + hod index, and
+      // the burst Viterbi's two folds all run over hours, not events —
+      // walls must stay far under R as the grid length is R-invariant
+      "monitors" -> { e =>
+        val a = graft.operators.Resample.hourlyCusum(e)
+          .agg(sum(col("cusum_milli")), count(lit(1)).as("n")).head().getLong(1)
+        val b = graft.operators.Resample.hourlySeasonal(e)
+          .agg(sum(col("resid_milli")), count(lit(1)).as("n")).head().getLong(1)
+        val c = graft.operators.Resample.hourlyBurst(e)
+          .agg(sum(col("burst")), count(lit(1)).as("n")).head().getLong(1)
+        a + b + c
+      })
     val evStages = evStagesAll.filter { case (n, _) => keep(n) }
     def runEv(e: DataFrame): Map[String, (Double, Long)] = {
       e.cache().count()
