@@ -546,4 +546,87 @@ object Resample {
        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n,
        |  ${VecOps.qroundSql("filled", 4)} AS filled
        |FROM f""".stripMargin
+
+  /** AUTOCORRELATION FUNCTION of the hourly volume series per type
+    * (`events_acf`) — the seasonality/persistence diagnostic of the
+    * monitor ladder: r_k for lags 1..[[AcfMaxLag]], the statistic a
+    * pipeline reads before picking [[hourlySeasonal]]'s period or
+    * trusting [[hourlyEwma]]'s smoothing constant.
+    *
+    * EXACTNESS: the standard estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+    * is computed on the INTEGER deviations d_t = n·v_t − S (n = series
+    * length, S = Σv — both exact BIGINTs), which scale both sides by n²
+    * and cancel in the quotient: every product and sum is an exact
+    * BIGINT, and the single division is one IEEE double quotient of two
+    * identical integers, qround(6)-ed. (Magnitude: |d| ≤ n·max(v) ≈ 10⁸
+    * at sf0.1, squares ≈ 10¹⁶·series-length — inside BIGINT; the double
+    * cast of num/den is safe because the QUOTIENT, not the operands,
+    * carries the information and both engines cast the same integers.)
+    *
+    * SHAPE: one keyed exchange builds the dense grid; the k lead columns
+    * come from ONE window pass (same frame, k lead() calls); one
+    * map-combined aggregate per type emits the whole correlogram as a
+    * wide row. Calendar-bounded like every monitor here: the series
+    * length is hours-between-min-and-max, never event volume. */
+  val AcfMaxLag = 6
+  def hourlyAcf(events: DataFrame): DataFrame = {
+    val byTy = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val full = Window.partitionBy(col("event_type"))
+    val g = hourlyGrid(events)
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("s", sum(col("v")).over(full))
+      .withColumn("d", col("n") * col("v") - col("s"))
+    val withLeads = (1 to AcfMaxLag).foldLeft(g) { (df, k) =>
+      df.withColumn(s"d$k", lead(col("d"), k).over(byTy))
+    }
+    val aggs =
+      (sum(col("d") * col("d")).as("den")) +:
+        (1 to AcfMaxLag).map(k =>
+          sum(col("d") * col(s"d$k")).as(s"num$k"))
+    val acfCols = (1 to AcfMaxLag).map(k =>
+      VecOps.qround(col(s"num$k").cast("double") / col("den").cast("double"), 6)
+        .as(s"acf_$k"))
+    withLeads
+      .groupBy(col("event_type"), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type") +: col("n") +: acfCols: _*)
+  }
+
+  /** DuckDB dual of [[hourlyAcf]] — identical grid, identical integer
+    * deviations, identical lead frame, one quotient per lag. */
+  def hourlyAcfSql(table: String): String = {
+    val leadCols = (1 to AcfMaxLag)
+      .map(k => s"lead(d, $k) OVER (PARTITION BY event_type ORDER BY hr) AS d$k")
+      .mkString(",\n       |        ")
+    val numCols = (1 to AcfMaxLag)
+      .map(k => s"sum(d * d$k) AS num$k").mkString(", ")
+    val acfCols = (1 to AcfMaxLag)
+      .map(k => s"${VecOps.qroundSql(s"num$k::DOUBLE / den::DOUBLE", 6)} AS acf_$k")
+      .mkString(",\n       |  ")
+    s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+       |             count(*)::BIGINT AS v
+       |           FROM $table GROUP BY 1, 2),
+       |lim AS (SELECT date_trunc('hour', min(ts)) AS h0,
+       |               date_trunc('hour', max(ts)) AS h1 FROM $table),
+       |cal AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+       |        FROM lim),
+       |ty AS (SELECT DISTINCT event_type FROM $table),
+       |j AS (SELECT ty.event_type, cal.hr, coalesce(b.v, 0)::BIGINT AS v
+       |      FROM ty CROSS JOIN cal
+       |      LEFT JOIN b ON b.event_type = ty.event_type AND b.hr = cal.hr),
+       |st AS (SELECT event_type, hr, v,
+       |         count(*) OVER (PARTITION BY event_type) AS n,
+       |         sum(v) OVER (PARTITION BY event_type) AS s
+       |       FROM j),
+       |dv AS (SELECT event_type, hr, n, CAST(n * v - s AS BIGINT) AS d
+       |       FROM st),
+       |ld AS (SELECT event_type, hr, n, d,
+       |        $leadCols
+       |       FROM dv),
+       |ag AS (SELECT event_type, n, sum(d * d) AS den, $numCols
+       |       FROM ld GROUP BY 1, 2)
+       |SELECT event_type, n,
+       |  $acfCols
+       |FROM ag""".stripMargin
+  }
 }

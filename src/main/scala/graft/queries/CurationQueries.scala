@@ -776,9 +776,61 @@ object CurationQueries {
        |GROUP BY rk.lang, est.est_micro""".stripMargin
   }
 
+  /** BENFORD'S-LAW FIRST-DIGIT AUDIT (`orders_benford`) — the
+    * forensic-accounting rung of the data-quality family: the first
+    * significant digit of every order total against Benford's expected
+    * share log10(1 + 1/d). Fabricated or truncated monetary data breaks
+    * the curve; a natural multiplicative process follows it. TPC-H's
+    * uniform price synthesis genuinely DEVIATES (dev_micro carries
+    * signal) — the audit reports the deviation, it doesn't assume zero.
+    *
+    * Cross-engine exactness: the digit comes from the exact cents
+    * integer's decimal string (floor(price·100 + 0.5) — one IEEE product
+    * of identical doubles; leading significant digit is invariant under
+    * the ×100 shift), shares are floored positive micro-units, and the
+    * nine Benford constants are Scala-computed literals EMBEDDED in both
+    * plans, so no engine evaluates a log. Shape: one map-side-combined
+    * 9-row aggregate over one scan — nothing to shuffle at any scale. */
+  private val BenfordMicro: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong)
+
+  private def ordersBenford(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+    val counts = Tables.orders(s, dir)
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val benford = BenfordMicro.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, m)) => when(col("digit") === d, lit(m)).otherwise(acc)
+    }
+    counts
+      .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("1000000L * n div n_total").as("share_micro"),
+        benford.as("benford_micro"))
+      .withColumn("dev_micro", col("share_micro") - col("benford_micro"))
+  }
+
+  private val ordersBenfordOracle = {
+    val vals = BenfordMicro.map { case (d, m) => s"($d, $m)" }.mkString(", ")
+    s"""WITH c AS (SELECT substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+       |             AS BIGINT) AS VARCHAR), 1, 1)::BIGINT AS digit,
+       |             count(*)::BIGINT AS n
+       |           FROM orders GROUP BY 1),
+       |t AS (SELECT sum(n) AS n_total FROM c),
+       |e(digit, benford_micro) AS (VALUES $vals)
+       |SELECT c.digit, c.n,
+       |  CAST(1000000 * c.n // t.n_total AS BIGINT) AS share_micro,
+       |  CAST(e.benford_micro AS BIGINT) AS benford_micro,
+       |  CAST(1000000 * c.n // t.n_total AS BIGINT)
+       |    - CAST(e.benford_micro AS BIGINT) AS dev_micro
+       |FROM c JOIN e ON e.digit = c.digit, t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Poisson-bootstrap CI for mean doc length per language, exact ints
     "corpus_bootstrap" -> ((s, dir) => bootstrap(Tables.documents(s, dir))),
+    // Benford first-digit audit over order totals, literal constants
+    "orders_benford" -> (ordersBenford _),
     "data_quality_audit" -> (dataQualityAudit _),
     "docs_diff" -> ((s, dir) => docsDiff(docs(s, dir))),
     // eval-set n-gram leakage flags over the training slice
@@ -804,6 +856,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "corpus_bootstrap" -> bootstrapOracle,
+    "orders_benford" -> ordersBenfordOracle,
     "data_quality_audit" -> dataQualityOracle,
     "docs_diff" -> docsDiffOracle,
     "decontaminate" -> Decontaminate.flagSql("documents"),

@@ -271,6 +271,62 @@ object StreamQueries {
        |  1000000 * (r2_a - n_a * (n_a + 1)) // (2 * n_a * n_b) AS auc_micro
        |FROM a""".stripMargin
 
+  /** KOLMOGOROV–SMIRNOV TWO-SAMPLE TEST (`events_ks`) — the
+    * distribution-shape companion to [[mannWhitney]]: U detects a
+    * location shift (stochastic dominance), KS detects ANY distributional
+    * difference — the supremum gap between the two cohorts' empirical
+    * CDFs, the test a drift monitor runs when PSI's binning is too
+    * coarse. Same parity cohorts as `events_ab_u`.
+    *
+    * EXACT INTEGERS throughout: at each distinct value v the scaled gap
+    * |n_b·F_a(v) − n_a·F_b(v)| multiplies the cumulative counts by the
+    * opposite sample size instead of dividing (D = max gap / (n_a·n_b)),
+    * so the max is over exact BIGINTs and the one division is a floored
+    * positive micro-unit. (Magnitudes: ≤ n_a·n_b ≈ 10⁹ at sf0.1, scaled
+    * ×10⁶ ≈ 10¹⁵ — inside BIGINT.)
+    *
+    * SHAPE: one map-combined (type, value) pre-aggregate collapses event
+    * volume to distinct values BEFORE the window pass (the Mann–Whitney
+    * rank, by contrast, must rank raw rows), then one keyed cumulative
+    * window + one aggregate per type. At 100 TB the (type, value) bins
+    * are the only shuffle and the KS max is map-combinable. */
+  private def ksTwoSample(events: DataFrame): DataFrame = {
+    val byTyVal = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val full = Window.partitionBy(col("event_type"))
+    val c = events
+      .select(col("event_type"), col("value"),
+        (col("user_id") % 2 === 0).as("in_a"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+    c.withColumn("cuma", sum(col("ca")).over(byTyVal))
+      .withColumn("cumb", sum(col("cb")).over(byTyVal))
+      .withColumn("n_a", sum(col("ca")).over(full))
+      .withColumn("n_b", sum(col("cb")).over(full))
+      .groupBy(col("event_type"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("n_b") * col("cuma") - col("n_a") * col("cumb")))
+        .as("d_scaled"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("d_scaled"),
+        expr("1000000L * d_scaled div (n_a * n_b)").as("ks_micro"))
+  }
+
+  private val ksTwoSampleOracle =
+    s"""WITH c AS (SELECT event_type, value,
+       |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS cb
+       |  FROM events GROUP BY 1, 2),
+       |w AS (SELECT event_type,
+       |    sum(ca) OVER (PARTITION BY event_type ORDER BY value) AS cuma,
+       |    sum(cb) OVER (PARTITION BY event_type ORDER BY value) AS cumb,
+       |    sum(ca) OVER (PARTITION BY event_type) AS na,
+       |    sum(cb) OVER (PARTITION BY event_type) AS nb
+       |  FROM c)
+       |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  CAST(max(abs(nb * cuma - na * cumb)) AS BIGINT) AS d_scaled,
+       |  CAST(1000000 * max(abs(nb * cuma - na * cumb)) // (na * nb) AS BIGINT)
+       |    AS ks_micro
+       |FROM w GROUP BY event_type, na, nb""".stripMargin
+
   /** FIRST-ORDER MARKOV TRANSITION MATRIX of the event-type sequence per
     * user (`events_markov`) — the sequence-analytics view next to the
     * funnel: which event type follows which, and with what probability.
@@ -1230,6 +1286,11 @@ object StreamQueries {
     "events_markov" -> ((s, dir) => typeTransitions(Tables.events(s, dir))),
     // Mann-Whitney U / probability-of-superiority per type, exact ints
     "events_ab_u" -> ((s, dir) => mannWhitney(Tables.events(s, dir))),
+    // Kolmogorov-Smirnov two-sample sup-gap per type, exact scaled ints
+    "events_ks" -> ((s, dir) => ksTwoSample(Tables.events(s, dir))),
+    // lag-1..6 autocorrelation of the hourly volume series per type
+    "events_acf" -> ((s, dir) =>
+      graft.operators.Resample.hourlyAcf(Tables.events(s, dir))),
     "events_salted_join" -> ((s, dir) => saltedTypeJoin(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) => userTypePivot(Tables.events(s, dir))),
     "events_typestats" -> ((s, dir) => typeStats(Tables.events(s, dir))),
@@ -1290,6 +1351,8 @@ object StreamQueries {
     "events_running" -> userRunningOracle,
     "events_markov" -> typeTransitionsOracle,
     "events_ab_u" -> mannWhitneyOracle,
+    "events_ks" -> ksTwoSampleOracle,
+    "events_acf" -> graft.operators.Resample.hourlyAcfSql("events"),
     "events_salted_join" -> saltedTypeJoinOracle,
     "events_pivot" -> userTypePivotOracle,
     "events_typestats" -> typeStatsOracle,

@@ -1178,4 +1178,69 @@ class QueryInvariantsSpec extends AnyFunSuite {
         rows("by_cluster").getAs[Long]("n_clusters"))
     }
   }
+
+  test("events_ks: KS gap bounds, floor-division identity, and parity " +
+       "cohorts stay far from the degenerate endpoints") {
+    val rows = run("events_ks").collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.events(spark, dir).count()
+    var seen = 0L
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val (d, ks) = (r.getAs[Long]("d_scaled"), r.getAs[Long]("ks_micro"))
+      seen += na + nb
+      assert(na > 0L && nb > 0L, r.toString)
+      // D = sup gap of two ECDFs scaled by n_a*n_b: 0 <= D <= n_a*n_b
+      assert(d >= 0L && d <= na * nb, r.toString)
+      assert(ks == 1000000L * d / (na * nb), r.toString)
+      assert(ks >= 0L && ks <= 1000000L)
+      // parity split of one distribution: gap well below 1 but the sup of
+      // a nonconstant ECDF difference is never exactly 0 on real data
+      assert(ks < 500000L, s"parity cohorts should not diverge: $r")
+    }
+    // every event lands in exactly one cohort of its type's row
+    assert(seen == total, s"cohort rows $seen != events $total")
+  }
+
+  test("events_acf: correlogram lives in [-1, 1] (Cauchy-Schwarz) and the " +
+       "series is long enough for every graded lag") {
+    val maxLag = graft.operators.Resample.AcfMaxLag
+    val rows = run("events_acf").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      // the quantized quotient of Sum d*d_k over Sum d^2 obeys |r_k| <= 1
+      // up to the 1e-6 grid; n must exceed the deepest lag or num_k is a
+      // sum over an empty frame
+      assert(n > maxLag, s"series too short: $r")
+      for (k <- 1 to maxLag) {
+        val a = r.getAs[Double](s"acf_$k")
+        assert(a >= -1.000001 && a <= 1.000001, s"acf_$k=$a out of range: $r")
+      }
+    }
+  }
+
+  test("orders_benford: digits partition the orders table, shares close " +
+       "to 10^6 up to floor loss, constants match log10(1+1/d)") {
+    val rows = run("orders_benford").collect()
+    assert(rows.nonEmpty)
+    val orders = graft.sources.Tables.orders(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == orders)
+    val shares = rows.map(_.getAs[Long]("share_micro"))
+    assert(shares.sum <= 1000000L && shares.sum >= 1000000L - 9L,
+      s"floored shares sum ${shares.sum}")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(d >= 1L && d <= 9L, r.toString)
+      val expect =
+        math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong
+      assert(r.getAs[Long]("benford_micro") == expect, r.toString)
+      assert(r.getAs[Long]("dev_micro") ==
+        r.getAs[Long]("share_micro") - expect, r.toString)
+    }
+    // Benford's curve is strictly decreasing in the leading digit
+    val bySorted = rows.sortBy(_.getAs[Long]("digit"))
+      .map(_.getAs[Long]("benford_micro"))
+    assert(bySorted.zip(bySorted.tail).forall { case (a, b) => a > b })
+  }
 }
