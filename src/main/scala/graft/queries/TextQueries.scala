@@ -2410,7 +2410,106 @@ object TextQueries {
        |       JOIN u1 ub ON ub.token = tb, t
        |WHERE rank <= $CoocK""".stripMargin
 
+  /** TEXTRANK KEYWORD EXTRACTION (`keywords_textrank`, Mihalcea & Tarau
+    * 2004) — graph-based keyword centrality: damped PageRank over the
+    * token CO-OCCURRENCE graph (adjacent candidate tokens, undirected,
+    * weighted by pair count), top-k tokens by stationary rank. The GLOBAL
+    * centrality view next to `token_cooc`'s local PMI association and
+    * `tfidf_top`'s frequency contrast: a token ranks high when its
+    * NEIGHBORS rank high, not merely when it is frequent.
+    *
+    * Candidates: tokens of ≥ [[TextRankMinLen]] chars (the content-word
+    * filter; every fixture stopword is shorter). Update rule: the
+    * weighted TextRank r'_i = (1−d)/N + d·Σ_j (w_ij / W_j)·r_j with the
+    * shared LinkRank damping constants, each round 1e-9-quantized — the
+    * exact cross-engine iteration protocol of `link_rank` (see
+    * LinkRank.ranks' determinism note; per-node sums here have ≤|V|
+    * terms).
+    *
+    * SCALE SHAPE: the graph is VOCABULARY-sized, not corpus-sized — edge
+    * weights are one map-side-combined count over the bigram stream
+    * (Heaps' law bounds |V| sublinearly in corpus size, graded by
+    * `vocab_heaps`), so the iteration cost is independent of document
+    * volume; the bigram scan is the only corpus-sized pass. The 4 rounds
+    * unroll into ONE plan (no per-round action): the edge table is
+    * checkpointed once and each round is a vocab-sized join + aggregate. */
+  private val TextRankIters = 4
+  private val TextRankTopK = 10
+  private val TextRankMinLen = 4
+
+  private def textRank(d: DataFrame): DataFrame = {
+    val toksArr = d.select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = toksArr.select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("ta"),
+          element_at(col("toks"), i + 1).as("tb")))).as("p"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .filter(length(col("ta")) >= TextRankMinLen &&
+        length(col("tb")) >= TextRankMinLen && col("ta") =!= col("tb"))
+    val pe = bg
+      .select(least(col("ta"), col("tb")).as("a"),
+        greatest(col("ta"), col("tb")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    val adj = pe.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(pe.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .withColumn("wsum", sum(col("w")).over(Window.partitionBy(col("src"))))
+      .localCheckpoint(true)
+    val nodes = adj.select(col("src").as("node")).distinct()
+    val n = nodes.count()
+    var r = nodes.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("r"))
+    for (_ <- 1 to TextRankIters) {
+      r = adj.join(r, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(VecOps.qround(
+          lit(graft.operators.LinkRank.Residual) / lit(n.toDouble) +
+            lit(graft.operators.LinkRank.Damping) *
+              sum(col("w") * col("r") / col("wsum")), 9).as("r"))
+    }
+    r.orderBy(col("r").desc, col("node")).limit(TextRankTopK)
+      .select(
+        row_number().over(Window.orderBy(col("r").desc, col("node")))
+          .cast("long").as("rank"),
+        col("node").as("token"), col("r"))
+  }
+
+  private val textRankOracle: String = {
+    val damp = graft.operators.LinkRank.Damping
+    val resid = graft.operators.LinkRank.Residual
+    val sb = new StringBuilder
+    sb ++= s"""WITH dd AS (SELECT $toksSql AS toks FROM documents),
+       |bg AS (SELECT toks[i] AS ta, toks[i+1] AS tb
+       |       FROM dd, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+       |       WHERE len(toks) >= 2),
+       |pe AS (SELECT least(ta, tb) AS a, greatest(ta, tb) AS b,
+       |         count(*)::BIGINT AS w
+       |       FROM bg WHERE length(ta) >= $TextRankMinLen
+       |         AND length(tb) >= $TextRankMinLen AND ta <> tb
+       |       GROUP BY 1, 2),
+       |adj0 AS (SELECT a AS src, b AS dst, w FROM pe
+       |         UNION ALL SELECT b, a, w FROM pe),
+       |adj AS (SELECT src, dst, w,
+       |          CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS wsum
+       |        FROM adj0),
+       |nodes AS (SELECT DISTINCT src AS node FROM adj),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / n AS r FROM nodes, nn)""".stripMargin
+    for (i <- 1 to TextRankIters) sb ++= s""",
+       |r$i AS (SELECT adj.dst AS node,
+       |          ${VecOps.qroundSql(
+                    s"$resid / nn.n + $damp * sum(adj.w * p.r / adj.wsum)", 9)} AS r
+       |        FROM adj JOIN r${i - 1} p ON p.node = adj.src, nn
+       |        GROUP BY adj.dst, nn.n)""".stripMargin
+    sb ++= s""",
+       |top AS (SELECT node AS token, r FROM r$TextRankIters
+       |        ORDER BY r DESC, token LIMIT $TextRankTopK)
+       |SELECT row_number() OVER (ORDER BY r DESC, token) AS rank, token, r
+       |FROM top""".stripMargin
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "keywords_textrank" -> ((s, dir) => textRank(docs(s, dir))),
     "text_stats" -> ((s, dir) => TextOps.textStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.textQuality(docs(s, dir))),
     "heavy_hitters" -> ((s, dir) => heavyHitters(docs(s, dir))),
@@ -2630,6 +2729,7 @@ object TextQueries {
     "heavy_hitters_cms" -> cmsHittersOracle(),
     "lang_kl" -> langKlOracle,
     "tfidf_top" -> tfidfTopOracle(),
+    "keywords_textrank" -> textRankOracle,
     "search_bm25" -> searchBm25Oracle,
     "search_hybrid_rrf" -> searchHybridOracle,
     "search_hybrid_overlap" -> searchHybridOverlapOracle,

@@ -1247,6 +1247,36 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert((0L until hs.max).forall(hs.contains), s"gap in hops: $hs")
   }
 
+  test("keywords_textrank: dense ranks, scores in the damped-PageRank " +
+       "band [(1-d)/N, 1], non-increasing, tokens are real candidates") {
+    val rows = run("keywords_textrank").collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    val rs = rows.map(_.getAs[Double]("r"))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a >= b }, rs.toSeq.toString)
+    // candidate vocabulary recomputed from scratch: adjacent >=4-char
+    // token pairs, both sides distinct tokens of such a pair
+    val docsDf = graft.sources.Tables.documents(spark, dir)
+    val toks = docsDf.select(
+      graft.operators.TextOps.tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val vocab = toks.flatMap { ts =>
+      ts.sliding(2).collect {
+        case Seq(a, b) if a.length >= 4 && b.length >= 4 && a != b => Seq(a, b)
+      }.flatten
+    }.toSet
+    val n = vocab.size
+    assert(n >= rows.length, s"top-k exceeds vocab: $n")
+    rows.foreach { r =>
+      val tok = r.getAs[String]("token")
+      assert(vocab.contains(tok), s"not a candidate token: $tok")
+      // damped PageRank lower bound (1-d)/N holds per round and survives
+      // the 1e-9 per-round quantization
+      assert(r.getAs[Double]("r") >= 0.15 / n - 1e-8, r.toString)
+      assert(r.getAs[Double]("r") <= 1.0, r.toString)
+    }
+  }
+
   test("events_ks: KS gap bounds, floor-division identity, and parity " +
        "cohorts stay far from the degenerate endpoints") {
     val rows = run("events_ks").collect()
