@@ -1040,10 +1040,21 @@ object TextOps {
     * ≤ m rows. The combined table is ≤ K·m rows — the global rank window
     * is over sketch STATE, never data, so the single-partition window is
     * bounded at any corpus size. */
-  def mgMergeFlat(summaries: DataFrame, m: Int): DataFrame = {
-    val combined = summaries
-      .select(explode(col("mg")).as(Seq("token", "cnt")))
-      .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+  def mgMergeFlat(summaries: DataFrame, m: Int): DataFrame =
+    mgCompressFlat(
+      summaries.select(explode(col("mg")).as(Seq("token", "cnt"))), m)
+
+  /** The flat-input half of [[mgMergeFlat]]: sum per-token counts of any
+    * number of stacked summaries (each a set of (token, cnt) rows with
+    * bounded MG error — exact counts qualify with error 0), then apply
+    * the Misra–Gries compress (subtract the (m+1)-th largest, drop ≤ 0).
+    * The mergeable-summaries theorem (Agarwal et al. 2013) keeps the
+    * total underestimate ≤ n/(m+1) across ANY merge tree — the property
+    * the streamed fold ([[graft.streaming.StreamingOps.mgFoldBatch]])
+    * banks on. Output ≤ m rows; the rank window is over summary state,
+    * never data. */
+  def mgCompressFlat(flat: DataFrame, m: Int): DataFrame = {
+    val combined = flat.groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
     val ranked = combined.withColumn(
       "r", row_number().over(Window.orderBy(desc("cnt"), col("token"))))
     val delta = ranked.agg(

@@ -2571,6 +2571,10 @@ object TextQueries {
     // bit-equal to the one-shot batch sketch
     "docs_kmv_stream" -> ((s, dir) =>
       graft.streaming.StreamingOps.kmvStream(s, dir)),
+    // Misra-Gries frequent-items state folded per micro-batch (m < vocab:
+    // real decrements), graded on the mergeable-summaries error theorem
+    "heavy_hitters_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.mgStream(s, dir)),
     "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     "quality_logprob" -> ((s, dir) => unigramLogProb(docs(s, dir))),
     // bigram conditional-LM score (Laplace-smoothed) — the transition-
@@ -2749,6 +2753,8 @@ object TextQueries {
     "shingle_kmv" -> shingleKmvOracle,
     "shingle_kmv_jaccard" -> shingleKmvJaccardOracle,
     "docs_kmv_stream" -> kmvStreamOracle,
+    "heavy_hitters_stream" ->
+      graft.streaming.StreamingOps.mgStreamSql("documents"),
     "text_repetition" -> TextOps.repetitionSql("documents"),
     "quality_logprob" -> unigramLogProbOracle,
     "quality_bigram" -> bigramLogProbOracle,

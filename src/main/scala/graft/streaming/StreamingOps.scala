@@ -606,6 +606,98 @@ object StreamingOps {
     merged.write.mode("overwrite").parquet(statePath)
   }
 
+  /** STREAMED MISRA–GRIES HEAVY HITTERS (`heavy_hitters_stream`) — the
+    * frequent-items sketch run as a live ingest fold: each micro-batch's
+    * exact token counts (an error-0 summary) merge into the persisted
+    * ≤ [[MgStreamM]]-entry state via the mergeable-summaries MG combine
+    * ([[graft.operators.TextOps.mgCompressFlat]]; Agarwal et al. 2013 —
+    * the merge keeps the total underestimate ≤ n/(m+1) over ANY merge
+    * tree). [[MgStreamM]] = 16 < the fixture vocabulary, so the compress
+    * step genuinely decrements every batch — the state is a real sketch
+    * here, not exact counts in disguise (contrast `docs_kmv_stream`,
+    * whose budget is honest for cardinality; the batch `heavy_hitters`
+    * grades the m ≫ vocab regime).
+    *
+    * Grade: the exact top-k (one-shot batch, the oracle's view) joined
+    * against the final streamed state; `stream_ok` pins the two-sided MG
+    * theorem est ≤ tf ∧ tf − est ≤ n/(m+1) per returned row. Same
+    * replay/idempotence stance as [[kmvFoldBatch]]: the fold is a
+    * semilattice-ish compress whose error budget absorbs a replayed
+    * batch's weight only in the bound's favor... it is NOT idempotent, so
+    * unlike KMV the state write materializes first AND the AvailableNow
+    * drain runs each file exactly once per checkpoint (the driver runs
+    * one clean pass; a production deploy would add the applied-batch-id
+    * guard the spans ingest uses). At 100 TB: per-batch counts are one
+    * map-combined aggregate; state is m rows. */
+  val MgStreamM = 16
+  val MgStreamTopK = 20
+
+  def mgStream(spark: SparkSession, dir: String): DataFrame = {
+    val staging = graft.sources.Scratch.dir("graft_mg_src")
+    val ckpt = graft.sources.Scratch.dir("graft_mg_ckpt")
+    val statePath = graft.sources.Scratch.dir("graft_mg_state") + "/state"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    docs.repartition(4) // 4 landing files → 4 micro-batches at 1 file/trigger
+      .write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mgFoldBatch(batch, statePath)
+      }
+      .start()
+    q.awaitTermination()
+    val toks = docs.select(
+      explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = exact.agg(sum(col("tf")).as("n_total"))
+    val st = spark.read.parquet(statePath).withColumnRenamed("est", "est_s")
+    val w = Window.orderBy(desc("tf"), col("token"))
+    exact.orderBy(desc("tf"), col("token")).limit(MgStreamTopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(st), Seq("token"), "left")
+      .withColumn("est_s", coalesce(col("est_s"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("tf"),
+        (col("est_s") <= col("tf") &&
+          (col("tf") - col("est_s")).cast("double") <=
+            col("n_total").cast("double") / lit(MgStreamM + 1.0))
+          .as("stream_ok"))
+  }
+
+  /** One micro-batch of the MG ingest fold: exact batch counts stacked
+    * with the persisted state, compressed back to ≤ m entries. */
+  private[graft] def mgFoldBatch(batch: DataFrame, statePath: String): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val bflat = batch.select(
+        explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val st = if (Files.exists(java.nio.file.Paths.get(statePath)))
+      s.read.parquet(statePath).select(col("token"), col("est").as("cnt"))
+    else s.range(0).select(lit(null).cast("string").as("token"),
+      lit(null).cast("bigint").as("cnt"))
+    val merged = graft.operators.TextOps
+      .mgCompressFlat(bflat.unionAll(st), MgStreamM)
+      .localCheckpoint(eager = true) // materialize before overwriting source
+    merged.write.mode("overwrite").parquet(statePath)
+  }
+
+  /** oracle dual of [[mgStream]]: the exact top-k (the theorem flags are
+    * TRUE by the mergeable-summaries bound). */
+  def mgStreamSql(table: String): String =
+    s"""WITH t AS (SELECT unnest(${graft.operators.TextOps.tokensSql("text")})
+       |             AS token FROM $table),
+       |c AS (SELECT token, count(*)::BIGINT AS tf FROM t GROUP BY token),
+       |r AS (SELECT token, tf,
+       |        row_number() OVER (ORDER BY tf DESC, token) AS rank FROM c)
+       |SELECT CAST(rank AS BIGINT) AS rank, token, tf, TRUE AS stream_ok
+       |FROM r WHERE rank <= $MgStreamTopK""".stripMargin
+
   def dedupIngestStream(spark: SparkSession, dir: String): DataFrame = {
     val staging = graft.sources.Scratch.dir("graft_ingest_src")
     val out = graft.sources.Scratch.dir("graft_ingest_out")
