@@ -1275,6 +1275,110 @@ object TextQueries {
        |  ${VecOps.qroundSql("sum(lm)::DOUBLE / (count(*) * 1e6)", 4)} AS mean_logp
        |FROM lp GROUP BY doc_id""".stripMargin
 
+  /** TRIGRAM INTERPOLATED KNESER–NEY scoring (`quality_trigram_kn`) — the
+    * top rung of the LM-quality ladder ([[unigramLogProb]] →
+    * [[bigramLogProb]] → this), and the smoothing family the CCNet-style
+    * perplexity filter actually ships (KenLM is interpolated modified
+    * KN): per-doc mean ln p_KN(c|a,b) with absolute discount
+    * D = [[KnDiscount]],
+    *
+    *   p(c|a,b) = max(c(abc)−D, 0)/c(ab·) + D·N1+(ab·)/c(ab·) · p(c|b)
+    *   p(c|b)   = max(N1+(·bc)−D, 0)/N1+(·b·)
+    *                + D·N1+(b·)/N1+(·b·) · N1+(·c)/N1+(··)
+    *
+    * with every N1+ count derived from the trigram stream (the standard
+    * continuation counts; the lower orders are "how many distinct
+    * contexts", which is what distinguishes KN from Laplace: a token
+    * frequent in ONE context — "francisco" — gets a LOW continuation
+    * probability). Every count is an exact integer; the probability is
+    * one fixed IEEE expression tree over identical integer operands in
+    * both engines (casts and association order written identically), the
+    * per-position log quantizes to LONG micro-nats, and the per-doc sum
+    * is order-free — the [[unigramLogProb]] determinism protocol.
+    *
+    * Scale shape: the trigram count table grows with the corpus and is
+    * NOT broadcast — the trigram stream equi-joins it (map-side-combined
+    * counts, one shuffle each); the continuation tables (mid, midb, uni)
+    * are bigram-/vocab-bounded and broadcast; `tot` is a scalar. Same
+    * plan family as [[bigramLogProb]] one order up. */
+  private val KnDiscount = 0.75
+
+  private def trigramKnLogProb(d: DataFrame): DataFrame = {
+    val toksArr = d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val tg = toksArr.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i).as("ta"),
+          element_at(col("toks"), i + 1).as("tb"),
+          element_at(col("toks"), i + 2).as("tc")))).as("p"))
+      .select(col("doc_id"), col("p.ta").as("ta"), col("p.tb").as("tb"),
+        col("p.tc").as("tc"))
+    val c3 = tg.groupBy(col("ta"), col("tb"), col("tc"))
+      .agg(count(lit(1)).as("c3"))
+    val c2 = tg.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("c2"), countDistinct(col("tc")).as("n1ab"))
+    val mid = tg.groupBy(col("tb"), col("tc"))
+      .agg(countDistinct(col("ta")).as("n1bc"))
+    val midb = mid.groupBy(col("tb"))
+      .agg(sum(col("n1bc")).as("n1midb"), count(lit(1)).as("n1bf"))
+    val uni = mid.groupBy(col("tc")).agg(count(lit(1)).as("n1c"))
+    val tot = mid.agg(count(lit(1)).as("n1tot"))
+    val p3 = greatest(col("c3").cast("double") - lit(KnDiscount), lit(0.0)) /
+      col("c2").cast("double")
+    val lam = lit(KnDiscount) * col("n1ab").cast("double") /
+      col("c2").cast("double")
+    val pk2a = greatest(col("n1bc").cast("double") - lit(KnDiscount),
+      lit(0.0)) / col("n1midb").cast("double")
+    val lam2 = lit(KnDiscount) * col("n1bf").cast("double") /
+      col("n1midb").cast("double")
+    val puni = col("n1c").cast("double") / col("n1tot").cast("double")
+    val lpMicro = floor(log(p3 + lam * (pk2a + lam2 * puni)) * 1e6 +
+      lit(0.5)).cast("long")
+    Caching.scoped(tg) {
+      tg.join(c3, Seq("ta", "tb", "tc"))
+        .join(c2, Seq("ta", "tb"))
+        .join(broadcast(mid), Seq("tb", "tc"))
+        .join(broadcast(midb), Seq("tb"))
+        .join(broadcast(uni), Seq("tc"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"), sum(lpMicro).as("lp_sum"))
+        .select(col("doc_id"), col("n_trigrams"),
+          VecOps.qround(
+            col("lp_sum").cast("double") / (col("n_trigrams") * lit(1e6)), 4)
+            .as("mean_logp"))
+    }
+  }
+
+  private val trigramKnOracle =
+    s"""WITH dd AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tg AS (SELECT doc_id, toks[i] AS ta, toks[i+1] AS tb, toks[i+2] AS tc
+       |       FROM dd, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       |       WHERE len(toks) >= 3),
+       |c3 AS (SELECT ta, tb, tc, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+       |c2 AS (SELECT ta, tb, count(*) AS c2, count(DISTINCT tc) AS n1ab
+       |       FROM tg GROUP BY 1, 2),
+       |mid AS (SELECT tb, tc, count(DISTINCT ta) AS n1bc FROM tg GROUP BY 1, 2),
+       |midb AS (SELECT tb, CAST(sum(n1bc) AS BIGINT) AS n1midb,
+       |           count(*) AS n1bf FROM mid GROUP BY tb),
+       |uni AS (SELECT tc, count(*) AS n1c FROM mid GROUP BY tc),
+       |tot AS (SELECT count(*) AS n1tot FROM mid),
+       |lp AS (SELECT tg.doc_id,
+       |    CAST(floor(ln(
+       |      greatest(c3.c3::DOUBLE - $KnDiscount, 0.0) / c2.c2::DOUBLE
+       |      + $KnDiscount * c2.n1ab::DOUBLE / c2.c2::DOUBLE
+       |        * (greatest(mid.n1bc::DOUBLE - $KnDiscount, 0.0)
+       |             / midb.n1midb::DOUBLE
+       |           + $KnDiscount * midb.n1bf::DOUBLE / midb.n1midb::DOUBLE
+       |             * (uni.n1c::DOUBLE / tot.n1tot::DOUBLE))
+       |    ) * 1e6 + 0.5) AS BIGINT) AS lm
+       |  FROM tg JOIN c3 USING (ta, tb, tc) JOIN c2 USING (ta, tb)
+       |    JOIN mid USING (tb, tc) JOIN midb USING (tb)
+       |    JOIN uni USING (tc), tot)
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |  ${VecOps.qroundSql("sum(lm)::DOUBLE / (count(*) * 1e6)", 4)} AS mean_logp
+       |FROM lp GROUP BY doc_id""".stripMargin
+
   /** FEATURE HASHING (the "hashing trick", Weinberger et al. 2009) — the
     * vectorizer that needs NO vocabulary state at any corpus size: each
     * token maps to dimension hash(token) mod D with a hash-derived ±1 sign
@@ -2580,6 +2684,9 @@ object TextQueries {
     // bigram conditional-LM score (Laplace-smoothed) — the transition-
     // typicality signal unigrams can't see
     "quality_bigram" -> ((s, dir) => bigramLogProb(docs(s, dir))),
+    // trigram interpolated Kneser-Ney (the KenLM smoothing family) —
+    // continuation-count lower orders, exact-integer counts throughout
+    "quality_trigram_kn" -> ((s, dir) => trigramKnLogProb(docs(s, dir))),
     // hashing-trick featurizer: fixed-D signed counts, zero vocabulary state
     "text_hashvec" -> ((s, dir) => hashVec(docs(s, dir))),
     // trained quality classifier: 3 batch-GD logistic steps over the
@@ -2758,6 +2865,7 @@ object TextQueries {
     "text_repetition" -> TextOps.repetitionSql("documents"),
     "quality_logprob" -> unigramLogProbOracle,
     "quality_bigram" -> bigramLogProbOracle,
+    "quality_trigram_kn" -> trigramKnOracle,
     "text_hashvec" -> hashVecOracle,
     "quality_logreg" -> logregOracle,
     "quality_logreg_apply" -> logregApplyOracle,

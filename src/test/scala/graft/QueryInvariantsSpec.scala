@@ -1247,6 +1247,58 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert((0L until hs.max).forall(hs.contains), s"gap in hops: $hs")
   }
 
+  test("quality_trigram_kn: Kneser-Ney sums to exactly 1 over the " +
+       "vocabulary per context, and a scratch recompute matches per doc") {
+    val D = 0.75
+    // counts rebuilt in plain Scala from the raw docs
+    val docsRows = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val tris = docsRows.flatMap { case (id, ts) =>
+      ts.sliding(3).collect { case Seq(a, b, c) => (id, a, b, c) }
+    }
+    assert(tris.nonEmpty)
+    val c3 = tris.groupBy(t => (t._2, t._3, t._4)).map { case (k, v) => k -> v.length.toLong }
+    val c2 = tris.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.length.toLong }
+    val n1ab = tris.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.map(_._4).distinct.length.toLong }
+    val n1bc = tris.groupBy(t => (t._3, t._4)).map { case (k, v) => k -> v.map(_._2).distinct.length.toLong }
+    val n1midb = n1bc.groupBy(_._1._1).map { case (b, m) => b -> m.values.sum }
+    val n1bf = n1bc.groupBy(_._1._1).map { case (b, m) => b -> m.size.toLong }
+    val n1c = n1bc.groupBy(_._1._2).map { case (c, m) => c -> m.size.toLong }
+    val n1tot = n1bc.size.toLong
+    val vocab = tris.flatMap(t => Seq(t._2, t._3, t._4)).distinct
+    def pkn(a: String, b: String, c: String): Double = {
+      val p3 = math.max(c3.getOrElse((a, b, c), 0L).toDouble - D, 0.0) / c2((a, b))
+      val lam = D * n1ab((a, b)) / c2((a, b))
+      val pk2a = math.max(n1bc.getOrElse((b, c), 0L).toDouble - D, 0.0) / n1midb(b)
+      val lam2 = D * n1bf(b) / n1midb(b)
+      val puni = n1c.getOrElse(c, 0L).toDouble / n1tot
+      p3 + lam * (pk2a + lam2 * puni)
+    }
+    // THE KN THEOREM: for every observed context, the smoothed
+    // distribution normalizes exactly over the vocabulary (discount mass
+    // == backoff mass) — the property Laplace smoothing only approximates
+    c2.keys.take(40).foreach { case (a, b) =>
+      val s = vocab.map(c => pkn(a, b, c)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"sum p(c|$a,$b) = $s")
+    }
+    // differential: the query's per-doc mean matches the scratch
+    // recompute bit-for-bit (same quantization, same JVM libm)
+    val got = run("quality_trigram_kn").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_trigrams"), r.getAs[Double]("mean_logp")))
+      .toMap
+    val byDoc = tris.groupBy(_._1)
+    assert(got.keySet == byDoc.keySet)
+    byDoc.foreach { case (id, ts) =>
+      val lp = ts.map { case (_, a, b, c) =>
+        math.floor(math.log(pkn(a, b, c)) * 1e6 + 0.5).toLong
+      }.sum
+      val mean = math.floor(lp.toDouble / (ts.length * 1e6) * 1e4 + 0.5) / 1e4
+      assert(got(id)._1 == ts.length.toLong, s"doc $id n_trigrams")
+      assert(got(id)._2 == mean, s"doc $id: ${got(id)._2} != $mean")
+    }
+  }
+
   test("keywords_textrank: dense ranks, scores in the damped-PageRank " +
        "band [(1-d)/N, 1], non-increasing, tokens are real candidates") {
     val rows = run("keywords_textrank").collect().sortBy(_.getAs[Long]("rank"))
