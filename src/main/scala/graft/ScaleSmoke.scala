@@ -180,7 +180,17 @@ object ScaleSmoke {
       // bucket sizes grow R-linearly with the corpus and the spanning-star
       // cap must do for thumbnails what it does for text buckets — pair
       // output stays cap-bounded while fingerprints stay corpus-linear
-      "media" -> (d => graft.operators.Multimodal.ppmPhashPairs(d).count()))
+      "media" -> (d => graft.operators.Multimodal.ppmPhashPairs(d).count()),
+      // trigram Kneser-Ney scoring: the trigram count tables grow with
+      // distinct trigram TYPES (Heaps-bounded, sub-corpus), the scoring
+      // join is corpus-linear — cost must track the trigram stream
+      "kn_lm" -> (d => graft.queries.TextQueries.trigramKnLogProb(d)
+        .agg(coalesce(sum(col("n_trigrams")), lit(0L)).as("s"))
+        .head().getLong(0)),
+      // TextRank: the bigram scan is the only corpus-sized pass; the
+      // 4-round iteration runs on the VOCAB-sized graph, so R× corpus
+      // must cost ~R× scan + O(1) iteration
+      "textrank" -> (d => graft.queries.TextQueries.textRank(d).count()))
     val stages = stagesAll.filter { case (n, _) => keep(n) }
 
     def run(corpus: DataFrame): Map[String, (Double, Long)] = {
@@ -465,7 +475,36 @@ object ScaleSmoke {
       // association rules (the graded parts_assoc shape): the basket
       // self-join fan-out is basket-size-bounded and DISJOINT replication
       // keeps basket sizes constant, so pairs grow R-linearly
-      "assoc" -> (li => graft.operators.Assoc.pairRules(li).count()))
+      "assoc" -> (li => graft.operators.Assoc.pairRules(li).count()),
+      // common-neighbor link prediction on the strong-tie graph: under
+      // DISJOINT replication each replica's wedge set is identical, so
+      // candidates grow R-linearly and the top-k cut stays bounded
+      "linkpred" -> { li =>
+        val it = li.select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+        val e = it.as("a").join(it.as("b"),
+            col("a.g") === col("b.g") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("a"), col("b.p").as("b"))
+          .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+          .select(col("a"), col("b"))
+        graft.operators.Triangles.linkPredict(e, 20).count()
+      },
+      // multi-source BFS: per-round work is O(|E|) and DISJOINT replicas
+      // run identical cascades, so the HOP structure must stay flat while
+      // per-round volume grows R-linearly (seeds: a fixed node-id slice,
+      // replica-independent by construction)
+      "bfs" -> { li =>
+        val it = li.select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+        val e = it.as("a").join(it.as("b"),
+            col("a.g") === col("b.g") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("a"), col("b.p").as("b"))
+          .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+          .select(col("a"), col("b"))
+        val seeds = e.select(col("a").as("node"))
+          .filter(col("node") % 97 === 0).distinct()
+        graft.operators.Triangles.bfsHops(e, seeds, 4)
+          .agg(coalesce(sum(col("n_nodes")), lit(0L)).as("s"))
+          .head().getLong(0)
+      })
     val grStages = grStagesAll.filter { case (n, _) => keep(n) }
     def runGr(li: DataFrame): Map[String, (Double, Long)] = {
       li.cache().count()

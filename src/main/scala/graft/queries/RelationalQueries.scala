@@ -946,7 +946,72 @@ object RelationalQueries {
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** RFM CUSTOMER SEGMENTATION (`customer_rfm`) — the classic
+    * recency/frequency/monetary quintile grid collapsed to named
+    * segments: per customer, R = quintile of last-order time, F = of
+    * order count, M = of exact spend cents; the CASE ladder maps the
+    * (R, F) corners to the marketing segments (champion / recent-low-
+    * freq / at-risk / hibernating) and reports one row per segment with
+    * customer, order, and revenue totals.
+    *
+    * Exactness: recency is the exact epoch second, spend is exact cents
+    * (the money protocol), and each ntile orders by (metric, custkey) —
+    * a total order, so bucket boundaries are engine-identical (both
+    * engines define ntile with the first buckets absorbing remainders).
+    * The three quintile windows are the documented exact-rank anchors
+    * (customer_ntile's stance): single-pass over the |customers|-sized
+    * AGGREGATE, not the fact table; at 100 TB the cuts come from the GK
+    * sketch family (`quality_logreg_apply_gk` grades that swap) and the
+    * scores become broadcast range lookups. */
+  private def customerRfm(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+    val per = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(max(unix_timestamp(col("o_orderdate"))).as("last_s"),
+        count(lit(1)).as("freq"), sum(cents).as("money_cents"))
+    val scored = per
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("last_s"), col("o_custkey"))).cast("long"))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("freq"), col("o_custkey"))).cast("long"))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("money_cents"), col("o_custkey"))).cast("long"))
+    val seg = when(col("r_score") >= 4 && col("f_score") >= 4 &&
+        col("m_score") >= 4, "champion")
+      .when(col("r_score") >= 4 && col("f_score") <= 2, "recent_low_freq")
+      .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+      .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+      .otherwise("regular")
+    scored.groupBy(seg.as("segment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("freq")).as("n_orders"),
+        sum(col("money_cents")).as("revenue_cents"))
+  }
+
+  private val customerRfmOracle =
+    s"""WITH per AS (SELECT o_custkey,
+       |    max(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS last_s,
+       |    count(*)::BIGINT AS freq,
+       |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS money_cents
+       |  FROM orders GROUP BY 1),
+       |sc AS (SELECT freq, money_cents,
+       |    ntile(5) OVER (ORDER BY last_s, o_custkey) AS r_score,
+       |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+       |    ntile(5) OVER (ORDER BY money_cents, o_custkey) AS m_score
+       |  FROM per)
+       |SELECT CASE
+       |    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+       |    WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_low_freq'
+       |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+       |    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+       |    ELSE 'regular' END AS segment,
+       |  count(*)::BIGINT AS n_customers,
+       |  CAST(sum(freq) AS BIGINT) AS n_orders,
+       |  CAST(sum(money_cents) AS BIGINT) AS revenue_cents
+       |FROM sc GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RFM quintile segmentation over exact cents/epochs
+    "customer_rfm" -> (customerRfm _),
     "link_rank" -> ((s, dir) =>
       graft.operators.LinkRank.ranks(Tables.lineitem(s, dir), LinkRankIters)),
     // CONVERGENCE-GATED PageRank: iterate until the rank vector moves
@@ -1035,6 +1100,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "customer_rfm" -> customerRfmOracle,
     "parts_assoc" -> graft.operators.Assoc.pairRulesSql("lineitem"),
     "supplier_pareto" -> supplierParetoOracle,
     "parts_lpa" ->

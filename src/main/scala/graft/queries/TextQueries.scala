@@ -1303,7 +1303,7 @@ object TextQueries {
     * plan family as [[bigramLogProb]] one order up. */
   private val KnDiscount = 0.75
 
-  private def trigramKnLogProb(d: DataFrame): DataFrame = {
+  private[graft] def trigramKnLogProb(d: DataFrame): DataFrame = {
     val toksArr = d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
     val tg = toksArr.select(col("doc_id"), explode(transform(
@@ -2541,7 +2541,7 @@ object TextQueries {
   private val TextRankTopK = 10
   private val TextRankMinLen = 4
 
-  private def textRank(d: DataFrame): DataFrame = {
+  private[graft] def textRank(d: DataFrame): DataFrame = {
     val toksArr = d.select(TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
     val bg = toksArr.select(explode(transform(

@@ -1247,6 +1247,26 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert((0L until hs.max).forall(hs.contains), s"gap in hops: $hs")
   }
 
+  test("customer_rfm: segments partition the customer base and the " +
+       "totals reconcile exactly with the orders table") {
+    val rows = run("customer_rfm").collect()
+    assert(rows.nonEmpty)
+    val segs = rows.map(_.getAs[String]("segment")).toSet
+    assert(segs.subsetOf(Set("champion", "recent_low_freq", "at_risk",
+      "hibernating", "regular")), segs.toString)
+    assert(segs.size == rows.length, "duplicate segment rows")
+    val o = graft.sources.Tables.orders(spark, dir)
+    val nCust = o.select(col("o_custkey")).distinct().count()
+    val nOrders = o.count()
+    val cents = o.select(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+      .cast("long").as("c")).agg(sum(col("c"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    assert(rows.map(_.getAs[Long]("revenue_cents")).sum == cents)
+    // quintiles over a non-degenerate base: the extreme segments exist
+    assert(segs.contains("champion") || segs.contains("regular"))
+  }
+
   test("quality_trigram_kn: Kneser-Ney sums to exactly 1 over the " +
        "vocabulary per context, and a scratch recompute matches per doc") {
     val D = 0.75
