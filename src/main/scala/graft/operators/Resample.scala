@@ -547,6 +547,123 @@ object Resample {
        |  ${VecOps.qroundSql("filled", 4)} AS filled
        |FROM f""".stripMargin
 
+  /** HOLT–WINTERS additive triple smoothing over the hourly series
+    * (`events_holt_winters`) — the top rung of the smoothing ladder
+    * ([[hourlyEwma]] level → [[hourlyHolt]] level+trend → this
+    * level+trend+24-hour seasonal), emitting the one-step-ahead forecast
+    * l + b + s_{t−m} that a seasonal series needs and Holt's cannot give.
+    *
+    * Integer milli protocol (α = 1/5, β = 1/10, γ = 1/5, m = 24):
+    *   init (classical): l₀ = ⌊1000·Σ_{i≤24} v_i / 24⌋, b₀ = 0,
+    *     s_i = 1000·v_i − l₀ for the first season;
+    *   l_t = ⌊(200·(1000·v_t − s_{t−m}) + 800·(l + b)) / 1000⌋
+    *   b_t = ⌊(100·(l_t − l) + 900·b) / 1000⌋
+    *   s_t = ⌊(200·(1000·v_t − l_t) + 800·s_{t−m}) / 1000⌋
+    * Divisions floor DOUBLE quotients of exact integer operands (the
+    * [[hourlyHolt]] pattern — deviations go negative, integer `div`
+    * semantics differ cross-engine). The Spark fold reads s_{t−m} as
+    * element_at(acc, −24) — the accumulator carries the full emitted
+    * prefix; the DuckDB recursion carries the rolling 24-long seasonal
+    * vector as a LIST column. Same calendar-bounded scale shape as every
+    * monitor here: the recursion is over HOURS, never events. */
+  private val HwPeriod = 24
+
+  private val hwPrev =
+    "element_at(acc, -1)"
+  private val hwSm =
+    s"element_at(acc, -$HwPeriod).s"
+  private val hwLExpr: String =
+    s"""cast(floor(cast(200L * (1000L * x.v - $hwSm)
+       |  + 800L * ($hwPrev.l + $hwPrev.b) as double) / 1000.0d) as bigint)""".stripMargin
+  private val hwFoldStep: String =
+    s"""(acc, x) -> array_append(acc, named_struct(
+       |  'hr', x.hr, 'v', x.v,
+       |  'l', $hwLExpr,
+       |  'b', cast(floor(cast(100L * (($hwLExpr) - $hwPrev.l)
+       |         + 900L * $hwPrev.b as double) / 1000.0d) as bigint),
+       |  's', cast(floor(cast(200L * (1000L * x.v - ($hwLExpr))
+       |         + 800L * $hwSm as double) / 1000.0d) as bigint),
+       |  'f', $hwPrev.l + $hwPrev.b + $hwSm))""".stripMargin
+
+  def hourlyHoltWinters(events: DataFrame): DataFrame = {
+    val m = HwPeriod
+    val folded = hourlySeries(events)
+      .withColumn("l0", expr(
+        s"""cast(floor(cast(1000L * aggregate(slice(s, 1, $m), 0L,
+           |  (a, x) -> a + x.v) as double) / $m.0d) as bigint)""".stripMargin))
+      .withColumn("seed", expr(
+        s"""transform(slice(s, 1, $m), x -> named_struct(
+           |  'hr', x.hr, 'v', x.v, 'l', l0, 'b', 0L,
+           |  's', 1000L * x.v - l0, 'f', 0L))""".stripMargin))
+      .select(col("event_type"), expr(
+        s"aggregate(slice(s, ${m + 1}, size(s) - $m), seed, $hwFoldStep)")
+        .as("e"))
+    folded.select(col("event_type"), explode(col("e")).as("r"))
+      .select(col("event_type"),
+        date_format(col("r.hr"), "yyyy-MM-dd HH").as("hr"),
+        col("r.v").as("n"), col("r.l").as("level_milli"),
+        col("r.b").as("trend_milli"), col("r.s").as("seasonal_milli"),
+        col("r.f").as("forecast_milli"))
+  }
+
+  /** DuckDB dual of [[hourlyHoltWinters]]: the rn-chained recursion
+    * carries (l, b) plus the rolling m-long seasonal LIST; seed rows
+    * (rn ≤ m) are emitted directly from the init closed form. */
+  def hourlyHoltWintersSql(table: String): String = {
+    val m = HwPeriod
+    val lExpr =
+      s"""CAST(floor((200 * (1000 * j.v - rec.svec[1])
+         |  + 800 * (rec.l + rec.bb))::DOUBLE / 1000) AS BIGINT)""".stripMargin
+    s"""WITH RECURSIVE
+       |b AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*)::BIGINT AS v
+       |      FROM $table GROUP BY event_type, date_trunc('hour', ts)),
+       |lim AS (SELECT date_trunc('hour', min(ts)) AS h0,
+       |               date_trunc('hour', max(ts)) AS h1 FROM $table),
+       |cal AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+       |        FROM lim),
+       |ty AS (SELECT DISTINCT event_type FROM $table),
+       |j AS (SELECT ty.event_type, cal.hr, coalesce(b.v, 0) AS v,
+       |        row_number() OVER (PARTITION BY ty.event_type
+       |          ORDER BY cal.hr) AS rn
+       |      FROM ty CROSS JOIN cal
+       |      LEFT JOIN b ON b.event_type = ty.event_type AND b.hr = cal.hr),
+       |init0 AS (SELECT event_type,
+       |            CAST(floor((1000 * sum(v))::DOUBLE / $m.0) AS BIGINT) AS l0
+       |          FROM j WHERE rn <= $m GROUP BY event_type),
+       |init AS (SELECT j.event_type, init0.l0,
+       |           list(CAST(1000 * j.v AS BIGINT) - init0.l0 ORDER BY j.rn) AS sv
+       |         FROM j JOIN init0 ON j.event_type = init0.event_type
+       |         WHERE j.rn <= $m GROUP BY j.event_type, init0.l0),
+       |rec(event_type, rn, hr, v, l, bb, s, f, svec) AS (
+       |  SELECT j.event_type, $m, j.hr, j.v, init.l0, CAST(0 AS BIGINT),
+       |    init.sv[$m], CAST(0 AS BIGINT), init.sv
+       |  FROM j JOIN init ON j.event_type = init.event_type WHERE j.rn = $m
+       |  UNION ALL
+       |  SELECT j.event_type, j.rn, j.hr, j.v,
+       |    $lExpr,
+       |    CAST(floor((100 * (($lExpr) - rec.l) + 900 * rec.bb)::DOUBLE
+       |      / 1000) AS BIGINT),
+       |    CAST(floor((200 * (1000 * j.v - ($lExpr)) + 800 * rec.svec[1])::DOUBLE
+       |      / 1000) AS BIGINT),
+       |    rec.l + rec.bb + rec.svec[1],
+       |    rec.svec[2:$m] ||
+       |      [CAST(floor((200 * (1000 * j.v - ($lExpr))
+       |         + 800 * rec.svec[1])::DOUBLE / 1000) AS BIGINT)]
+       |  FROM j JOIN rec ON j.event_type = rec.event_type AND j.rn = rec.rn + 1),
+       |seed AS (SELECT j.event_type, strftime(j.hr, '%Y-%m-%d %H') AS hr,
+       |           j.v AS n, init.l0 AS level_milli, CAST(0 AS BIGINT) AS trend_milli,
+       |           CAST(1000 * j.v AS BIGINT) - init.l0 AS seasonal_milli,
+       |           CAST(0 AS BIGINT) AS forecast_milli
+       |         FROM j JOIN init ON j.event_type = init.event_type
+       |         WHERE j.rn <= $m)
+       |SELECT * FROM seed
+       |UNION ALL
+       |SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hr, v AS n,
+       |  l AS level_milli, bb AS trend_milli, s AS seasonal_milli,
+       |  f AS forecast_milli
+       |FROM rec WHERE rn > $m""".stripMargin
+  }
+
   /** AUTOCORRELATION FUNCTION of the hourly volume series per type
     * (`events_acf`) — the seasonality/persistence diagnostic of the
     * monitor ladder: r_k for lags 1..[[AcfMaxLag]], the statistic a

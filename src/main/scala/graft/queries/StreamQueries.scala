@@ -1264,6 +1264,10 @@ object StreamQueries {
     // seasonal index, residual — the STL-style first pass, all windows
     "events_seasonal" -> ((s, dir) =>
       graft.operators.Resample.hourlySeasonal(Tables.events(s, dir))),
+    // Holt-Winters triple smoothing: level+trend+24h seasonal, the
+    // seasonal one-step-ahead forecast Holt's cannot give
+    "events_holt_winters" -> ((s, dir) =>
+      graft.operators.Resample.hourlyHoltWinters(Tables.events(s, dir))),
     // Kleinberg 2-state burst segmentation, exact-integer Viterbi decode
     "events_burst" -> ((s, dir) =>
       graft.operators.Resample.hourlyBurst(Tables.events(s, dir))),
@@ -1341,6 +1345,8 @@ object StreamQueries {
     "events_holt" -> graft.operators.Resample.hourlyHoltSql("events"),
     "events_cusum" -> graft.operators.Resample.hourlyCusumSql("events"),
     "events_seasonal" -> graft.operators.Resample.hourlySeasonalSql("events"),
+    "events_holt_winters" ->
+      graft.operators.Resample.hourlyHoltWintersSql("events"),
     "events_burst" -> graft.operators.Resample.hourlyBurstSql("events"),
     "events_holt_stream" -> graft.operators.Resample.hourlyHoltSql("events"),
     "events_sessions" -> sessionsOracle,

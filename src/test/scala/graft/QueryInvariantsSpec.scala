@@ -1247,6 +1247,48 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert((0L until hs.max).forall(hs.contains), s"gap in hops: $hs")
   }
 
+  test("events_holt_winters: init closed form, first-season index sum " +
+       "bound, and the coupled recurrences replay from the output rows") {
+    val rows = run("events_holt_winters").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(rows.nonEmpty)
+    for ((ty, rs0) <- rows) {
+      val rs = rs0.sortBy(_.getAs[String]("hr"))
+      assert(rs.length >= 48, s"$ty series too short for a season")
+      val seed = rs.take(24)
+      val l0 = seed.head.getAs[Long]("level_milli")
+      // init: level constant, trend 0, no forecast, s_i = 1000 v_i - l0
+      seed.foreach { r =>
+        assert(r.getAs[Long]("level_milli") == l0)
+        assert(r.getAs[Long]("trend_milli") == 0L)
+        assert(r.getAs[Long]("forecast_milli") == 0L)
+        assert(r.getAs[Long]("seasonal_milli") ==
+          1000L * r.getAs[Long]("n") - l0)
+      }
+      // floor(1000*sum/24): the first-season seasonal indices sum to the
+      // floor remainder — inside [0, 24)
+      val sSum = seed.map(_.getAs[Long]("seasonal_milli")).sum
+      assert(sSum >= 0L && sSum < 24L, s"$ty seasonal sum $sSum")
+      // replay l/b/s/f for every t > 24 from the PRIOR output rows
+      def f(x: Double): Long = math.floor(x / 1000.0).toLong
+      for (t <- 24 until rs.length) {
+        val (prev, cur) = (rs(t - 1), rs(t))
+        val sm = rs(t - 24).getAs[Long]("seasonal_milli")
+        val (pl, pb) = (prev.getAs[Long]("level_milli"),
+          prev.getAs[Long]("trend_milli"))
+        val v = cur.getAs[Long]("n")
+        val l = f((200L * (1000L * v - sm) + 800L * (pl + pb)).toDouble)
+        assert(cur.getAs[Long]("level_milli") == l, s"$ty level at $t")
+        assert(cur.getAs[Long]("trend_milli") ==
+          f((100L * (l - pl) + 900L * pb).toDouble), s"$ty trend at $t")
+        assert(cur.getAs[Long]("seasonal_milli") ==
+          f((200L * (1000L * v - l) + 800L * sm).toDouble), s"$ty s at $t")
+        assert(cur.getAs[Long]("forecast_milli") == pl + pb + sm,
+          s"$ty forecast at $t")
+      }
+    }
+  }
+
   test("customer_rfm: segments partition the customer base and the " +
        "totals reconcile exactly with the orders table") {
     val rows = run("customer_rfm").collect()
