@@ -1009,7 +1009,70 @@ object RelationalQueries {
        |  CAST(sum(money_cents) AS BIGINT) AS revenue_cents
        |FROM sc GROUP BY 1""".stripMargin
 
+  /** HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX per region
+    * (`supplier_hhi`) — the antitrust-style market-concentration scalar
+    * next to `supplier_pareto`'s cumulative-share curve: HHI = Σ share²
+    * over each region's suppliers, plus the largest single share. An HHI
+    * near 1/n is a competitive region; near 1 a monopolized one.
+    *
+    * Exactness: per-supplier revenue is the exact micro-cent integer
+    * floor(extprice·(1−disc)·10⁴ + 0.5) summed in LONG (the money
+    * protocol one digit deeper — the discount product has 4 decimals);
+    * shares divide those identical integers as doubles, and the Σ share²
+    * reassociation error (~10⁻¹⁶ over ≤10³ positive terms ≤ 1) sits ten
+    * orders below the 1e-6 output grid; top share is a floored integer
+    * division. Shape: one map-combined fact aggregate to |suppliers|
+    * rows, three broadcast dim joins, one keyed window + final aggregate
+    * — the fact table is scanned once. */
+  private def supplierHhi(s: SparkSession, dir: String): DataFrame = {
+    val revMicro = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * lit(10000.0) + lit(0.5)).cast("long")
+    val perSup = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), revMicro.as("rv"))
+      .groupBy(col("l_suppkey")).agg(sum(col("rv")).as("rev"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("rev"))
+    val sh = col("rev").cast("double") / col("tot").cast("double")
+    perSup
+      .withColumn("tot", sum(col("rev")).over(Window.partitionBy(col("region"))))
+      .groupBy(col("region"), col("tot").as("rev_micro"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        VecOps.qround(sum(sh * sh), 6).as("hhi"),
+        max(col("rev")).as("mx"))
+      .select(col("region"), col("n_suppliers"), col("rev_micro"),
+        col("hhi"), expr("1000000L * mx div rev_micro").as("top_share_micro"))
+  }
+
+  private val supplierHhiOracle =
+    s"""WITH ps AS (SELECT l_suppkey,
+       |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+       |      * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM lineitem GROUP BY 1),
+       |j AS (SELECT r.r_name AS region, ps.rev
+       |      FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+       |        JOIN nation n ON n.n_nationkey = s.s_nationkey
+       |        JOIN region r ON r.r_regionkey = n.n_regionkey),
+       |t AS (SELECT region, rev,
+       |        CAST(sum(rev) OVER (PARTITION BY region) AS BIGINT) AS tot
+       |      FROM j)
+       |SELECT region, count(*)::BIGINT AS n_suppliers, tot AS rev_micro,
+       |  ${VecOps.qroundSql(
+          "sum((rev::DOUBLE / tot::DOUBLE) * (rev::DOUBLE / tot::DOUBLE))", 6)}
+       |    AS hhi,
+       |  CAST(1000000 * max(rev) // tot AS BIGINT) AS top_share_micro
+       |FROM t GROUP BY region, tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Herfindahl market-concentration index per region, exact micro-cents
+    "supplier_hhi" -> (supplierHhi _),
     // RFM quintile segmentation over exact cents/epochs
     "customer_rfm" -> (customerRfm _),
     "link_rank" -> ((s, dir) =>
@@ -1100,6 +1163,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "supplier_hhi" -> supplierHhiOracle,
     "customer_rfm" -> customerRfmOracle,
     "parts_assoc" -> graft.operators.Assoc.pairRulesSql("lineitem"),
     "supplier_pareto" -> supplierParetoOracle,

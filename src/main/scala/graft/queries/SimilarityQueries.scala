@@ -356,6 +356,63 @@ object SimilarityQueries {
     s"""${kmeansChainSqlPrefix(KmIters)}
        |SELECT list_id, CAST(i AS BIGINT) AS pos, c, n FROM st$KmIters""".stripMargin
 
+  /** TOPIC CLUSTERS (`docs_topics`) — the data-mixing composition a
+    * pretraining pipeline runs to understand WHAT its clusters contain:
+    * documents clustered by embedding through the TRAINED k-means
+    * quantizer (the graded `kmeans_train` chain), then each cluster
+    * labeled by its top-3 tokens by in-cluster term count. The
+    * embedding-space structure (which k-means sees) meets the lexical
+    * surface (which a human reads) in one graded result — a k-means-based
+    * topic model's reporting step.
+    *
+    * Exactness: the assignment reuses the graded trainer + argmax
+    * (bit-identical centroids cross-engine); term counts are exact; the
+    * top-3 cut orders by (tf, token) — deterministic. Shape: trainer as
+    * graded, one token-explode shuffle joined against the |docs|-row
+    * assignment (broadcastable here, bucketed at 100 TB), one windowed
+    * top-k per cluster over the (topic, token) aggregate. */
+  private def docsTopics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Similarity.kmeansTrainedCentroids(kvSide(s, dir),
+      Similarity.ivfCentroids(emb(s, dir)), KmIters)
+    val asn = Similarity.ivfAssign(kvSide(s, dir), cents)
+      .select(col("k_id").as("doc_id"), col("list_id").as("topic"))
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+    val cnt = toks.join(asn, "doc_id")
+      .groupBy(col("topic"), col("token")).agg(count(lit(1)).as("tf"))
+    val nd = asn.groupBy(col("topic")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("topic")).orderBy(desc("tf"), col("token"))
+    cnt.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .join(broadcast(nd), "topic")
+      .select(col("topic"), col("n_docs"), col("rank"), col("token"),
+        col("tf"))
+  }
+
+  private val docsTopicsOracle = {
+    def cosOf(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""${kmeansChainSqlPrefix(KmIters)},
+       |asnf AS (SELECT k_id, list_id FROM (
+       |           SELECT k_id, list_id,
+       |             row_number() OVER (PARTITION BY k_id
+       |               ORDER BY ${cosOf("kv", "cvec")} DESC, list_id) AS rn
+       |           FROM k CROSS JOIN cents$KmIters) WHERE rn = 1),
+       |tk AS (SELECT doc_id,
+       |         unnest(${graft.operators.TextOps.tokensSql("text")}) AS token
+       |       FROM documents),
+       |cnt AS (SELECT asnf.list_id AS topic, tk.token, count(*)::BIGINT AS tf
+       |        FROM tk JOIN asnf ON asnf.k_id = tk.doc_id GROUP BY 1, 2),
+       |nd AS (SELECT list_id AS topic, count(*)::BIGINT AS n_docs
+       |       FROM asnf GROUP BY 1),
+       |r AS (SELECT topic, token, tf, row_number() OVER (PARTITION BY topic
+       |        ORDER BY tf DESC, token) AS rank FROM cnt)
+       |SELECT r.topic, nd.n_docs, CAST(r.rank AS BIGINT) AS rank,
+       |  r.token, r.tf
+       |FROM r JOIN nd USING (topic) WHERE r.rank <= 3""".stripMargin
+  }
+
   /** ε-stop parameters graded by `kmeans_train_conv`. eps sits above the
     * isotropic fixture's movement plateau (~0.005–0.016 per round — noise
     * directions keep wandering on the quantized grid, an exact fixpoint
@@ -1298,6 +1355,9 @@ object SimilarityQueries {
     "kmeans_train" -> ((s, dir) =>
       Similarity.kmeansTrain(kvSide(s, dir),
         Similarity.ivfCentroids(emb(s, dir)), 3)),
+    // k-means topic clusters labeled by their top-3 in-cluster tokens:
+    // the trained quantizer meets the lexical surface in one result
+    "docs_topics" -> (docsTopics _),
     // the CONVERGENCE-GATED trainer: iterate until max centroid movement
     // < eps (exact on the quantized grid), emit (iters, final step) — the
     // loop terminates by criterion, not by count (VERDICT r7 #5)
@@ -1473,6 +1533,7 @@ object SimilarityQueries {
       kvWhere = " WHERE vec_id % 16 <> 0"),
     "kmeans_step" -> kmeansStepOracle,
     "kmeans_train" -> kmeansTrainOracle,
+    "docs_topics" -> docsTopicsOracle,
     "kmeans_train_conv" -> kmeansConvOracle,
     "similar_ivf_trained" -> ivfTrainedTopkOracle,
     "embed_pq_codes" -> pqCodesOracle,

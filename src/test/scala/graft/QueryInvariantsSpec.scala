@@ -1247,6 +1247,53 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert((0L until hs.max).forall(hs.contains), s"gap in hops: $hs")
   }
 
+  test("supplier_hhi: Cauchy-Schwarz band 1/n <= HHI <= 1, the top share " +
+       "is inside it, and regions partition the supplier base") {
+    val rows = run("supplier_hhi").collect()
+    assert(rows.nonEmpty)
+    val nSup = graft.sources.Tables.supplier(spark, dir)
+      .select(col("s_suppkey")).distinct().count()
+    // every supplier ships something in TPC-H — regions partition them
+    assert(rows.map(_.getAs[Long]("n_suppliers")).sum == nSup)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_suppliers")
+      val hhi = r.getAs[Double]("hhi")
+      val top = r.getAs[Long]("top_share_micro")
+      assert(n > 0L && r.getAs[Long]("rev_micro") > 0L, r.toString)
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-6, s"HHI $hhi n=$n")
+      assert(top >= 1000000L / n && top <= 1000000L, r.toString)
+      // the largest share's square is one of HHI's terms
+      val ts = top.toDouble / 1e6
+      assert(hhi >= ts * ts - 1e-6, s"HHI $hhi < top^2 ${ts * ts}")
+    }
+  }
+
+  test("docs_topics: clusters partition the corpus, per-topic ranks are " +
+       "a dense prefix, counts are real token counts") {
+    val rows = run("docs_topics").collect()
+    assert(rows.nonEmpty)
+    val byTopic = rows.groupBy(_.getAs[Long]("topic"))
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    // each topic reports one n_docs; they partition the corpus (every
+    // embedded doc is assigned to exactly one Voronoi cell)
+    assert(byTopic.values.map(_.head.getAs[Long]("n_docs")).sum == nDocs)
+    val totalTf = graft.sources.Tables.documents(spark, dir)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+      .count()
+    for ((t, rs0) <- byTopic) {
+      val rs = rs0.sortBy(_.getAs[Long]("rank"))
+      assert(rs.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to rs.length).toSeq, s"topic $t ranks")
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[String]("token")).distinct.length == rs.length)
+      val tfs = rs.map(_.getAs[Long]("tf"))
+      assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b }, s"topic $t")
+      assert(tfs.forall(x => x > 0L && x <= totalTf))
+      assert(rs.forall(_.getAs[Long]("n_docs") ==
+        rs.head.getAs[Long]("n_docs")))
+    }
+  }
+
   test("events_holt_winters: init closed form, first-season index sum " +
        "bound, and the coupled recurrences replay from the output rows") {
     val rows = run("events_holt_winters").collect()
