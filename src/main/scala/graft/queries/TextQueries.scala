@@ -2612,8 +2612,55 @@ object TextQueries {
     sb.toString
   }
 
+  /** PER-DOC N-GRAM NOVELTY (`docs_novelty`) — "how much of this document
+    * has the corpus already seen?": the fraction of a doc's DISTINCT
+    * 3-gram shingles whose first corpus occurrence (by doc_id order) is
+    * this doc. The per-document member of the redundancy family —
+    * `vocab_heaps` tracks corpus-level type growth, `doc_dup_density`
+    * counts shared-shingle mass, novelty scores each doc for curation
+    * (late crawl snapshots full of already-seen text score near 0 and are
+    * the first candidates to drop). Deterministic: "first" is min doc_id,
+    * an order the corpus owns, not an execution order.
+    *
+    * Shape: one distinct over (doc, shingle-hash) + ONE exchange on the
+    * hash for the first-occurrence window + one map-combined per-doc
+    * aggregate; all counts exact, the per-mille an integer floor. At
+    * 100 TB this is the same single-shuffle shape as the dedup census. */
+  private def docNovelty(d: DataFrame): DataFrame = {
+    val g = d.select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(
+          TextOps.tokens(col("text")))).as("sh"))
+      .select(col("doc_id"), VecOps.hash60(col("sh")).as("h"))
+      .distinct()
+    g.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("1000L * n_novel div n_grams").as("novelty_pm"))
+  }
+
+  private val docNoveltyOracle =
+    s"""WITH g AS (SELECT DISTINCT doc_id, ${VecOps.hash60Sql("sh")} AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(${graft.operators.Dedup.shinglesSql(toksSql)}) AS sh
+       |        FROM documents)),
+       |f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS first_doc
+       |      FROM g)
+       |SELECT doc_id, count(*)::BIGINT AS n_grams,
+       |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_novel,
+       |  CAST(1000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+       |    // count(*) AS BIGINT) AS novelty_pm
+       |FROM f GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "keywords_textrank" -> ((s, dir) => textRank(docs(s, dir))),
+    // per-doc first-occurrence shingle novelty, the curation-side
+    // redundancy score (min-doc_id "first" — corpus order, not execution)
+    "docs_novelty" -> ((s, dir) => docNovelty(docs(s, dir))),
     "text_stats" -> ((s, dir) => TextOps.textStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.textQuality(docs(s, dir))),
     "heavy_hitters" -> ((s, dir) => heavyHitters(docs(s, dir))),
@@ -2841,6 +2888,7 @@ object TextQueries {
     "lang_kl" -> langKlOracle,
     "tfidf_top" -> tfidfTopOracle(),
     "keywords_textrank" -> textRankOracle,
+    "docs_novelty" -> docNoveltyOracle,
     "search_bm25" -> searchBm25Oracle,
     "search_hybrid_rrf" -> searchHybridOracle,
     "search_hybrid_overlap" -> searchHybridOverlapOracle,

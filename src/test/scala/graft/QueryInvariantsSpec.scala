@@ -1247,6 +1247,31 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert((0L until hs.max).forall(hs.contains), s"gap in hops: $hs")
   }
 
+  test("docs_novelty: the first doc is all-novel, novel counts sum to the " +
+       "corpus distinct-shingle total, and bounds hold per doc") {
+    val rows = run("docs_novelty").collect()
+    assert(rows.nonEmpty)
+    val docsDf = graft.sources.Tables.documents(spark, dir)
+    assert(rows.length.toLong == docsDf.count())
+    // min-doc_id "first" ⇒ the lowest doc id is 100% novel
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_grams"))
+    assert(first.getAs[Long]("novelty_pm") == 1000L)
+    rows.foreach { r =>
+      val (n, nov, pm) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+        r.getAs[Long]("novelty_pm"))
+      assert(n > 0L && nov >= 0L && nov <= n, r.toString)
+      assert(pm == 1000L * nov / n, r.toString)
+    }
+    // each distinct corpus shingle is novel in exactly one doc
+    val distinctShingles = docsDf.select(explode(
+        graft.operators.Dedup.shingles(
+          graft.operators.TextOps.tokens(col("text")))).as("sh"))
+      .select(graft.functions.VecOps.hash60(col("sh")).as("h"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == distinctShingles)
+  }
+
   test("supplier_hhi: Cauchy-Schwarz band 1/n <= HHI <= 1, the top share " +
        "is inside it, and regions partition the supplier base") {
     val rows = run("supplier_hhi").collect()
