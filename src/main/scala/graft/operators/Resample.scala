@@ -664,6 +664,69 @@ object Resample {
        |FROM rec WHERE rn > $m""".stripMargin
   }
 
+  /** FORECAST BACKTEST (`events_forecast_eval`) — the model-selection
+    * eval over the smoothing ladder: one-step-ahead MAE and signed bias
+    * of [[hourlyHolt]] vs [[hourlyHoltWinters]] against the actual hourly
+    * volumes, per type, on the common evaluation window (hours after the
+    * Holt–Winters init season). The monitor family's forecasts stop being
+    * claims and get graded against the data they forecast.
+    *
+    * Alignment: Holt's row-t `forecast_milli` = l_t + b_t predicts t+1,
+    * so its hour-t prediction is the lag-1 value; Holt–Winters' row-t `f`
+    * is already the prediction FOR t made at t−1. Errors
+    * err_t = 1000·v_t − f_t are exact BIGINTs; MAE/bias floor a DOUBLE
+    * quotient (bias goes negative — the [[hourlySeasonal]] floorDiv
+    * rationale). Same calendar-bounded shape as every monitor here. */
+  def hourlyForecastEval(events: DataFrame): DataFrame = {
+    val byTy = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val h = hourlyHolt(events)
+      .withColumn("f", lag(col("forecast_milli"), 1).over(byTy))
+      .withColumn("rn", row_number().over(byTy))
+      .filter(col("rn") > HwPeriod)
+      .select(lit("holt").as("model"), col("event_type"),
+        (lit(1000L) * col("n") - col("f")).as("err"))
+    val w = hourlyHoltWinters(events)
+      .withColumn("rn", row_number().over(byTy))
+      .filter(col("rn") > HwPeriod)
+      .select(lit("holt_winters").as("model"), col("event_type"),
+        (lit(1000L) * col("n") - col("forecast_milli")).as("err"))
+    h.unionAll(w).groupBy(col("event_type"), col("model"))
+      .agg(count(lit(1)).as("n_hours"),
+        floor(sum(abs(col("err"))).cast("double") / count(lit(1)))
+          .cast("long").as("mae_milli"),
+        floor(sum(col("err")).cast("double") / count(lit(1)))
+          .cast("long").as("bias_milli"))
+  }
+
+  /** DuckDB dual of [[hourlyForecastEval]]: both recursions as
+    * parenthesized subqueries (each carries its own WITH RECURSIVE),
+    * identical lag/window alignment, identical floored quotients. */
+  def hourlyForecastEvalSql(table: String): String =
+    s"""WITH h AS (SELECT * FROM (${hourlyHoltSql(table)})),
+       |w AS (SELECT * FROM (${hourlyHoltWintersSql(table)})),
+       |hh AS (SELECT event_type, n,
+       |         lag(forecast_milli) OVER (PARTITION BY event_type
+       |           ORDER BY hr) AS f,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY hr)
+       |           AS rn
+       |       FROM h),
+       |ww AS (SELECT event_type, n, forecast_milli AS f,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY hr)
+       |           AS rn
+       |       FROM w),
+       |u AS (SELECT 'holt' AS model, event_type,
+       |        CAST(1000 * n - f AS BIGINT) AS err
+       |      FROM hh WHERE rn > $HwPeriod
+       |      UNION ALL
+       |      SELECT 'holt_winters', event_type,
+       |        CAST(1000 * n - f AS BIGINT)
+       |      FROM ww WHERE rn > $HwPeriod)
+       |SELECT event_type, model, count(*)::BIGINT AS n_hours,
+       |  CAST(floor(sum(abs(err))::DOUBLE / count(*)) AS BIGINT)
+       |    AS mae_milli,
+       |  CAST(floor(sum(err)::DOUBLE / count(*)) AS BIGINT) AS bias_milli
+       |FROM u GROUP BY 1, 2""".stripMargin
+
   /** AUTOCORRELATION FUNCTION of the hourly volume series per type
     * (`events_acf`) — the seasonality/persistence diagnostic of the
     * monitor ladder: r_k for lags 1..[[AcfMaxLag]], the statistic a

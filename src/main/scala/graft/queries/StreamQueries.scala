@@ -1268,6 +1268,10 @@ object StreamQueries {
     // seasonal one-step-ahead forecast Holt's cannot give
     "events_holt_winters" -> ((s, dir) =>
       graft.operators.Resample.hourlyHoltWinters(Tables.events(s, dir))),
+    // forecast backtest: one-step-ahead MAE/bias of Holt vs Holt-Winters
+    // against the actual volumes on the common eval window
+    "events_forecast_eval" -> ((s, dir) =>
+      graft.operators.Resample.hourlyForecastEval(Tables.events(s, dir))),
     // Kleinberg 2-state burst segmentation, exact-integer Viterbi decode
     "events_burst" -> ((s, dir) =>
       graft.operators.Resample.hourlyBurst(Tables.events(s, dir))),
@@ -1347,6 +1351,8 @@ object StreamQueries {
     "events_seasonal" -> graft.operators.Resample.hourlySeasonalSql("events"),
     "events_holt_winters" ->
       graft.operators.Resample.hourlyHoltWintersSql("events"),
+    "events_forecast_eval" ->
+      graft.operators.Resample.hourlyForecastEvalSql("events"),
     "events_burst" -> graft.operators.Resample.hourlyBurstSql("events"),
     "events_holt_stream" -> graft.operators.Resample.hourlyHoltSql("events"),
     "events_sessions" -> sessionsOracle,

@@ -1247,6 +1247,26 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert((0L until hs.max).forall(hs.contains), s"gap in hops: $hs")
   }
 
+  test("events_forecast_eval: both models eval on the identical window, " +
+       "MAE dominates |bias|, and the grid is types x models") {
+    val rows = run("events_forecast_eval").collect()
+    assert(rows.nonEmpty)
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    val models = rows.map(_.getAs[String]("model")).distinct.sorted
+    assert(models.toSeq == Seq("holt", "holt_winters"))
+    assert(rows.length == types.length * 2, "grid incomplete")
+    // common eval window: the same 720-24 hours for every cell
+    val ns = rows.map(_.getAs[Long]("n_hours")).distinct
+    assert(ns.length == 1 && ns.head > 0L, ns.toSeq.toString)
+    rows.foreach { r =>
+      val (mae, bias) = (r.getAs[Long]("mae_milli"), r.getAs[Long]("bias_milli"))
+      assert(mae >= 0L, r.toString)
+      // triangle inequality: |mean err| <= mean |err| (up to the two
+      // independent floors)
+      assert(math.abs(bias) <= mae + 1L, r.toString)
+    }
+  }
+
   test("docs_novelty: the first doc is all-novel, novel counts sum to the " +
        "corpus distinct-shingle total, and bounds hold per doc") {
     val rows = run("docs_novelty").collect()
