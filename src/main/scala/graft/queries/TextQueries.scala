@@ -1379,6 +1379,47 @@ object TextQueries {
        |  ${VecOps.qroundSql("sum(lm)::DOUBLE / (count(*) * 1e6)", 4)} AS mean_logp
        |FROM lp GROUP BY doc_id""".stripMargin
 
+  /** CCNET HEAD/MIDDLE/TAIL SPLIT (`quality_kn_buckets`) — the release
+    * shape of the CCNet pipeline (Wenzek et al. 2020): per language,
+    * rank documents by LM score and cut into three equal buckets — head
+    * (most fluent, pretraining-grade), middle, tail (usually dropped).
+    * Composes the graded [[trigramKnLogProb]] as the scoring model (the
+    * KN family is what CCNet's KenLM actually is) with the per-language
+    * tertile cut; emits per-(lang, bucket) counts and score means.
+    *
+    * Determinism: the ntile orders by (score, doc_id) — total order; the
+    * bucket mean averages qround(4)-quantized doubles (reassociation
+    * ≈1e-13, ten orders under the output grid). The per-lang rank is the
+    * documented exact-rank anchor (GK cuts at 100 TB — the
+    * `quality_logreg_apply_gk` swap). */
+  private def knBuckets(d: DataFrame): DataFrame = {
+    val kn = trigramKnLogProb(d).select(col("doc_id"), col("mean_logp"))
+    val j = d.select(col("doc_id"), col("lang")).join(kn, "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(desc("mean_logp"), col("doc_id"))
+    j.withColumn("b", ntile(3).over(w))
+      .groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("n_docs"),
+        VecOps.qround(avg(col("mean_logp")), 4).as("avg_logp"))
+      .select(col("lang"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_docs"), col("avg_logp"))
+  }
+
+  private val knBucketsOracle =
+    s"""WITH kn AS (SELECT doc_id, mean_logp FROM ($trigramKnOracle)),
+       |j AS (SELECT d.lang, kn.mean_logp,
+       |        ntile(3) OVER (PARTITION BY d.lang
+       |          ORDER BY kn.mean_logp DESC, d.doc_id) AS b
+       |      FROM documents d JOIN kn ON kn.doc_id = d.doc_id)
+       |SELECT lang,
+       |  CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  count(*)::BIGINT AS n_docs,
+       |  ${VecOps.qroundSql("avg(mean_logp)", 4)} AS avg_logp
+       |FROM j GROUP BY lang, b""".stripMargin
+
   /** FEATURE HASHING (the "hashing trick", Weinberger et al. 2009) — the
     * vectorizer that needs NO vocabulary state at any corpus size: each
     * token maps to dimension hash(token) mod D with a hash-derived ±1 sign
@@ -2734,6 +2775,8 @@ object TextQueries {
     // trigram interpolated Kneser-Ney (the KenLM smoothing family) —
     // continuation-count lower orders, exact-integer counts throughout
     "quality_trigram_kn" -> ((s, dir) => trigramKnLogProb(docs(s, dir))),
+    // CCNet head/middle/tail release split on the KN score, per language
+    "quality_kn_buckets" -> ((s, dir) => knBuckets(docs(s, dir))),
     // hashing-trick featurizer: fixed-D signed counts, zero vocabulary state
     "text_hashvec" -> ((s, dir) => hashVec(docs(s, dir))),
     // trained quality classifier: 3 batch-GD logistic steps over the
@@ -2914,6 +2957,7 @@ object TextQueries {
     "quality_logprob" -> unigramLogProbOracle,
     "quality_bigram" -> bigramLogProbOracle,
     "quality_trigram_kn" -> trigramKnOracle,
+    "quality_kn_buckets" -> knBucketsOracle,
     "text_hashvec" -> hashVecOracle,
     "quality_logreg" -> logregOracle,
     "quality_logreg_apply" -> logregApplyOracle,

@@ -1247,6 +1247,29 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert((0L until hs.max).forall(hs.contains), s"gap in hops: $hs")
   }
 
+  test("quality_kn_buckets: three near-equal buckets per lang with " +
+       "monotone head >= middle >= tail score means") {
+    val rows = run("quality_kn_buckets").collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val nScored = run("quality_trigram_kn").count()
+    var total = 0L
+    for ((lang, rs) <- byLang) {
+      val m = rs.map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("avg_logp"))).toMap
+      assert(m.keySet == Set("head", "middle", "tail"), s"$lang: ${m.keySet}")
+      val sizes = Seq("head", "middle", "tail").map(m(_)._1)
+      total += sizes.sum
+      // ntile(3): bucket sizes differ by at most 1, non-increasing
+      assert(sizes.max - sizes.min <= 1L, s"$lang sizes $sizes")
+      assert(sizes.head >= sizes(1) && sizes(1) >= sizes(2))
+      // ranked split: head is the most corpus-typical band
+      assert(m("head")._2 >= m("middle")._2, s"$lang head<middle")
+      assert(m("middle")._2 >= m("tail")._2, s"$lang middle<tail")
+    }
+    assert(total == nScored, s"buckets cover $total of $nScored scored docs")
+  }
+
   test("events_forecast_eval: both models eval on the identical window, " +
        "MAE dominates |bias|, and the grid is types x models") {
     val rows = run("events_forecast_eval").collect()
