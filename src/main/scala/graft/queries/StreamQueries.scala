@@ -1260,6 +1260,10 @@ object StreamQueries {
     // sum minus floored prefix min): stacked windows, no recursion
     "events_cusum" -> ((s, dir) =>
       graft.operators.Resample.hourlyCusum(Tables.events(s, dir))),
+    // the SAME detector resumed across micro-batches from three carried
+    // scalars per type (cum, rmin, mu) — the closed form needs no fold
+    "events_cusum_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.cusumStream(s, dir)),
     // classical additive decomposition: centered-MA trend, hour-of-day
     // seasonal index, residual — the STL-style first pass, all windows
     "events_seasonal" -> ((s, dir) =>
@@ -1348,6 +1352,7 @@ object StreamQueries {
     "events_ewma_stream" -> graft.operators.Resample.hourlyEwmaSql("events"),
     "events_holt" -> graft.operators.Resample.hourlyHoltSql("events"),
     "events_cusum" -> graft.operators.Resample.hourlyCusumSql("events"),
+    "events_cusum_stream" -> graft.operators.Resample.hourlyCusumSql("events"),
     "events_seasonal" -> graft.operators.Resample.hourlySeasonalSql("events"),
     "events_holt_winters" ->
       graft.operators.Resample.hourlyHoltWintersSql("events"),

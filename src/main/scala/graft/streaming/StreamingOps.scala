@@ -1207,6 +1207,109 @@ object StreamingOps {
     newState.write.mode("overwrite").parquet(statePath)
   }
 
+  /** STREAMED CUSUM (`events_cusum_stream`): [[holtStream]]'s sibling for
+    * the sequential level-shift detector — but where EWMA/Holt must carry
+    * their recursions as seeded array folds, CUSUM's reset-at-zero fold
+    * has the closed form s_t = cum_t − min(0, min_{j≤t} cum_j), so the
+    * resumable state is just THREE scalars per type: the last prefix sum
+    * `cum`, the running prefix minimum `rmin`, and the frozen baseline
+    * `mu_milli` (plus the last hour and the replay guard). Each batch
+    * extends the dense grid, window-sums its own prefix on top of the
+    * carried cum, and takes least(carried rmin, batch running min) — the
+    * appended outputs union EXACTLY to the one-shot
+    * [[graft.operators.Resample.hourlyCusum]], graded by the same oracle.
+    * The baseline freezes from the first [[graft.operators.Resample
+    * .CusumBaseHours]] calendar hours, which the day-aligned first slice
+    * always covers (same first-batch-seeds-the-series contract as the
+    * EWMA/Holt twins). Exactly-once: identical batch-id guard +
+    * overwrite-per-batch output partitions. */
+  def cusumStream(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.Scratch.dir("graft_cusum_out")
+    val statePath = graft.sources.Scratch.dir("graft_cusum_state") + "/state"
+    runSlicedEventStream(spark, dir, "cusum") { (batch, batchId) =>
+      cusumFoldBatch(batch, batchId, statePath, out)
+    }
+    spark.read.parquet(out)
+      .select(col("event_type"), col("hr"), col("n"), col("mu_milli"),
+        col("cusum_milli"), col("alarm"))
+  }
+
+  private[graft] def cusumFoldBatch(batch: DataFrame, batchId: Long,
+      statePath: String, out: String,
+      kMilli: Long = 2500L, hMilli: Long = 25000L): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val outDir = s"$out/batch=$batchId"
+    val applied = if (Files.exists(java.nio.file.Paths.get(statePath)))
+      s.read.parquet(statePath).select(max(col("batch_id"))).head.getLong(0)
+    else -1L
+    if (batchId <= applied) return
+    val bins = batch
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("v"))
+    val lim = batch.agg(date_trunc("HOUR", min(col("ts"))).as("b0"),
+      date_trunc("HOUR", max(col("ts"))).as("b1")).head
+    val (b0, b1) = (lim.getTimestamp(0), lim.getTimestamp(1))
+    val hasState = Files.exists(java.nio.file.Paths.get(statePath))
+    val st = if (hasState) s.read.parquet(statePath)
+      else s.range(0).select(lit(null).cast("string").as("event_type"),
+        lit(null).cast("timestamp").as("last_hr"),
+        lit(null).cast("long").as("cum"), lit(null).cast("long").as("rmin"),
+        lit(null).cast("long").as("mu_milli"),
+        lit(null).cast("timestamp").as("h0"))
+    val h0 = if (hasState) st.select(col("h0")).head.getTimestamp(0) else b0
+    val types = bins.select(col("event_type"))
+      .union(st.select(col("event_type"))).distinct()
+      .where(col("event_type").isNotNull)
+    val ser = types
+      .join(st.select(col("event_type"), col("last_hr").as("seed_hr"),
+        col("cum").as("seed_cum"), col("rmin").as("seed_rmin"),
+        col("mu_milli").as("seed_mu")), Seq("event_type"), "left")
+      .withColumn("start",
+        coalesce(col("seed_hr") + expr("INTERVAL 1 HOUR"), lit(h0)))
+      .select(col("event_type"), col("seed_hr"), col("seed_cum"),
+        col("seed_rmin"), col("seed_mu"),
+        explode_outer(sequence(col("start"), lit(b1),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+      .join(bins, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("seed_hr"), col("seed_cum"),
+        col("seed_rmin"), col("seed_mu"), col("hr"),
+        coalesce(col("v"), lit(0L)).as("v"))
+      .where(col("hr").isNotNull)
+    val byTy = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val run = byTy.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy(col("event_type"))
+    val base = graft.operators.Resample.CusumBaseHours
+    // first batch of a type: freeze mu from its first `base` grid hours
+    // (the day-aligned first slice spans them — asserted by the spec)
+    val muNew = floor((sum(when(row_number().over(byTy) <= base, col("v")))
+      .over(full) * lit(1000L)).cast("double") / lit(base.toDouble))
+      .cast("long")
+    val g = ser
+      .withColumn("mu_milli", coalesce(col("seed_mu"), muNew))
+      .withColumn("dev", col("v") * 1000L - col("mu_milli") - lit(kMilli))
+      .withColumn("cum",
+        coalesce(col("seed_cum"), lit(0L)) + sum(col("dev")).over(run))
+      .withColumn("rminb", min(col("cum")).over(run))
+      .withColumn("rmin", least(coalesce(col("seed_rmin"), col("rminb")),
+        col("rminb")))
+      .withColumn("cusum_milli", col("cum") - least(col("rmin"), lit(0L)))
+    val outRows = g.select(col("event_type"),
+      date_format(col("hr"), "yyyy-MM-dd HH").as("hr"),
+      col("v").as("n"), col("mu_milli"), col("cusum_milli"),
+      when(col("cusum_milli") > hMilli, 1L).otherwise(0L).as("alarm"))
+    val newState = g.groupBy(col("event_type"))
+      .agg(max(struct(col("hr"), col("cum"), col("rmin"), col("mu_milli")))
+        .as("m"))
+      .select(col("event_type"), col("m.hr").as("last_hr"),
+        col("m.cum").as("cum"), col("m.rmin").as("rmin"),
+        col("m.mu_milli").as("mu_milli"), lit(h0).as("h0"),
+        lit(batchId).as("batch_id"))
+      .localCheckpoint(eager = true)
+    outRows.write.mode("overwrite").parquet(outDir)
+    newState.write.mode("overwrite").parquet(statePath)
+  }
+
   /** [[ewmaFoldBatch]]'s coupled-state sibling for [[holtStream]]: the
     * persisted row carries (last_hr, l, b), the seeded accumulator is
     * Resample.holtFoldSeededExpr, same batch-id replay guard. */

@@ -430,6 +430,33 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got.size == 12) // 2 types x 6 calendar hours, gap hours included
   }
 
+  test("cusumFoldBatch: three-scalar state resumes the closed form " +
+       "bit-exactly across a gap; replays are no-ops") {
+    import spark.implicits._
+    val statePath = graft.sources.Scratch.dir("graft_cusum_spec_state") + "/state"
+    val out = graft.sources.Scratch.dir("graft_cusum_spec_out")
+    def ev(hour: Int, n: Int, t: String) = (0 until n).map(i =>
+      (t, new Timestamp((1700000000L + hour * 3600L + i) * 1000L)))
+    // batch 0 spans the full 24h baseline window (the first-batch-seeds
+    // contract); batch 1 resumes after a multi-hour gap with a level shift
+    val b0 = (ev(0, 3, "a") ++ ev(1, 1, "a") ++ ev(25, 2, "a") ++
+      ev(2, 2, "b")).toDF("event_type", "ts")
+    val b1 = (ev(30, 6, "a") ++ ev(31, 1, "b")).toDF("event_type", "ts")
+    StreamingOps.cusumFoldBatch(b0, 0L, statePath, out)
+    StreamingOps.cusumFoldBatch(b0, 0L, statePath, out) // replayed: skip
+    StreamingOps.cusumFoldBatch(b1, 1L, statePath, out)
+    StreamingOps.cusumFoldBatch(b1, 1L, statePath, out) // replayed: skip
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val got = spark.read.parquet(out)
+      .select(col("event_type"), col("hr"), col("n"), col("mu_milli"),
+        col("cusum_milli"), col("alarm")).collect().map(key).toSet
+    val exp = graft.operators.Resample.hourlyCusum(b0.union(b1))
+      .collect().map(key).toSet
+    assert(got == exp, "streamed CUSUM union diverges from one-shot")
+    assert(got.size == 64) // 2 types x 32 calendar hours, gaps included
+  }
+
   test("holtFoldBatch: coupled state resumes bit-exactly; replays are no-ops") {
     import spark.implicits._
     val statePath = graft.sources.Scratch.dir("graft_holt_spec_state") + "/state"
