@@ -190,7 +190,14 @@ object ScaleSmoke {
       // TextRank: the bigram scan is the only corpus-sized pass; the
       // 4-round iteration runs on the VOCAB-sized graph, so R× corpus
       // must cost ~R× scan + O(1) iteration
-      "textrank" -> (d => graft.queries.TextQueries.textRank(d).count()))
+      "textrank" -> (d => graft.queries.TextQueries.textRank(d).count()),
+      // per-doc novelty: one (shingle-hash) exchange + first-occurrence
+      // window — under R× near-dup replication the hash groups get hot
+      // (every replica shares its source's shingles) but rows stay one
+      // per (doc, shingle): corpus-linear like the dedup census
+      "novelty" -> (d => graft.queries.TextQueries.docNovelty(d)
+        .agg(coalesce(sum(col("n_novel")), lit(0L)).as("s"))
+        .head().getLong(0)))
     val stages = stagesAll.filter { case (n, _) => keep(n) }
 
     def run(corpus: DataFrame): Map[String, (Double, Long)] = {

@@ -2667,7 +2667,7 @@ object TextQueries {
     * hash for the first-occurrence window + one map-combined per-doc
     * aggregate; all counts exact, the per-mille an integer floor. At
     * 100 TB this is the same single-shuffle shape as the dedup census. */
-  private def docNovelty(d: DataFrame): DataFrame = {
+  private[graft] def docNovelty(d: DataFrame): DataFrame = {
     val g = d.select(col("doc_id"),
         explode(graft.operators.Dedup.shingles(
           TextOps.tokens(col("text")))).as("sh"))
