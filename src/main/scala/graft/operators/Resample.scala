@@ -664,6 +664,83 @@ object Resample {
        |FROM rec WHERE rn > $m""".stripMargin
   }
 
+  /** ROBUST MEDIAN/MAD OUTLIERS over the hourly series
+    * (`events_anomaly_mad`) — the robust twin of `events_anomaly`'s 3σ
+    * rule: flag hours whose deviation from the per-type MEDIAN exceeds
+    * [[MadK]]× the MEDIAN ABSOLUTE DEVIATION. σ-based detection is
+    * corrupted by the very outliers it hunts (one spike inflates σ and
+    * hides the next spike); the median/MAD pair has a 50% breakdown
+    * point — the estimator a monitoring pipeline actually wants on
+    * heavy-tailed volume series.
+    *
+    * EXACT INTEGERS: both medians are LOWER medians — the rank
+    * ⌈n/2⌉ = (n+1) div 2 order statistic under a total order
+    * ((value, hr) — deterministic through ties), extracted by one
+    * conditional max over the partition; the score is a floored positive
+    * micro-division with MAD clamped to ≥ 1 (a zero MAD means >50% of
+    * hours are identical — any deviation is then infinitely surprising;
+    * the clamp grades it as deviation milli-units directly).
+    *
+    * Shape: two stacked (rank + extract) window passes per type over the
+    * calendar-bounded grid + one map-only flag — same per-series
+    * parallelism as every monitor here. At 100 TB the exact medians
+    * become the GK two-pass (the documented quantile-family swap). */
+  val MadK = 3
+  def hourlyMadAnomaly(events: DataFrame): DataFrame = {
+    val full = Window.partitionBy(col("event_type"))
+    val byV = full.orderBy(col("v"), col("hr"))
+    val g = hourlyGrid(events)
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1L) div 2"), col("v"))).over(full))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val byD = full.orderBy(col("dev"), col("hr"))
+    g.withColumn("rd", row_number().over(byD))
+      .withColumn("mad",
+        max(when(col("rd") === expr("(n + 1L) div 2"), col("dev"))).over(full))
+      .withColumn("score_milli",
+        expr("1000L * dev div greatest(mad, 1L)"))
+      .filter(col("score_milli") > MadK * 1000L)
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH").as("hr"),
+        col("v").as("n"), col("med"), col("mad"), col("score_milli"))
+  }
+
+  /** DuckDB dual of [[hourlyMadAnomaly]] — same grid, same lower-median
+    * ranks, same clamp and flag. */
+  def hourlyMadAnomalySql(table: String): String =
+    s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+       |             count(*)::BIGINT AS v
+       |           FROM $table GROUP BY 1, 2),
+       |lim AS (SELECT date_trunc('hour', min(ts)) AS h0,
+       |               date_trunc('hour', max(ts)) AS h1 FROM $table),
+       |cal AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+       |        FROM lim),
+       |ty AS (SELECT DISTINCT event_type FROM $table),
+       |j AS (SELECT ty.event_type, cal.hr, coalesce(b.v, 0)::BIGINT AS v
+       |      FROM ty CROSS JOIN cal
+       |      LEFT JOIN b ON b.event_type = ty.event_type AND b.hr = cal.hr),
+       |r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |          ORDER BY v, hr) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |       FROM j),
+       |m1 AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+       |          OVER (PARTITION BY event_type) AS med
+       |       FROM r1),
+       |d AS (SELECT *, abs(v - med) AS dev FROM m1),
+       |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |          ORDER BY dev, hr) AS rd
+       |       FROM d),
+       |m2 AS (SELECT *, max(CASE WHEN rd = (n + 1) // 2 THEN dev END)
+       |          OVER (PARTITION BY event_type) AS mad
+       |       FROM r2)
+       |SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hr, v AS n,
+       |  CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+       |  CAST(1000 * dev // greatest(mad, 1) AS BIGINT) AS score_milli
+       |FROM m2
+       |WHERE 1000 * dev // greatest(mad, 1) > ${MadK * 1000}""".stripMargin
+
   /** FORECAST BACKTEST (`events_forecast_eval`) — the model-selection
     * eval over the smoothing ladder: one-step-ahead MAE and signed bias
     * of [[hourlyHolt]] vs [[hourlyHoltWinters]] against the actual hourly

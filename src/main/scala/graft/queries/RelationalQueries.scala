@@ -1070,7 +1070,51 @@ object RelationalQueries {
        |  CAST(1000000 * max(rev) // tot AS BIGINT) AS top_share_micro
        |FROM t GROUP BY region, tot""".stripMargin
 
+  /** COHORT RETENTION MATRIX (`orders_cohort`) — the classic
+    * triangle: customers grouped by FIRST-order month, activity counted
+    * at each month offset since — the longitudinal view
+    * `events_retention` gives for event users, here on the orders fact
+    * (the view a subscription/commerce analyst reads first). One row per
+    * (cohort month, month offset) with the distinct active customers.
+    *
+    * Exactness: months truncate calendars, offsets are exact integer
+    * month arithmetic, counts are distinct customers — no floats at all.
+    * Shape: one map-combined (customer, month) distinct, one |customers|
+    * aggregate for the cohort, one broadcast-scale join back, one final
+    * aggregate — the fact table is scanned once. */
+  private def ordersCohort(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), date_trunc("MONTH", col("o_orderdate")).as("m"))
+      .distinct()
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort"))
+    o.join(first, "o_custkey")
+      .select(col("cohort"),
+        ((year(col("m")) - year(col("cohort"))) * 12 +
+          (month(col("m")) - month(col("cohort")))).cast("long")
+          .as("month_offset"))
+      .groupBy(col("cohort"), col("month_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(date_format(col("cohort"), "yyyy-MM").as("cohort"),
+        col("month_offset"), col("n_active"))
+  }
+
+  private val ordersCohortOracle =
+    s"""WITH o AS (SELECT DISTINCT o_custkey,
+       |             date_trunc('month', o_orderdate) AS m FROM orders),
+       |f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+       |a AS (SELECT f.cohort,
+       |        (date_part('year', o.m) - date_part('year', f.cohort)) * 12
+       |          + (date_part('month', o.m) - date_part('month', f.cohort))
+       |          AS month_offset
+       |      FROM o JOIN f ON o.o_custkey = f.o_custkey)
+       |SELECT strftime(cohort, '%Y-%m') AS cohort,
+       |  CAST(month_offset AS BIGINT) AS month_offset,
+       |  count(*)::BIGINT AS n_active
+       |FROM a GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // cohort retention triangle: first-order month x month offset
+    "orders_cohort" -> (ordersCohort _),
     // Herfindahl market-concentration index per region, exact micro-cents
     "supplier_hhi" -> (supplierHhi _),
     // RFM quintile segmentation over exact cents/epochs
@@ -1163,6 +1207,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "orders_cohort" -> ordersCohortOracle,
     "supplier_hhi" -> supplierHhiOracle,
     "customer_rfm" -> customerRfmOracle,
     "parts_assoc" -> graft.operators.Assoc.pairRulesSql("lineitem"),

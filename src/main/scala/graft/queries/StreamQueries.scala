@@ -1206,6 +1206,10 @@ object StreamQueries {
     // bloom runtime-filter semi-join reduction (no false negatives graded)
     "events_bloom_join" -> ((s, dir) => eventsBloomJoin(Tables.events(s, dir))),
     "events_anomaly" -> ((s, dir) => eventsAnomaly(Tables.events(s, dir))),
+    // robust median/MAD outliers over the hourly grid (50% breakdown
+    // point — the estimator sigma-rules lack on heavy-tailed series)
+    "events_anomaly_mad" -> ((s, dir) =>
+      graft.operators.Resample.hourlyMadAnomaly(Tables.events(s, dir))),
     "events_trailing" -> ((s, dir) => userTrailing(Tables.events(s, dir))),
     "events_corr" -> ((s, dir) => typeCorr(Tables.events(s, dir))),
     // the SAME aggregation actually run as a stream: file source →
@@ -1337,6 +1341,8 @@ object StreamQueries {
     "events_ohlc" -> eventsOhlcOracle,
     "events_bloom_join" -> eventsBloomJoinOracle,
     "events_anomaly" -> eventsAnomalyOracle,
+    "events_anomaly_mad" ->
+      graft.operators.Resample.hourlyMadAnomalySql("events"),
     "events_trailing" -> userTrailingOracle,
     "events_corr" -> typeCorrOracle,
     "events_window_stream" -> StreamingOps.windowedAggSql("events"),

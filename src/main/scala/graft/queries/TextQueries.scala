@@ -2668,10 +2668,12 @@ object TextQueries {
     * aggregate; all counts exact, the per-mille an integer floor. At
     * 100 TB this is the same single-shuffle shape as the dedup census. */
   private[graft] def docNovelty(d: DataFrame): DataFrame = {
+    // native shingle-hash kernel: == hash60(shingle) bit-exactly with no
+    // shingle-string materialization (the vocab_heaps 5x swap) — the
+    // oracle keeps the explicit hash60-of-string form
     val g = d.select(col("doc_id"),
-        explode(graft.operators.Dedup.shingles(
-          TextOps.tokens(col("text")))).as("sh"))
-      .select(col("doc_id"), VecOps.hash60(col("sh")).as("h"))
+        explode(graft.functions.NativeExprs.ngramHashes(
+          TextOps.tokens(col("text")), 3)).as("h"))
       .distinct()
     g.withColumn("first_doc",
         min(col("doc_id")).over(Window.partitionBy(col("h"))))

@@ -1247,6 +1247,61 @@ class QueryInvariantsSpec extends AnyFunSuite {
     assert((0L until hs.max).forall(hs.contains), s"gap in hops: $hs")
   }
 
+  test("events_anomaly_mad: every flagged hour really exceeds K MADs of " +
+       "its type's scratch-recomputed median, at the graded SF") {
+    val d01 = "/root/testdata/sf0.01" // sf0.001's quiet series flags nothing
+    val rows = SparkEntry.queries("events_anomaly_mad")(spark, d01).collect()
+    assert(rows.nonEmpty)
+    // medians/MADs recomputed from scratch off the raw events
+    val ev = graft.sources.Tables.events(spark, d01)
+      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val hours = ev.map(_._2)
+    val (h0, h1) = (hours.min, hours.max)
+    val grid = (h0 to h1 by 3600000L)
+    val byType = ev.groupBy(_._1)
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size - 1) / 2)
+    val flagged = rows.groupBy(_.getAs[String]("event_type"))
+    for ((ty, evs) <- byType) {
+      val counts = evs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val series = grid.map(h => counts.getOrElse(h, 0L))
+      val med = lowerMedian(series)
+      val mad = lowerMedian(series.map(v => math.abs(v - med)))
+      val expect = series.count(v =>
+        1000L * math.abs(v - med) / math.max(mad, 1L) > 3000L)
+      val got = flagged.getOrElse(ty, Array.empty)
+      assert(got.length == expect, s"$ty: ${got.length} flags, want $expect")
+      got.foreach { r =>
+        assert(r.getAs[Long]("med") == med, s"$ty med")
+        assert(r.getAs[Long]("mad") == mad, s"$ty mad")
+        assert(r.getAs[Long]("score_milli") > 3000L)
+      }
+    }
+  }
+
+  test("orders_cohort: offsets are non-negative, offset 0 carries every " +
+       "cohort member, and actives never exceed the cohort size") {
+    val rows = run("orders_cohort").collect()
+    assert(rows.nonEmpty)
+    val nCust = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_custkey")).distinct().count()
+    val byCohort = rows.groupBy(_.getAs[String]("cohort"))
+    // every customer appears in exactly one cohort's offset-0 cell (the
+    // first-order month is by definition an active month)
+    val m0 = byCohort.values.map(_.find(_.getAs[Long]("month_offset") == 0L))
+    assert(m0.forall(_.isDefined), "a cohort lacks its offset-0 cell")
+    assert(m0.flatten.map(_.getAs[Long]("n_active")).sum == nCust)
+    for ((c, rs) <- byCohort) {
+      val size = rs.find(_.getAs[Long]("month_offset") == 0L)
+        .get.getAs[Long]("n_active")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("month_offset") >= 0L, s"$c negative offset")
+        assert(r.getAs[Long]("n_active") >= 1L &&
+          r.getAs[Long]("n_active") <= size, s"$c: $r")
+      }
+    }
+  }
+
   test("quality_kn_buckets: three near-equal buckets per lang with " +
        "monotone head >= middle >= tail score means") {
     val rows = run("quality_kn_buckets").collect()
