@@ -1561,6 +1561,36 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("parts_linkpred plan: the top-k cut is a TakeOrderedAndProject " +
+       "and no cartesian product appears anywhere") {
+    // orderBy+limit must plan as distributed TakeOrdered — a global Sort
+    // before the limit would shuffle every candidate to one partition;
+    // and the wedge enumeration must stay an equi-join on the center
+    val df = run("parts_linkpred")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k did not plan as TakeOrdered:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge join degenerated to a cartesian:\n$plan")
+  }
+
+  test("keywords_textrank plan: the iteration never re-reads the corpus " +
+       "— the checkpointed vocab graph is the only scan") {
+    val df = run("keywords_textrank")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // 4 rounds over the checkpointed adjacency: the executed plan reads
+    // the in-memory checkpoint (Scan ExistingRDD), never parquet — the
+    // corpus-sized bigram pass happened exactly once, at checkpoint time
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"iteration plan re-scans the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k did not plan as TakeOrdered:\n$plan")
+  }
+
   test("events_ks: KS gap bounds, floor-division identity, and parity " +
        "cohorts stay far from the degenerate endpoints") {
     val rows = run("events_ks").collect()
