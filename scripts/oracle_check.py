@@ -61,6 +61,20 @@ def main():
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
+        # Un-cast HUGEINT (decimal128 in arrow) oracle columns hash
+        # differently depending on the driver's DuckDB/pyarrow version —
+        # the r12 failure class. Flag them as failures even when the
+        # fetchall() value compare below would pass.
+        try:
+            sch = con.execute(f"SELECT * FROM ({sql}) q LIMIT 0").arrow().schema
+            dec = [f.name for f in sch if "decimal" in str(f.type)]
+            if dec:
+                print(f"FAIL {name}: HUGEINT/decimal oracle columns {dec} "
+                      f"(cast to BIGINT in the SQL)")
+                n_fail += 1
+                continue
+        except Exception:
+            pass
         gc, gr = canon(grows, gcols)
         ec, er = canon(erows, ecols)
         if gc != ec:

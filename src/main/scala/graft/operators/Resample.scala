@@ -155,7 +155,11 @@ object Resample {
       when(col("cusum_milli") > hMilli, 1L).otherwise(0L).as("alarm"))
   }
 
-  /** DuckDB dual of [[hourlyCusum]] — same calendar, same closed form. */
+  /** DuckDB dual of [[hourlyCusum]] — same calendar, same closed form.
+    * `cusum_milli` must be CAST to BIGINT: DuckDB window `sum(BIGINT)`
+    * promotes to HUGEINT, whose arrow/numpy mapping is engine-version-
+    * dependent (decimal128 vs int64 vs float64) — the r12 driver
+    * hash-mismatch on exactly the three un-cast-HUGEINT oracles. */
   def hourlyCusumSql(table: String, kMilli: Long = 2500L,
                      hMilli: Long = 25000L): String =
     s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr,
@@ -183,7 +187,7 @@ object Resample {
        |s AS (SELECT *, min(cum) OVER (PARTITION BY event_type ORDER BY hr
        |                 ROWS UNBOUNDED PRECEDING) AS rmin FROM w)
        |SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hr, v AS n,
-       |       mu_milli, cum - least(rmin, 0) AS cusum_milli,
+       |       mu_milli, CAST(cum - least(rmin, 0) AS BIGINT) AS cusum_milli,
        |       CASE WHEN cum - least(rmin, 0) > $hMilli
        |            THEN 1 ELSE 0 END::BIGINT AS alarm
        |FROM s""".stripMargin

@@ -756,7 +756,7 @@ object CurationQueries {
     val cases = Pois1Cdf60.zipWithIndex
       .map { case (t, k) => s"WHEN h < $t THEN $k" }.mkString(" ")
     s"""WITH est AS (SELECT lang,
-       |    1000000 * sum(n_chars) // count(*) AS est_micro
+       |    CAST(1000000 * sum(n_chars) // count(*) AS BIGINT) AS est_micro
        |  FROM documents GROUP BY 1),
        |r AS (SELECT lang, doc_id, n_chars, b, $h AS h
        |      FROM documents, unnest(generate_series(0, ${BootB - 1})) AS u(b)),
