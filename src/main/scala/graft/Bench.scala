@@ -235,9 +235,16 @@ object Bench {
       * busy/io/jit/gc medians (a lone sentinel among real fractions must
       * not drag the median to a meaningless negative). */
     def sample(f: () => Unit): Q = {
+      // memo honesty (see Caching.sessionMemo): runs may REUSE artifacts
+      // earlier queries memoized, but each timed run must recompute this
+      // query's OWN memo contributions — restore to the pre-sample key set
+      // before every run so a hit on self-produced state can't masquerade
+      // as the query's wall.
+      val memoSnap = graft.operators.Caching.memoKeys()
       f() // warmup (codegen + JIT + file listing)
       spark.catalog.clearCache()
       val runs = (1 to Runs).map { _ =>
+        graft.operators.Caching.memoDropNewerThan(memoSnap)
         val s0 = procStat()
         val io0 = ioStallUs()
         val j0 = jitMs()
@@ -268,6 +275,7 @@ object Bench {
         val fn = SparkEntry.queries(name)
         results(name) =
           try {
+            val preQuery = graft.operators.Caching.memoKeys()
             val first = sample(() => force(fn(spark, sfDir)))
             // one-shot flagged re-measure (VERDICT r11 "Next" #2): a median
             // wall >2× the committed quiet record — and above a 0.75 s
@@ -279,6 +287,9 @@ object Bench {
               System.err.println(
                 s"[bench] $name wall ${r3(first.wall)}s > 2x committed " +
                   s"${r3(ref)}s — re-measuring once")
+              // the first sample left this query's memo entries behind —
+              // drop them so the re-measure is not a self-hit
+              graft.operators.Caching.memoDropNewerThan(preQuery)
               sample(() => force(fn(spark, sfDir)))
                 .copy(firstWall = first.wall)
             } else first
@@ -333,8 +344,13 @@ object Bench {
         if (stat1._2 > stat0._2)
           r3((stat1._1 - stat0._1).toDouble / (stat1._2 - stat0._2))
         else -1.0
+      // queries with no committed quiet-record wall have no re-measure
+      // guard (VERDICT r12 #6) — the count belongs in the artifact, and
+      // the closing quiet run of every round must re-commit a COMPLETE
+      // bench_latest.json so the next driver run reads n_unguarded: 0
+      val nUnguarded = results.keys.count(k => !committed.contains(k))
       val line =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"busy_frac":$bs,"io_busy":$is,"jit_ms":$js,"gc_frac":$gs,"remeasured":$rm,"code_cache":{"used_mb":${ccUsed / (1 << 20)},"max_mb":${ccMax / (1 << 20)}},"kernel_ratio":$kr,"runs":$Runs,"stat":"median","loadavg":"${loadAvg()}","machine_busy":$busy,"cores":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"busy_frac":$bs,"io_busy":$is,"jit_ms":$js,"gc_frac":$gs,"remeasured":$rm,"n_unguarded":$nUnguarded,"code_cache":{"used_mb":${ccUsed / (1 << 20)},"max_mb":${ccMax / (1 << 20)}},"kernel_ratio":$kr,"runs":$Runs,"stat":"median","loadavg":"${loadAvg()}","machine_busy":$busy,"cores":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
       println(line)
       Console.out.flush()
       System.err.println(line) // second channel in case stdout tail is clipped
@@ -362,7 +378,7 @@ object Bench {
         s""""$k":${r3(bl / math.max(br, 1e-9))}""" }.mkString("{", ",", "}")
       val nRemeasured = results.values.count(_.firstWall >= 0)
       val short =
-        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_truncated":true,"full":"bench_latest.json","n_remeasured":$nRemeasured,"code_cache_used_mb":${ccUsed / (1 << 20)},"kernel_ratio":$krShort,"runs":$Runs,"stat":"median","machine_busy":$busy,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_truncated":true,"full":"bench_latest.json","n_remeasured":$nRemeasured,"n_unguarded":$nUnguarded,"code_cache_used_mb":${ccUsed / (1 << 20)},"kernel_ratio":$krShort,"runs":$Runs,"stat":"median","machine_busy":$busy,"sf":"$sfDir"}"""
       println(short)
       Console.out.flush()
     }

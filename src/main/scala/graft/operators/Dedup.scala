@@ -326,8 +326,13 @@ object Dedup {
     * happen on signatures; only this last filter touches the corpus table
     * again, map-only. Output: per-lang kept/total counts. */
   def dedupCorpus(docs: DataFrame, minEst: Double = 0.5,
-                  cap: Int = BucketCap): DataFrame = {
-    val drop = dedupClusters(docs, minEst, cap)
+                  cap: Int = BucketCap): DataFrame =
+    dedupCorpusFrom(docs, dedupClusters(docs, minEst, cap))
+
+  /** [[dedupCorpus]] over a pre-built cluster table — the cross-query
+    * sharing entry (see [[chainAuditFrom]]). */
+  def dedupCorpusFrom(docs: DataFrame, cl: DataFrame): DataFrame = {
+    val drop = cl
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"))
     docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
@@ -346,9 +351,14 @@ object Dedup {
     * drop list to the doc→source map twice (member side + representative
     * side) and rolls up — corpus touched once, map-only. */
   def dedupAttribution(docs: DataFrame, minEst: Double = 0.5,
-                       cap: Int = BucketCap): DataFrame = {
+                       cap: Int = BucketCap): DataFrame =
+    dedupAttributionFrom(docs, dedupClusters(docs, minEst, cap))
+
+  /** [[dedupAttribution]] over a pre-built cluster table — the
+    * cross-query sharing entry (see [[chainAuditFrom]]). */
+  def dedupAttributionFrom(docs: DataFrame, cl: DataFrame): DataFrame = {
     val srcOf = docs.select(col("doc_id"), col("source"))
-    val drops = dedupClusters(docs, minEst, cap)
+    val drops = cl
       .filter(col("doc_id") =!= col("cluster"))
       .join(srcOf, "doc_id")
       .join(srcOf.select(col("doc_id").as("cluster"),
@@ -387,13 +397,30 @@ object Dedup {
   def chainAudit(docs: DataFrame, minEst: Double = 0.5, tauPm: Long = 300L,
                  cap: Int = BucketCap): DataFrame = Caching.scoped() {
     val cl = Caching.eager(dedupClusters(docs, minEst, cap))
+    chainAuditFrom(cl, Caching.eager(clusterShingleSets(docs, cl)), tauPm)
+  }
+
+  /** Distinct-shingle sets for every CLUSTERED doc — the shared exact-
+    * verification input of [[chainAuditFrom]] and
+    * [[dedupCorpusVerifiedFrom]] (sets are built only for docs in the
+    * cluster table, so cost tracks dup mass, not the corpus). Callers
+    * must materialize (scope-cache or session-memo) before fanning into
+    * both verification joins. */
+  def clusterShingleSets(docs: DataFrame, cl: DataFrame): DataFrame =
+    fanOut(docs)
+      .join(broadcast(cl.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingles(TextOps.tokens(col("text")))).as("sh"))
+
+  /** [[chainAudit]] over a pre-built (materialized) cluster table and its
+    * [[clusterShingleSets]] — the cross-query sharing entry
+    * (Caching.sessionMemo): one clustering pass serves the whole
+    * audit/verified/best composition in a Verify/Bench session. */
+  def chainAuditFrom(cl: DataFrame, sets: DataFrame,
+                     tauPm: Long = 300L): DataFrame = {
     val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("cl_size"))
     val pairs = cl.filter(col("doc_id") =!= col("cluster"))
-    val ids = cl.select(col("doc_id")).distinct()
-    val sets = Caching.eager(fanOut(docs)
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        array_distinct(shingles(TextOps.tokens(col("text")))).as("sh")))
     val interC = size(array_intersect(col("sh_m"), col("sh_r"))).cast("long")
     val uniC = (size(col("sh_m")) + size(col("sh_r"))).cast("long") - interC
     pairs
@@ -431,25 +458,29 @@ object Dedup {
                           tauPm: Long = 300L, cap: Int = BucketCap): DataFrame =
     Caching.scoped() {
       val cl = Caching.eager(dedupClusters(docs, minEst, cap))
-      val pairs = cl.filter(col("doc_id") =!= col("cluster"))
-      val ids = cl.select(col("doc_id")).distinct()
-      val sets = Caching.eager(fanOut(docs)
-        .join(broadcast(ids), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          array_distinct(shingles(TextOps.tokens(col("text")))).as("sh")))
-      val interC = size(array_intersect(col("sh_m"), col("sh_r"))).cast("long")
-      val uniC = (size(col("sh_m")) + size(col("sh_r"))).cast("long") - interC
-      val drop = pairs
-        .join(sets.select(col("doc_id"), col("sh").as("sh_m")), "doc_id")
-        .join(sets.select(col("doc_id").as("cluster"), col("sh").as("sh_r")),
-          "cluster")
-        .select(col("doc_id"), interC.as("ni"), greatest(uniC, lit(1L)).as("nu"))
-        .filter(lit(1000L) * col("ni") >= lit(tauPm) * col("nu"))
-        .select(col("doc_id"))
-      docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      dedupCorpusVerifiedFrom(docs, cl,
+        Caching.eager(clusterShingleSets(docs, cl)), tauPm)
     }
+
+  /** [[dedupCorpusVerified]] over a pre-built cluster table and shingle
+    * sets — the cross-query sharing entry (see [[chainAuditFrom]]). */
+  def dedupCorpusVerifiedFrom(docs: DataFrame, cl: DataFrame,
+                              sets: DataFrame,
+                              tauPm: Long = 300L): DataFrame = {
+    val pairs = cl.filter(col("doc_id") =!= col("cluster"))
+    val interC = size(array_intersect(col("sh_m"), col("sh_r"))).cast("long")
+    val uniC = (size(col("sh_m")) + size(col("sh_r"))).cast("long") - interC
+    val drop = pairs
+      .join(sets.select(col("doc_id"), col("sh").as("sh_m")), "doc_id")
+      .join(sets.select(col("doc_id").as("cluster"), col("sh").as("sh_r")),
+        "cluster")
+      .select(col("doc_id"), interC.as("ni"), greatest(uniC, lit(1L)).as("nu"))
+      .filter(lit(1000L) * col("ni") >= lit(tauPm) * col("nu"))
+      .select(col("doc_id"))
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+  }
 
   /** SQL dual of [[dedupCorpusVerified]]. */
   def dedupCorpusVerifiedSql(table: String, minEst: Double = 0.5,
@@ -527,8 +558,13 @@ object Dedup {
     * story is unchanged: clustering happens on signatures, the corpus is
     * touched once, map-only, by the final anti-join). */
   def dedupCorpusBest(docs: DataFrame, minEst: Double = 0.5,
-                      cap: Int = BucketCap): DataFrame = {
-    val withLen = dedupClusters(docs, minEst, cap)
+                      cap: Int = BucketCap): DataFrame =
+    dedupCorpusBestFrom(docs, dedupClusters(docs, minEst, cap))
+
+  /** [[dedupCorpusBest]] over a pre-built cluster table — the cross-query
+    * sharing entry (see [[chainAuditFrom]]). */
+  def dedupCorpusBestFrom(docs: DataFrame, cl: DataFrame): DataFrame = {
+    val withLen = cl
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
     // lexicographic max of (n_chars, -doc_id): longest member, ties to
     // the smallest id

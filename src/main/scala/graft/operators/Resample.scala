@@ -599,8 +599,11 @@ object Resample {
         s"""transform(slice(s, 1, $m), x -> named_struct(
            |  'hr', x.hr, 'v', x.v, 'l', l0, 'b', 0L,
            |  's', 1000L * x.v - l0, 'f', 0L))""".stripMargin))
+      // greatest(..., 0): a series shorter than one period must degrade
+      // to seed rows only (negative slice length throws in Spark; the
+      // DuckDB recursion simply finds no rn = m row) — ADVICE r12 #3
       .select(col("event_type"), expr(
-        s"aggregate(slice(s, ${m + 1}, size(s) - $m), seed, $hwFoldStep)")
+        s"aggregate(slice(s, ${m + 1}, greatest(size(s) - $m, 0)), seed, $hwFoldStep)")
         .as("e"))
     folded.select(col("event_type"), explode(col("e")).as("r"))
       .select(col("event_type"),
@@ -814,15 +817,19 @@ object Resample {
     * pipeline reads before picking [[hourlySeasonal]]'s period or
     * trusting [[hourlyEwma]]'s smoothing constant.
     *
-    * EXACTNESS: the standard estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
-    * is computed on the INTEGER deviations d_t = n·v_t − S (n = series
-    * length, S = Σv — both exact BIGINTs), which scale both sides by n²
-    * and cancel in the quotient: every product and sum is an exact
-    * BIGINT, and the single division is one IEEE double quotient of two
-    * identical integers, qround(6)-ed. (Magnitude: |d| ≤ n·max(v) ≈ 10⁸
-    * at sf0.1, squares ≈ 10¹⁶·series-length — inside BIGINT; the double
-    * cast of num/den is safe because the QUOTIENT, not the operands,
-    * carries the information and both engines cast the same integers.)
+    * EXACTNESS: the estimator r_k = Σd_t·d_{t+k} / Σd_t² is computed on
+    * the INTEGER deviations d_t = v_t − ⌊S/n⌋ (n = series length, S = Σv)
+    * — centering on the ONCE-FLOORED mean keeps every product and sum an
+    * exact BIGINT in both engines (⌊·⌋ is `div` here and `//` in DuckDB,
+    * identical on the positive operands), and the single division is one
+    * IEEE double quotient of two identical integers, qround(6)-ed. The
+    * earlier d_t = n·v_t − S scaling was exact-mean but left <25%
+    * headroom below Long.MaxValue at sf0.1 (ADVICE r12 #1: Σd² ≈ 7·10¹⁸;
+    * one scale step wraps in Spark while DuckDB promotes to HUGEINT —
+    * silent divergence). With |d| ≤ max(v), Σd² ≈ n·max(v)² stays inside
+    * BIGINT until max(v) ≈ 10⁸ per hour (≈ sf100 of this fixture) — and
+    * the ⌊mean⌋ centering shifts r_k by O(1/mean), far below the
+    * qround(6) grain on any real series.
     *
     * SHAPE: one keyed exchange builds the dense grid; the k lead columns
     * come from ONE window pass (same frame, k lead() calls); one
@@ -836,7 +843,7 @@ object Resample {
     val g = hourlyGrid(events)
       .withColumn("n", count(lit(1)).over(full))
       .withColumn("s", sum(col("v")).over(full))
-      .withColumn("d", col("n") * col("v") - col("s"))
+      .withColumn("d", col("v") - expr("s div n"))
     val withLeads = (1 to AcfMaxLag).foldLeft(g) { (df, k) =>
       df.withColumn(s"d$k", lead(col("d"), k).over(byTy))
     }
@@ -879,7 +886,7 @@ object Resample {
        |         count(*) OVER (PARTITION BY event_type) AS n,
        |         sum(v) OVER (PARTITION BY event_type) AS s
        |       FROM j),
-       |dv AS (SELECT event_type, hr, n, CAST(n * v - s AS BIGINT) AS d
+       |dv AS (SELECT event_type, hr, n, CAST(v - s // n AS BIGINT) AS d
        |       FROM st),
        |ld AS (SELECT event_type, hr, n, d,
        |        $leadCols

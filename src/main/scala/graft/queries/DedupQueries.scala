@@ -15,6 +15,21 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
+  /** ONE clustering pass per session for the whole graded composition
+    * (`dedup_clusters` / `_corpus` / `_attribution` / `_chain_audit` /
+    * `_corpus_verified` / `_corpus_best` all consume the same default-
+    * parameter cluster table — VERDICT r12 #3), and one shingle-set
+    * build for the two exact-verification queries. Checkpointed
+    * dup-mass-sized tables; Bench restores memo state between same-query
+    * runs (see Caching.sessionMemo). */
+  private def clustersMemo(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Caching.sessionMemo(s, s"dedup_clusters:$dir")(
+      Dedup.dedupClusters(docs(s, dir)))
+
+  private def setsMemo(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Caching.sessionMemo(s, s"dedup_sets:$dir")(
+      Dedup.clusterShingleSets(docs(s, dir), clustersMemo(s, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exactClusters(docs(s, dir))),
     // graded in exploded (doc_id, j, minhash) form: the driver's compare
@@ -44,20 +59,24 @@ object DedupQueries {
     "dedup_containment" -> ((s, dir) => Dedup.ngramContainmentPairs(docs(s, dir))),
     // LSH pairs -> connected components: the cluster assignment a dedup
     // pipeline actually applies (keep one doc per cluster)
-    "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(docs(s, dir))),
+    "dedup_clusters" -> ((s, dir) => clustersMemo(s, dir)),
     // clusters -> kept corpus (anti-join the non-representative members)
-    "dedup_corpus" -> ((s, dir) => Dedup.dedupCorpus(docs(s, dir))),
+    "dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpusFrom(docs(s, dir), clustersMemo(s, dir))),
     // provenance accounting: per-source drop rate and cross-source loss
     "dedup_attribution" -> ((s, dir) =>
-      Dedup.dedupAttribution(docs(s, dir))),
+      Dedup.dedupAttributionFrom(docs(s, dir), clustersMemo(s, dir))),
     // transitive-chaining audit: member-vs-representative exact Jaccard
     // per cluster-size bucket (the CC-dedup failure mode, measured)
-    "dedup_chain_audit" -> ((s, dir) => Dedup.chainAudit(docs(s, dir))),
+    "dedup_chain_audit" -> ((s, dir) =>
+      Dedup.chainAuditFrom(clustersMemo(s, dir), setsMemo(s, dir))),
     // the fix the audit demands: drop only star-VERIFIED members
     "dedup_corpus_verified" -> ((s, dir) =>
-      Dedup.dedupCorpusVerified(docs(s, dir))),
+      Dedup.dedupCorpusVerifiedFrom(docs(s, dir), clustersMemo(s, dir),
+        setsMemo(s, dir))),
     // quality-aware representative: keep each cluster's LONGEST member
-    "dedup_corpus_best" -> ((s, dir) => Dedup.dedupCorpusBest(docs(s, dir))),
+    "dedup_corpus_best" -> ((s, dir) =>
+      Dedup.dedupCorpusBestFrom(docs(s, dir), clustersMemo(s, dir))),
     // incremental ingest: odd doc_ids are the new batch, even the existing
     // corpus; new docs near-dup'ing an existing band representative are
     // rejected, the rest admitted (per-lang counts)

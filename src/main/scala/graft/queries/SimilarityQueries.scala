@@ -33,6 +33,16 @@ object SimilarityQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
+  /** ONE SemDeDup pass per session shared by `dedup_semantic` and
+    * `dedup_corpus_semantic` (VERDICT r12 #2) — the result table
+    * (duplicate-component members only, dup-mass-sized) is already the
+    * eager checkpoint [[Similarity.semanticDedupWith]] produces; the memo
+    * just stops the second query from re-running the whole k-means-assign
+    * + CC pass. Bench restores memo state between same-query runs. */
+  private def semanticMemo(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Caching.sessionMemo(s, s"semantic_dedup:$dir:$SemDedupTau")(
+      Similarity.semanticDedup(emb(s, dir), SemDedupTau))
+
   private def qSide(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") < MQ)
       .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
@@ -1441,8 +1451,7 @@ object SimilarityQueries {
         emb(s, dir).select(col("vec_id"), col("vec")), MinCos)),
     // SemDeDup: within-Voronoi-cell duplicate components, keep the
     // farthest-from-centroid member (Abbas et al. 2023)
-    "dedup_semantic" -> ((s, dir) =>
-      Similarity.semanticDedup(emb(s, dir), SemDedupTau)),
+    "dedup_semantic" -> ((s, dir) => semanticMemo(s, dir)),
     // the paper's full recipe: the quantizer is TRAINED k-means, not
     // label means — the same semantic chain under cents from kmeansTrain
     "dedup_semantic_trained" -> ((s, dir) =>
@@ -1471,10 +1480,13 @@ object SimilarityQueries {
     // the semantic drop list): per-label survivor counts after anti-
     // joining the non-representative members out
     "dedup_corpus_semantic" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val drop = Similarity.semanticDedup(e, SemDedupTau)
+      // drop list projected from the shared session pass; NO broadcast
+      // hint — on a dup-heavy corpus the non-representative list is
+      // O(corpus), so AQE must be free to pick a shuffled anti-join
+      // (VERDICT r12 #2: the hint was the 100 TB OOM)
+      val drop = semanticMemo(s, dir)
         .filter(!col("keep")).select(col("vec_id"))
-      e.join(broadcast(drop), Seq("vec_id"), "left_anti")
+      emb(s, dir).join(drop, Seq("vec_id"), "left_anti")
         .groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_kept"))
     }),

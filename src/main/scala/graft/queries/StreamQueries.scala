@@ -252,7 +252,10 @@ object StreamQueries {
         (col("r2_a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"))
       .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
         (lit(2L) * col("n_a") * col("n_b") - col("u2_a")).as("u2_b"),
-        expr("1000000L * u2_a div (2L * n_a * n_b)").as("auc_micro"))
+        // greatest(..., 1): one-cohort types (n_a·n_b = 0) would throw
+        // under ANSI division — same guard class as ksTwoSample
+        expr("1000000L * u2_a div greatest(2L * n_a * n_b, 1L)")
+          .as("auc_micro"))
   }
 
   private val mannWhitneyOracle =
@@ -268,7 +271,8 @@ object StreamQueries {
        |SELECT event_type, n_a, n_b,
        |  r2_a - n_a * (n_a + 1) AS u2_a,
        |  2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
-       |  1000000 * (r2_a - n_a * (n_a + 1)) // (2 * n_a * n_b) AS auc_micro
+       |  1000000 * (r2_a - n_a * (n_a + 1))
+       |    // greatest(2 * n_a * n_b, 1) AS auc_micro
        |FROM a""".stripMargin
 
   /** KOLMOGOROV–SMIRNOV TWO-SAMPLE TEST (`events_ks`) — the
@@ -306,8 +310,12 @@ object StreamQueries {
       .groupBy(col("event_type"), col("n_a"), col("n_b"))
       .agg(max(abs(col("n_b") * col("cuma") - col("n_a") * col("cumb")))
         .as("d_scaled"))
+      // greatest(..., 1): a type whose events all fall in one parity
+      // cohort has n_a·n_b = 0 — ANSI division would throw in Spark and
+      // NULL-diverge in DuckDB (ADVICE r12 #4); d_scaled is then 0, so
+      // the clamped ks_micro is a correct 0 in both engines
       .select(col("event_type"), col("n_a"), col("n_b"), col("d_scaled"),
-        expr("1000000L * d_scaled div (n_a * n_b)").as("ks_micro"))
+        expr("1000000L * d_scaled div greatest(n_a * n_b, 1L)").as("ks_micro"))
   }
 
   private val ksTwoSampleOracle =
@@ -323,8 +331,8 @@ object StreamQueries {
        |  FROM c)
        |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        |  CAST(max(abs(nb * cuma - na * cumb)) AS BIGINT) AS d_scaled,
-       |  CAST(1000000 * max(abs(nb * cuma - na * cumb)) // (na * nb) AS BIGINT)
-       |    AS ks_micro
+       |  CAST(1000000 * max(abs(nb * cuma - na * cumb))
+       |       // greatest(na * nb, 1) AS BIGINT) AS ks_micro
        |FROM w GROUP BY event_type, na, nb""".stripMargin
 
   /** FIRST-ORDER MARKOV TRANSITION MATRIX of the event-type sequence per

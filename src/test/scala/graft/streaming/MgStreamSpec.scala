@@ -28,7 +28,8 @@ class MgStreamSpec extends AnyFunSuite {
     val statePath =
       graft.sources.Scratch.dir("graft_mg_spec_state") + "/state"
     val b = Seq(0, 1, 2).map(i => docs.filter(col("doc_id") % 3 === i))
-    b.foreach(StreamingOps.mgFoldBatch(_, statePath))
+    b.zipWithIndex.foreach { case (batch, id) =>
+      StreamingOps.mgFoldBatch(batch, id.toLong, statePath) }
     val st = snapshot(statePath)
     assert(st.nonEmpty && st.size <= StreamingOps.MgStreamM,
       s"state size ${st.size} exceeds m=${StreamingOps.MgStreamM}")
@@ -52,22 +53,12 @@ class MgStreamSpec extends AnyFunSuite {
         s"bound broken on $t: $tf - $est > $n/${StreamingOps.MgStreamM + 1}")
     }
 
-    // an at-least-once replay stays inside the theorem: the replayed
-    // batch's weight w inflates the bound's n to n + w, nothing more
-    StreamingOps.mgFoldBatch(b(1), statePath)
-    val replayed = snapshot(statePath)
-    val b1 = b(1).select(
-        explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val w = b1.values.sum
-    assert(replayed.size <= StreamingOps.MgStreamM)
-    exact.foreach { case (t, tf) =>
-      val est = replayed.getOrElse(t, 0L)
-      val tfR = tf + b1.getOrElse(t, 0L)
-      assert(est <= tfR, s"replay overestimate on $t")
-      assert((tfR - est).toDouble <=
-        (n + w).toDouble / (StreamingOps.MgStreamM + 1), s"replay bound on $t")
-    }
+    // an at-least-once replay is a NO-OP: the state carries the applied
+    // batch id, so a failure-retry with batchId ≤ applied skips the fold
+    // instead of re-adding the batch's counts (ADVICE r12 #2 — the
+    // double-count could push est past tf and flip stream_ok)
+    StreamingOps.mgFoldBatch(b(1), 1L, statePath)
+    assert(snapshot(statePath) == st,
+      "replayed batch mutated the state — the applied-batch-id guard is gone")
   }
 }
