@@ -306,6 +306,14 @@ object Bench {
         graft.queries.MatrixQueries.modalKernels.toSeq.sortBy(_._1)
           .foreach { case (name, fn) =>
             try {
+              // joint warmup BEFORE either mode is timed: each kernel's
+              // codegen/JIT cold cost otherwise lands entirely on the
+              // first-measured mode (blocked), inflating the ratio — the
+              // r12 kernel_ratio(xentropy) 1.34 reading was mostly this
+              // position effect (profiled: same kernel measured last in
+              // a warm process reads ~0.9-1.2)
+              force(fn(spark, sfDir, PairPlan.Blocked))
+              force(fn(spark, sfDir, PairPlan.Broadcast))
               val bl = sample(() => force(fn(spark, sfDir, PairPlan.Blocked))).wall
               val br = sample(() => force(fn(spark, sfDir, PairPlan.Broadcast))).wall
               ratios(name) = (bl, br)

@@ -46,12 +46,13 @@ object Attention {
 
   /** Blocked 2-D path for LARGE M, where broadcasting the query side is
     * impossible (the round-1 gap: every plan assumed q fits a broadcast).
-    * `SHUFFLE_REPLICATE_NL` forces `CartesianProductExec`, whose
-    * (q-partition × kv-partition) task grid IS the reference's 2-D chunk
-    * loop (gemm_map_reduce_attention.cpp:97-124) — each task streams one
-    * q-block against one kv-block and partial aggregation reduces its pairs
-    * to per-q monoid buffers before the only shuffle (O(M × kv-partitions)
-    * buffers, never the M×N score matrix). */
+    * [[PairPlan.Blocked]]'s tile-keyed `SHUFFLE_HASH` equi-join builds the
+    * (q-tile × kv-tile) task grid that IS the reference's 2-D chunk loop
+    * (gemm_map_reduce_attention.cpp:97-124) — each task streams one
+    * kv-block against one hashed q-block inside whole-stage codegen, and
+    * partial aggregation reduces its pairs to per-q monoid buffers before
+    * the only remaining shuffle (O(M × kv-tiles) buffers, never the M×N
+    * score matrix). */
   def attentionBlocked(q: DataFrame, kv: DataFrame, scale: Boolean = false): DataFrame =
     attention(q, kv, scale, PairPlan.Blocked)
 

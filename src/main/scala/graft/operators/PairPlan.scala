@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, col, explode, lit, pmod, sequence, xxhash64}
 
 /** The shared distribution switch for every pair-scoring kernel (attention,
   * mlp, relu_matmul, xentropy, entropy, sampler, cosine top-k): all of them
@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions.broadcast
   *    the kernel (single-split local inputs only; a cluster read with
   *    many splits never repartitions). Only valid while the query side
   *    fits an executor.
-  *  - [[Blocked]]: `SHUFFLE_REPLICATE_NL` forces `CartesianProductExec`,
-  *    whose (small-partition × big-partition) task grid is the 2-D tile
-  *    loop — each task streams one tile pair and partial aggregation
-  *    reduces it before the only shuffle. The large-M path.
+  *  - [[Blocked]]: a tile-keyed `SHUFFLE_HASH` equi-join — each side is
+  *    content-hashed into its axis's tile id and replicated across the
+  *    other axis, so each task streams one tile pair inside whole-stage
+  *    codegen and partial aggregation reduces it before the only
+  *    remaining shuffle. The large-M path.
   *  - [[Auto]] (default): picks at plan time from Catalyst's size estimate
   *    of the query side vs `spark.sql.autoBroadcastJoinThreshold` — the
   *    same signal AQE uses for join strategy, so a dims-sized side
@@ -63,16 +64,53 @@ object PairPlan {
         if (target <= 1) big.crossJoin(broadcast(small))
         else fanOut(big, target).crossJoin(broadcast(small))
       case Blocked =>
-        // CartesianProductExec's task grid is (left parts × right parts):
-        // the 2-D tile loop only parallelizes if BOTH sides have splits.
-        // Single-split inputs (local fixtures, any compacted table) would
-        // otherwise run the whole M×N pair stream in ONE task. Each side
-        // needs only ~√cores partitions for a cores-sized grid; on a
-        // many-split cluster input this is a no-op.
-        val side = math.max(1, math.ceil(math.sqrt(
-          big.sparkSession.sparkContext.defaultParallelism.toDouble)).toInt)
-        fanOut(big, side).crossJoin(
-          fanOut(small, side).hint("SHUFFLE_REPLICATE_NL"))
+        // The 2-D tile grid as a TILE-KEYED EQUI-JOIN: each side is
+        // content-hashed into its axis's tile id and replicated across
+        // the OTHER axis's tile count, so the (tb, ts) key holds exactly
+        // one tile pair and a SHUFFLE_HASH join streams each big tile
+        // against its hashed small tile -- the reference's 2-D chunk loop
+        // (gemm_map_reduce_attention.cpp:97-124) with tile counts
+        // proportional to each axis's length.
+        //
+        // Why not CartesianProductExec (`SHUFFLE_REPLICATE_NL`, the
+        // pre-r13 form): it is excluded from whole-stage codegen, so
+        // every pair paid an interpreted JoinedRow iteration comparable
+        // to the dot-product kernel itself -- measured as the
+        // kernel_ratio(xentropy) 1.34 drift (VERDICT r12 #4; blocked
+        // 0.91 s vs broadcast 0.54 s on identical inputs at sf0.1). The
+        // tile-keyed ShuffledHashJoin keeps join + kernel + partial
+        // aggregation in ONE codegen stage; replication I/O equals the
+        // cartesian grid's tile re-fetch volume (the big side is written
+        // n_small times instead of fetched n_small times).
+        //
+        // Grid shape follows the WORK: total tiles =
+        // min(pairs/PairsPerTask, cores) split so n_big/n_small ~
+        // rows_big/rows_small (square-ish tiles in PAIR AREA) -- a
+        // 256-row query axis gets ONE tile, and per-task memory stays
+        // bounded by the small-side tile (rows_small/n_small), the same
+        // contract as the cartesian grid: at any scale the build side of
+        // one task is one small tile, never the whole query side -- the
+        // property that lets Blocked handle a query side too big to
+        // broadcast.
+        val cores = big.sparkSession.sparkContext.defaultParallelism
+        val rb = math.max(estRows(big), 1L)
+        val rs = math.max(estRows(small), 1L)
+        val tasks = (BigInt(rb) * BigInt(rs) / PairsPerTask)
+          .min(BigInt(cores)).max(BigInt(1)).toInt
+        val nBig = math.min(tasks.toLong, math.max(1L,
+          math.round(math.sqrt(tasks.toDouble * rb / rs)))).toInt
+        val nSmall = math.max(1, tasks / nBig)
+        def rep(n: Int) =
+          if (n == 1) lit(0L) else explode(sequence(lit(0L), lit(n - 1L)))
+        def tileId(df: DataFrame, n: Int) =
+          if (n == 1) lit(0L)
+          else pmod(xxhash64(df.columns.map(col): _*), lit(n.toLong))
+        val bigT = big.withColumn("__tb", tileId(big, nBig))
+          .withColumn("__ts", rep(nSmall))
+        val smallT = small.withColumn("__ts", tileId(small, nSmall))
+          .withColumn("__tb", rep(nBig))
+        bigT.join(smallT.hint("SHUFFLE_HASH"), Seq("__tb", "__ts"))
+          .drop("__tb", "__ts")
       case Auto =>
         if (fitsBroadcast(small)) cross(big, small, Broadcast)
         else cross(big, small, Blocked)

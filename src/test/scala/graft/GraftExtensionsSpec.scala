@@ -79,14 +79,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "broadcast plan must not be a cartesian")
   }
 
-  test("attention blocked plan shape: forced CartesianProduct (2-D tile grid)") {
+  test("attention blocked plan shape: tile-keyed ShuffledHashJoin (2-D tile grid)") {
     val emb = (0 until 64).map(i => (i.toLong, Array.fill(8)(i * 0.1)))
       .toDF("id", "vec")
     val q = emb.select(col("id").as("q_id"), col("vec").as("qvec"))
     val kv = emb.select(col("id").as("k_id"), col("vec").as("kvec"),
       col("vec").as("vvec"))
+    // since r13 the tile grid is a SHUFFLE_HASH equi-join on the tile key
+    // (codegen-friendly, unlike CartesianProductExec — VERDICT r12 #4);
+    // it must never silently degrade to a broadcast join
     val plan = physicalPlan(Attention.attentionBlocked(q, kv))
-    assert(plan.contains("CartesianProduct"), s"expected CartesianProduct in:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected ShuffledHashJoin tile grid in:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"blocked plan must not broadcast:\n$plan")
   }
 
   test("docs_profile plan shape: ONE documents scan feeds all five countDistincts") {

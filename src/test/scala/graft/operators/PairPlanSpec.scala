@@ -27,7 +27,7 @@ class PairPlanSpec extends AnyFunSuite {
   test("auto broadcasts a dims-sized query side") {
     val p = planOf(PairPlan.Auto)
     assert(p.contains("BroadcastExchange"), s"expected broadcast in:\n$p")
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("ShuffledHashJoin"))
   }
 
   test("broadcast arm fan-out is proportionate to the pair volume " +
@@ -55,7 +55,9 @@ class PairPlanSpec extends AnyFunSuite {
     try {
       spark.conf.set(key, "-1")
       val p = planOf(PairPlan.Auto)
-      assert(p.contains("CartesianProduct"), s"expected tile grid in:\n$p")
+      // the tile grid is a tile-keyed ShuffledHashJoin since r13 (stays
+      // inside whole-stage codegen, unlike CartesianProductExec)
+      assert(p.contains("ShuffledHashJoin"), s"expected tile grid in:\n$p")
       assert(!p.contains("BroadcastExchange"))
       val blocked = Attention.attention(q, kv, scale = false, PairPlan.Auto)
         .select($"q_id", $"z").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
