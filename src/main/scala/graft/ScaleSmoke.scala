@@ -342,6 +342,110 @@ object ScaleSmoke {
       (o, runHybrid(replicate(base, rep), embRep(rep)))
     }
 
+    // relational-analytics scaling (VERDICT r12 #5): cohort/RFM run on
+    // orders with DISJOINT customer populations per replica (o_custkey
+    // remapped, calendar unchanged) — the cohort matrix is calendar-
+    // bounded so its ROWS must stay flat while n_active grows R×; RFM's
+    // per-customer aggregate is the only R-sized pass, but its three
+    // ntile(5) windows rank ALL customers in one unpartitioned sort, so
+    // the probe grades that exact-quintile anchor's cost curve (the
+    // quantile family's documented 100 TB path is a GK sketch). HHI
+    // replicates fact rows under the SAME supplier keys (per-supplier
+    // revenue grows R×; dim joins and the region window stay
+    // supplier-bounded either way).
+    val ordBase = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    def ordRep(r: Int): DataFrame =
+      ordBase.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .select((col("o_orderkey") * r + col("rep")).as("o_orderkey"),
+          (col("o_custkey") * r + col("rep")).as("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+    val relStagesAll: Seq[(String, DataFrame => Long)] = Seq(
+      "cohort" -> (o => graft.queries.RelationalQueries.ordersCohortFrom(o)
+        .agg(sum(col("n_active")).as("s"), count(lit(1)).as("n"))
+        .head().getLong(1)),
+      "rfm" -> (o => graft.queries.RelationalQueries.customerRfmFrom(o)
+        .agg(sum(col("n_customers")).as("s"), count(lit(1)).as("n"))
+        .head().getLong(1)))
+    val relStages = relStagesAll.filter { case (n, _) => keep(n) }
+    def runRel(o: DataFrame): Map[String, (Double, Long)] = {
+      o.cache().count()
+      val out = relStages.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        val n = f(o)
+        name -> ((System.nanoTime() - t0) / 1e9, n)
+      }.toMap
+      o.unpersist(blocking = true)
+      out
+    }
+    val (relOne, relBig) = if (relStages.isEmpty)
+      (Map.empty[String, (Double, Long)], Map.empty[String, (Double, Long)])
+    else {
+      runRel(ordBase.limit(2000)) // warmup
+      spark.catalog.clearCache()
+      val o = runRel(ordBase)
+      spark.catalog.clearCache()
+      (o, runRel(ordRep(rep)))
+    }
+
+    val liHhiBase = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    def liHhiRep(r: Int): DataFrame =
+      liHhiBase.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .drop("rep")
+    def runHhi(li: DataFrame): (Double, Long) = {
+      li.cache().count()
+      val t0 = System.nanoTime()
+      val n = graft.queries.RelationalQueries.supplierHhiFrom(li,
+          Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir),
+          Tables.region(spark, sfDir))
+        .agg(sum(col("n_suppliers")).as("s"), count(lit(1)).as("n"))
+        .head().getLong(1)
+      val out = ((System.nanoTime() - t0) / 1e9, n)
+      li.unpersist(blocking = true)
+      out
+    }
+    val (hhiOne, hhiBig) = if (!keep("hhi")) ((0.0, 0L), (0.0, 0L))
+    else {
+      runHhi(liHhiBase.limit(2000)) // warmup
+      spark.catalog.clearCache()
+      val o = runHhi(liHhiBase)
+      spark.catalog.clearCache()
+      (o, runHhi(liHhiRep(rep)))
+    }
+
+    // docs_topics scaling (VERDICT r12 #5): docs and vectors replicate in
+    // LOCKSTEP (vec_id tracks doc_id, like hybrid_rrf) — the trained
+    // k-means is KmIters corpus-linear passes, assignment is map-only
+    // against broadcast centroids, the token join is corpus-linear, and
+    // the top-3-per-topic window runs on (topics × vocab) rows, bounded
+    // by token TYPES (Heaps), not the corpus
+    val embLblBase = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("vec"), col("label"))
+    def embLblRep(r: Int): DataFrame =
+      embLblBase.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .select((col("vec_id") * r + col("rep")).as("vec_id"), col("vec"),
+          col("label"))
+    def runTopics(d: DataFrame, e: DataFrame): (Double, Long) = {
+      d.cache().count(); e.cache().count()
+      val t0 = System.nanoTime()
+      val n = graft.queries.SimilarityQueries.docsTopicsFrom(d, e)
+        .agg(sum(col("tf")).as("s"), count(lit(1)).as("n")).head().getLong(1)
+      val out = ((System.nanoTime() - t0) / 1e9, n)
+      d.unpersist(blocking = true)
+      e.unpersist(blocking = true)
+      out
+    }
+    val (tpOne, tpBig) = if (!keep("topics")) ((0.0, 0L), (0.0, 0L))
+    else {
+      runTopics(base.limit(200), embLblBase.limit(200)) // warmup
+      spark.catalog.clearCache()
+      val o = runTopics(base, embLblBase)
+      spark.catalog.clearCache()
+      (o, runTopics(replicate(base, rep), embLblRep(rep)))
+    }
+
     // interval-join scaling: replicas get DISJOINT user populations
     // (user_id remapped per replica) so qualifying pairs grow linearly —
     // the fair probe for a binned equi-join; pure replication would
@@ -385,6 +489,18 @@ object ScaleSmoke {
         val c = graft.operators.Resample.hourlyBurst(e)
           .agg(sum(col("burst")), count(lit(1)).as("n")).head().getLong(1)
         a + b + c
+      },
+      // the distribution tests (VERDICT r12 #5): ACF is calendar-bounded
+      // like the monitors (deviations + lead columns run over HOURS); the
+      // KS statistic pre-aggregates events into (type, value) bins before
+      // its cumulative window, so the window input is value-cardinality-
+      // bounded and only the map-combined binning pass grows with R
+      "monitors2" -> { e =>
+        val a = graft.operators.Resample.hourlyAcf(e)
+          .agg(sum(col("acf_1")), count(lit(1)).as("n")).head().getLong(1)
+        val b = graft.queries.StreamQueries.ksTwoSample(e)
+          .agg(sum(col("d_scaled")), count(lit(1)).as("n")).head().getLong(1)
+        a + b
       })
     val evStages = evStagesAll.filter { case (n, _) => keep(n) }
     def runEv(e: DataFrame): Map[String, (Double, Long)] = {
@@ -548,6 +664,9 @@ object ScaleSmoke {
     val qs = (stages.map { case (name, _) => fmt(name, one(name), big(name)) } ++
       annStages.map { case (name, _) => fmt(name, annOne(name), annBig(name)) } ++
       (if (keep("hybrid_rrf")) Seq(fmt("hybrid_rrf", hyOne, hyBig)) else Nil) ++
+      relStages.map { case (name, _) => fmt(name, relOne(name), relBig(name)) } ++
+      (if (keep("hhi")) Seq(fmt("hhi", hhiOne, hhiBig)) else Nil) ++
+      (if (keep("topics")) Seq(fmt("topics", tpOne, tpBig)) else Nil) ++
       evStages.map { case (name, _) => fmt(name, evOne(name), evBig(name)) } ++
       grStages.map { case (name, _) => fmt(name, grOne(name), grBig(name)) })
       .mkString("{", ",", "}")

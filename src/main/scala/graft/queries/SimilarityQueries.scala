@@ -381,13 +381,20 @@ object SimilarityQueries {
     * graded, one token-explode shuffle joined against the |docs|-row
     * assignment (broadcastable here, bucketed at 100 TB), one windowed
     * top-k per cluster over the (topic, token) aggregate. */
-  private def docsTopics(s: SparkSession, dir: String): DataFrame = {
+  private def docsTopics(s: SparkSession, dir: String): DataFrame =
+    docsTopicsFrom(Tables.documents(s, dir), emb(s, dir))
+
+  /** [[docsTopics]] over explicit documents/embeddings frames — the
+    * ScaleSmoke probe entry (docs and vectors replicate in lockstep,
+    * vec_id tracking doc_id, like the hybrid_rrf probe). */
+  private[graft] def docsTopicsFrom(docs: DataFrame, e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = Similarity.kmeansTrainedCentroids(kvSide(s, dir),
-      Similarity.ivfCentroids(emb(s, dir)), KmIters)
-    val asn = Similarity.ivfAssign(kvSide(s, dir), cents)
+    val kv = e.select(col("vec_id").as("k_id"), col("vec").as("kvec"))
+    val cents = Similarity.kmeansTrainedCentroids(kv,
+      Similarity.ivfCentroids(e), KmIters)
+    val asn = Similarity.ivfAssign(kv, cents)
       .select(col("k_id").as("doc_id"), col("list_id").as("topic"))
-    val toks = Tables.documents(s, dir).select(col("doc_id"),
+    val toks = docs.select(col("doc_id"),
       explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
     val cnt = toks.join(asn, "doc_id")
       .groupBy(col("topic"), col("token")).agg(count(lit(1)).as("tf"))

@@ -294,7 +294,7 @@ object StreamQueries {
     * rank, by contrast, must rank raw rows), then one keyed cumulative
     * window + one aggregate per type. At 100 TB the (type, value) bins
     * are the only shuffle and the KS max is map-combinable. */
-  private def ksTwoSample(events: DataFrame): DataFrame = {
+  private[graft] def ksTwoSample(events: DataFrame): DataFrame = {
     val byTyVal = Window.partitionBy(col("event_type")).orderBy(col("value"))
     val full = Window.partitionBy(col("event_type"))
     val c = events
