@@ -39,6 +39,9 @@ def norm(v):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    # version fingerprint next to the Spark side's verify_env.json — the
+    # r12 driver-only mismatches were a DuckDB type-mapping difference
+    print(f"duckdb {duckdb.__version__}")
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:

@@ -57,6 +57,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // environment fingerprint (VERDICT r12 #1: the r12 driver-only hash
+    // mismatches took a round to localize because the artifact carried
+    // nothing about the session that produced it) — the DuckDB side's
+    // version is printed by scripts/oracle_check.py / the driver
+    val env =
+      s"""{"spark_version": ${q(spark.version)},
+         | "java_version": ${q(System.getProperty("java.version"))},
+         | "session_tz": ${q(spark.conf.get("spark.sql.session.timeZone"))},
+         | "jvm_tz": ${q(java.util.TimeZone.getDefault.getID)},
+         | "ansi": ${q(spark.conf.get("spark.sql.ansi.enabled", "default"))}}"""
+        .stripMargin
+    Files.writeString(Paths.get(s"$outDir/verify_env.json"), env)
     spark.stop()
   }
 }

@@ -32,6 +32,38 @@ object Attention {
                 mode: PairPlan.Mode = PairPlan.Auto): DataFrame =
     plan(PairPlan.cross(kv, q, mode), scale)
 
+  /** BACKWARD dQ of attention (reference attention.py:11-29
+    * `proj_fold_bwd`, the `z @ key` row) — the one stretch member of the
+    * autograd family in scope (VERDICT r12 #7). With upstream grad
+    * g = (g_z = 0, g_v) — the reference check's loss `(y·mock).sum()`
+    * reads only the value output (core.py:72) — and the FORWARD AGGREGATE
+    * a = (z_m, out_m) joined back over the same pair stream, the per-pair
+    * adjoint is
+    *   w_mn    = exp(q_m·k_n − z_m)              (the softmax weight)
+    *   zbar_mn = (g_v_m·v_n − g_v_m·out_m)·w_mn  (attention.py:28)
+    * and dQ_m = Σ_n zbar_mn·k_n — ITSELF a commutative-monoid fold over n
+    * (README.md:112-113: for these monoids d fold(X)/dX[i] is a function
+    * of fold(X) and X[i] alone). So the Spark plan is exactly the paper's
+    * TWO pair passes — forward aggregate, then the adjoint fold — both
+    * map-side-combined, with only the M-sized (z, out) aggregate crossing
+    * between them (broadcast; never the M×N weight matrix).
+    *
+    * g: (q_id, gvec) with gvec of vvec's dimension. Returns (q_id, dq). */
+  def attentionGradQ(q: DataFrame, kv: DataFrame, g: DataFrame,
+                     mode: PairPlan.Mode = PairPlan.Auto): DataFrame = {
+    val fwd = attention(q, kv, scale = false, mode)
+      .select(col("q_id"), col("z"), col("out"))
+    val sc = VecOps.dot(col("qvec"), col("kvec"))
+    val zbar = (VecOps.dot(col("gvec"), col("vvec")) -
+      VecOps.dot(col("gvec"), col("out"))) * exp(sc - col("z"))
+    PairPlan.cross(kv, q, mode)
+      .join(broadcast(fwd), "q_id")
+      .join(broadcast(g), "q_id")
+      .select(col("q_id"), zbar.as("zb"), col("kvec"))
+      .groupBy(col("q_id"))
+      .agg(GraftAggs.vecWeightedSum(col("zb"), col("kvec")).as("dq"))
+  }
+
   /** CAUSAL (masked) attention — the autoregressive-TRAINING variant (the
     * brief's "beyond the reference" mandate: a causal LM's SDPA masks
     * future positions; the reference kernel is unmasked). Each query

@@ -35,6 +35,53 @@ object MatrixQueries {
       .select(col("q_id"), col("pos").cast("long").as("d"),
         VecOps.qround(col("col"), 4).as("v"))
 
+  /** Deterministic upstream gradient g_v for [[attentionGradQuery]] — the
+    * reference check's `mock` tensor (attention.py main: torch.randn(M,D))
+    * replaced by the md5 u01 noise stream both engines reproduce exactly;
+    * g_z = 0 because the graded loss reads only the value output, like
+    * `check_equality`'s `(y*mock).sum()` (core.py:72). */
+  private def gradSide(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < M)
+      .select(col("vec_id").as("q_id"),
+        transform(sequence(lit(0), lit(D - 1)), d =>
+          VecOps.u01(concat(lit("ag:"), col("vec_id").cast("string"),
+            lit(":"), d.cast("string"))) - lit(0.5)).as("gvec"))
+
+  /** Attention BACKWARD dQ (the stretch closing the §2 autograd family —
+    * see [[Attention.attentionGradQ]]). Graded on the first [[D]] of the
+    * 64 gradient components: every pair's adjoint zbar feeds all 64
+    * identically (only the k_nf factor varies), so the slice pins the
+    * whole per-pair computation while the oracle's F-unnest stays in the
+    * attention oracle's cost band. */
+  private def attentionGradQuery(s: SparkSession, dir: String): DataFrame =
+    Attention.attentionGradQ(qSide(s, dir).drop("label"), kvSide(s, dir),
+      gradSide(s, dir))
+      .select(col("q_id"), posexplode(slice(col("dq"), 1, D)))
+      .select(col("q_id"), col("pos").cast("long").as("f"),
+        VecOps.qround(col("col"), 4).as("dq"))
+
+  private val attentionGradOracle: String = {
+    val gv = s"list_transform(generate_series(0, ${D - 1}), " +
+      s"d -> ${VecOps.u01Sql("'ag:' || q_id || ':' || d")} - 0.5)"
+    val dq = VecOps.qroundSql("sum(zb * kvf)", 4)
+    s"""${qkPrefixWhere(s" WHERE vec_id < $M")},
+       |m AS (SELECT q_id, max(sc) AS mx FROM s GROUP BY q_id),
+       |z AS (SELECT s.q_id, mx + ln(sum(exp(sc - mx))) AS z
+       |      FROM s JOIN m USING (q_id) GROUP BY s.q_id, mx),
+       |g AS (SELECT q_id, $gv AS gv FROM q),
+       |p AS (SELECT s.q_id, s.k_id, exp(s.sc - z.z) AS w,
+       |        list_dot_product(g.gv, s.vv) AS gdotv, k.kv
+       |      FROM s JOIN z ON z.q_id = s.q_id JOIN g ON g.q_id = s.q_id
+       |        JOIN k ON k.k_id = s.k_id),
+       |ga AS (SELECT q_id, sum(w * gdotv) AS gdota FROM p GROUP BY q_id),
+       |zb AS (SELECT p.q_id, (p.gdotv - ga.gdota) * p.w AS zb, p.kv
+       |       FROM p JOIN ga USING (q_id)),
+       |e AS (SELECT q_id, f, zb, kv[f] AS kvf
+       |      FROM zb CROSS JOIN (SELECT unnest(generate_series(1, $D)) AS f) fs)
+       |SELECT q_id, CAST(f - 1 AS BIGINT) AS f, $dq AS dq
+       |FROM e GROUP BY q_id, f""".stripMargin
+  }
+
   /** Full-M self-attention through the non-broadcast blocked (2-D tiled)
     * path — proves the plan works with the query-side cap lifted. */
   private def attentionBigQuery(s: SparkSession, dir: String): DataFrame =
@@ -341,6 +388,8 @@ object MatrixQueries {
     "relu_matmul_f32" -> (reluMatmulF32Query _),
     "xentropy" -> xentropyQuery,
     "xentropy_big" -> (xentropyBigQuery _),
+    // the stretch gradient query (VERDICT r12 #7): attention backward dQ
+    "attention_grad" -> (attentionGradQuery _),
     "entropy" -> entropyQuery,
     "entropy_big" -> (entropyBigQuery _),
     "sampler" -> samplerQuery,
@@ -364,6 +413,7 @@ object MatrixQueries {
     "relu_matmul_f32" -> reluMatmulF32Oracle,
     "xentropy" -> xentropyOracle(),
     "xentropy_big" -> xentropyOracle(mWhere = ""),
+    "attention_grad" -> attentionGradOracle,
     "entropy" -> entropyOracle(),
     "entropy_big" -> entropyOracle(mWhere = ""),
     "sampler" -> samplerOracle(),
