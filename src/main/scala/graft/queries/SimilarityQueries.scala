@@ -43,6 +43,15 @@ object SimilarityQueries {
     graft.operators.Caching.sessionMemo(s, s"semantic_dedup:$dir:$SemDedupTau")(
       Similarity.semanticDedup(emb(s, dir), SemDedupTau))
 
+  /** ONE KmIters-round k-means training per session: `docs_topics` and
+    * `dedup_semantic_trained` consume the IDENTICAL trained quantizer
+    * (same kv side, same seed centroids, same iteration count) — the
+    * memoized table is centroid-sized. */
+  private def trainedCentsMemo(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Caching.sessionMemo(s, s"kmeans_trained:$dir:$KmIters")(
+      Similarity.kmeansTrainedCentroids(kvSide(s, dir),
+        Similarity.ivfCentroids(emb(s, dir)), KmIters))
+
   private def qSide(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") < MQ)
       .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
@@ -382,16 +391,20 @@ object SimilarityQueries {
     * assignment (broadcastable here, bucketed at 100 TB), one windowed
     * top-k per cluster over the (topic, token) aggregate. */
   private def docsTopics(s: SparkSession, dir: String): DataFrame =
-    docsTopicsFrom(Tables.documents(s, dir), emb(s, dir))
+    docsTopicsFrom(Tables.documents(s, dir), emb(s, dir),
+      Some(trainedCentsMemo(s, dir)))
 
   /** [[docsTopics]] over explicit documents/embeddings frames — the
     * ScaleSmoke probe entry (docs and vectors replicate in lockstep,
-    * vec_id tracking doc_id, like the hybrid_rrf probe). */
-  private[graft] def docsTopicsFrom(docs: DataFrame, e: DataFrame): DataFrame = {
+    * vec_id tracking doc_id, like the hybrid_rrf probe; the probe trains
+    * its own quantizer so the measured chain includes training). The
+    * registry entry passes the session-memoized trained centroids. */
+  private[graft] def docsTopicsFrom(docs: DataFrame, e: DataFrame,
+                                    centsOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val kv = e.select(col("vec_id").as("k_id"), col("vec").as("kvec"))
-    val cents = Similarity.kmeansTrainedCentroids(kv,
-      Similarity.ivfCentroids(e), KmIters)
+    val cents = centsOpt.getOrElse(Similarity.kmeansTrainedCentroids(kv,
+      Similarity.ivfCentroids(e), KmIters))
     val asn = Similarity.ivfAssign(kv, cents)
       .select(col("k_id").as("doc_id"), col("list_id").as("topic"))
     val toks = docs.select(col("doc_id"),
@@ -1463,8 +1476,7 @@ object SimilarityQueries {
     // label means — the same semantic chain under cents from kmeansTrain
     "dedup_semantic_trained" -> ((s, dir) =>
       Similarity.semanticDedupWith(emb(s, dir),
-        Similarity.kmeansTrainedCentroids(kvSide(s, dir),
-          Similarity.ivfCentroids(emb(s, dir)), KmIters), SemDedupTau)),
+        trainedCentsMemo(s, dir), SemDedupTau)),
     // MMR diversified rerank of the exact top-k (integer-exact greedy)
     "similar_mmr" -> ((s, dir) =>
       Similarity.mmrTopK(qSide(s, dir), kvSide(s, dir), TopK, MmrSel)),
