@@ -830,14 +830,30 @@ object TextOps {
     * quantizer family already has (kmeans_train → similar_ivf_trained,
     * pq_train → similar_pq_trained). Merged tokens surface in the ranking
     * exactly when their pair count beats a surviving unigram's. */
-  def bpeApply(docs: DataFrame, iters: Int, k: Int = 30): DataFrame = {
-    val tok = bpeLoop(docs, iters, rewriteAll = true)._2
+  def bpeApply(docs: DataFrame, iters: Int, k: Int = 30): DataFrame =
+    bpeApplyFromStream(bpeLoop(docs, iters, rewriteAll = true)._2, k)
+
+  /** [[bpeApply]]'s top-k ranking over an already-rewritten token stream
+    * — the cross-query sharing tail (see [[bpeLoopShared]]). */
+  private[graft] def bpeApplyFromStream(tok: DataFrame, k: Int = 30): DataFrame = {
     val w = Window.orderBy(desc("tf"), col("tok"))
     tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
       .orderBy(desc("tf"), col("tok")).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("tok"), col("tf"))
   }
+
+  /** ONE count→merge→rewrite loop serving BOTH `bpe_train` (the merge
+    * table) and `bpe_apply` (the final stream) in a Verify/Bench session
+    * (Caching.sessionMemo at the query layer): under `rewriteAll` the
+    * merge table is IDENTICAL to [[bpeTrain]]'s — the last rewrite only
+    * changes the returned stream, never a merge row — so sharing the loop
+    * saves a full `iters`-round training pass. The memoized stream is
+    * corpus-sized, but the loop already materializes it per round
+    * (lineage cut); the memo just keeps the LAST round's copy. */
+  private[graft] def bpeLoopShared(docs: DataFrame,
+                                   iters: Int): (DataFrame, DataFrame) =
+    bpeLoop(docs, iters, rewriteAll = true)
 
   /** Shared BPE trainer loop; returns (merge table, final token stream).
     * `rewriteAll = false` skips the rewrite after the last merge (the

@@ -2854,12 +2854,13 @@ object TextQueries {
     "bpe_step2" -> ((s, dir) => TextOps.bpeStep2(docs(s, dir))),
     // the full trainer LOOP: BpeIters merges, each applied to the stream
     // with a lineage cut between iterations (TextOps.bpeTrain)
-    "bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir), BpeIters)),
+    "bpe_train" -> ((s, dir) => bpeMemo(s, dir)._1),
     // the trained tokenizer APPLIED: all BpeIters merges rewritten into
     // the stream (including the last), top-k token frequencies of the
     // re-tokenized corpus — the train->apply symmetry the quantizer
     // family already grades
-    "bpe_apply" -> ((s, dir) => TextOps.bpeApply(docs(s, dir), BpeIters)),
+    "bpe_apply" -> ((s, dir) =>
+      TextOps.bpeApplyFromStream(bpeMemo(s, dir)._2)),
     // exact phrase search ("grep the training set", infini-gram-style):
     // positional postings ⋈ broadcast phrase terms, adjacency via
     // start = pos − i, full match ⇔ per-start row count = phrase length
@@ -2880,6 +2881,26 @@ object TextQueries {
 
   /** merge iterations graded by `bpe_train`. */
   private val BpeIters = 4
+
+  /** ONE BPE training loop per session shared by `bpe_train` (merge
+    * table) and `bpe_apply` (final stream) — see [[TextOps.bpeLoopShared]]
+    * for why the merge table is identical under the shared rewriteAll
+    * loop. Both outputs come from one loop invocation, so the first memo
+    * build captures the pair and the second memo entry reuses it. */
+  private def bpeMemo(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    var built: Option[(DataFrame, DataFrame)] = None
+    val merges = graft.operators.Caching.sessionMemo(
+      s, s"bpe_merges:$dir:$BpeIters") {
+      val p = TextOps.bpeLoopShared(docs(s, dir), BpeIters)
+      built = Some(p)
+      p._1
+    }
+    val tok = graft.operators.Caching.sessionMemo(
+      s, s"bpe_tok:$dir:$BpeIters")(
+      built.map(_._2)
+        .getOrElse(TextOps.bpeLoopShared(docs(s, dir), BpeIters)._2))
+    (merges, tok)
+  }
 
   /** Graded phrase batch: a 3-token phrase, a 2-token high-frequency
     * phrase, a REPEATED-term phrase (exercises the one-posting-to-many-i
