@@ -735,7 +735,12 @@ object CurationQueries {
       lit(":"), col("b").cast("string")))
     val reps = d.select(col("lang"), col("doc_id"), col("n_chars"),
         explode(sequence(lit(0), lit(BootB - 1))).as("b"))
-      .withColumn("w", poisWeight(h))
+      // materialize the 60-bit draw as its own column BEFORE the CDF
+      // CASE chain: inlined, the md5 is evaluated once per branch — six
+      // digests per (doc, replicate) instead of one (r13 plan read:
+      // the expanded hash appeared six times in the Project)
+      .withColumn("h60", h)
+      .withColumn("w", poisWeight(col("h60")))
       .groupBy(col("lang"), col("b"))
       .agg(expr("1000000L * sum(w * n_chars) div greatest(sum(w), 1L)")
         .as("m"))
