@@ -64,6 +64,31 @@ object Attention {
       .agg(GraftAggs.vecWeightedSum(col("zb"), col("kvec")).as("dq"))
   }
 
+  /** BACKWARD dK and dV of attention (attention.py:11-29's `z.T @ query`
+    * and `w.T @ g_v` rows) — the key-side halves completing
+    * [[attentionGradQ]]: the SAME per-pair adjoint (w, zbar), folded over
+    * m instead of n —
+    *   dK_n = Σ_m zbar_mn·q_m     dV_n = Σ_m w_mn·g_v_m
+    * so one more pass over the pair stream keyed by k_id closes the whole
+    * attention gradient triple. Returns (k_id, dk, dv). */
+  def attentionGradKV(q: DataFrame, kv: DataFrame, g: DataFrame,
+                      mode: PairPlan.Mode = PairPlan.Auto): DataFrame = {
+    val fwd = attention(q, kv, scale = false, mode)
+      .select(col("q_id"), col("z"), col("out"))
+    val sc = VecOps.dot(col("qvec"), col("kvec"))
+    val w = exp(sc - col("z"))
+    val zbar = (VecOps.dot(col("gvec"), col("vvec")) -
+      VecOps.dot(col("gvec"), col("out"))) * w
+    PairPlan.cross(kv, q, mode)
+      .join(broadcast(fwd), "q_id")
+      .join(broadcast(g), "q_id")
+      .select(col("k_id"), zbar.as("zb"), w.as("w"),
+        col("qvec"), col("gvec"))
+      .groupBy(col("k_id"))
+      .agg(GraftAggs.vecWeightedSum(col("zb"), col("qvec")).as("dk"),
+        GraftAggs.vecWeightedSum(col("w"), col("gvec")).as("dv"))
+  }
+
   /** CAUSAL (masked) attention — the autoregressive-TRAINING variant (the
     * brief's "beyond the reference" mandate: a causal LM's SDPA masks
     * future positions; the reference kernel is unmasked). Each query

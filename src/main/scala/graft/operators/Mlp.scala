@@ -40,6 +40,45 @@ object Mlp {
       .select(col("b_id"), col("pos").cast("long").as("d"), col("col").as("v"))
   }
 
+  /** BACKWARD of the MLP (reference mlp.py:9-16 `proj_fold_bwd`) —
+    * unlike attention's, the MLP backward needs NO forward aggregate
+    * (the reference ignores `a` there): with upstream grad g per batch
+    * row, the per-pair adjoints are
+    *   h_bk   = 1[x_b·p_k > 0]          (the relu mask)
+    *   gxp_bk = (g_b·q_k)·h_bk
+    * and the three gradients are weighted-vector-sum folds over the SAME
+    * pair stream — gx_b = Σ_k gxp_bk·p_k keyed by batch row (this
+    * method), gp_k = Σ_b gxp_bk·x_b and gq_k = Σ_b relu(x_b·p_k)·g_b
+    * keyed by hidden unit ([[mlpGradPQ]]). g: (b_id, gvec) of qvec's
+    * dimension. Returns (b_id, gx). */
+  def mlpGradX(x: DataFrame, pq: DataFrame, g: DataFrame,
+               mode: PairPlan.Mode = PairPlan.Auto): DataFrame = {
+    val xp = VecOps.dot(col("xvec"), col("pvec"))
+    val gxp = when(xp > 0.0, VecOps.dot(col("gvec"), col("qvec")))
+      .otherwise(0.0)
+    PairPlan.cross(pq, x, mode)
+      .join(broadcast(g), "b_id")
+      .select(col("b_id"), gxp.as("gxp"), col("pvec"))
+      .groupBy(col("b_id"))
+      .agg(GraftAggs.vecWeightedSum(col("gxp"), col("pvec")).as("gx"))
+  }
+
+  /** The hidden-unit-keyed halves of the MLP backward — gp and gq (see
+    * [[mlpGradX]]). Returns (k_id, gp, gq). */
+  def mlpGradPQ(x: DataFrame, pq: DataFrame, g: DataFrame,
+                mode: PairPlan.Mode = PairPlan.Auto): DataFrame = {
+    val xp = VecOps.dot(col("xvec"), col("pvec"))
+    val gxp = when(xp > 0.0, VecOps.dot(col("gvec"), col("qvec")))
+      .otherwise(0.0)
+    PairPlan.cross(pq, x, mode)
+      .join(broadcast(g), "b_id")
+      .select(col("k_id"), gxp.as("gxp"),
+        greatest(xp, lit(0.0)).as("h"), col("xvec"), col("gvec"))
+      .groupBy(col("k_id"))
+      .agg(GraftAggs.vecWeightedSum(col("gxp"), col("xvec")).as("gp"),
+        GraftAggs.vecWeightedSum(col("h"), col("gvec")).as("gq"))
+  }
+
   /** Fused `relu(A·Bᵀ)` (reference relu_matmul.cpp:9-21, test_custom_op.py):
     * a: (a_id, avec), b: (b_id, bvec) -> COO (a_id, b_id, v). Pure
     * codegen'd expressions — no shuffle at all beyond the broadcast. */

@@ -32,4 +32,52 @@ object XEntropy {
         sum(when(col("k_id") === col("label"), col("sc")).otherwise(0.0)).as("n"))
       .select(col("m_id"), (col("p") - col("n")).as("loss"))
   }
+
+  /** BACKWARD of the cross-entropy (reference xentropy.py:15-37
+    * `proj_fold_bwd`): with scalar upstream grad g_m on the loss
+    * y = p − n, the chain rule gives (g_p, g_n) = (g_m, −g_m), and the
+    * per-pair adjoint is the softmax-minus-one-hot classic
+    *   gh_mn = g_m·exp(s_mn − a_p_m) − g_m·1[label_m = k_id_n]
+    * (a_p = the forward logsumexp aggregate, joined back M-sized). Both
+    * gradients are weighted-vector-sum folds over the SAME pair stream:
+    * dPred_m = Σ_n gh_mn·k_n (this method, keyed m — returns
+    * (m_id, dpred)) and dTrg_n = Σ_m gh_mn·pred_m ([[xentropyGradTrg]],
+    * keyed n — returns (k_id, dtrg)). g: (m_id, gm). */
+  def xentropyGradPred(pred: DataFrame, trg: DataFrame, g: DataFrame,
+                       mode: PairPlan.Mode = PairPlan.Auto): DataFrame =
+    gradPairs(pred, trg, g, mode)
+      .groupBy(col("m_id"))
+      .agg(GraftAggs.vecWeightedSum(col("gh"), col("kvec")).as("dpred"))
+
+  /** The target-side half of the cross-entropy backward (see
+    * [[xentropyGradPred]]). */
+  def xentropyGradTrg(pred: DataFrame, trg: DataFrame, g: DataFrame,
+                      mode: PairPlan.Mode = PairPlan.Auto): DataFrame =
+    gradPairs(pred, trg, g, mode)
+      .groupBy(col("k_id"))
+      .agg(GraftAggs.vecWeightedSum(col("gh"), col("mvec")).as("dtrg"))
+
+  private def gradPairs(pred: DataFrame, trg: DataFrame, g: DataFrame,
+                        mode: PairPlan.Mode): DataFrame = {
+    val sc = VecOps.dot(col("mvec"), col("kvec"))
+    val fwd = xentropyLse(pred, trg, mode)
+    val gh = col("gm") * exp(sc - col("p")) -
+      when(col("k_id") === col("label"), col("gm")).otherwise(0.0)
+    PairPlan.cross(trg, pred, mode)
+      .join(broadcast(fwd), "m_id")
+      .join(broadcast(g), "m_id")
+      .select(col("m_id"), col("k_id"), gh.as("gh"),
+        col("mvec"), col("kvec"))
+  }
+
+  /** The forward logsumexp aggregate alone — the `a_p` the backward
+    * joins back (M rows). */
+  private def xentropyLse(pred: DataFrame, trg: DataFrame,
+                          mode: PairPlan.Mode): DataFrame = {
+    val sc = VecOps.dot(col("mvec"), col("kvec"))
+    PairPlan.cross(trg, pred, mode)
+      .select(col("m_id"), sc.as("sc"))
+      .groupBy("m_id")
+      .agg(GraftAggs.logSumExp(col("sc")).as("p"))
+  }
 }

@@ -82,6 +82,164 @@ object MatrixQueries {
        |FROM e GROUP BY q_id, f""".stripMargin
   }
 
+  /** The key-side halves of the attention backward (dK, dV — see
+    * [[Attention.attentionGradKV]]), completing the gradient triple under
+    * the same mock grad as [[attentionGradQuery]]. dK graded on its first
+    * [[D]] of 64 components (same slice rationale); dV is [[D]]-wide. */
+  private def attentionGradKvQuery(s: SparkSession, dir: String): DataFrame =
+    Attention.attentionGradKV(qSide(s, dir).drop("label"), kvSide(s, dir),
+      gradSide(s, dir))
+      .select(col("k_id"), col("dv"), posexplode(slice(col("dk"), 1, D)))
+      .select(col("k_id"), col("pos").cast("long").as("d"),
+        VecOps.qround(col("col"), 4).as("dk"),
+        VecOps.qround(element_at(col("dv"), col("pos") + 1), 4).as("dv"))
+
+  private val attentionGradKvOracle: String = {
+    val gv = s"list_transform(generate_series(0, ${D - 1}), " +
+      s"d -> ${VecOps.u01Sql("'ag:' || q_id || ':' || d")} - 0.5)"
+    val dk = VecOps.qroundSql("sum(zb * qv[d])", 4)
+    val dv = VecOps.qroundSql("sum(w * gv[d])", 4)
+    s"""${qkPrefixWhere(s" WHERE vec_id < $M")},
+       |m AS (SELECT q_id, max(sc) AS mx FROM s GROUP BY q_id),
+       |z AS (SELECT s.q_id, mx + ln(sum(exp(sc - mx))) AS z
+       |      FROM s JOIN m USING (q_id) GROUP BY s.q_id, mx),
+       |g AS (SELECT q_id, $gv AS gv FROM q),
+       |p AS (SELECT s.q_id, s.k_id, exp(s.sc - z.z) AS w,
+       |        list_dot_product(g.gv, s.vv) AS gdotv, q2.qv, g.gv
+       |      FROM s JOIN z ON z.q_id = s.q_id JOIN g ON g.q_id = s.q_id
+       |        JOIN q q2 ON q2.q_id = s.q_id),
+       |ga AS (SELECT q_id, sum(w * gdotv) AS gdota FROM p GROUP BY q_id),
+       |zbt AS (SELECT p.k_id, (p.gdotv - ga.gdota) * p.w AS zb, p.w,
+       |          p.qv, p.gv
+       |        FROM p JOIN ga USING (q_id)),
+       |e AS (SELECT k_id, d, zb, w, qv, gv
+       |      FROM zbt CROSS JOIN (SELECT unnest(generate_series(1, $D)) AS d) ds)
+       |SELECT k_id, CAST(d - 1 AS BIGINT) AS d, $dk AS dk, $dv AS dv
+       |FROM e GROUP BY k_id, d""".stripMargin
+  }
+
+  /** Deterministic upstream gradient for the MLP backward ("mg:" md5
+    * stream, [[D]]-wide like the MLP output). */
+  private def mlpGradG(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < M)
+      .select(col("vec_id").as("b_id"),
+        transform(sequence(lit(0), lit(D - 1)), d =>
+          VecOps.u01(concat(lit("mg:"), col("vec_id").cast("string"),
+            lit(":"), d.cast("string"))) - lit(0.5)).as("gvec"))
+
+  /** MLP backward gx (reference mlp.py:9-16; see [[Mlp.mlpGradX]]) —
+    * graded on the first [[D]] of 64 input-gradient components. */
+  private def mlpGradXQuery(s: SparkSession, dir: String): DataFrame =
+    Mlp.mlpGradX(
+      qSide(s, dir).select(col("q_id").as("b_id"), col("qvec").as("xvec")),
+      kvSide(s, dir).select(col("k_id"), col("kvec").as("pvec"),
+        col("vvec").as("qvec")),
+      mlpGradG(s, dir))
+      .select(col("b_id"), posexplode(slice(col("gx"), 1, D)))
+      .select(col("b_id"), col("pos").cast("long").as("d"),
+        VecOps.qround(col("col"), 4).as("gx"))
+
+  /** MLP backward gp + gq keyed by hidden unit (see [[Mlp.mlpGradPQ]]). */
+  private def mlpGradPqQuery(s: SparkSession, dir: String): DataFrame =
+    Mlp.mlpGradPQ(
+      qSide(s, dir).select(col("q_id").as("b_id"), col("qvec").as("xvec")),
+      kvSide(s, dir).select(col("k_id"), col("kvec").as("pvec"),
+        col("vvec").as("qvec")),
+      mlpGradG(s, dir))
+      .select(col("k_id"), col("gq"), posexplode(slice(col("gp"), 1, D)))
+      .select(col("k_id"), col("pos").cast("long").as("d"),
+        VecOps.qround(col("col"), 4).as("gp"),
+        VecOps.qround(element_at(col("gq"), col("pos") + 1), 4).as("gq"))
+
+  private def mlpAdjointCtes: String = {
+    val gv = s"list_transform(generate_series(0, ${D - 1}), " +
+      s"d -> ${VecOps.u01Sql("'mg:' || q_id || ':' || d")} - 0.5)"
+    s"""WITH q AS (SELECT vec_id AS b_id, embedding::DOUBLE[] AS xv
+       |           FROM embeddings WHERE vec_id < $M),
+       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS pv,
+       |        (embedding::DOUBLE[])[1:$D] AS qv8 FROM embeddings),
+       |g AS (SELECT b_id, $gv AS gv
+       |      FROM (SELECT b_id, b_id AS q_id FROM q)),
+       |a AS (SELECT q.b_id, k.k_id,
+       |        list_dot_product(q.xv, k.pv) AS xp, k.pv, k.qv8, q.xv, g.gv,
+       |        CASE WHEN list_dot_product(q.xv, k.pv) > 0
+       |             THEN list_dot_product(g.gv, k.qv8) ELSE 0 END AS gxp,
+       |        CASE WHEN list_dot_product(q.xv, k.pv) > 0
+       |             THEN list_dot_product(q.xv, k.pv) ELSE 0 END AS h
+       |      FROM q CROSS JOIN k JOIN g ON g.b_id = q.b_id),
+       |ds AS (SELECT unnest(generate_series(1, $D)) AS d)""".stripMargin
+  }
+
+  private val mlpGradXOracle: String =
+    s"""$mlpAdjointCtes
+       |SELECT b_id, CAST(d - 1 AS BIGINT) AS d,
+       |  ${VecOps.qroundSql("sum(gxp * pv[d])", 4)} AS gx
+       |FROM a CROSS JOIN ds GROUP BY b_id, d""".stripMargin
+
+  private val mlpGradPqOracle: String =
+    s"""$mlpAdjointCtes
+       |SELECT k_id, CAST(d - 1 AS BIGINT) AS d,
+       |  ${VecOps.qroundSql("sum(gxp * xv[d])", 4)} AS gp,
+       |  ${VecOps.qroundSql("sum(h * gv[d])", 4)} AS gq
+       |FROM a CROSS JOIN ds GROUP BY k_id, d""".stripMargin
+
+  /** Scalar upstream gradient for the cross-entropy backward ("xg:"). */
+  private def xentGradG(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < M)
+      .select(col("vec_id").as("m_id"),
+        (VecOps.u01(concat(lit("xg:"), col("vec_id").cast("string")))
+          - lit(0.5)).as("gm"))
+
+  /** Cross-entropy backward dPred (reference xentropy.py:15-37; see
+    * [[XEntropy.xentropyGradPred]]) — first [[D]] of 64 components. */
+  private def xentropyGradQuery(s: SparkSession, dir: String): DataFrame =
+    XEntropy.xentropyGradPred(
+      qSide(s, dir).select(col("q_id").as("m_id"), col("qvec").as("mvec"),
+        col("label")),
+      kvSide(s, dir).select(col("k_id"), col("kvec")),
+      xentGradG(s, dir))
+      .select(col("m_id"), posexplode(slice(col("dpred"), 1, D)))
+      .select(col("m_id"), col("pos").cast("long").as("d"),
+        VecOps.qround(col("col"), 4).as("dpred"))
+
+  /** The target-side half dTrg, keyed by class row. */
+  private def xentropyGradTrgQuery(s: SparkSession, dir: String): DataFrame =
+    XEntropy.xentropyGradTrg(
+      qSide(s, dir).select(col("q_id").as("m_id"), col("qvec").as("mvec"),
+        col("label")),
+      kvSide(s, dir).select(col("k_id"), col("kvec")),
+      xentGradG(s, dir))
+      .select(col("k_id"), posexplode(slice(col("dtrg"), 1, D)))
+      .select(col("k_id"), col("pos").cast("long").as("d"),
+        VecOps.qround(col("col"), 4).as("dtrg"))
+
+  private def xentAdjointCtes: String =
+    s"""${qkPrefixWhere(s" WHERE vec_id < $M")},
+       |m AS (SELECT q_id, max(sc) AS mx FROM s GROUP BY q_id),
+       |z AS (SELECT s.q_id, mx + ln(sum(exp(sc - mx))) AS z
+       |      FROM s JOIN m USING (q_id) GROUP BY s.q_id, mx),
+       |g AS (SELECT q_id, ${VecOps.u01Sql("'xg:' || q_id")} - 0.5 AS gm
+       |      FROM q),
+       |a AS (SELECT s.q_id AS m_id, s.k_id,
+       |        g.gm * exp(s.sc - z.z)
+       |          - CASE WHEN s.label = s.k_id THEN g.gm ELSE 0 END AS gh,
+       |        q2.qv AS mv, k.kv
+       |      FROM s JOIN z ON z.q_id = s.q_id JOIN g ON g.q_id = s.q_id
+       |        JOIN q q2 ON q2.q_id = s.q_id JOIN k ON k.k_id = s.k_id),
+       |ds AS (SELECT unnest(generate_series(1, $D)) AS d)""".stripMargin
+
+  private val xentropyGradOracle: String =
+    s"""$xentAdjointCtes
+       |SELECT m_id, CAST(d - 1 AS BIGINT) AS d,
+       |  ${VecOps.qroundSql("sum(gh * kv[d])", 4)} AS dpred
+       |FROM a CROSS JOIN ds GROUP BY m_id, d""".stripMargin
+
+  private val xentropyGradTrgOracle: String =
+    s"""$xentAdjointCtes
+       |SELECT k_id, CAST(d - 1 AS BIGINT) AS d,
+       |  ${VecOps.qroundSql("sum(gh * mv[d])", 4)} AS dtrg
+       |FROM a CROSS JOIN ds GROUP BY k_id, d""".stripMargin
+
   /** Full-M self-attention through the non-broadcast blocked (2-D tiled)
     * path — proves the plan works with the query-side cap lifted. */
   private def attentionBigQuery(s: SparkSession, dir: String): DataFrame =
@@ -388,8 +546,14 @@ object MatrixQueries {
     "relu_matmul_f32" -> (reluMatmulF32Query _),
     "xentropy" -> xentropyQuery,
     "xentropy_big" -> (xentropyBigQuery _),
-    // the stretch gradient query (VERDICT r12 #7): attention backward dQ
+    // the stretch gradient queries (VERDICT r12 #7, then the full
+    // family): every in-scope reference backward as a graded pair fold
     "attention_grad" -> (attentionGradQuery _),
+    "attention_grad_kv" -> (attentionGradKvQuery _),
+    "mlp_grad_x" -> (mlpGradXQuery _),
+    "mlp_grad_pq" -> (mlpGradPqQuery _),
+    "xentropy_grad" -> (xentropyGradQuery _),
+    "xentropy_grad_trg" -> (xentropyGradTrgQuery _),
     "entropy" -> entropyQuery,
     "entropy_big" -> (entropyBigQuery _),
     "sampler" -> samplerQuery,
@@ -414,6 +578,11 @@ object MatrixQueries {
     "xentropy" -> xentropyOracle(),
     "xentropy_big" -> xentropyOracle(mWhere = ""),
     "attention_grad" -> attentionGradOracle,
+    "attention_grad_kv" -> attentionGradKvOracle,
+    "mlp_grad_x" -> mlpGradXOracle,
+    "mlp_grad_pq" -> mlpGradPqOracle,
+    "xentropy_grad" -> xentropyGradOracle,
+    "xentropy_grad_trg" -> xentropyGradTrgOracle,
     "entropy" -> entropyOracle(),
     "entropy_big" -> entropyOracle(mWhere = ""),
     "sampler" -> samplerOracle(),
