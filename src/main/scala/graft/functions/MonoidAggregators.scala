@@ -311,4 +311,13 @@ object GraftAggs {
     NativeExprs.toCol(
       VecWeightedSumAgg(NativeExprs.toExpr(w), NativeExprs.toExpr(v))
         .toAggregateExpression())
+
+  /** argMaxPert(pert, sc, kId) -> struct<pert,sc,k_id>: the Gumbel-max
+    * sampler monoid as a native aggregate — bit-identical to
+    * `max(struct(pert, sc, k_id))` but ObjectHashAggregate-eligible
+    * (see [[ArgMaxPertAgg]]'s plan rationale). */
+  def argMaxPert(pert: Column, sc: Column, kId: Column): Column =
+    NativeExprs.toCol(
+      ArgMaxPertAgg(NativeExprs.toExpr(pert), NativeExprs.toExpr(sc),
+        NativeExprs.toExpr(kId)).toAggregateExpression())
 }

@@ -223,3 +223,96 @@ case class VecWeightedSumAgg(
       newChildren: IndexedSeq[Expression]): VecWeightedSumAgg =
     copy(weight = newChildren(0), value = newChildren(1))
 }
+
+/** Mutable buffer for [[ArgMaxPertAgg]]: the lexicographic max of
+  * (pert, sc, k_id) seen so far; `set` = false is the monoid identity. */
+final class ArgMaxBuf(var pert: Double, var sc: Double, var kId: Long,
+                      var set: Boolean) extends Serializable
+
+/** The Gumbel-max sampler monoid (reference sampling.py:5-48, via the
+  * exact-argmax reformulation of SURVEY §2.4.3) as a native
+  * `TypedImperativeAggregate`: lexicographic max over
+  * (pert, sc, k_id) — EXACTLY `max(struct(pert, sc, k_id))`'s ordering,
+  * so results are bit-identical to the declarative form it replaces.
+  *
+  * Why it exists (r13): a declarative `max` over a STRUCT has a
+  * non-primitive buffer, which disqualifies `HashAggregateExec`; mixed
+  * with the codegen'd logsumexp the whole sampler aggregation fell to
+  * `SortAggregate`, sorting the full M×N pair stream in every mode —
+  * measured as sampler's kernel_ratio floor and ~0.2 s of its wall.
+  * A TypedImperativeAggregate in the mix flips the plan to
+  * `ObjectHashAggregateExec`: per-row hash update into M buffers, no
+  * pair-stream sort. */
+case class ArgMaxPertAgg(
+    pert: Expression,
+    sc: Expression,
+    kId: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArgMaxBuf] {
+
+  override def children: Seq[Expression] = Seq(pert, sc, kId)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (pert.dataType, sc.dataType, kId.dataType) match {
+      case (DoubleType, DoubleType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (p, s, k) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, double, bigint), got ($p, $s, $k)")
+    }
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("pert", DoubleType, nullable = false),
+    StructField("sc", DoubleType, nullable = false),
+    StructField("k_id", LongType, nullable = false)))
+  override def prettyName: String = "graft_argmax_pert"
+
+  override def createAggregationBuffer(): ArgMaxBuf =
+    new ArgMaxBuf(Double.NegativeInfinity, Double.NegativeInfinity,
+      Long.MinValue, set = false)
+
+  override def update(b: ArgMaxBuf, input: InternalRow): ArgMaxBuf = {
+    val p = pert.eval(input)
+    val s = sc.eval(input)
+    val k = kId.eval(input)
+    if (p == null || s == null || k == null) return b
+    maybeTake(b, p.asInstanceOf[Double], s.asInstanceOf[Double],
+      k.asInstanceOf[Long])
+  }
+
+  override def merge(a: ArgMaxBuf, o: ArgMaxBuf): ArgMaxBuf =
+    if (!o.set) a else maybeTake(a, o.pert, o.sc, o.kId)
+
+  /** Lexicographic (pert, sc, k_id) — identical to struct ordering. */
+  private def maybeTake(b: ArgMaxBuf, p: Double, s: Double,
+                        k: Long): ArgMaxBuf = {
+    val greater = !b.set ||
+      p > b.pert ||
+      (p == b.pert && (s > b.sc || (s == b.sc && k > b.kId)))
+    if (greater) { b.pert = p; b.sc = s; b.kId = k; b.set = true }
+    b
+  }
+
+  override def eval(b: ArgMaxBuf): Any = InternalRow(b.pert, b.sc, b.kId)
+
+  override def serialize(b: ArgMaxBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(25)
+    bb.putDouble(b.pert)
+    bb.putDouble(b.sc)
+    bb.putLong(b.kId)
+    bb.put(if (b.set) 1.toByte else 0.toByte)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArgMaxBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    new ArgMaxBuf(bb.getDouble, bb.getDouble, bb.getLong, bb.get() == 1)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ArgMaxPertAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ArgMaxPertAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ArgMaxPertAgg =
+    copy(pert = newChildren(0), sc = newChildren(1), kId = newChildren(2))
+}

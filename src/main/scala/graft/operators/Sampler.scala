@@ -40,8 +40,14 @@ object Sampler {
       .select(col("m_id"), col("k_id"), col("sc"),
         (col("sc") + noise).as("pert"))
       .groupBy("m_id")
+      // the argmax is the NATIVE lexicographic-max aggregate, not
+      // max(struct): a struct buffer disqualifies HashAggregate and
+      // dragged the whole aggregation (logsumexp included) down to
+      // SortAggregate — sorting the full M×N pair stream (r13 plan
+      // read; sampler's kernel_ratio floor). The TypedImperative form
+      // flips the plan to ObjectHashAggregate: M buffers, no sort.
       .agg(
-        max(struct(col("pert"), col("sc"), col("k_id"))).as("top"),
+        GraftAggs.argMaxPert(col("pert"), col("sc"), col("k_id")).as("top"),
         GraftAggs.logSumExp(col("sc")).as("tz"))
       .select(col("m_id"), col("top.k_id").as("c"),
         exp(col("top.sc") - col("tz")).as("weight"))
