@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Attention
+import graft.operators.{Attention, Sampler}
 
 /** SQL registration of the native functions + physical-plan-shape
   * regression tests (the plan properties the 100 TB design depends on). */
@@ -93,6 +93,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"expected ShuffledHashJoin tile grid in:\n$plan")
     assert(!plan.contains("BroadcastExchange"),
       s"blocked plan must not broadcast:\n$plan")
+  }
+
+  test("sampler plan shape: ObjectHashAggregate, never a pair-stream SortAggregate") {
+    // the Gumbel-max argmax is a native TypedImperativeAggregate (r13):
+    // a declarative max(struct) buffer dragged the whole aggregation to
+    // SortAggregate, sorting the full M×N pair stream in both modes
+    val emb = (0 until 64).map(i => (i.toLong, Array.fill(8)(i * 0.1)))
+      .toDF("id", "vec")
+    val plan = physicalPlan(Sampler.sampler(
+      emb.select(col("id").as("m_id"), col("vec").as("mvec")),
+      emb.select(col("id").as("k_id"), col("vec").as("kvec")),
+      seed = "spec"))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate in:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"sampler aggregation fell back to SortAggregate:\n$plan")
   }
 
   test("docs_profile plan shape: ONE documents scan feeds all five countDistincts") {
