@@ -277,6 +277,20 @@ object ScaleSmoke {
       // MMR rerank: candidate pull is the linear brute scan; the greedy
       // rounds run on M×k rows — corpus-independent after the pull
       "mmr" -> (kv => Similarity.mmrTopK(qSide, kv, 10, 5).count()),
+      // attention backward dQ (r13): TWO pair passes (forward aggregate,
+      // then the adjoint fold with the M-sized aggregate broadcast back)
+      // at fixed M — must track ann_brute's linear-in-N band with a ~2×
+      // constant, never superlinear (the weight matrix is never
+      // materialized in either pass)
+      "grads" -> { kv =>
+        val kvv = kv.withColumn("vvec", slice(col("kvec"), 1, 8))
+        val g = qSide.select(col("q_id"),
+          slice(col("qvec"), 1, 8).as("gvec"))
+        graft.operators.Attention.attentionGradQ(qSide, kvv, g)
+          .agg(sum(element_at(col("dq"), 1)).as("s"),
+            count(lit(1)).as("n"))
+          .head().getLong(1)
+      },
       // triplet mining: one M×N pair stream through one window pass —
       // linear in N at fixed M, like ann_brute plus the window sort
       "triplets" -> (kv => Similarity.tripletMine(qSide, kv, 3, 4000L).count()),
