@@ -101,8 +101,23 @@ object Caching {
     // entries of previous (stopped) sessions pin their whole object
     // graph via the plan reference — drop them on first touch
     memo.keySet().removeIf(k => !k.startsWith(app + "/"))
-    memo.computeIfAbsent(app + "/" + key,
-      _ => build.localCheckpoint(eager = true))
+    val full = app + "/" + key
+    // NOT computeIfAbsent: memo builders nest (a scored table's build
+    // reads the margins memo, which reads the weights memo), and
+    // ConcurrentHashMap.computeIfAbsent throws "Recursive update" when
+    // the nested insert lands in the same bin — an order-dependent
+    // landmine (it only fired when earlier entries reshaped the table).
+    // get-then-putIfAbsent is reentrancy-safe; a concurrent duplicate
+    // build (parallel test suites) wastes one computation and the first
+    // insert wins — correctness is unaffected, both are checkpoints of
+    // the same deterministic plan.
+    val existing = memo.get(full)
+    if (existing != null) existing
+    else {
+      val built = build.localCheckpoint(eager = true)
+      val prev = memo.putIfAbsent(full, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** Snapshot of the memo's current keys (for [[memoDropNewerThan]]). */
