@@ -93,9 +93,38 @@ object Bench {
 
   /** One query's medians; `firstWall` ≥ 0 only when the 3×-trigger
     * re-measure fired (it then holds the FIRST median wall — the official
-    * `wall` is the re-measured one). */
+    * `wall` is the re-measured one). `memoB` = seconds spent inside
+    * session-memo MISS builds (the family cost the memo moves into the
+    * first runner — VERDICT r13 #3); `memoH` = memo hits on entries an
+    * earlier query built (a hit row's wall is partly a checkpoint read —
+    * ADVICE r13 #3); `jobs`/`taskS` = Spark jobs launched / total task
+    * time, the channel that separates executor work from driver-side
+    * scheduling latency (a wall inflation with flat taskS is session
+    * scatter, not a plan change — VERDICT r13 #1 streaming band). */
   private final case class Q(wall: Double, cpu: Double, busy: Double,
-      io: Double, jit: Double, gc: Double, firstWall: Double = -1.0)
+      io: Double, jit: Double, gc: Double, memoB: Double = 0.0,
+      memoH: Double = 0.0, jobs: Double = 0.0, taskS: Double = 0.0,
+      firstWall: Double = -1.0)
+
+  /** Session-wide job/task accounting for the per-run channel above.
+    * Listener events post asynchronously; by the time a run's collect()
+    * returns all its tasks have ended, so any bus lag only shifts a few
+    * events across run boundaries — noise the median absorbs. */
+  private object JobStats extends org.apache.spark.scheduler.SparkListener {
+    private val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+      ()
+    }
+    def reset(): Unit = { jobs.set(0L); taskMs.set(0L) }
+    def snapshot(): (Long, Double) = (jobs.get, taskMs.get / 1e3)
+  }
 
   private def force(df: DataFrame): Unit = {
     // cast to double before summing: ANSI mode (Spark 4 default) would throw
@@ -214,6 +243,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(JobStats)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
@@ -227,8 +257,15 @@ object Bench {
       else SparkEntry.benchQueries
 
     val results = scala.collection.mutable.LinkedHashMap[String, Q]()
-    val ratios =
-      scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // per kernel: (blocked wall, broadcast wall, wall ratio, cpu ratio) —
+    // the ratios are MEDIANS OF PER-RUN PAIRED RATIOS, not ratios of
+    // medians: the interleaved pairs see the same machine window, so
+    // pairing cancels co-tenant drift a per-mode median cannot; cpu_ratio
+    // (process-CPU, blind to co-tenant wall inflation) is the closest
+    // Spark dual of the reference's single-machine blocked≈regular claim
+    // (core.py:133-147)
+    val ratios = scala.collection.mutable
+      .LinkedHashMap[String, (Double, Double, Double, Double)]()
     val stat0 = procStat()
     val committed = committedWalls()
 
@@ -249,6 +286,8 @@ object Bench {
       spark.catalog.clearCache()
       val runs = (1 to Runs).map { _ =>
         graft.operators.Caching.memoDropNewerThan(memoSnap)
+        graft.operators.Caching.memoWindowReset()
+        JobStats.reset()
         val s0 = procStat()
         val io0 = ioStallUs()
         val j0 = jitMs()
@@ -260,6 +299,9 @@ object Bench {
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
         val s1 = procStat()
         val io1 = ioStallUs()
+        val (nJobs, taskS) = JobStats.snapshot()
+        val memoB = graft.operators.Caching.memoWindowBuildS
+        val memoH = graft.operators.Caching.memoWindowHits.toDouble
         val busy = if (s1._2 > s0._2)
           (s1._1 - s0._1).toDouble / (s1._2 - s0._2) else -1.0
         val io = if (io0 >= 0 && io1 >= io0 && wall > 0)
@@ -267,11 +309,13 @@ object Bench {
         val jit = if (j0 >= 0) (jitMs() - j0).toDouble else -1.0
         val gc = if (wall > 0) (gcMs() - g0) / (wall * 1e3) else -1.0
         spark.catalog.clearCache() // next run repopulates its own caches
-        (wall, cpu, busy, io, jit, gc)
+        (wall, cpu, busy, io, jit, gc, memoB, memoH, nJobs.toDouble, taskS)
       }
       Q(median(runs.map(_._1)), median(runs.map(_._2)),
         medianValid(runs.map(_._3)), medianValid(runs.map(_._4)),
-        medianValid(runs.map(_._5)), medianValid(runs.map(_._6)))
+        medianValid(runs.map(_._5)), medianValid(runs.map(_._6)),
+        median(runs.map(_._7)), median(runs.map(_._8)),
+        median(runs.map(_._9)), median(runs.map(_._10)))
     }
 
     try {
@@ -307,7 +351,10 @@ object Bench {
       // tile grid vs broadcast stream, same kernel, same shape
       if (args.isEmpty) {
         import graft.operators.PairPlan
-        graft.queries.MatrixQueries.modalKernels.toSeq.sortBy(_._1)
+        // the 20× measurement shape (VERDICT r13 #2): ~10M pairs per arm
+        // so the ~0.05-0.1 s blocked-arm fixed exchange cost is <5% of
+        // the wall and the ratio can resolve the reference's ≈1 claim
+        graft.queries.MatrixQueries.modalKernelsBig.toSeq.sortBy(_._1)
           .foreach { case (name, fn) =>
             try {
               // joint warmup BEFORE either mode is timed: each kernel's
@@ -326,16 +373,22 @@ object Bench {
               // drift hit both equally, so the RATIO stays meaningful
               // even when the absolute walls wander.
               val runs = (1 to KernelRuns).map { _ =>
+                val c0 = osBean.getProcessCpuTime
                 val t0 = System.nanoTime()
                 force(fn(spark, sfDir, PairPlan.Blocked))
                 val bl = (System.nanoTime() - t0) / 1e9
+                val blc = (osBean.getProcessCpuTime - c0) / 1e9
+                val c1 = osBean.getProcessCpuTime
                 val t1 = System.nanoTime()
                 force(fn(spark, sfDir, PairPlan.Broadcast))
                 val br = (System.nanoTime() - t1) / 1e9
+                val brc = (osBean.getProcessCpuTime - c1) / 1e9
                 spark.catalog.clearCache()
-                (bl, br)
+                (bl, br, bl / math.max(br, 1e-9),
+                  blc / math.max(brc, 1e-9))
               }
-              ratios(name) = (median(runs.map(_._1)), median(runs.map(_._2)))
+              ratios(name) = (median(runs.map(_._1)), median(runs.map(_._2)),
+                median(runs.map(_._3)), median(runs.map(_._4)))
             } catch {
               case e: Throwable =>
                 System.err.println(s"[bench] kernel_ratio $name failed: ${e.getMessage}")
@@ -355,14 +408,26 @@ object Bench {
         .mkString("{", ",", "}")
       val gs = results.map { case (k, q) => s"\"$k\":${r3(q.gc)}" }
         .mkString("{", ",", "}")
+      // memo attribution (VERDICT r13 #3 / ADVICE r13 #3): memo_build_s
+      // only for rows that actually built something, memo_hits only for
+      // rows that read pre-existing entries — sparse dicts keep the line
+      // readable while every affected row self-explains
+      val mb = results.collect { case (k, q) if q.memoB >= 0.0005 =>
+        s"\"$k\":${r3(q.memoB)}" }.mkString("{", ",", "}")
+      val mh = results.collect { case (k, q) if q.memoH >= 0.5 =>
+        s"\"$k\":${math.rint(q.memoH).toLong}" }.mkString("{", ",", "}")
+      val njobs = results.map { case (k, q) =>
+        s"\"$k\":${math.rint(q.jobs).toLong}" }.mkString("{", ",", "}")
+      val ts = results.map { case (k, q) => s"\"$k\":${r3(q.taskS)}" }
+        .mkString("{", ",", "}")
       // only the rows that tripped the 3× trigger, with their FIRST wall
       // (the official "queries" value is the re-measured one)
       val rm = results.collect { case (k, q) if q.firstWall >= 0 =>
         s"\"$k\":${r3(q.firstWall)}" }.mkString("{", ",", "}")
       val (ccUsed, ccMax) = codeCache()
-      val kr = ratios.map { case (k, (bl, br)) =>
+      val kr = ratios.map { case (k, (bl, br, wr, cr)) =>
         s""""$k":{"blocked":${r3(bl)},"broadcast":${r3(br)},"ratio":${
-          r3(bl / math.max(br, 1e-9))}}"""
+          r3(wr)},"cpu_ratio":${r3(cr)}}"""
       }.mkString("{", ",", "}")
       val ok = results.values.map(_.wall).filter(_ >= 0)
       val total = r3(ok.sum)
@@ -377,7 +442,7 @@ object Bench {
       // bench_latest.json so the next driver run reads n_unguarded: 0
       val nUnguarded = results.keys.count(k => !committed.contains(k))
       val line =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"busy_frac":$bs,"io_busy":$is,"jit_ms":$js,"gc_frac":$gs,"remeasured":$rm,"n_unguarded":$nUnguarded,"code_cache":{"used_mb":${ccUsed / (1 << 20)},"max_mb":${ccMax / (1 << 20)}},"kernel_ratio":$kr,"runs":$Runs,"stat":"median","loadavg":"${loadAvg()}","machine_busy":$busy,"cores":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cs,"busy_frac":$bs,"io_busy":$is,"jit_ms":$js,"gc_frac":$gs,"memo_build_s":$mb,"memo_hits":$mh,"n_jobs":$njobs,"task_s":$ts,"remeasured":$rm,"n_unguarded":$nUnguarded,"code_cache":{"used_mb":${ccUsed / (1 << 20)},"max_mb":${ccMax / (1 << 20)}},"kernel_ratio":$kr,"runs":$Runs,"stat":"median","loadavg":"${loadAvg()}","machine_busy":$busy,"cores":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
       println(line)
       Console.out.flush()
       System.err.println(line) // second channel in case stdout tail is clipped
@@ -401,8 +466,8 @@ object Bench {
         .take(20)
         .map { case (k, q) => s"\"$k\":${r3(q.wall)}" }
         .mkString("{", ",", "}")
-      val krShort = ratios.map { case (k, (bl, br)) =>
-        s""""$k":${r3(bl / math.max(br, 1e-9))}""" }.mkString("{", ",", "}")
+      val krShort = ratios.map { case (k, (_, _, wr, _)) =>
+        s""""$k":${r3(wr)}""" }.mkString("{", ",", "}")
       val nRemeasured = results.values.count(_.firstWall >= 0)
       val short =
         s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_truncated":true,"full":"bench_latest.json","n_remeasured":$nRemeasured,"n_unguarded":$nUnguarded,"code_cache_used_mb":${ccUsed / (1 << 20)},"kernel_ratio":$krShort,"runs":$Runs,"stat":"median","machine_busy":$busy,"sf":"$sfDir"}"""

@@ -66,7 +66,12 @@ object Verify {
          | "java_version": ${q(System.getProperty("java.version"))},
          | "session_tz": ${q(spark.conf.get("spark.sql.session.timeZone"))},
          | "jvm_tz": ${q(java.util.TimeZone.getDefault.getID)},
-         | "ansi": ${q(spark.conf.get("spark.sql.ansi.enabled", "default"))}}"""
+         | "ansi": ${
+        // RuntimeConfig.get(key, default) type-checks the FALLBACK string
+        // against the conf's boolean type, so a non-boolean sentinel
+        // throws whenever the key is unset — wrap instead
+        q(scala.util.Try(spark.conf.get("spark.sql.ansi.enabled"))
+          .getOrElse("default"))}}"""
         .stripMargin
     Files.writeString(Paths.get(s"$outDir/verify_env.json"), env)
     spark.stop()

@@ -282,12 +282,30 @@ case class ArgMaxPertAgg(
   override def merge(a: ArgMaxBuf, o: ArgMaxBuf): ArgMaxBuf =
     if (!o.set) a else maybeTake(a, o.pert, o.sc, o.kId)
 
-  /** Lexicographic (pert, sc, k_id) — identical to struct ordering. */
+  /** Lexicographic (pert, sc, k_id) — identical to struct ordering,
+    * INCLUDING NaN semantics (ADVICE r13 #5): Spark's struct max orders
+    * doubles with nanSafeCompareDoubles (NaN ranks largest and equals
+    * itself; ±0.0 compare equal via `==`), whereas primitive `>`/`==`
+    * would make NaN never win and never tie. [[nanSafeCmp]] reproduces
+    * that ordering exactly, so the bit-identical claim holds on NaN
+    * perts/scores too. */
+  private def nanSafeCmp(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1
+    else -1
+  }
+
   private def maybeTake(b: ArgMaxBuf, p: Double, s: Double,
                         k: Long): ArgMaxBuf = {
-    val greater = !b.set ||
-      p > b.pert ||
-      (p == b.pert && (s > b.sc || (s == b.sc && k > b.kId)))
+    val cp = nanSafeCmp(p, b.pert)
+    val greater = !b.set || cp > 0 || (cp == 0 && {
+      val cs = nanSafeCmp(s, b.sc)
+      cs > 0 || (cs == 0 && k > b.kId)
+    })
     if (greater) { b.pert = p; b.sc = s; b.kId = k; b.set = true }
     b
   }

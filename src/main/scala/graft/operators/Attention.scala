@@ -46,7 +46,11 @@ object Attention {
     * of fold(X) and X[i] alone). So the Spark plan is exactly the paper's
     * TWO pair passes — forward aggregate, then the adjoint fold — both
     * map-side-combined, with only the M-sized (z, out) aggregate crossing
-    * between them (broadcast; never the M×N weight matrix).
+    * between them (never the M×N weight matrix). The join-back hint is
+    * SIZE-GUARDED ([[PairPlan.hintBounded]], ADVICE r13 #2): under
+    * Blocked — whose premise is that M does not fit one executor — the
+    * M-sized aggregate must not be force-broadcast either; it shuffles
+    * on q_id unless the plan-time estimate fits the session threshold.
     *
     * g: (q_id, gvec) with gvec of vvec's dimension. Returns (q_id, dq). */
   def attentionGradQ(q: DataFrame, kv: DataFrame, g: DataFrame,
@@ -57,8 +61,8 @@ object Attention {
     val zbar = (VecOps.dot(col("gvec"), col("vvec")) -
       VecOps.dot(col("gvec"), col("out"))) * exp(sc - col("z"))
     PairPlan.cross(kv, q, mode)
-      .join(broadcast(fwd), "q_id")
-      .join(broadcast(g), "q_id")
+      .join(PairPlan.hintBounded(fwd, mode), "q_id")
+      .join(PairPlan.hintBounded(g, mode), "q_id")
       .select(col("q_id"), zbar.as("zb"), col("kvec"))
       .groupBy(col("q_id"))
       .agg(GraftAggs.vecWeightedSum(col("zb"), col("kvec")).as("dq"))
@@ -80,8 +84,8 @@ object Attention {
     val zbar = (VecOps.dot(col("gvec"), col("vvec")) -
       VecOps.dot(col("gvec"), col("out"))) * w
     PairPlan.cross(kv, q, mode)
-      .join(broadcast(fwd), "q_id")
-      .join(broadcast(g), "q_id")
+      .join(PairPlan.hintBounded(fwd, mode), "q_id")
+      .join(PairPlan.hintBounded(g, mode), "q_id")
       .select(col("k_id"), zbar.as("zb"), w.as("w"),
         col("qvec"), col("gvec"))
       .groupBy(col("k_id"))

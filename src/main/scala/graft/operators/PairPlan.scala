@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.network.util.JavaUtils
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, col, explode, lit, pmod, sequence, xxhash64}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, col, collect_list, element_at, explode, inline, lit, pmod, sequence, struct, xxhash64}
 
 /** The shared distribution switch for every pair-scoring kernel (attention,
   * mlp, relu_matmul, xentropy, entropy, sampler, cosine top-k): all of them
@@ -92,6 +92,17 @@ object PairPlan {
         // one task is one small tile, never the whole query side -- the
         // property that lets Blocked handle a query side too big to
         // broadcast.
+        //
+        // The cores cap alone is NOT enough for that contract (ADVICE
+        // r13 #1): ShuffledHashJoin builds an in-memory HashedRelation
+        // per task with no spill, so a query side of S bytes split into
+        // at most `cores` tiles puts S/cores bytes in one task's build
+        // map -- linear in the query side, an OOM at exactly the
+        // too-big-to-broadcast scale Blocked exists for. So n_small is
+        // FLOORED at ceil(bytes_small / MaxBuildBytesPerTask): the build
+        // tile stays bounded in absolute size and any extra tiles just
+        // queue behind the core count (task count is a throughput knob;
+        // build size is a correctness-of-memory knob).
         val cores = big.sparkSession.sparkContext.defaultParallelism
         val rb = math.max(estRows(big), 1L)
         val rs = math.max(estRows(small), 1L)
@@ -99,18 +110,79 @@ object PairPlan {
           .min(BigInt(cores)).max(BigInt(1)).toInt
         val nBig = math.min(tasks.toLong, math.max(1L,
           math.round(math.sqrt(tasks.toDouble * rb / rs)))).toInt
-        val nSmall = math.max(1, tasks / nBig)
+        val buildFloor =
+          ((estBytes(small) + MaxBuildBytesPerTask - 1) / MaxBuildBytesPerTask)
+            .min(BigInt(1 << 20)).max(BigInt(1)).toInt
+        val nSmall = math.max(math.max(1, tasks / nBig), buildFloor)
         def rep(n: Int) =
           if (n == 1) lit(0L) else explode(sequence(lit(0L), lit(n - 1L)))
+        // always a content hash, even for a 1-tile axis (where it is
+        // constantly 0): a literal tile id is FOLDABLE, and once both
+        // join keys fold the equi-join degenerates to a hint-less cross
+        // (observed: "Hint (strategy=shuffle_hash) is not supported ...
+        // no equi-join keys" → a serial BroadcastNestedLoopJoin on the
+        // exact path that exists to avoid one)
         def tileId(df: DataFrame, n: Int) =
-          if (n == 1) lit(0L)
-          else pmod(xxhash64(df.columns.map(col): _*), lit(n.toLong))
-        val bigT = big.withColumn("__tb", tileId(big, nBig))
+          pmod(xxhash64(df.columns.map(col): _*), lit(n.toLong))
+        // Each small tile is PACKED into ONE array-of-structs row before
+        // the join and re-inlined after it (r14). With the tile's rows as
+        // 256 duplicate-key build entries, every streamed pair paid a
+        // HashedRelation CHAIN step — a pointer chase per pair that read
+        // as a flat ~1.3-1.6x kernel_ratio on the cheap kernels at the
+        // 10M-pair measurement shape. One fat row per tile key makes the
+        // probe O(1) per streamed row, and `inline` iterates the tile as
+        // a codegen'd array walk — the same inner loop the Broadcast
+        // arm's BroadcastNestedLoopJoin runs (task-time SUM measured
+        // lower than the broadcast arm's at 10M pairs). Tile order inside
+        // the array is collect_list's (nondeterministic), which only
+        // feeds order-insensitive folds / set-shaped pair outputs.
+        //
+        // The (tb, ts) pair is collapsed to ONE tile key drawn from
+        // [[distinctBucketIds]] (r14): with raw 0..n-1 keys, murmur3 piles
+        // 2-3 of the ~30 tiles into one shuffle partition while others
+        // stay empty, and the doubled task IS the stage wall — profiled
+        // as the whole flat ~1.5x kernel_ratio (task-time sum was LOWER
+        // than broadcast while the max task ran 3x the median). Keys
+        // pre-imaged to distinct buckets make tile->task assignment exact
+        // — the same even spread the Broadcast arm gets from round-robin.
+        val parts = big.sparkSession.sessionState.conf.numShufflePartitions
+        val lut: Array[Long] =
+          if (nBig.toLong * nSmall <= parts)
+            distinctBucketIds(nBig * nSmall, parts)
+          else null
+        def tk(tb: Column, ts: Column): Column = {
+          val idx = tb * lit(nSmall.toLong) + ts
+          if (lut != null) element_at(lit(lut), (idx + lit(1)).cast("int"))
+          else idx
+        }
+        // Same single-split guard as the Broadcast arm (r14): a one-file
+        // local input would run the explode-replication + tile hash +
+        // nSmall x shuffle write of the WHOLE big side in one task,
+        // serializing a map stage the grid then waits on (profiled: the
+        // stage's 576 ms straggler under an otherwise even grid). No-op
+        // on any multi-split cluster read.
+        // The tile exchanges are EXPLICIT repartitions (REPARTITION_BY_NUM)
+        // rather than the join's ENSURE_REQUIREMENTS exchanges (r14): AQE
+        // coalesces requirement-exchanges by BYTE size, and a pair grid is
+        // maximally compute-dense per byte — profiled: the 30-tile join
+        // stage read back as 6 one-MB partitions, 5 tiles serialized per
+        // task. A user repartition pins the partition count, the LUT keys
+        // land one tile per partition, and the join reuses the exchanges
+        // (both sides already hash-cluster on __tk).
+        val bigSrc = fanOut(big, cores)
+        val bigT = bigSrc.withColumn("__tb", tileId(bigSrc, nBig))
           .withColumn("__ts", rep(nSmall))
-        val smallT = small.withColumn("__ts", tileId(small, nSmall))
-          .withColumn("__tb", rep(nBig))
-        bigT.join(smallT.hint("SHUFFLE_HASH"), Seq("__tb", "__ts"))
+          .withColumn("__tk", tk(col("__tb"), col("__ts")))
           .drop("__tb", "__ts")
+          .repartition(parts, col("__tk"))
+        val packed = small.withColumn("__ts", tileId(small, nSmall))
+          .groupBy(col("__ts"))
+          .agg(collect_list(struct(small.columns.map(col): _*)).as("__tile"))
+          .withColumn("__tb", rep(nBig))
+          .select(tk(col("__tb"), col("__ts")).as("__tk"), col("__tile"))
+          .repartition(parts, col("__tk"))
+        bigT.join(packed.hint("SHUFFLE_HASH"), Seq("__tk"))
+          .select(big.columns.map(col) :+ inline(col("__tile")): _*)
       case Auto =>
         if (fitsBroadcast(small)) cross(big, small, Broadcast)
         else cross(big, small, Blocked)
@@ -135,6 +207,56 @@ object PairPlan {
     * create/write/commit), while anything smaller runs faster as fewer
     * tasks. */
   private val PairsPerTask = 1000000L
+
+  /** Absolute cap on one Blocked task's build-side tile (plan-time byte
+    * estimate): a 64 MB HashedRelation sits comfortably inside any sane
+    * executor heap regardless of how large the query side grows, which
+    * is the memory contract the Blocked mode exists to provide. */
+  private val MaxBuildBytesPerTask = BigInt(64L << 20)
+
+  /** The first `n` non-negative longs whose murmur3(seed 42) buckets mod
+    * `parts` are pairwise distinct — i.e. tile keys that HashPartitioning
+    * provably spreads one-per-shuffle-partition. Used only when the tile
+    * count fits the partition count (n ≤ parts, a few-hundred-long scan);
+    * larger grids balance by law-of-large-numbers instead. Murmur3Hash
+    * over one LongType child is Murmur3_x86_32.hashLong(value, 42) —
+    * the exact function HashPartitioning evaluates. */
+  private def distinctBucketIds(n: Int, parts: Int): Array[Long] = {
+    val used = new Array[Boolean](parts)
+    val out = new Array[Long](n)
+    var found = 0
+    var v = 0L
+    while (found < n) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+      val b = ((h % parts) + parts) % parts
+      if (!used(b)) { used(b) = true; out(found) = v; found += 1 }
+      v += 1
+    }
+    out
+  }
+
+  /** Plan-time SIZE estimate (bytes) with the same per-Filter
+    * 1/3-selectivity discount as [[estRows]] — used only to floor the
+    * Blocked build-tile count, where an overestimate merely queues a few
+    * extra tiles. */
+  private[graft] def estBytes(df: DataFrame): BigInt = {
+    val plan = df.queryExecution.optimizedPlan
+    val filters = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.size
+    plan.stats.sizeInBytes /
+      BigInt(math.pow(3, math.min(filters, 2)).toLong).max(BigInt(1))
+  }
+
+  /** Broadcast hint GUARDED by the plan-time size check (ADVICE r13 #2):
+    * an M-sized side joined back into a Blocked pair pass must not carry
+    * an unconditional `broadcast()` — Blocked's premise is exactly that
+    * M does not fit one executor. Hint only when the estimate fits the
+    * session threshold (or the caller pinned Broadcast mode, which
+    * asserts the side fits); otherwise leave the join un-hinted and let
+    * AQE pick from runtime sizes. */
+  def hintBounded(df: DataFrame, mode: Mode): DataFrame =
+    if (mode == Broadcast || fitsBroadcast(df)) broadcast(df) else df
 
   /** Plan-time ROW estimate from Catalyst's size-only stats: exact
     * `rowCount` when available (CBO / LocalRelation), else

@@ -96,7 +96,8 @@ object DedupQueries {
     "dedup_clusters_ingest" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.clustersIngest(
-        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        stateKey = Some(s"dedup_ingest_state:$dir"))
     }),
     // dedup-state RETRACTION: every 10th doc is taken down; the persisted
     // cluster labels are repaired via affected-subgraph re-CC (label
@@ -104,7 +105,8 @@ object DedupQueries {
     // from-scratch clustering of corpus∖batch
     "dedup_clusters_retract" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.clustersRetract(d, d.filter(col("doc_id") % Dedup.RetractMod === 0))
+      Dedup.clustersRetract(d, d.filter(col("doc_id") % Dedup.RetractMod === 0),
+        stateKey = Some(s"dedup_retract_state:$dir"))
     }),
     // duplicated-SPAN coverage: per-doc fraction of tokens covered by
     // stride-1 W-token runs appearing verbatim in other docs — the

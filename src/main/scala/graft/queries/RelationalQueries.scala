@@ -1027,6 +1027,86 @@ object RelationalQueries {
        |  CAST(sum(money_cents) AS BIGINT) AS revenue_cents
        |FROM sc GROUP BY 1""".stripMargin
 
+  /** GK rank-error budget of the sketch-quintile RFM variant below. */
+  private val RfmGkEps = 0.01
+
+  /** THE 100 TB PATH OF [[customerRfm]], MADE REAL AND GRADED (VERDICT
+    * r13 "Next" #4 — the last exact-rank anchor without a graded sketch
+    * sibling): the three quintile ladders come from Greenwald–Khanna
+    * sketches instead of the three unpartitioned `ntile(5)` window
+    * sorts. All three metrics ride ONE pass — the per-customer aggregate
+    * is stacked to (metric, v) rows, sketched per (metric, shard),
+    * union-MERGED per metric (the [[graft.functions.GkOps]] rollup:
+    * O((1/ε)·log(εN)) bytes per shard across one shuffle, no global sort
+    * anywhere), and the four quintile edges per metric become broadcast
+    * range lookups. Cut quality is GRADED, not claimed, by the
+    * rank-interval theorem (the `events_psi_gk` /
+    * `quality_logreg_apply_gk` protocol): each edge's exact rank
+    * interval [lo+1, hi] must intersect [j·n/5 − tol·n − 1,
+    * j·n/5 + tol·n + 1] with tol = 2ε (GK merge error compounds).
+    * Sketch content is insertion-order-dependent, so the graded output
+    * is the theorem BOOLEANS plus exact LONG anchors (n and Σv per
+    * metric — pinning the per-customer aggregate itself), never raw
+    * sketch values. */
+  private def customerRfmGk(s: SparkSession, dir: String): DataFrame =
+    customerRfmGkFrom(Tables.orders(s, dir))
+
+  /** [[customerRfmGk]] over an explicit orders frame (spec probe). */
+  private[graft] def customerRfmGkFrom(orders: DataFrame): DataFrame = {
+    import graft.functions.GkOps._
+    val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(max(unix_timestamp(col("o_orderdate"))).as("last_s"),
+        count(lit(1)).as("freq"), sum(cents).as("money_cents"))
+    val m = per.select(col("o_custkey"), expr(
+      "stack(3, 'recency', last_s, 'frequency', freq, " +
+        "'monetary', money_cents) AS (metric, v)"))
+    val edges = m.withColumn("shard", pmod(col("o_custkey"), lit(8L)))
+      .groupBy(col("metric"), col("shard"))
+      .agg(gkSketch(col("v").cast("double"), RfmGkEps).as("sk"))
+      .groupBy(col("metric"))
+      .agg(gkMerge(col("sk")).as("msk"))
+      .select(col("metric"), array((1 to 4).map(j =>
+        gkQuery(col("msk"), j / 5.0)): _*).as("edges"))
+    val aggs = (1 to 4).flatMap { j =>
+      val ed = element_at(col("edges"), j)
+      Seq(
+        sum(when(col("v").cast("double") < ed, 1L).otherwise(0L)).as(s"lo_$j"),
+        sum(when(col("v").cast("double") <= ed, 1L).otherwise(0L)).as(s"hi_$j"))
+    }
+    val a = m.join(broadcast(edges), "metric")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), (sum(col("v")).as("v_sum") +: aggs): _*)
+    val stacked = a.selectExpr("metric", "n", "v_sum",
+      s"stack(4, ${(1 to 4).map(j => s"${j}L, lo_$j, hi_$j").mkString(", ")}) AS (j, lo, hi)")
+    val nd = col("n").cast("double")
+    val p = col("j").cast("double") / lit(5.0)
+    val tol = lit(2 * RfmGkEps)
+    stacked.select(col("metric"), col("j"), col("n").as("n_customers"),
+      col("v_sum"),
+      expr("greatest(j * n div 5, 1L)").as("target_rank"),
+      ((col("lo").cast("double") + lit(1.0) <= (p + tol) * nd + lit(1.0)) &&
+        (col("hi").cast("double") >= (p - tol) * nd - lit(1.0)))
+        .as("merged_edge_ok"))
+  }
+
+  private val customerRfmGkOracle =
+    s"""WITH per AS (SELECT o_custkey,
+       |    max(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS last_s,
+       |    count(*)::BIGINT AS freq,
+       |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS money_cents
+       |  FROM orders GROUP BY 1),
+       |m AS (SELECT 'recency' AS metric, last_s AS v FROM per
+       |  UNION ALL SELECT 'frequency', freq FROM per
+       |  UNION ALL SELECT 'monetary', money_cents FROM per),
+       |nn AS (SELECT metric, count(*)::BIGINT AS n,
+       |    CAST(sum(v) AS BIGINT) AS v_sum FROM m GROUP BY 1)
+       |SELECT metric, j::BIGINT AS j, nn.n AS n_customers, nn.v_sum,
+       |  greatest(j * nn.n // 5, 1)::BIGINT AS target_rank,
+       |  TRUE AS merged_edge_ok
+       |FROM (SELECT unnest(generate_series(1, 4)) AS j), nn""".stripMargin
+
   /** HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX per region
     * (`supplier_hhi`) — the antitrust-style market-concentration scalar
     * next to `supplier_pareto`'s cumulative-share curve: HHI = Σ share²
@@ -1148,6 +1228,9 @@ object RelationalQueries {
     "supplier_hhi" -> (supplierHhi _),
     // RFM quintile segmentation over exact cents/epochs
     "customer_rfm" -> (customerRfm _),
+    // the quintile ladders from per-shard GK sketches (the 100 TB path of
+    // customer_rfm), graded by the rank-interval theorem per edge
+    "customer_rfm_gk" -> (customerRfmGk _),
     "link_rank" -> ((s, dir) =>
       graft.operators.LinkRank.ranks(Tables.lineitem(s, dir), LinkRankIters)),
     // CONVERGENCE-GATED PageRank: iterate until the rank vector moves
@@ -1229,6 +1312,7 @@ object RelationalQueries {
     "orders_cohort" -> ordersCohortOracle,
     "supplier_hhi" -> supplierHhiOracle,
     "customer_rfm" -> customerRfmOracle,
+    "customer_rfm_gk" -> customerRfmGkOracle,
     "parts_assoc" -> graft.operators.Assoc.pairRulesSql("lineitem"),
     "supplier_pareto" -> supplierParetoOracle,
     "parts_lpa" ->

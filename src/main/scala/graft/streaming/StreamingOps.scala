@@ -668,6 +668,23 @@ object StreamingOps {
           .as("stream_ok"))
   }
 
+  /** The highest batch id a persisted fold-state directory has applied,
+    * −1 when nothing is applied — the shared replay-guard read for every
+    * non-idempotent `foreachBatch` fold. Hardened (ADVICE r13 #4): a
+    * state directory written by a pre-batch_id schema simply lacks the
+    * column (treat as nothing applied — the fold then re-derives from
+    * scratch instead of throwing AnalysisException), and a legally-empty
+    * state file makes max() NULL — coalesce it instead of NPE-wedging
+    * the stream on getLong. */
+  private def appliedBatchId(s: SparkSession, statePath: String): Long =
+    if (!Files.exists(java.nio.file.Paths.get(statePath))) -1L
+    else {
+      val st0 = s.read.parquet(statePath)
+      if (!st0.columns.contains("batch_id")) -1L
+      else st0.select(coalesce(max(col("batch_id")), lit(-1L)))
+        .head.getLong(0)
+    }
+
   /** One micro-batch of the MG ingest fold: exact batch counts stacked
     * with the persisted state, compressed back to ≤ m entries. The MG
     * fold is NOT idempotent (a replayed batch re-adds its counts, and
@@ -680,9 +697,7 @@ object StreamingOps {
     val s = batch.sparkSession
     if (batch.isEmpty) return
     val hasState = Files.exists(java.nio.file.Paths.get(statePath))
-    val applied = if (hasState)
-      s.read.parquet(statePath).select(max(col("batch_id"))).head.getLong(0)
-    else -1L
+    val applied = appliedBatchId(s, statePath)
     if (batchId <= applied) return
     val bflat = batch.select(
         explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
@@ -1165,9 +1180,7 @@ object StreamingOps {
     val outDir = s"$out/batch=$batchId"
     // state is written AFTER the batch's output, so an applied batch id
     // implies its output partition is complete — the replay can skip both
-    val applied = if (Files.exists(java.nio.file.Paths.get(statePath)))
-      s.read.parquet(statePath).select(max(col("batch_id"))).head.getLong(0)
-    else -1L
+    val applied = appliedBatchId(s, statePath)
     if (batchId <= applied) return
     val bins = batch
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
@@ -1251,9 +1264,7 @@ object StreamingOps {
     val s = batch.sparkSession
     if (batch.isEmpty) return
     val outDir = s"$out/batch=$batchId"
-    val applied = if (Files.exists(java.nio.file.Paths.get(statePath)))
-      s.read.parquet(statePath).select(max(col("batch_id"))).head.getLong(0)
-    else -1L
+    val applied = appliedBatchId(s, statePath)
     if (batchId <= applied) return
     val bins = batch
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
@@ -1329,9 +1340,7 @@ object StreamingOps {
     val s = batch.sparkSession
     if (batch.isEmpty) return
     val outDir = s"$out/batch=$batchId"
-    val applied = if (Files.exists(java.nio.file.Paths.get(statePath)))
-      s.read.parquet(statePath).select(max(col("batch_id"))).head.getLong(0)
-    else -1L
+    val applied = appliedBatchId(s, statePath)
     if (batchId <= applied) return
     val bins = batch
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))

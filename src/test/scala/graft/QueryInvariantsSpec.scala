@@ -223,6 +223,41 @@ class QueryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("customer_rfm_gk: three metrics x four quintile edges, exact " +
+       "anchors match a direct recompute, every merged sketch edge " +
+       "inside its rank-interval theorem") {
+    val rows = run("customer_rfm_gk").collect()
+    assert(rows.length == 12, s"expected 3 metrics x 4 edges, got ${rows.length}")
+    val byMetric = rows.groupBy(_.getAs[String]("metric"))
+    assert(byMetric.keySet == Set("recency", "frequency", "monetary"))
+    // exact anchors re-derived from the orders table directly
+    val per = graft.sources.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(unix_timestamp(col("o_orderdate"))).as("last_s"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("money_cents"))
+      .agg(count(lit(1)).as("n"), sum(col("last_s")).as("s_r"),
+        sum(col("freq")).as("s_f"), sum(col("money_cents")).as("s_m"))
+      .head()
+    val n = per.getAs[Long]("n")
+    val sums = Map("recency" -> per.getAs[Long]("s_r"),
+      "frequency" -> per.getAs[Long]("s_f"),
+      "monetary" -> per.getAs[Long]("s_m"))
+    for ((metric, rs) <- byMetric) {
+      val sorted = rs.sortBy(_.getAs[Long]("j"))
+      assert(sorted.map(_.getAs[Long]("j")).toSeq == (1L to 4L))
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("n_customers") == n, s"$metric n off: $r")
+        assert(r.getAs[Long]("v_sum") == sums(metric), s"$metric sum off: $r")
+        assert(r.getAs[Long]("target_rank") ==
+          math.max(r.getAs[Long]("j") * n / 5, 1L), s"target rank off: $r")
+        assert(r.getAs[Boolean]("merged_edge_ok"),
+          s"$metric edge ${r.getAs[Long]("j")} outside the 2eps rank interval")
+      }
+    }
+  }
+
   test("orders_pit_scd2: all three epochs emitted, and the v2 deletions " +
        "shrink the matched customer set relative to v0") {
     val rows = run("orders_pit_scd2").collect().sortBy(_.getAs[Long]("v"))
