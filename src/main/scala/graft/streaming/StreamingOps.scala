@@ -47,7 +47,8 @@ object StreamingOps {
     * trade at micro-batch row counts; large batch queries outside the
     * harness keep codegen. */
   private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
-    val keys = Seq("spark.sql.shuffle.partitions" -> StreamStatePartitions.toString,
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> StreamStatePartitions.toString,
       "spark.sql.codegen.wholeStage" -> "false",
       "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
     val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
@@ -586,23 +587,23 @@ object StreamingOps {
   /** One micro-batch of the KMV ingest fold: batch-local sketches merge
     * into the persisted per-lang state by the semilattice combine. No
     * applied-batch-id guard on purpose — idempotence IS the replay
-    * protection (see [[kmvStream]]); the state write still materializes
-    * via localCheckpoint before overwriting its own source. */
+    * protection (see [[kmvStream]]); the state loads as a LocalRelation
+    * (per-lang K-long arrays — model-sized), so the overwrite needs no
+    * checkpoint barrier. */
   private[graft] def kmvFoldBatch(batch: DataFrame, statePath: String): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
     val bsk = kmvLangSketch(batch).withColumnRenamed("sk", "bsk")
-    val st = if (Files.exists(java.nio.file.Paths.get(statePath)))
-      s.read.parquet(statePath)
-    else s.range(0).select(lit(null).cast("string").as("lang"),
-      lit(null).cast("array<bigint>").as("sk"))
+    val (_, stRows, stSchema) = loadFoldState(s, statePath)
+    val st = foldStateLocal(s, stRows, stSchema,
+      s.range(0).select(lit(null).cast("string").as("lang"),
+        lit(null).cast("array<bigint>").as("sk")))
     val empty = array().cast("array<bigint>")
     val merged = bsk.join(st, Seq("lang"), "full")
       .select(col("lang"),
         GraftAggs.kmvCombine(
           coalesce(col("bsk"), empty), coalesce(col("sk"), empty),
           KmvStreamK).as("sk"))
-      .localCheckpoint(eager = true) // materialize before overwriting source
     merged.write.mode("overwrite").parquet(statePath)
   }
 
@@ -668,22 +669,45 @@ object StreamingOps {
           .as("stream_ok"))
   }
 
-  /** The highest batch id a persisted fold-state directory has applied,
-    * −1 when nothing is applied — the shared replay-guard read for every
-    * non-idempotent `foreachBatch` fold. Hardened (ADVICE r13 #4): a
-    * state directory written by a pre-batch_id schema simply lacks the
-    * column (treat as nothing applied — the fold then re-derives from
-    * scratch instead of throwing AnalysisException), and a legally-empty
-    * state file makes max() NULL — coalesce it instead of NPE-wedging
-    * the stream on getLong. */
-  private def appliedBatchId(s: SparkSession, statePath: String): Long =
-    if (!Files.exists(java.nio.file.Paths.get(statePath))) -1L
-    else {
-      val st0 = s.read.parquet(statePath)
-      if (!st0.columns.contains("batch_id")) -1L
-      else st0.select(coalesce(max(col("batch_id")), lit(-1L)))
-        .head.getLong(0)
-    }
+  /** Load a `foreachBatch` fold's persisted state ONCE per micro-batch:
+    * the state is model-sized (one row per event type / sketch slot), so
+    * a single driver-side collect replaces the 3-4 separate file-scan
+    * jobs the folds used to issue per batch (applied-batch-id aggregate,
+    * h0 head, seed join scan, type-union scan — each Spark job on this
+    * container carries ~20 ms of fixed scheduler + Hadoop-conf-broadcast
+    * cost, the dominant share of the staged-stream walls, VERDICT r13
+    * "What's wrong" #2). Returns the applied batch id (−1 when absent;
+    * pre-batch_id schemas and legally-empty state files tolerated,
+    * ADVICE r13 #4) plus the raw rows and on-disk schema for
+    * [[foldStateLocal]]. */
+  private def loadFoldState(s: SparkSession, statePath: String)
+      : (Long, Array[org.apache.spark.sql.Row],
+         Option[org.apache.spark.sql.types.StructType]) = {
+    if (!Files.exists(java.nio.file.Paths.get(statePath)))
+      return (-1L, Array.empty, None)
+    val onDisk = s.read.parquet(statePath)
+    val rows = onDisk.collect()
+    val applied =
+      if (!onDisk.columns.contains("batch_id")) -1L
+      else rows.iterator.map { r =>
+        val i = r.fieldIndex("batch_id")
+        if (r.isNullAt(i)) -1L else r.getLong(i)
+      }.foldLeft(-1L)(math.max)
+    (applied, rows, Some(onDisk.schema))
+  }
+
+  /** Rebuild [[loadFoldState]]'s rows as a LocalRelation (or `empty`
+    * when no state exists yet): fold plans join against it broadcast-
+    * style with NO file scan — which also means the state file is no
+    * longer in any plan's lineage, so the advanced state can overwrite
+    * it without a localCheckpoint barrier. */
+  private def foldStateLocal(s: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      empty: => DataFrame): DataFrame =
+    schema.map(sc =>
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), sc))
+      .getOrElse(empty)
 
   /** One micro-batch of the MG ingest fold: exact batch counts stacked
     * with the persisted state, compressed back to ≤ m entries. The MG
@@ -696,20 +720,22 @@ object StreamingOps {
                                  statePath: String): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
-    val hasState = Files.exists(java.nio.file.Paths.get(statePath))
-    val applied = appliedBatchId(s, statePath)
+    // one collect covers the replay guard AND the ≤ m-entry merge input;
+    // the local state is not in the write's lineage, so no checkpoint
+    // barrier is needed before overwriting it
+    val (applied, stRows, stSchema) = loadFoldState(s, statePath)
     if (batchId <= applied) return
     val bflat = batch.select(
         explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val st = if (hasState)
-      s.read.parquet(statePath).select(col("token"), col("est").as("cnt"))
-    else s.range(0).select(lit(null).cast("string").as("token"),
-      lit(null).cast("bigint").as("cnt"))
+    val st = foldStateLocal(s, stRows, stSchema,
+      s.range(0).select(lit(null).cast("string").as("token"),
+        lit(null).cast("bigint").as("est"),
+        lit(-1L).as("batch_id")))
+      .select(col("token"), col("est").as("cnt"))
     val merged = graft.operators.TextOps
       .mgCompressFlat(bflat.unionAll(st), MgStreamM)
       .withColumn("batch_id", lit(batchId))
-      .localCheckpoint(eager = true) // materialize before overwriting source
     merged.write.mode("overwrite").parquet(statePath)
   }
 
@@ -1139,12 +1165,13 @@ object StreamingOps {
     val days = (d1.getTime - d0.getTime) / 86400000L + 1
     val cuts = (1 to 3).map(i =>
       new java.sql.Timestamp(d0.getTime + 86400000L * (days * i / 4)))
-    val bounds = (Seq[Option[java.sql.Timestamp]](None) ++ cuts.map(Some(_)))
-      .zip(cuts.map(Some(_)) ++ Seq[Option[java.sql.Timestamp]](None))
-    stageOrdered(staging, bounds.map { case (lo, hi) =>
-      ev.where(lo.map(col("ts") >= lit(_)).getOrElse(lit(true)) &&
-        hi.map(col("ts") < lit(_)).getOrElse(lit(true)))
-    })
+    // slice id = how many cuts are ≤ ts — ONE scan of the events table
+    // tags every row, where a union of per-slice filters would scan it
+    // once per slice (see stageTagged)
+    val slice = cuts.foldLeft(lit(0L)) { (acc, c) =>
+      acc + when(col("ts") >= lit(c), 1L).otherwise(0L)
+    }
+    stageTagged(staging, ev.withColumn("graft_slice", slice), 4)
     val schema = spark.read.parquet(staging).schema
     withStreamPartitions(spark) {
       val q = spark.readStream.schema(schema)
@@ -1179,22 +1206,26 @@ object StreamingOps {
     if (batch.isEmpty) return
     val outDir = s"$out/batch=$batchId"
     // state is written AFTER the batch's output, so an applied batch id
-    // implies its output partition is complete — the replay can skip both
-    val applied = appliedBatchId(s, statePath)
+    // implies its output partition is complete — the replay can skip both;
+    // one driver-side collect covers the guard, h0, AND the seed rows
+    val (applied, stRows, stSchema) = loadFoldState(s, statePath)
     if (batchId <= applied) return
+    // the ONLY distributed pass over the batch: its (type, hour) counts,
+    // materialized once — the hour bounds and the grid fold both reuse it
+    // (the bounds used to be a second full scan of the raw batch)
     val bins = batch
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
       .agg(count(lit(1)).as("v"))
-    val lim = batch.agg(date_trunc("HOUR", min(col("ts"))).as("b0"),
-      date_trunc("HOUR", max(col("ts"))).as("b1")).head
+      .localCheckpoint(eager = true)
+    val lim = bins.agg(min(col("hr")).as("b0"), max(col("hr")).as("b1")).head
     val (b0, b1) = (lim.getTimestamp(0), lim.getTimestamp(1))
-    val hasState = Files.exists(java.nio.file.Paths.get(statePath))
-    val st = if (hasState) s.read.parquet(statePath)
-      else s.range(0).select(lit(null).cast("string").as("event_type"),
+    val st = foldStateLocal(s, stRows, stSchema,
+      s.range(0).select(lit(null).cast("string").as("event_type"),
         lit(null).cast("timestamp").as("last_hr"),
         lit(null).cast("long").as("y"),
-        lit(null).cast("timestamp").as("h0"))
-    val h0 = if (hasState) st.select(col("h0")).head.getTimestamp(0) else b0
+        lit(null).cast("timestamp").as("h0")))
+    val h0 = stRows.headOption
+      .map(r => r.getTimestamp(r.fieldIndex("h0"))).getOrElse(b0)
     val types = bins.select(col("event_type"))
       .union(st.select(col("event_type"))).distinct()
       .where(col("event_type").isNotNull)
@@ -1216,6 +1247,7 @@ object StreamingOps {
         first(col("seed_y"), ignoreNulls = true).as("seed_y"))
     val folded = g.select(col("event_type"), col("seed_hr"),
       expr(graft.operators.Resample.ewmaFoldSeededExpr).as("e"))
+      .localCheckpoint(eager = true) // one fold compute feeds BOTH sinks
     val outRows = folded
       .select(col("event_type"), col("seed_hr"), explode(col("e")).as("r"))
       .where(col("seed_hr").isNull || col("r.hr") > col("seed_hr"))
@@ -1226,7 +1258,6 @@ object StreamingOps {
       expr("element_at(e, -1).hr").as("last_hr"),
       expr("element_at(e, -1).y").as("y"),
       lit(h0).as("h0"), lit(batchId).as("batch_id"))
-      .localCheckpoint(eager = true) // materialize before overwriting its own source
     outRows.write.mode("overwrite").parquet(outDir)
     newState.write.mode("overwrite").parquet(statePath)
   }
@@ -1264,22 +1295,22 @@ object StreamingOps {
     val s = batch.sparkSession
     if (batch.isEmpty) return
     val outDir = s"$out/batch=$batchId"
-    val applied = appliedBatchId(s, statePath)
+    val (applied, stRows, stSchema) = loadFoldState(s, statePath)
     if (batchId <= applied) return
     val bins = batch
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
       .agg(count(lit(1)).as("v"))
-    val lim = batch.agg(date_trunc("HOUR", min(col("ts"))).as("b0"),
-      date_trunc("HOUR", max(col("ts"))).as("b1")).head
+      .localCheckpoint(eager = true) // the only distributed batch pass
+    val lim = bins.agg(min(col("hr")).as("b0"), max(col("hr")).as("b1")).head
     val (b0, b1) = (lim.getTimestamp(0), lim.getTimestamp(1))
-    val hasState = Files.exists(java.nio.file.Paths.get(statePath))
-    val st = if (hasState) s.read.parquet(statePath)
-      else s.range(0).select(lit(null).cast("string").as("event_type"),
+    val st = foldStateLocal(s, stRows, stSchema,
+      s.range(0).select(lit(null).cast("string").as("event_type"),
         lit(null).cast("timestamp").as("last_hr"),
         lit(null).cast("long").as("cum"), lit(null).cast("long").as("rmin"),
         lit(null).cast("long").as("mu_milli"),
-        lit(null).cast("timestamp").as("h0"))
-    val h0 = if (hasState) st.select(col("h0")).head.getTimestamp(0) else b0
+        lit(null).cast("timestamp").as("h0")))
+    val h0 = stRows.headOption
+      .map(r => r.getTimestamp(r.fieldIndex("h0"))).getOrElse(b0)
     val types = bins.select(col("event_type"))
       .union(st.select(col("event_type"))).distinct()
       .where(col("event_type").isNotNull)
@@ -1316,6 +1347,7 @@ object StreamingOps {
       .withColumn("rmin", least(coalesce(col("seed_rmin"), col("rminb")),
         col("rminb")))
       .withColumn("cusum_milli", col("cum") - least(col("rmin"), lit(0L)))
+      .localCheckpoint(eager = true) // one window pass feeds BOTH sinks
     val outRows = g.select(col("event_type"),
       date_format(col("hr"), "yyyy-MM-dd HH").as("hr"),
       col("v").as("n"), col("mu_milli"), col("cusum_milli"),
@@ -1327,7 +1359,6 @@ object StreamingOps {
         col("m.cum").as("cum"), col("m.rmin").as("rmin"),
         col("m.mu_milli").as("mu_milli"), lit(h0).as("h0"),
         lit(batchId).as("batch_id"))
-      .localCheckpoint(eager = true)
     outRows.write.mode("overwrite").parquet(outDir)
     newState.write.mode("overwrite").parquet(statePath)
   }
@@ -1340,21 +1371,21 @@ object StreamingOps {
     val s = batch.sparkSession
     if (batch.isEmpty) return
     val outDir = s"$out/batch=$batchId"
-    val applied = appliedBatchId(s, statePath)
+    val (applied, stRows, stSchema) = loadFoldState(s, statePath)
     if (batchId <= applied) return
     val bins = batch
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
       .agg(count(lit(1)).as("v"))
-    val lim = batch.agg(date_trunc("HOUR", min(col("ts"))).as("b0"),
-      date_trunc("HOUR", max(col("ts"))).as("b1")).head
+      .localCheckpoint(eager = true) // the only distributed batch pass
+    val lim = bins.agg(min(col("hr")).as("b0"), max(col("hr")).as("b1")).head
     val (b0, b1) = (lim.getTimestamp(0), lim.getTimestamp(1))
-    val hasState = Files.exists(java.nio.file.Paths.get(statePath))
-    val st = if (hasState) s.read.parquet(statePath)
-      else s.range(0).select(lit(null).cast("string").as("event_type"),
+    val st = foldStateLocal(s, stRows, stSchema,
+      s.range(0).select(lit(null).cast("string").as("event_type"),
         lit(null).cast("timestamp").as("last_hr"),
         lit(null).cast("long").as("l"), lit(null).cast("long").as("b"),
-        lit(null).cast("timestamp").as("h0"))
-    val h0 = if (hasState) st.select(col("h0")).head.getTimestamp(0) else b0
+        lit(null).cast("timestamp").as("h0")))
+    val h0 = stRows.headOption
+      .map(r => r.getTimestamp(r.fieldIndex("h0"))).getOrElse(b0)
     val types = bins.select(col("event_type"))
       .union(st.select(col("event_type"))).distinct()
       .where(col("event_type").isNotNull)
@@ -1375,6 +1406,7 @@ object StreamingOps {
         first(col("seed_b"), ignoreNulls = true).as("seed_b"))
     val folded = g.select(col("event_type"), col("seed_hr"),
       expr(graft.operators.Resample.holtFoldSeededExpr).as("e"))
+      .localCheckpoint(eager = true) // one fold compute feeds BOTH sinks
     val outRows = folded
       .select(col("event_type"), col("seed_hr"), explode(col("e")).as("r"))
       .where(col("seed_hr").isNull || col("r.hr") > col("seed_hr"))
@@ -1388,7 +1420,6 @@ object StreamingOps {
       expr("element_at(e, -1).l").as("l"),
       expr("element_at(e, -1).b").as("b"),
       lit(h0).as("h0"), lit(batchId).as("batch_id"))
-      .localCheckpoint(eager = true)
     outRows.write.mode("overwrite").parquet(outDir)
     newState.write.mode("overwrite").parquet(statePath)
   }
@@ -1413,16 +1444,25 @@ object StreamingOps {
     * form wrote each slice as its own scan+coalesce job — 4 sequential
     * jobs per staged stream. */
   private def stageOrdered(dir: String, dfs: Seq[DataFrame]): Unit = {
-    import scala.jdk.CollectionConverters._
     require(dfs.nonEmpty)
-    dfs.zipWithIndex
+    stageTagged(dir, dfs.zipWithIndex
       .map { case (df, i) => df.withColumn("graft_slice", lit(i)) }
-      .reduce(_ unionByName _)
-      .repartition(dfs.size, col("graft_slice"))
+      .reduce(_ unionByName _), dfs.size)
+  }
+
+  /** Single-scan sibling of [[stageOrdered]] for slices that are
+    * PARTITIONS of one frame: `tagged` already carries a computed
+    * `graft_slice` ∈ [0, n), so the staging job reads the source once —
+    * the union-of-filters path scans it once PER SLICE (4× the events
+    * table per staged stream, half the staging job's cost at sf0.1). */
+  private def stageTagged(dir: String, tagged: DataFrame, n: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    tagged
+      .repartition(n, col("graft_slice"))
       .write.mode("append").partitionBy("graft_slice").parquet(dir)
     val d = java.nio.file.Paths.get(dir)
     var stamp = System.currentTimeMillis() - 600000L
-    for (i <- dfs.indices) {
+    for (i <- 0 until n) {
       val sub = d.resolve(s"graft_slice=$i")
       val parts = Files.list(sub).iterator().asScala
         .filter(_.toString.endsWith(".parquet")).toSeq
