@@ -175,12 +175,22 @@ object PairPlan {
           .withColumn("__tk", tk(col("__tb"), col("__ts")))
           .drop("__tb", "__ts")
           .repartition(parts, col("__tk"))
+        // Pack AFTER the tile exchange, not before it (r14): raw small
+        // rows (replicated ×nBig) ride the ONE pinned repartition, and
+        // the collect_list then groups IN PLACE — the repartition's
+        // HashPartitioning(__tk, parts) already satisfies the aggregate's
+        // and the join's clustering, so neither adds an exchange. The
+        // previous form shuffled the small side twice (raw rows into the
+        // pack groupBy, then the fat array rows into the join's
+        // clustering) — pure serialization CPU that read as the residual
+        // kernel_ratio drift on the cheapest kernel (xentropy: the least
+        // per-pair work, so the largest relative share of fixed cost).
         val packed = small.withColumn("__ts", tileId(small, nSmall))
-          .groupBy(col("__ts"))
-          .agg(collect_list(struct(small.columns.map(col): _*)).as("__tile"))
           .withColumn("__tb", rep(nBig))
-          .select(tk(col("__tb"), col("__ts")).as("__tk"), col("__tile"))
+          .withColumn("__tk", tk(col("__tb"), col("__ts")))
           .repartition(parts, col("__tk"))
+          .groupBy(col("__tk"))
+          .agg(collect_list(struct(small.columns.map(col): _*)).as("__tile"))
         bigT.join(packed.hint("SHUFFLE_HASH"), Seq("__tk"))
           .select(big.columns.map(col) :+ inline(col("__tile")): _*)
       case Auto =>

@@ -134,9 +134,13 @@ object Triangles {
     var rounds = 0L
     var converged = false
     while (!converged && rounds < maxRounds) {
+      // lazy-checkpointed so the ONE degree aggregate serves both join
+      // sides — un-cached, each side's plan branch (or broadcast
+      // exchange) recomputes the explode+groupBy over the full edge set
       val keep = e.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("v"))
+        .localCheckpoint(false)
       def keepSide(key: String) = {
         val s = keep.select(col("v").as(key))
         if (prev <= broadcastMaxEdges) broadcast(s) else s.hint("SHUFFLE_HASH")
