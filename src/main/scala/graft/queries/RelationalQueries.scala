@@ -487,7 +487,12 @@ object RelationalQueries {
       .withColumn("cum_c", sum(col("rev_c")).over(cum))
       .crossJoin(broadcast(rev.agg(sum(col("rev_c")).as("total_c"))))
       .select(col("suppkey"), col("rev_c"), col("rank"),
-        expr("1000000L * cum_c div total_c").as("cum_share_micro"),
+        // DECIMAL(38) widening before the ×1e6: cum_c is total-revenue-
+        // sized (~2.3e13 pennies at sf1), so the long multiply overflows
+        // at exactly the 10× gate (caught by the r14 sf1 run); the
+        // decimal product is exact and DIV floors back to BIGINT
+        expr("CAST(CAST(cum_c AS DECIMAL(38,0)) * 1000000 DIV total_c AS BIGINT)")
+          .as("cum_share_micro"),
         when(lit(10L) * (col("cum_c") - col("rev_c")) <
           lit(8L) * col("total_c"), 1L).otherwise(0L).as("in_top80"))
   }
@@ -504,7 +509,8 @@ object RelationalQueries {
        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
        |      FROM r)
        |SELECT suppkey, rev_c, rank::BIGINT AS rank,
-       |  1000000 * cum_c // total_c AS cum_share_micro,
+       |  CAST(cum_c::HUGEINT * 1000000 // total_c AS BIGINT)
+       |    AS cum_share_micro,
        |  CASE WHEN 10 * (cum_c - rev_c) < 8 * total_c
        |       THEN 1 ELSE 0 END::BIGINT AS in_top80
        |FROM w CROSS JOIN t""".stripMargin
@@ -1153,7 +1159,12 @@ object RelationalQueries {
         VecOps.qround(sum(sh * sh), 6).as("hhi"),
         max(col("rev")).as("mx"))
       .select(col("region"), col("n_suppliers"), col("rev_micro"),
-        col("hhi"), expr("1000000L * mx div rev_micro").as("top_share_micro"))
+        col("hhi"),
+        // same DECIMAL widening as supplier_pareto: mx is micro-cent
+        // revenue (~2.3e11 at sf1) — the long ×1e6 held at the sf1 gate
+        // with only ~40× headroom, which a 100 TB fact table spends
+        expr("CAST(CAST(mx AS DECIMAL(38,0)) * 1000000 DIV rev_micro AS BIGINT)")
+          .as("top_share_micro"))
   }
 
   private val supplierHhiOracle =
@@ -1172,7 +1183,8 @@ object RelationalQueries {
        |  ${VecOps.qroundSql(
           "sum((rev::DOUBLE / tot::DOUBLE) * (rev::DOUBLE / tot::DOUBLE))", 6)}
        |    AS hhi,
-       |  CAST(1000000 * max(rev) // tot AS BIGINT) AS top_share_micro
+       |  CAST(max(rev)::HUGEINT * 1000000 // tot AS BIGINT)
+       |    AS top_share_micro
        |FROM t GROUP BY region, tot""".stripMargin
 
   /** COHORT RETENTION MATRIX (`orders_cohort`) — the classic
