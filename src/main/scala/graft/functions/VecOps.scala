@@ -34,9 +34,16 @@ object VecOps {
     floor(c * lit(s) + lit(0.5)) / lit(s)
   }
 
-  /** The SQL-oracle dual of [[qround]] (same literal, same ops). */
+  /** The SQL-oracle dual of [[qround]] (same literal, same ops).
+    * Self-parenthesized: embedded in a larger expression (e.g.
+    * `tf * ${qroundSql(...)}`), the unparenthesized form parsed as
+    * `(tf * floor(...)) / 1eD` — a DIFFERENT double rounding than
+    * Spark's `tf * (floor(...)/1eD)`, which flips the output grid on
+    * exactly-half-grid values (caught at the r14 sf1 gate: the replica
+    * suffix scheme makes idf('1') = ln(10) exactly, and tf·idf then
+    * sits on the 4dp half-grid). */
   def qroundSql(expr: String, digits: Int): String =
-    s"floor(($expr) * 1e$digits + 0.5) / 1e$digits"
+    s"(floor(($expr) * 1e$digits + 0.5) / 1e$digits)"
 
   /** 60-bit uniform hash of a string column via md5 — the deterministic,
     * engine-portable PRNG stream. DuckDB dual:
