@@ -151,6 +151,11 @@ object Triangles {
       val e2 = e.join(keepSide("a"), "a").join(keepSide("b"), "b")
         .localCheckpoint(false)
       val n = e2.count()
+      // e2 is materialized now, so the PRIOR round's checkpoint blocks
+      // (e and keep) are dead — drop them eagerly instead of letting
+      // them accumulate until the ContextCleaner GCs (ADVICE r14)
+      keep.unpersist(blocking = false)
+      e.unpersist(blocking = false)
       rounds += 1
       converged = n == prev
       prev = n
@@ -205,6 +210,7 @@ object Triangles {
       // barrier per round); every node has a neighbor here by
       // construction (it came off an edge), so no label is lost
       next.count()
+      labels.unpersist(blocking = false) // prior round's blocks are dead
       labels = next
       r += 1
     }

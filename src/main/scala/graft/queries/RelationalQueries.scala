@@ -511,8 +511,12 @@ object RelationalQueries {
         // decimal product is exact and DIV floors back to BIGINT
         expr("CAST(CAST(cum_c AS DECIMAL(38,0)) * 1000000 DIV total_c AS BIGINT)")
           .as("cum_share_micro"),
-        when(lit(10L) * (col("cum_c") - col("rev_c")) <
-          lit(8L) * col("total_c"), 1L).otherwise(0L).as("in_top80"))
+        // the top-80 inequality gets the same DECIMAL(38) widening: at the
+        // ~3e17-penny envelope the comments target, 10·cum_c leaves only
+        // ~3× LONG headroom and would throw under ANSI (ADVICE r14)
+        when(expr("CAST(cum_c AS DECIMAL(38,0)) - rev_c") * 10 <
+          expr("CAST(total_c AS DECIMAL(38,0))") * 8, 1L)
+          .otherwise(0L).as("in_top80"))
   }
 
   private val supplierParetoOracle =
@@ -529,7 +533,7 @@ object RelationalQueries {
        |SELECT suppkey, rev_c, rank::BIGINT AS rank,
        |  CAST(cum_c::HUGEINT * 1000000 // total_c AS BIGINT)
        |    AS cum_share_micro,
-       |  CASE WHEN 10 * (cum_c - rev_c) < 8 * total_c
+       |  CASE WHEN 10 * (cum_c::HUGEINT - rev_c) < 8 * total_c::HUGEINT
        |       THEN 1 ELSE 0 END::BIGINT AS in_top80
        |FROM w CROSS JOIN t""".stripMargin
 

@@ -696,6 +696,19 @@ object StreamingOps {
     (applied, rows, Some(onDisk.schema))
   }
 
+  /** The pinned first-hour anchor from a collected state row, tolerant of
+    * LEGACY state directories that predate the `h0` column — mirroring
+    * [[loadFoldState]]'s `batch_id` tolerance (the two state fields should
+    * degrade the same way, ADVICE r14): absent column or absent rows fall
+    * back to the batch's own first hour. */
+  private def stateH0(stRows: Array[org.apache.spark.sql.Row],
+      stSchema: Option[org.apache.spark.sql.types.StructType],
+      b0: java.sql.Timestamp): java.sql.Timestamp =
+    if (stSchema.exists(_.fieldNames.contains("h0")))
+      stRows.headOption
+        .map(r => r.getTimestamp(r.fieldIndex("h0"))).getOrElse(b0)
+    else b0
+
   /** Rebuild [[loadFoldState]]'s rows as a LocalRelation (or `empty`
     * when no state exists yet): fold plans join against it broadcast-
     * style with NO file scan — which also means the state file is no
@@ -1171,7 +1184,12 @@ object StreamingOps {
     val slice = cuts.foldLeft(lit(0L)) { (acc, c) =>
       acc + when(col("ts") >= lit(c), 1L).otherwise(0L)
     }
-    stageTagged(staging, ev.withColumn("graft_slice", slice), 4)
+    // null-ts rows never entered the old per-slice range filters
+    // (ts >= lo && ts < hi is null-safe false); the computed tag would
+    // stage them into slice 0 — filter explicitly to keep the same
+    // chronological-stream contents (ADVICE r14)
+    stageTagged(staging,
+      ev.where(col("ts").isNotNull).withColumn("graft_slice", slice), 4)
     val schema = spark.read.parquet(staging).schema
     withStreamPartitions(spark) {
       val q = spark.readStream.schema(schema)
@@ -1224,8 +1242,7 @@ object StreamingOps {
         lit(null).cast("timestamp").as("last_hr"),
         lit(null).cast("long").as("y"),
         lit(null).cast("timestamp").as("h0")))
-    val h0 = stRows.headOption
-      .map(r => r.getTimestamp(r.fieldIndex("h0"))).getOrElse(b0)
+    val h0 = stateH0(stRows, stSchema, b0)
     val types = bins.select(col("event_type"))
       .union(st.select(col("event_type"))).distinct()
       .where(col("event_type").isNotNull)
@@ -1309,8 +1326,7 @@ object StreamingOps {
         lit(null).cast("long").as("cum"), lit(null).cast("long").as("rmin"),
         lit(null).cast("long").as("mu_milli"),
         lit(null).cast("timestamp").as("h0")))
-    val h0 = stRows.headOption
-      .map(r => r.getTimestamp(r.fieldIndex("h0"))).getOrElse(b0)
+    val h0 = stateH0(stRows, stSchema, b0)
     val types = bins.select(col("event_type"))
       .union(st.select(col("event_type"))).distinct()
       .where(col("event_type").isNotNull)
@@ -1384,8 +1400,7 @@ object StreamingOps {
         lit(null).cast("timestamp").as("last_hr"),
         lit(null).cast("long").as("l"), lit(null).cast("long").as("b"),
         lit(null).cast("timestamp").as("h0")))
-    val h0 = stRows.headOption
-      .map(r => r.getTimestamp(r.fieldIndex("h0"))).getOrElse(b0)
+    val h0 = stateH0(stRows, stSchema, b0)
     val types = bins.select(col("event_type"))
       .union(st.select(col("event_type"))).distinct()
       .where(col("event_type").isNotNull)
@@ -1464,6 +1479,13 @@ object StreamingOps {
     var stamp = System.currentTimeMillis() - 600000L
     for (i <- 0 until n) {
       val sub = d.resolve(s"graft_slice=$i")
+      // an EMPTY slice (all cut timestamps equal — e.g. events spanning
+      // <n days) writes no partition directory; fail with a diagnostic
+      // instead of Files.list's raw NoSuchFileException (ADVICE r14)
+      require(Files.exists(sub),
+        s"staged slice $i of $n is empty — the tagged frame produced no " +
+          s"rows for graft_slice=$i (events span too few distinct days " +
+          "to cut into this many chronological slices)")
       val parts = Files.list(sub).iterator().asScala
         .filter(_.toString.endsWith(".parquet")).toSeq
       // one task per slice value -> exactly one part file
