@@ -61,8 +61,8 @@ object Attention {
     val zbar = (VecOps.dot(col("gvec"), col("vvec")) -
       VecOps.dot(col("gvec"), col("out"))) * exp(sc - col("z"))
     PairPlan.cross(kv, q, mode)
-      .join(PairPlan.hintBounded(fwd, mode), "q_id")
-      .join(PairPlan.hintBounded(g, mode), "q_id")
+      .join(PairPlan.hintBoundedLike(fwd, q, mode), "q_id")
+      .join(PairPlan.hintBoundedLike(g, q, mode), "q_id")
       .select(col("q_id"), zbar.as("zb"), col("kvec"))
       .groupBy(col("q_id"))
       .agg(GraftAggs.vecWeightedSum(col("zb"), col("kvec")).as("dq"))
@@ -84,8 +84,8 @@ object Attention {
     val zbar = (VecOps.dot(col("gvec"), col("vvec")) -
       VecOps.dot(col("gvec"), col("out"))) * w
     PairPlan.cross(kv, q, mode)
-      .join(PairPlan.hintBounded(fwd, mode), "q_id")
-      .join(PairPlan.hintBounded(g, mode), "q_id")
+      .join(PairPlan.hintBoundedLike(fwd, q, mode), "q_id")
+      .join(PairPlan.hintBoundedLike(g, q, mode), "q_id")
       .select(col("k_id"), zbar.as("zb"), w.as("w"),
         col("qvec"), col("gvec"))
       .groupBy(col("k_id"))

@@ -52,8 +52,8 @@ object Entropy {
         col("lw.v").getItem(0).as("sbar"))
     val wt = col("gm") * exp(sc - col("z")) * (col("sbar") - sc)
     PairPlan.cross(trg, pred, mode)
-      .join(PairPlan.hintBounded(fwd, mode), "m_id")
-      .join(PairPlan.hintBounded(g, mode), "m_id")
+      .join(PairPlan.hintBoundedLike(fwd, pred, mode), "m_id")
+      .join(PairPlan.hintBoundedLike(g, pred, mode), "m_id")
       .select(col("m_id"), wt.as("wt"), col("kvec"))
       .groupBy(col("m_id"))
       .agg(GraftAggs.vecWeightedSum(col("wt"), col("kvec")).as("dm"))

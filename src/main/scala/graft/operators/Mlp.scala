@@ -57,7 +57,7 @@ object Mlp {
     val gxp = when(xp > 0.0, VecOps.dot(col("gvec"), col("qvec")))
       .otherwise(0.0)
     PairPlan.cross(pq, x, mode)
-      .join(PairPlan.hintBounded(g, mode), "b_id")
+      .join(PairPlan.hintBoundedLike(g, x, mode), "b_id")
       .select(col("b_id"), gxp.as("gxp"), col("pvec"))
       .groupBy(col("b_id"))
       .agg(GraftAggs.vecWeightedSum(col("gxp"), col("pvec")).as("gx"))
@@ -71,7 +71,7 @@ object Mlp {
     val gxp = when(xp > 0.0, VecOps.dot(col("gvec"), col("qvec")))
       .otherwise(0.0)
     PairPlan.cross(pq, x, mode)
-      .join(PairPlan.hintBounded(g, mode), "b_id")
+      .join(PairPlan.hintBoundedLike(g, x, mode), "b_id")
       .select(col("k_id"), gxp.as("gxp"),
         greatest(xp, lit(0.0)).as("h"), col("xvec"), col("gvec"))
       .groupBy(col("k_id"))

@@ -64,8 +64,8 @@ object XEntropy {
     val gh = col("gm") * exp(sc - col("p")) -
       when(col("k_id") === col("label"), col("gm")).otherwise(0.0)
     PairPlan.cross(trg, pred, mode)
-      .join(PairPlan.hintBounded(fwd, mode), "m_id")
-      .join(PairPlan.hintBounded(g, mode), "m_id")
+      .join(PairPlan.hintBoundedLike(fwd, pred, mode), "m_id")
+      .join(PairPlan.hintBoundedLike(g, pred, mode), "m_id")
       .select(col("m_id"), col("k_id"), gh.as("gh"),
         col("mvec"), col("kvec"))
   }
