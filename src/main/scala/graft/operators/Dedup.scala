@@ -1664,9 +1664,18 @@ object Dedup {
       // in exact integer arithmetic like the final threshold test
       .where(col("rn") <= col("n") - expr(s"(n * $tauPm + 999) div 1000") + 1)
       .select(col("doc_id"), col("t"))
+    // the dedup step is PINNED to the session partition count (explicit
+    // repartition on the pair key — distinct reuses the clustering, so no
+    // extra exchange): candidate pairs are a few BYTES each but each
+    // costs an array_intersect over two shingle sets downstream, and
+    // AQE's byte-based coalesce squeezed the verification into 4 tasks
+    // at 1.8 s each (job-profiled r15) — the tile-grid pin argument,
+    // applied to the verify stage
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val cand = prefix.as("a").join(prefix.as("b"), "t")
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .repartition(parts, col("doc_a"), col("doc_b"))
       .distinct()
     val i = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
     cand

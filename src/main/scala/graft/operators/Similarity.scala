@@ -410,18 +410,32 @@ object Similarity {
     * twin of the graded two-step BPE composition (TextOps.bpeStep2).
     *
     * Each intermediate centroid table is nlist × dim — tiny — so it is
-    * materialized via localCheckpoint between iterations: iteration i+1's
-    * plan starts from a truncated in-memory table instead of inlining (and
-    * re-executing) iterations 1..i. At 100 TB the cost is exactly `iters`
-    * map-only corpus scans, each shuffling only lists × dims partial sums —
-    * the textbook distributed-k-means shape; the driver never sees a
-    * vector, only the centroid table between rounds. */
+    * COLLECTED and rebuilt as a LocalRelation between iterations
+    * ([[localized]]): iteration i+1's plan starts from driver-held model
+    * rows instead of inlining (and re-executing) iterations 1..i. At
+    * 100 TB the cost is exactly `iters` map-only corpus scans, each
+    * shuffling only lists × dims partial sums — the textbook
+    * distributed-k-means shape; the driver holds only the centroid table
+    * between rounds, never a vector. */
   def kmeansTrain(kv: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "kmeansTrain needs at least one iteration")
     var cents = seed
     for (_ <- 1 until iters)
-      cents = centroidsFromStep(kmeansStep(kv, cents)).localCheckpoint(true)
+      cents = localized(centroidsFromStep(kmeansStep(kv, cents)))
     kmeansStep(kv, cents)
+  }
+
+  /** A tiny control table COLLECTED and rebuilt as a LocalRelation — the
+    * staged-stream state discipline (StreamingOps r14) applied to the
+    * trainer loops: a localCheckpoint'ed centroid table still enters the
+    * next iteration as a cached SCAN (one AQE stage job per plan branch
+    * that touches it, ~20 ms fixed cost each on this container), whereas
+    * a LocalRelation folds straight into the broadcast with zero jobs.
+    * Only ever called on nlist×dim-shaped model tables — the same
+    * model-sized-collect contract as Pq.collectCb. */
+  private def localized(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
   }
 
   /** CONVERGENCE-GATED k-means training (VERDICT r7 next-steps #5): iterate
@@ -437,23 +451,24 @@ object Similarity {
     * straddle an ulp. A list that appears or disappears between rounds
     * counts as movement 1.0 (≥ any sane eps — training continues).
     *
-    * Loop control is DRIVER-ONLY data-free: per round, one aggregate over
-    * the two nlist×dim centroid tables (a few hundred rows at any corpus
-    * size) returns the scalar max-movement; the corpus itself is touched
-    * exactly `iters` map-only scans, same as [[kmeansTrain]]. `maxIters`
+    * Loop control is DRIVER-ONLY data-free: per round, the two localized
+    * nlist×dim centroid tables (a few hundred rows at any corpus size)
+    * compare on the driver for the scalar max-movement; the corpus itself
+    * is touched exactly `iters` map-only scans, same as [[kmeansTrain]].
+    * `maxIters`
     * bounds a pathological quantized-grid oscillation; hitting it emits
     * that round (iters = maxIters) rather than looping forever. */
   def kmeansTrainConverged(kv: DataFrame, seed: DataFrame, eps: Double,
                            maxIters: Int): DataFrame = {
     require(maxIters >= 1, "kmeansTrainConverged needs at least one iteration")
-    var prev = seed.localCheckpoint(true)
+    var prev = localized(seed)
     var out: DataFrame = null
     var it = 0
     var moved = Double.MaxValue
     while (moved >= eps && it < maxIters) {
       it += 1
-      val step = kmeansStep(kv, prev).localCheckpoint(true)
-      val next = centroidsFromStep(step).localCheckpoint(true)
+      val step = kmeansStep(kv, prev)
+      val next = localized(centroidsFromStep(step))
       moved = maxCentroidMove(prev, next)
       prev = next
       out = step
@@ -461,15 +476,30 @@ object Similarity {
     out.withColumn("iters", lit(it.toLong))
   }
 
-  /** max |Δc| between two (list_id, cvec) tables; an unmatched (list, dim)
-    * cell counts as 1.0. One scalar over nlist×dim rows — control, never
-    * data. */
+  /** max |Δc| between two LOCALIZED (list_id, cvec) tables; an unmatched
+    * (list, dim) cell counts as 1.0. Pure driver arithmetic over the two
+    * collected model tables (a few hundred rows at any corpus size) —
+    * the previous full_outer-join-and-aggregate form cost 2-3 stage jobs
+    * PER ROUND for a scalar that never touches data. Cells are 4-decimal
+    * quantized by the step, so the JVM subtraction here sees the same
+    * bit-identical doubles the engine aggregate saw — the `< eps` branch
+    * cannot move. */
   private def maxCentroidMove(a: DataFrame, b: DataFrame): Double = {
-    val ea = a.select(col("list_id"), posexplode(col("cvec")).as(Seq("pos", "ca")))
-    val eb = b.select(col("list_id"), posexplode(col("cvec")).as(Seq("pos", "cb")))
-    val r = ea.join(eb, Seq("list_id", "pos"), "full_outer")
-      .agg(max(coalesce(abs(col("ca") - col("cb")), lit(1.0)))).head
-    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+    def cells(df: DataFrame): Map[(Long, Int), Double] =
+      df.collect().iterator.flatMap { r =>
+        val l = r.getLong(r.fieldIndex("list_id"))
+        r.getSeq[Double](r.fieldIndex("cvec")).zipWithIndex
+          .map { case (c, p) => (l, p) -> c }
+      }.toMap
+    val (ca, cb) = (cells(a), cells(b))
+    val keys = ca.keySet ++ cb.keySet
+    if (keys.isEmpty) 1.0
+    else keys.iterator.map { k =>
+      (ca.get(k), cb.get(k)) match {
+        case (Some(x), Some(y)) => math.abs(x - y)
+        case _ => 1.0
+      }
+    }.max
   }
 
   /** Trained quantizer after `iters` [[kmeansTrain]] iterations, in the
@@ -478,7 +508,7 @@ object Similarity {
     * centroids (no training recompute inside the search plan). */
   def kmeansTrainedCentroids(kv: DataFrame, seed: DataFrame,
                              iters: Int): DataFrame =
-    centroidsFromStep(kmeansTrain(kv, seed, iters)).localCheckpoint(true)
+    localized(centroidsFromStep(kmeansTrain(kv, seed, iters)))
 
   /** [[ivfTopK]] through the PERSISTED index layout: [[ivfIndex]] written
     * as parquet `PARTITIONED BY (list_id)`, read back, and probe-joined.

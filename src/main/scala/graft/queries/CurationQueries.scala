@@ -444,8 +444,13 @@ object CurationQueries {
       val f = Decontaminate.flagFromToks(
         tokd.select(col("doc_id"), col("toks")))
         .select(col("doc_id"), col("contaminated"))
-      val dropDup = graft.operators.Dedup.dedupClustersFromToks(
-        tokd.select(col("doc_id"), col("toks")))
+      // the cluster table comes from the dedup family's session memo
+      // (bit-identical to dedupClustersFromToks(tokd): same tokens, same
+      // minhash, same CC) — composed pipelines SHARE the family artifact
+      // instead of re-running LSH+CC per query; a miss builds it here and
+      // the bench attributes it via memo_build_s, a hit reads the
+      // checkpoint (memo_hits > 0) like the rest of the dedup family
+      val dropDup = DedupQueries.clustersMemo(s, dir)
         .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
       val spanDrop = graft.operators.SpanDedup.spanCoverageFromToks(
         tokd.select(col("doc_id"), col("toks")))

@@ -22,7 +22,7 @@ object DedupQueries {
     * build for the two exact-verification queries. Checkpointed
     * dup-mass-sized tables; Bench restores memo state between same-query
     * runs (see Caching.sessionMemo). */
-  private def clustersMemo(s: SparkSession, dir: String): DataFrame =
+  private[queries] def clustersMemo(s: SparkSession, dir: String): DataFrame =
     graft.operators.Caching.sessionMemo(s, s"dedup_clusters:$dir")(
       Dedup.dedupClusters(docs(s, dir)))
 

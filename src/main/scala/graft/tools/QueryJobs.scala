@@ -31,8 +31,8 @@ object QueryJobs {
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val j = J(e.jobId, Option(e.properties)
-          .map(_.getProperty("spark.job.description", "")).getOrElse(""), e.time)
+        val site = e.stageInfos.lastOption.map(_.name).getOrElse("")
+        val j = J(e.jobId, site, e.time)
         jobs.put(e.jobId, j)
         e.stageIds.foreach(s => stageToJob.put(s, e.jobId))
       }
