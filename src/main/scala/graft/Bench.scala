@@ -91,6 +91,12 @@ object Bench {
     * sub-second medians needs the extra samples (see the kernel loop). */
   private val KernelRuns = 5
 
+  /** Max machine-busy fraction IN EXCESS of this process's own load for a
+    * kernel pair run to count as contention-clean (the gate in the kernel
+    * loop below): 32 threads of co-tenant load on this container reads as
+    * excess ~0.5-1.0; scheduler noise stays under ~0.05. */
+  private val KernelBusyExcess = 0.10
+
   /** One query's medians; `firstWall` ≥ 0 only when the 3×-trigger
     * re-measure fired (it then holds the FIRST median wall — the official
     * `wall` is the re-measured one). `memoB` = seconds spent inside
@@ -265,7 +271,7 @@ object Bench {
     // Spark dual of the reference's single-machine blocked≈regular claim
     // (core.py:133-147)
     val ratios = scala.collection.mutable
-      .LinkedHashMap[String, (Double, Double, Double, Double)]()
+      .LinkedHashMap[String, (Double, Double, Double, Double, Int)]()
     val stat0 = procStat()
     val committed = committedWalls()
 
@@ -372,7 +378,21 @@ object Bench {
               // sessions). Alternating the modes run-by-run makes any
               // drift hit both equally, so the RATIO stays meaningful
               // even when the absolute walls wander.
-              val runs = (1 to KernelRuns).map { _ =>
+              //
+              // CONTENTION GATE (VERDICT r14 #3: attention read 1.235 in
+              // two consecutive driver artifacts at machine_busy ~0.17
+              // while the quiet record said ~1.04 — pairing cancels slow
+              // DRIFT but not burst steal landing inside one arm of a
+              // sub-second pair): each pair run carries the machine-busy
+              // EXCESS over this process's own load during exactly its
+              // window; pairs measured under co-tenant burst (excess >
+              // KernelBusyExcess) are dropped before the median, and if
+              // fewer than 3 clean pairs survive the whole pair loop
+              // re-runs once (the same one-shot re-measure discipline as
+              // query rows). The artifact records how many clean pairs
+              // the ratio stands on.
+              def pairLoop() = (1 to KernelRuns).map { _ =>
+                val s0 = procStat()
                 val c0 = osBean.getProcessCpuTime
                 val t0 = System.nanoTime()
                 force(fn(spark, sfDir, PairPlan.Blocked))
@@ -383,12 +403,28 @@ object Bench {
                 force(fn(spark, sfDir, PairPlan.Broadcast))
                 val br = (System.nanoTime() - t1) / 1e9
                 val brc = (osBean.getProcessCpuTime - c1) / 1e9
+                val s1 = procStat()
                 spark.catalog.clearCache()
+                val busy = if (s1._2 > s0._2)
+                  (s1._1 - s0._1).toDouble / (s1._2 - s0._2) else -1.0
+                val self = (blc + brc) /
+                  (Runtime.getRuntime.availableProcessors *
+                    math.max(bl + br, 1e-9))
+                val excess = if (busy >= 0) math.max(busy - self, 0.0) else -1.0
                 (bl, br, bl / math.max(br, 1e-9),
-                  blc / math.max(brc, 1e-9))
+                  blc / math.max(brc, 1e-9), excess)
               }
-              ratios(name) = (median(runs.map(_._1)), median(runs.map(_._2)),
-                median(runs.map(_._3)), median(runs.map(_._4)))
+              var runs = pairLoop()
+              def clean = runs.filter(r => r._5 >= 0 && r._5 <= KernelBusyExcess)
+              if (clean.size < 3) {
+                System.err.println(s"[bench] kernel_ratio $name: only " +
+                  s"${clean.size}/${runs.size} pairs clean of co-tenant " +
+                  "burst — re-running the pair loop once")
+                runs = runs ++ pairLoop()
+              }
+              val use = if (clean.size >= 3) clean else runs
+              ratios(name) = (median(use.map(_._1)), median(use.map(_._2)),
+                median(use.map(_._3)), median(use.map(_._4)), clean.size)
             } catch {
               case e: Throwable =>
                 System.err.println(s"[bench] kernel_ratio $name failed: ${e.getMessage}")
@@ -425,9 +461,9 @@ object Bench {
       val rm = results.collect { case (k, q) if q.firstWall >= 0 =>
         s"\"$k\":${r3(q.firstWall)}" }.mkString("{", ",", "}")
       val (ccUsed, ccMax) = codeCache()
-      val kr = ratios.map { case (k, (bl, br, wr, cr)) =>
+      val kr = ratios.map { case (k, (bl, br, wr, cr, nc)) =>
         s""""$k":{"blocked":${r3(bl)},"broadcast":${r3(br)},"ratio":${
-          r3(wr)},"cpu_ratio":${r3(cr)}}"""
+          r3(wr)},"cpu_ratio":${r3(cr)},"n_clean_pairs":$nc}"""
       }.mkString("{", ",", "}")
       val ok = results.values.map(_.wall).filter(_ >= 0)
       val total = r3(ok.sum)
@@ -466,7 +502,7 @@ object Bench {
         .take(20)
         .map { case (k, q) => s"\"$k\":${r3(q.wall)}" }
         .mkString("{", ",", "}")
-      val krShort = ratios.map { case (k, (_, _, wr, _)) =>
+      val krShort = ratios.map { case (k, (_, _, wr, _, _)) =>
         s""""$k":${r3(wr)}""" }.mkString("{", ",", "}")
       val nRemeasured = results.values.count(_.firstWall >= 0)
       val short =

@@ -169,19 +169,26 @@ object LinkRank {
 
   /** The SQL dual: the same chain with one CTE pair per iteration. */
   def ranksSql(iters: Int): String = {
+    // every CTE MATERIALIZED, and the degree join hoisted out of the
+    // rounds (`ed`): DuckDB's default CTE inlining re-executes the whole
+    // upstream chain per reference, so the un-materialized `iters`-round
+    // chain re-derived the DISTINCT edge set once per round — the sf1
+    // gate's oracle-side timeout on this query (VERDICT r14 #4); the
+    // conv sibling learned the same lesson at sf0.1 in r13
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT DISTINCT l_suppkey*2 + 1 AS src, l_partkey*2 AS dst FROM lineitem
+    sb ++= s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey*2 + 1 AS src, l_partkey*2 AS dst FROM lineitem
        |           UNION
        |           SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2 + 1 AS dst FROM lineitem),
-       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-       |nodes AS (SELECT DISTINCT src AS node FROM e),
-       |nn AS (SELECT count(*) AS n FROM nodes),
-       |r0 AS (SELECT node, 1.0 / n AS r FROM nodes, nn)""".stripMargin
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, 1.0 / n AS r FROM nodes, nn)""".stripMargin
     for (i <- 1 to iters) sb ++= s""",
-       |r$i AS (SELECT e.dst AS node,
-       |          ${VecOps.qroundSql(s"$Residual / nn.n + $Damping * sum(p.r / deg.deg)", RankDigits)} AS r
-       |        FROM e JOIN deg USING (src) JOIN r${i - 1} p ON p.node = e.src, nn
-       |        GROUP BY e.dst, nn.n)""".stripMargin
+       |r$i AS MATERIALIZED (SELECT ed.dst AS node,
+       |          ${VecOps.qroundSql(s"$Residual / nn.n + $Damping * sum(p.r / ed.deg)", RankDigits)} AS r
+       |        FROM ed JOIN r${i - 1} p ON p.node = ed.src, nn
+       |        GROUP BY ed.dst, nn.n)""".stripMargin
     sb ++= s"\nSELECT node, r FROM r$iters"
     sb.toString
   }

@@ -347,25 +347,30 @@ object SimilarityQueries {
     def cosOf(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
     val sb = new StringBuilder
-    sb ++= s"""WITH c0 AS (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
+    // every CTE MATERIALIZED: the conv oracle references each st_t from
+    // its movement CTE, the next round, AND its output branch — DuckDB's
+    // default inlining re-executes the whole upstream chain per reference,
+    // compounding per round (the link_rank_conv lesson, r13; re-surfaced
+    // as kmeans_train_conv's sf1 oracle timeout, VERDICT r14 #4)
+    sb ++= s"""WITH c0 AS MATERIALIZED (SELECT label, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c
        |            FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
        |                    unnest(range(len(embedding))) AS i FROM embeddings)
        |            GROUP BY label, i),
-       |cents0 AS (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
+       |cents0 AS MATERIALIZED (SELECT CAST(label AS BIGINT) AS list_id, list(c ORDER BY i) AS cvec
        |           FROM c0 GROUP BY label),
-       |k AS (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings)""".stripMargin
+       |k AS MATERIALIZED (SELECT vec_id AS k_id, embedding::DOUBLE[] AS kv FROM embeddings)""".stripMargin
     for (i <- 1 to iters) sb ++= s""",
-       |asn$i AS (SELECT k_id, list_id FROM (
+       |asn$i AS MATERIALIZED (SELECT k_id, list_id FROM (
        |           SELECT k_id, list_id,
        |             row_number() OVER (PARTITION BY k_id
        |               ORDER BY ${cosOf("kv", "cvec")} DESC, list_id) AS rn
        |           FROM k CROSS JOIN cents${i - 1}) WHERE rn = 1),
-       |st$i AS (SELECT list_id, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c, count(*) AS n
+       |st$i AS MATERIALIZED (SELECT list_id, i, ${VecOps.qroundSql("sum(x) / count(*)", 4)} AS c, count(*) AS n
        |         FROM (SELECT asn$i.list_id, unnest(kv)::DOUBLE AS x,
        |                 unnest(range(len(kv))) AS i
        |               FROM asn$i JOIN k USING (k_id))
        |         GROUP BY list_id, i),
-       |cents$i AS (SELECT list_id, list(c ORDER BY i) AS cvec
+       |cents$i AS MATERIALIZED (SELECT list_id, list(c ORDER BY i) AS cvec
        |            FROM st$i GROUP BY list_id)""".stripMargin
     sb.toString
   }
@@ -465,7 +470,7 @@ object SimilarityQueries {
       val prev =
         if (t == 1) "(SELECT CAST(label AS BIGINT) AS list_id, i, c FROM c0)"
         else s"st${t - 1}"
-      s"""dm$t AS (SELECT max(coalesce(abs(a.c - b.c), 1.0)) AS m
+      s"""dm$t AS MATERIALIZED (SELECT max(coalesce(abs(a.c - b.c), 1.0)) AS m
          |         FROM st$t a FULL JOIN $prev b USING (list_id, i))""".stripMargin
     }.mkString(",\n")
     val trace = (1 to n)
