@@ -823,22 +823,27 @@ object TextQueries {
     }
 
   private val dedupWinnowOracle = {
-    val gramsSql =
-      s"""SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, greatest(length(t) - ${TextOps.WinnowK - 1}, 1)),
-         |    i -> ${VecOps.hash60Sql(s"substr(t, i, ${TextOps.WinnowK})")}))) AS g
-         |FROM (SELECT doc_id, ${TextOps.normTextSql("text")} AS t
-         |      FROM documents)""".stripMargin
-    s"""WITH s AS (${TextOps.winnowSql("documents")}),
-       |e AS (SELECT doc_id, unnest(fps) AS fp FROM s),
-       |hot AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= $WinnowCap),
-       |k AS (SELECT e.doc_id, e.fp FROM e JOIN hot USING (fp)),
-       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    // grams for CANDIDATE docs only, built unnest-first (vectorized md5 +
+    // DISTINCT rows, no per-doc list lambdas) AFTER the ids semi-join —
+    // the all-docs lambda form plus an un-materialized candidate chain
+    // (k self-joined → the whole winnow chain re-executed per reference
+    // under DuckDB's CTE inlining) is what kept this dual timing out at
+    // the sf1 gate even once winnowSql itself was fixed (r15)
+    s"""WITH s AS MATERIALIZED (${TextOps.winnowSql("documents")}),
+       |e AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM s),
+       |hot AS MATERIALIZED (SELECT fp FROM e GROUP BY fp HAVING count(*) <= $WinnowCap),
+       |k AS MATERIALIZED (SELECT e.doc_id, e.fp FROM e JOIN hot USING (fp)),
+       |m AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |        count(*)::BIGINT AS shared
        |      FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared),
-       |ids AS (SELECT doc_a AS doc_id FROM m UNION SELECT doc_b FROM m),
-       |gr AS (SELECT gg.* FROM ($gramsSql) gg JOIN ids USING (doc_id)),
+       |ids AS MATERIALIZED (SELECT doc_a AS doc_id FROM m UNION SELECT doc_b FROM m),
+       |gr AS MATERIALIZED (SELECT DISTINCT d.doc_id,
+       |        ${VecOps.hash60Sql(s"substr(d.t, CAST(u.i AS INT), ${TextOps.WinnowK})")} AS g
+       |      FROM (SELECT dd.doc_id, ${TextOps.normTextSql("dd.text")} AS t
+       |            FROM documents dd JOIN ids USING (doc_id)) d,
+       |        unnest(generate_series(1,
+       |          greatest(length(d.t) - ${TextOps.WinnowK - 1}, 1))) AS u(i)),
        |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM gr GROUP BY 1),
        |ix AS (SELECT m.doc_a, m.doc_b, count(*)::BIGINT AS n_inter
        |       FROM m JOIN gr a ON a.doc_id = m.doc_a
