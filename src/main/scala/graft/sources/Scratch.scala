@@ -102,4 +102,17 @@ object Scratch {
       .config("spark.sql.streaming.checkpointFileManagerClass",
         "org.apache.spark.sql.execution.streaming.checkpointing." +
           "FileSystemBasedCheckpointFileManager")
+      // Generated-class cache (STATIC conf — first session in the JVM
+      // wins): the default 100-entry LRU is smaller than ONE iterative
+      // query's codegen footprint (the 4-round BPE trainer or a 90-job
+      // dedup composition emits >100 distinct codegen units), so every
+      // re-execution Janino-recompiled its whole plan and the JVM
+      // re-JIT-compiled the fresh classes — measured r15 baseline:
+      // 144 s of JIT-thread time across the 304 timed medians
+      // (bpe_apply 7.8 s/run, corpus_pipeline 10.8 s/run). 8192 entries
+      // keeps every plan of a full Verify/Bench session resident; the
+      // knob is scale-neutral (a cluster driver compiles the same
+      // classes; Janino class metadata is KB-sized, and the bench fork
+      // already reserves a 512 MB code cache).
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
 }
