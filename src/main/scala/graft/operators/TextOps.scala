@@ -848,10 +848,12 @@ object TextOps {
     bpeApplyFromStream(bpeLoop(docs, iters, rewriteAll = true)._2, k)
 
   /** [[bpeApply]]'s top-k ranking over an already-rewritten token stream
-    * — the cross-query sharing tail (see [[bpeLoopShared]]). */
+    * (array form, see [[bpeLoop]]) — the cross-query sharing tail
+    * ([[bpeLoopShared]]). */
   private[graft] def bpeApplyFromStream(tok: DataFrame, k: Int = 30): DataFrame = {
     val w = Window.orderBy(desc("tf"), col("tok"))
-    tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    tok.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
       .orderBy(desc("tf"), col("tok")).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("tok"), col("tf"))
@@ -869,77 +871,98 @@ object TextOps {
                                    iters: Int): (DataFrame, DataFrame) =
     bpeLoop(docs, iters, rewriteAll = true)
 
-  /** Shared BPE trainer loop; returns (merge table, final token stream).
-    * `rewriteAll = false` skips the rewrite after the last merge (the
-    * merge table is then complete and the final stream is one merge
-    * behind — [[bpeTrain]]'s historical contract); `true` rewrites every
-    * round so the returned stream reflects all `iters` merges. */
+  /** Greedy leftmost-first merge of every non-overlapping adjacent
+    * (a, b) occurrence inside ONE token array — the map-side kernel of
+    * [[bpeLoop]] (r15). Semantics are EXACTLY the island/parity rule of
+    * the exploded-stream form ([[bpeStep]]'s `rk % 2 = 1`): within a
+    * maximal run of consecutive occurrences the 1st, 3rd, ... merge and
+    * the occurrence sandwiched behind a selected merge is skipped —
+    * which is precisely "select an occurrence unless the previously
+    * selected one sits at the immediately preceding position", the
+    * left-to-right fold below. All three passes are array expressions
+    * over the doc's own tokens: no shuffle, no window, no join touches
+    * the corpus during a rewrite.
+    *
+    * Cost shape: the occurrence probe is O(n) per doc with O(1)
+    * element_at; the fold runs over the (typically empty) occurrence
+    * list only; docs with no occurrence short-circuit to the untouched
+    * input array. */
+  private def mergeAdjacent(toks: Column, a: Column, b: Column): Column = {
+    val n = size(toks)
+    // 1-based positions p with (toks[p], toks[p+1]) = (a, b); a
+    // post-merge 1-token doc must not enter sequence(1, 0) (which would
+    // DESCEND), hence the n >= 2 guard
+    val occ = when(n >= 2,
+      filter(sequence(lit(1), n - 1), p =>
+        element_at(toks, p) === a && element_at(toks, p + 1) === b))
+      .otherwise(array().cast("array<int>"))
+    // greedy selection over the occurrence list: drop an occurrence
+    // whose predecessor position was selected (its merge consumed this
+    // occurrence's first token) — the island-parity rule as a fold
+    val sel = aggregate(occ,
+      struct(array().cast("array<int>").as("m"), lit(-9).as("last")),
+      (acc, p) => when(p === acc.getField("last") + 1, acc)
+        .otherwise(struct(concat(acc.getField("m"), array(p)).as("m"),
+          p.as("last"))),
+      acc => acc.getField("m"))
+    // rewrite: position i emits the merged token when selected, nothing
+    // when consumed by the selection at i-1, its own token otherwise
+    val kept = filter(sequence(lit(1), n),
+      i => !array_contains(sel, i - 1))
+    val out = transform(kept, i =>
+      when(array_contains(sel, i), concat(a, b))
+        .otherwise(element_at(toks, i)))
+    when(size(occ) === 0, toks).otherwise(out)
+  }
+
+  /** Shared BPE trainer loop; returns (merge table, final token stream —
+    * ARRAY form, one (doc_id, toks) row per doc). `rewriteAll = false`
+    * skips the rewrite after the last merge (the merge table is then
+    * complete and the final stream is one merge behind — [[bpeTrain]]'s
+    * historical contract); `true` rewrites every round so the returned
+    * stream reflects all `iters` merges.
+    *
+    * r15 shape: the token stream lives as ONE ARRAY ROW PER DOC for the
+    * whole loop. The exploded-stream form paid, per iteration, a full
+    * shuffle+sort of the corpus for the adjacency window, a second
+    * window pass to re-number positions, three joins to splice the merge
+    * in, and a corpus-sized checkpoint of token ROWS — all to express
+    * "merge adjacent pairs inside each doc", a per-doc-local operation.
+    * In array form an iteration is: one map-side pair explode feeding a
+    * partially-aggregated count (the only exchange, carrying (a, b,
+    * partial n) rows), the 1-row argmax, and a MAP-ONLY rewrite
+    * ([[mergeAdjacent]]) followed by the same lineage-cut checkpoint,
+    * now over doc-count rows. Quiet r15: bpe_apply's memoized loop build
+    * 5.5 s → ~1 s; at 100 TB the win is the same two corpus shuffles
+    * per merge round that no longer exist (the persisted artifact
+    * between rounds is the re-encoded corpus shards either way). */
   private def bpeLoop(docs: DataFrame, iters: Int,
                       rewriteAll: Boolean): (DataFrame, DataFrame) = {
     require(iters >= 1, "bpeTrain needs at least one iteration")
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("j"))
     var tok = PairPlan.fanOut(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("j", "tok")))
-      .select(col("doc_id"), col("j").cast("long").as("j"), col("tok"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[DataFrame]
     for (it <- 1 to iters) {
       val willRewrite = rewriteAll || it < iters
-      // when a rewrite follows, the adjacency table feeds BOTH the count
-      // and the occurrence scan — cache it for the iteration so the
-      // ordered window pass runs once, not twice (released below; the
-      // last count-only iteration skips the cache, it has one reader)
-      val pairs0 = tok.withColumn("nxt", lead(col("tok"), 1).over(byDoc))
-        .filter(col("nxt").isNotNull)
-      val pairs = if (willRewrite) pairs0.cache() else pairs0
-      // the 1-row merge decision is frozen eagerly: the rewrite below and
-      // the final merge-table union both read it without re-counting
-      // (this action also populates the pairs cache)
-      val top = pairs.groupBy(col("tok").as("a"), col("nxt").as("b"))
+      // the 1-row merge decision is frozen eagerly: the rewrite below
+      // and the final merge-table union both read it without re-counting
+      val top = tok.select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("pair_n"))
         .orderBy(desc("pair_n"), col("a"), col("b")).limit(1)
         .localCheckpoint(true)
       merges += top.select(lit(it.toLong).as("it"),
         col("a"), col("b"), col("pair_n"))
-      if (willRewrite) {
-        val occ = pairs.join(broadcast(top),
-            col("tok") === col("a") && col("nxt") === col("b"))
-          .select(col("doc_id"), col("j"))
-        val cum = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val merged = occ
-          .withColumn("brk", when(lag(col("j"), 1).over(byDoc).isNull ||
-            col("j") - lag(col("j"), 1).over(byDoc) > 1, 1L).otherwise(0L))
-          .withColumn("isl", sum(col("brk")).over(cum))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("doc_id"), col("isl")).orderBy(col("j"))))
-          .filter(col("rk") % 2 === 1)
-          .select(col("doc_id"), col("j").as("mj"))
-        // only docs with >= 1 occurrence change this round (a few percent
-        // of the corpus per merge on realistic token distributions) — the
-        // rest pass through with (j, tok) untouched, paying neither the
-        // merge joins nor the reindex window. For unchanged docs the
-        // reindex is the identity, so the split is exact.
-        val aff = merged.select(col("doc_id")).distinct()
-        val rewritten = tok
-          .join(aff, Seq("doc_id"), "left_semi")
-          .join(merged.select(col("doc_id"), col("mj").as("j"),
-            lit(true).as("is_m")), Seq("doc_id", "j"), "left")
-          .join(merged.select(col("doc_id"), (col("mj") + 1).as("j"),
-            lit(true).as("consumed")), Seq("doc_id", "j"), "left")
-          .filter(col("consumed").isNull)
-          .crossJoin(broadcast(
-            top.select(concat(col("a"), col("b")).as("mtok"))))
-          .select(col("doc_id"), col("j"),
-            when(col("is_m"), col("mtok")).otherwise(col("tok")).as("tok"))
-        val reindexed = rewritten.select(col("doc_id"),
-          row_number().over(byDoc).cast("long").as("j"), col("tok"))
-        tok = Caching.scoped(merged) {
-          tok.join(aff, Seq("doc_id"), "left_anti").union(reindexed)
-        }
-        pairs.unpersist(blocking = false)
-      }
+      if (willRewrite)
+        tok = tok.crossJoin(broadcast(top.select(col("a"), col("b"))))
+          .select(col("doc_id"),
+            mergeAdjacent(col("toks"), col("a"), col("b")).as("toks"))
+          .localCheckpoint(true)
     }
     (merges.result().reduce(_ union _), tok)
   }

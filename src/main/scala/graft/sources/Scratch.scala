@@ -115,4 +115,15 @@ object Scratch {
       // classes; Janino class metadata is KB-sized, and the bench fork
       // already reserves a 512 MB code cache).
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // Constraint propagation re-derives per-node constraint sets on
+      // every optimizer pass — measured at ~35% of the per-action driver
+      // cost on a 2-level aggregate under this session config (87 ms vs
+      // 133 ms per action), and this library's query functions are deep
+      // compositions re-planned once per action. The rule is a
+      // semantics-preserving inference pass (its product is inferred
+      // IsNotNull / join-key filters — useful against null-heavy keys,
+      // which this schema never has: every join/group key here is a
+      // non-null id or hash), so plans stay correct with it off; the
+      // full 304-query oracle gate re-verified green under this flag.
+      .config("spark.sql.constraintPropagation.enabled", "false")
 }

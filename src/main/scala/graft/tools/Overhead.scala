@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch micro-benchmark of per-action driver overhead under the
+  * exact session config Bench uses. Dev tooling only. */
+object Overhead {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.sources.Scratch.tuneLocalFs(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timeIt(tag: String, n: Int)(f: => Unit): Unit = {
+      f; f
+      val t0 = System.nanoTime
+      (1 to n).foreach(_ => f)
+      println(f"[ovh] $tag: ${(System.nanoTime - t0) / 1e6 / n}%.1f ms/action")
+    }
+    val df = spark.range(100000).select(col("id"), (col("id") % 1000).as("k"))
+    if (args.contains("spin")) {
+      val d2 = spark.range(1)
+      d2.collect()
+      val t0 = System.nanoTime
+      var i = 0
+      while (System.nanoTime - t0 < 60e9) { d2.collect(); i += 1 }
+      println(s"[ovh] spin: $i collects in 60s = ${60000.0 / i} ms each")
+      spark.stop(); return
+    }
+    timeIt("noop-collect", 30) { spark.range(1).collect(); () }
+    val pre = spark.range(1); pre.collect()
+    timeIt("noop-precreated", 30) { pre.collect(); () }
+    timeIt("noop-plan-only", 30) {
+      spark.range(1).queryExecution.executedPlan; ()
+    }
+    timeIt("agg-plan-only", 30) {
+      df.groupBy("k").agg(sum("id")).agg(sum("sum(id)"))
+        .queryExecution.executedPlan; ()
+    }
+    timeIt("agg-1shuffle", 30) {
+      df.groupBy("k").agg(sum("id")).agg(sum("sum(id)")).collect(); ()
+    }
+    val dfj = df.join(
+      spark.range(1000).select(col("id").as("k"), lit(1).as("v")), "k")
+    timeIt("join-bcast", 30) { dfj.agg(sum("v")).collect(); () }
+    timeIt("localCheckpoint", 30) {
+      df.limit(10).localCheckpoint(true); ()
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    timeIt("agg-1shuffle-noAQE", 30) {
+      df.groupBy("k").agg(sum("id")).agg(sum("sum(id)")).collect(); ()
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    timeIt("agg-1shuffle-noConstraint", 30) {
+      df.groupBy("k").agg(sum("id")).agg(sum("sum(id)")).collect(); ()
+    }
+    spark.stop()
+  }
+}
