@@ -1689,7 +1689,7 @@ object Dedup {
       // `div`, not `/`: Column./ is always fractional — the ceil must stay
       // in exact integer arithmetic like the final threshold test
       .where(col("rn") <= col("n") - expr(s"(n * $tauPm + 999) div 1000") + 1)
-      .select(col("doc_id"), col("t"))
+      .select(col("doc_id"), col("t"), col("n"), col("rn"))
     // the dedup step is PINNED to the session partition count (explicit
     // repartition on the pair key — distinct reuses the clustering, so no
     // extra exchange): candidate pairs are a few BYTES each but each
@@ -1698,8 +1698,24 @@ object Dedup {
     // at 1.8 s each (job-profiled r15) — the tile-grid pin argument,
     // applied to the verify stage
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // ppjoin LENGTH + POSITIONAL filters on the candidate join (r15 —
+    // the SQL dual has carried both since the sf1 gate, b96e449; the
+    // Spark side paid full prefix-collision fan-out into the distinct +
+    // array_intersect verification, ~60 task-seconds of the
+    // dedup_minhash_recall row at sf0.1). Both are LOSSLESS for J ≥ τ:
+    // τ·max(|a|,|b|) ≤ min(|a|,|b|) is implied by J ≥ τ, and for any
+    // shared token at prefix ranks (ra, rb) the overlap is bounded by
+    // min(na−ra, nb−rb)+1 — a true pair's FIRST shared prefix token
+    // always passes the bound, so keeping pairs where ANY matching row
+    // passes drops no true pair. Integer forms throughout:
+    // |∩| ≥ ⌈τ(na+nb)/(1+τ)⌉  ⟺  (1000+τpm)·ubound ≥ τpm·(na+nb).
     val cand = prefix.as("a").join(prefix.as("b"), "t")
-      .where(col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.doc_id") < col("b.doc_id")
+        && lit(tauPm.toLong) * col("a.n") <= lit(1000L) * col("b.n")
+        && lit(tauPm.toLong) * col("b.n") <= lit(1000L) * col("a.n")
+        && lit((1000 + tauPm).toLong) *
+          (least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) + 1L)
+          >= lit(tauPm.toLong) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .repartition(parts, col("doc_a"), col("doc_b"))
       .distinct()

@@ -385,8 +385,13 @@ object Similarity {
     * that capture no vectors disappear (standard k-means empty-cell
     * behavior; production re-seeds them). */
   def kmeansStep(kv: DataFrame, cents: DataFrame): DataFrame =
-    ivfAssign(kv, cents)
-      .join(kv, "k_id")
+    // ivfIndex already carries the vector through the map-only
+    // assignment — re-deriving it via ivfAssign(...).join(kv, "k_id")
+    // shuffled the whole vector table back onto itself once PER
+    // TRAINING ITERATION just to re-attach a column the assignment had
+    // in hand (r15; join removed, plan is now scan → assign → explode
+    // → partial-agg with one exchange of lists × dims partial sums)
+    ivfIndex(kv, cents)
       .select(col("list_id"), posexplode(col("kvec")).as(Seq("pos", "x")))
       .groupBy(col("list_id"), col("pos").cast("long").as("pos"))
       .agg(VecOps.qround(sum(col("x")) / count(lit(1)), 4).as("c"),
@@ -834,45 +839,72 @@ object Similarity {
     * then `sel` integer-argmax rounds (see [[mmrTopK]] for the protocol). */
   def mmrRerank(candIds: DataFrame, q: DataFrame, kv: DataFrame,
                 sel: Int): DataFrame = {
+    val spark = candIds.sparkSession
     val rInt = floor(VecOps.cosine(col("qvec"), col("kvec")) * lit(1e4) +
       lit(0.5)).cast("long")
+    // cand feeds BOTH sides of the pairwise-sim self-join below — eager
+    // so the candidate pull runs once, not per broadcast branch
     val cand = Caching.eager(candIds.join(q, "q_id").join(kv, "k_id")
       .select(col("q_id"), col("k_id"), rInt.as("r"), col("kvec")))
     val sInt = floor(VecOps.cosine(col("va"), col("vb")) * lit(1e4) +
       lit(0.5)).cast("long")
-    val ps = Caching.eager(
-      cand.select(col("q_id"), col("k_id").as("ka"), col("kvec").as("va"))
-        .join(cand.select(col("q_id"), col("k_id").as("kb"),
-          col("kvec").as("vb")), "q_id")
-        .filter(col("ka") =!= col("kb"))
-        .select(col("q_id"), col("ka"), col("kb"), sInt.as("s")))
-    val wSel = Window.partitionBy(col("q_id")).orderBy(desc("score"), col("k_id"))
-    var selDf = cand
-      .select(col("q_id"), col("k_id"), (lit(7L) * col("r")).as("score"))
-      .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
-      .select(col("q_id"), col("k_id"), lit(1L).as("step"), col("score"))
-      .localCheckpoint(true)
-    for (t <- 2 to sel) {
-      val pen = ps
-        .join(selDf.select(col("q_id"), col("k_id").as("kb")), Seq("q_id", "kb"))
-        .groupBy(col("q_id"), col("ka")).agg(max(col("s")).as("m"))
-      val next = cand
-        .join(selDf.select(col("q_id"), col("k_id")),
-          Seq("q_id", "k_id"), "left_anti")
-        .join(pen.withColumnRenamed("ka", "k_id"), Seq("q_id", "k_id"))
-        .select(col("q_id"), col("k_id"),
-          (lit(7L) * col("r") - lit(3L) * col("m")).as("score"))
-        .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
-        .select(col("q_id"), col("k_id"), lit(t.toLong).as("step"), col("score"))
-      selDf = selDf.union(next).localCheckpoint(true)
+    val ps = cand.select(col("q_id"), col("k_id").as("ka"), col("kvec").as("va"))
+      .join(cand.select(col("q_id"), col("k_id").as("kb"),
+        col("kvec").as("vb")), "q_id")
+      .filter(col("ka") =!= col("kb"))
+      .select(col("q_id"), col("ka"), col("kb"), sInt.as("s"))
+    // The greedy argmax rounds run ON THE DRIVER over the two collected
+    // INTEGER tables (r15): both are answer-sized — M×k relevances and
+    // M×k(k−1) pairwise sims, corpus-independent by construction (the
+    // same bounded-collect contract as localized()/Pq.collectCb; the
+    // r14 probe measured the rerank 1.0× at 10× corpus). The previous
+    // form ran `sel` chained join+window+checkpoint rounds — ~25 Spark
+    // jobs of pure scheduling latency per query on ≤640 rows. Every
+    // relevance/sim is a Spark-computed exact LONG (the floats never
+    // leave the engine), so the driver selection is pure integer
+    // arithmetic with the identical (score DESC, k_id ASC) tie-break.
+    val candRows = cand.select(col("q_id"), col("k_id"), col("r")).collect()
+    val psRows = ps.collect()
+    cand.unpersist(false)
+    val simOf = psRows.iterator.map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)
+    }.toMap
+    val byQ = candRows.iterator
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.groupBy(_._1)
+    val outRows = byQ.toSeq.flatMap { case (qid, rows) =>
+      val rel = rows.map { case (_, k, r) => k -> r }.toMap
+      var remaining = rel.keySet
+      var selected = List.empty[Long]
+      (1 to math.min(sel, rows.size)).map { t =>
+        val scored = remaining.toSeq.map { k =>
+          val pen =
+            if (selected.isEmpty) 0L
+            else 3L * selected.iterator.map(kb => simOf((qid, k, kb))).max
+          val score = 7L * rel(k) - pen
+          (k, score)
+        }
+        val (bestK, bestScore) = scored.minBy { case (k, s) => (-s, k) }
+        remaining -= bestK
+        selected ::= bestK
+        org.apache.spark.sql.Row(qid, t.toLong, bestK, rel(bestK), bestScore)
+      }
     }
-    val out = selDf
-      .join(cand.select(col("q_id"), col("k_id"), col("r")), Seq("q_id", "k_id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("k_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(outRows.asJava, schema)
       .select(col("q_id"), col("step"), col("k_id"),
         (col("r").cast("double") / lit(1e4)).as("rel"), col("score"))
-      .localCheckpoint(true)
-    cand.unpersist(false); ps.unpersist(false)
-    out
   }
 
   /** SEMANTIC DEDUP — the SemDeDup recipe (Abbas et al. 2023,
