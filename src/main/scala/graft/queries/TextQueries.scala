@@ -2006,9 +2006,9 @@ object TextQueries {
     * predicts 'und' through the left join, the heuristic's no-hit rule.
     * The argmax window partitions BY DOC (five rows each), never
     * globally. Output schema matches `lang_id_eval`. */
-  private def langIdEvalTrained(d: DataFrame): DataFrame =
+  private def langIdEvalTrained(d: DataFrame, weights: DataFrame): DataFrame =
     graft.operators.Caching.scoped() {
-      val w = langIdTrain(d, LrIters).collect()
+      val w = weights.collect()
         .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
       val marginCols = LangIdLabels.map { l =>
         val wlit = array((0 until HashDim.toInt)
@@ -2756,11 +2756,13 @@ object TextQueries {
     // the classifier eval: row-normalized confusion matrix vs true lang
     "lang_id_eval" -> ((s, dir) => langIdEval(docs(s, dir))),
     // TRAINED lang id: five one-vs-rest integer-exact logreg weight
-    // vectors over the signed-hash features, one trainer job count
-    "lang_id_trained" -> ((s, dir) => langIdTrain(docs(s, dir), LrIters)),
+    // vectors over the signed-hash features, one trainer job count —
+    // trained ONCE per session (memo below), shared with the eval
+    "lang_id_trained" -> ((s, dir) => langIdTrainMemo(s, dir)),
     // the confusion matrix re-run against the trained classifier:
     // exact-LONG margin argmax per doc, same schema as lang_id_eval
-    "lang_id_eval_trained" -> ((s, dir) => langIdEvalTrained(docs(s, dir))),
+    "lang_id_eval_trained" -> ((s, dir) =>
+      langIdEvalTrained(docs(s, dir), langIdTrainMemo(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     // winnowing fingerprint SET (MOSS): distinct window minima of k-gram
     // hashes — any ≥23-normalized-char shared run yields a shared value
@@ -2925,6 +2927,15 @@ object TextQueries {
   private def logregApplyMemo(s: SparkSession, dir: String): DataFrame =
     graft.operators.Caching.sessionMemo(s, s"logreg_apply:$dir:$LrIters")(
       logregApplyFromMargins(logregMarginsMemo(s, dir)))
+
+  /** ONE five-label logreg training per session shared by
+    * `lang_id_trained` (the weight table) and `lang_id_eval_trained`
+    * (the confusion matrix under those weights) — the same cross-query
+    * sharing contract as the quality_logreg family; the weight table is
+    * 5 × HashDim rows, model-sized. */
+  private def langIdTrainMemo(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Caching.sessionMemo(s, s"lang_id_train:$dir:$LrIters")(
+      langIdTrain(docs(s, dir), LrIters))
 
   /** ONE BPE training loop per session shared by `bpe_train` (merge
     * table) and `bpe_apply` (final stream) — see [[TextOps.bpeLoopShared]]

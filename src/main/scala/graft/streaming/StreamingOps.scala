@@ -720,7 +720,17 @@ object StreamingOps {
       empty: => DataFrame): DataFrame =
     schema.map(sc =>
       s.createDataFrame(java.util.Arrays.asList(rows: _*), sc))
-      .getOrElse(empty)
+      // first batch (no state yet): materialize the caller's empty
+      // scaffold as an empty LocalRelation — the `range(0).select(...)`
+      // shape it arrives as carries defaultParallelism EMPTY partitions
+      // into every downstream union/join stage (r15 profile: 32 no-op
+      // tasks per fold job)
+      .getOrElse {
+        val e = empty
+        s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          e.schema)
+      }
 
   /** One micro-batch of the MG ingest fold: exact batch counts stacked
     * with the persisted state, compressed back to ≤ m entries. The MG
@@ -1218,10 +1228,32 @@ object StreamingOps {
     * written with overwrite — a retried half-finished batch replaces
     * its own rows instead of appending duplicates. Same contract as the
     * ingest streams' idempotent per-batch sinks. */
+  /** The batch's (event_type, hr, v) hourly rollup COLLECTED and rebuilt
+    * as a LocalRelation, with its hour bounds — ONE job where the
+    * previous shape paid three per batch (batch.isEmpty probe, rollup
+    * checkpoint, min/max bounds aggregate). types × batch-hours rows —
+    * the control-plane size the fold itself already operates at; null
+    * frame = empty batch. */
+  private def binsLocal(batch: DataFrame)
+      : (DataFrame, java.sql.Timestamp, java.sql.Timestamp) = {
+    val s = batch.sparkSession
+    val agg = batch
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("v"))
+    val rows = agg.collect()
+    if (rows.isEmpty) (null, null, null)
+    else {
+      val df = s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      implicit val ord: Ordering[java.sql.Timestamp] =
+        Ordering.by(_.getTime)
+      (df, rows.iterator.map(_.getTimestamp(1)).min,
+        rows.iterator.map(_.getTimestamp(1)).max)
+    }
+  }
+
   private[graft] def ewmaFoldBatch(batch: DataFrame, batchId: Long,
                             statePath: String, out: String): Unit = {
     val s = batch.sparkSession
-    if (batch.isEmpty) return
     val outDir = s"$out/batch=$batchId"
     // state is written AFTER the batch's output, so an applied batch id
     // implies its output partition is complete — the replay can skip both;
@@ -1229,14 +1261,9 @@ object StreamingOps {
     val (applied, stRows, stSchema) = loadFoldState(s, statePath)
     if (batchId <= applied) return
     // the ONLY distributed pass over the batch: its (type, hour) counts,
-    // materialized once — the hour bounds and the grid fold both reuse it
-    // (the bounds used to be a second full scan of the raw batch)
-    val bins = batch
-      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("v"))
-      .localCheckpoint(eager = true)
-    val lim = bins.agg(min(col("hr")).as("b0"), max(col("hr")).as("b1")).head
-    val (b0, b1) = (lim.getTimestamp(0), lim.getTimestamp(1))
+    // collected once (empty batch = empty rollup = return)
+    val (bins, b0, b1) = binsLocal(batch)
+    if (bins == null) return
     val st = foldStateLocal(s, stRows, stSchema,
       s.range(0).select(lit(null).cast("string").as("event_type"),
         lit(null).cast("timestamp").as("last_hr"),
@@ -1264,7 +1291,10 @@ object StreamingOps {
         first(col("seed_y"), ignoreNulls = true).as("seed_y"))
     val folded = g.select(col("event_type"), col("seed_hr"),
       expr(graft.operators.Resample.ewmaFoldSeededExpr).as("e"))
-      .localCheckpoint(eager = true) // one fold compute feeds BOTH sinks
+      // one fold compute feeds BOTH sinks — load-bearing under the
+      // stream context's NO_CODEGEN: the interpreted seeded fold over
+      // the hour grid is the batch's dominant cost (r15 re-profile)
+      .coalesce(1).localCheckpoint(eager = true)
     val outRows = folded
       .select(col("event_type"), col("seed_hr"), explode(col("e")).as("r"))
       .where(col("seed_hr").isNull || col("r.hr") > col("seed_hr"))
@@ -1275,8 +1305,10 @@ object StreamingOps {
       expr("element_at(e, -1).hr").as("last_hr"),
       expr("element_at(e, -1).y").as("y"),
       lit(h0).as("h0"), lit(batchId).as("batch_id"))
-    outRows.write.mode("overwrite").parquet(outDir)
-    newState.write.mode("overwrite").parquet(statePath)
+    // types×hours / types-sized sinks: one task, one file each (the
+    // un-coalesced write launched one task per shuffle partition)
+    outRows.coalesce(1).write.mode("overwrite").parquet(outDir)
+    newState.coalesce(1).write.mode("overwrite").parquet(statePath)
   }
 
   /** STREAMED CUSUM (`events_cusum_stream`): [[holtStream]]'s sibling for
@@ -1310,16 +1342,11 @@ object StreamingOps {
       statePath: String, out: String,
       kMilli: Long = 2500L, hMilli: Long = 25000L): Unit = {
     val s = batch.sparkSession
-    if (batch.isEmpty) return
     val outDir = s"$out/batch=$batchId"
     val (applied, stRows, stSchema) = loadFoldState(s, statePath)
     if (batchId <= applied) return
-    val bins = batch
-      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("v"))
-      .localCheckpoint(eager = true) // the only distributed batch pass
-    val lim = bins.agg(min(col("hr")).as("b0"), max(col("hr")).as("b1")).head
-    val (b0, b1) = (lim.getTimestamp(0), lim.getTimestamp(1))
+    val (bins, b0, b1) = binsLocal(batch) // the only distributed batch pass
+    if (bins == null) return
     val st = foldStateLocal(s, stRows, stSchema,
       s.range(0).select(lit(null).cast("string").as("event_type"),
         lit(null).cast("timestamp").as("last_hr"),
@@ -1363,7 +1390,8 @@ object StreamingOps {
       .withColumn("rmin", least(coalesce(col("seed_rmin"), col("rminb")),
         col("rminb")))
       .withColumn("cusum_milli", col("cum") - least(col("rmin"), lit(0L)))
-      .localCheckpoint(eager = true) // one window pass feeds BOTH sinks
+      // one window pass feeds BOTH sinks (NO_CODEGEN — see ewma)
+      .coalesce(1).localCheckpoint(eager = true)
     val outRows = g.select(col("event_type"),
       date_format(col("hr"), "yyyy-MM-dd HH").as("hr"),
       col("v").as("n"), col("mu_milli"), col("cusum_milli"),
@@ -1375,8 +1403,10 @@ object StreamingOps {
         col("m.cum").as("cum"), col("m.rmin").as("rmin"),
         col("m.mu_milli").as("mu_milli"), lit(h0).as("h0"),
         lit(batchId).as("batch_id"))
-    outRows.write.mode("overwrite").parquet(outDir)
-    newState.write.mode("overwrite").parquet(statePath)
+    // types×hours / types-sized sinks: one task, one file each (the
+    // un-coalesced write launched one task per shuffle partition)
+    outRows.coalesce(1).write.mode("overwrite").parquet(outDir)
+    newState.coalesce(1).write.mode("overwrite").parquet(statePath)
   }
 
   /** [[ewmaFoldBatch]]'s coupled-state sibling for [[holtStream]]: the
@@ -1385,16 +1415,11 @@ object StreamingOps {
   private[graft] def holtFoldBatch(batch: DataFrame, batchId: Long,
                             statePath: String, out: String): Unit = {
     val s = batch.sparkSession
-    if (batch.isEmpty) return
     val outDir = s"$out/batch=$batchId"
     val (applied, stRows, stSchema) = loadFoldState(s, statePath)
     if (batchId <= applied) return
-    val bins = batch
-      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("v"))
-      .localCheckpoint(eager = true) // the only distributed batch pass
-    val lim = bins.agg(min(col("hr")).as("b0"), max(col("hr")).as("b1")).head
-    val (b0, b1) = (lim.getTimestamp(0), lim.getTimestamp(1))
+    val (bins, b0, b1) = binsLocal(batch) // the only distributed batch pass
+    if (bins == null) return
     val st = foldStateLocal(s, stRows, stSchema,
       s.range(0).select(lit(null).cast("string").as("event_type"),
         lit(null).cast("timestamp").as("last_hr"),
@@ -1421,7 +1446,8 @@ object StreamingOps {
         first(col("seed_b"), ignoreNulls = true).as("seed_b"))
     val folded = g.select(col("event_type"), col("seed_hr"),
       expr(graft.operators.Resample.holtFoldSeededExpr).as("e"))
-      .localCheckpoint(eager = true) // one fold compute feeds BOTH sinks
+      // one fold compute feeds BOTH sinks (NO_CODEGEN — see ewma)
+      .coalesce(1).localCheckpoint(eager = true)
     val outRows = folded
       .select(col("event_type"), col("seed_hr"), explode(col("e")).as("r"))
       .where(col("seed_hr").isNull || col("r.hr") > col("seed_hr"))
@@ -1435,8 +1461,10 @@ object StreamingOps {
       expr("element_at(e, -1).l").as("l"),
       expr("element_at(e, -1).b").as("b"),
       lit(h0).as("h0"), lit(batchId).as("batch_id"))
-    outRows.write.mode("overwrite").parquet(outDir)
-    newState.write.mode("overwrite").parquet(statePath)
+    // types×hours / types-sized sinks: one task, one file each (the
+    // un-coalesced write launched one task per shuffle partition)
+    outRows.coalesce(1).write.mode("overwrite").parquet(outDir)
+    newState.coalesce(1).write.mode("overwrite").parquet(statePath)
   }
 
   /** first-week cutoff for the deliberately-late replay file — a fixture

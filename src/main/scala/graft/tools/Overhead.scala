@@ -25,6 +25,34 @@ object Overhead {
       (1 to n).foreach(_ => f)
       println(f"[ovh] $tag: ${(System.nanoTime - t0) / 1e6 / n}%.1f ms/action")
     }
+    if (args.contains("kernels")) {
+      import graft.operators.PairPlan
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      def force(df: org.apache.spark.sql.DataFrame): Unit = {
+        val h = org.apache.spark.sql.functions.xxhash64(
+          df.columns.map(col).toIndexedSeq: _*)
+        df.select(h.cast("double").as("h")).agg(sum(col("h"))).collect(); ()
+      }
+      graft.queries.MatrixQueries.modalKernelsBig.toSeq.sortBy(_._1)
+        .foreach { case (name, fn) =>
+          force(fn(spark, sfDir, PairPlan.Blocked))
+          force(fn(spark, sfDir, PairPlan.Broadcast))
+          val runs = (1 to 5).map { _ =>
+            val t0 = System.nanoTime()
+            force(fn(spark, sfDir, PairPlan.Blocked))
+            val bl = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            force(fn(spark, sfDir, PairPlan.Broadcast))
+            val br = (System.nanoTime() - t1) / 1e9
+            spark.catalog.clearCache()
+            (bl, br)
+          }
+          val rs = runs.map(r => r._1 / math.max(r._2, 1e-9)).sorted
+          println(f"[ovh] kernel $name blocked=${runs.map(_._1).sorted.apply(2)}%.3f " +
+            f"broadcast=${runs.map(_._2).sorted.apply(2)}%.3f ratio_med=${rs(2)}%.3f")
+        }
+      spark.stop(); return
+    }
     val df = spark.range(100000).select(col("id"), (col("id") % 1000).as("k"))
     if (args.contains("spin")) {
       val d2 = spark.range(1)

@@ -24,6 +24,11 @@ object QueryJobs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // dev-loop A/B knob: GRAFT_SET="conf=v;conf=v" applied to the session
+    sys.env.get("GRAFT_SET").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
 
     case class J(id: Int, var desc: String = "", var t0: Long = 0L,
                  var t1: Long = 0L, var tasks: Int = 0, var taskMs: Long = 0L)
