@@ -324,38 +324,16 @@ object Bench {
         median(runs.map(_._9)), median(runs.map(_._10)))
     }
 
-    try {
-      selected.foreach { name =>
-        val fn = SparkEntry.queries(name)
-        results(name) =
-          try {
-            val preQuery = graft.operators.Caching.memoKeys()
-            val first = sample(() => force(fn(spark, sfDir)))
-            // one-shot flagged re-measure (VERDICT r11 "Next" #2): a median
-            // wall >2× the committed quiet record — and above a 0.75 s
-            // floor so sub-second queries can't trip on scheduler noise —
-            // gets one more full sample; both walls land in the artifact
-            // (k rationale in the header doc).
-            val ref = committed.getOrElse(name, -1.0)
-            if (ref > 0 && first.wall > 0.75 && first.wall > 2 * ref) {
-              System.err.println(
-                s"[bench] $name wall ${r3(first.wall)}s > 2x committed " +
-                  s"${r3(ref)}s — re-measuring once")
-              // the first sample left this query's memo entries behind —
-              // drop them so the re-measure is not a self-hit
-              graft.operators.Caching.memoDropNewerThan(preQuery)
-              sample(() => force(fn(spark, sfDir)))
-                .copy(firstWall = first.wall)
-            } else first
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              Q(-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
-          }
-      }
-      // the reference's relative-speed report (full runs only): blocked
-      // tile grid vs broadcast stream, same kernel, same shape
-      if (args.isEmpty) {
+    // the reference's relative-speed report (full runs only): blocked
+    // tile grid vs broadcast stream, same kernel, same shape. Measured
+    // BEFORE the 304-query loop (r15): at the end of a long session the
+    // r15-mid artifact recorded kernel_ratio(attention) 2.79 with
+    // cpu_ratio 3.65 across every contention-clean pair — the blocked
+    // arm's generated loops were genuinely running ~3× the CPU in that
+    // session state (C2 deopt/profile pollution accumulated over ~300
+    // queries' generated classes), which no co-tenant busy gate can see;
+    // a fresh-session measurement reads 0.9-1.2 reproducibly.
+    def runKernelRatios(): Unit = {
         import graft.operators.PairPlan
         // the 20× measurement shape (VERDICT r13 #2): ~10M pairs per arm
         // so the ~0.05-0.1 s blocked-arm fixed exchange cost is <5% of
@@ -429,6 +407,37 @@ object Bench {
               case e: Throwable =>
                 System.err.println(s"[bench] kernel_ratio $name failed: ${e.getMessage}")
             }
+          }
+    }
+
+    try {
+      if (args.isEmpty) runKernelRatios()
+      selected.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        results(name) =
+          try {
+            val preQuery = graft.operators.Caching.memoKeys()
+            val first = sample(() => force(fn(spark, sfDir)))
+            // one-shot flagged re-measure (VERDICT r11 "Next" #2): a median
+            // wall >2× the committed quiet record — and above a 0.75 s
+            // floor so sub-second queries can't trip on scheduler noise —
+            // gets one more full sample; both walls land in the artifact
+            // (k rationale in the header doc).
+            val ref = committed.getOrElse(name, -1.0)
+            if (ref > 0 && first.wall > 0.75 && first.wall > 2 * ref) {
+              System.err.println(
+                s"[bench] $name wall ${r3(first.wall)}s > 2x committed " +
+                  s"${r3(ref)}s — re-measuring once")
+              // the first sample left this query's memo entries behind —
+              // drop them so the re-measure is not a self-hit
+              graft.operators.Caching.memoDropNewerThan(preQuery)
+              sample(() => force(fn(spark, sfDir)))
+                .copy(firstWall = first.wall)
+            } else first
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              Q(-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
           }
       }
     } finally {

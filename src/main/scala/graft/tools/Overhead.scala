@@ -25,6 +25,32 @@ object Overhead {
       (1 to n).foreach(_ => f)
       println(f"[ovh] $tag: ${(System.nanoTime - t0) / 1e6 / n}%.1f ms/action")
     }
+    if (args.contains("codegen")) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      def force(df: org.apache.spark.sql.DataFrame): Unit = {
+        val h = org.apache.spark.sql.functions.xxhash64(
+          df.columns.map(col).toIndexedSeq: _*)
+        df.select(h.cast("double").as("h")).agg(sum(col("h"))).collect(); ()
+      }
+      import org.apache.spark.metrics.source.CodegenMetrics._
+      args.filter(graft.SparkEntry.queries.contains).foreach { name =>
+        val fn = graft.SparkEntry.queries(name)
+        (1 to 3).foreach { i =>
+          val c0 = METRIC_SOURCE_CODE_SIZE.getCount
+          val t0 = METRIC_COMPILATION_TIME.getCount
+          val j0 = graft.Bench.jitMs()
+          val w0 = System.nanoTime()
+          force(fn(spark, sfDir))
+          println(f"[ovh] $name run$i wall=${(System.nanoTime - w0) / 1e9}%.2f " +
+            f"srcBytes=${METRIC_SOURCE_CODE_SIZE.getCount - c0} " +
+            f"janinoMs=${METRIC_COMPILATION_TIME.getCount - t0} " +
+            f"jitMs=${graft.Bench.jitMs() - j0}")
+          spark.catalog.clearCache()
+          graft.operators.Caching.memoDropNewerThan(Set.empty)
+        }
+      }
+      spark.stop(); return
+    }
     if (args.contains("kernels")) {
       import graft.operators.PairPlan
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
