@@ -16,9 +16,39 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-session memo of the LOADED (and, below, derived) table frames:
+    * `spark.read.parquet` pays a driver-side footer/schema read per call
+    * and the first resolution lists the directory — and the harness
+    * calls each loader once per query run (~2,500 listings per bench
+    * session). A DataFrame is an immutable plan, so handing every
+    * caller the same object reuses the analyzed relation and its file
+    * index; the DATA is still read from parquet by every action (this
+    * caches no rows — the fixture paths are read-only). Entries of
+    * stopped sessions are dropped on first touch, like Caching's memo. */
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def memo(spark: SparkSession, key: String)
+                  (build: => DataFrame): DataFrame = {
+    val app = spark.sparkContext.applicationId
+    frames.keySet().removeIf(k => !k.startsWith(app + "/"))
+    val full = app + "/" + key
+    // NOT computeIfAbsent: the derived-frame builders nest (embeddings'
+    // build calls load, which memoizes too) and ConcurrentHashMap throws
+    // "Recursive update" when the nested insert lands in the same bin —
+    // the same order-dependent landmine Caching.sessionMemo documents.
+    val existing = frames.get(full)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = frames.putIfAbsent(full, built)
+      if (prev != null) prev else built
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown fixture table: $name")
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo(spark, s"$dir/$name")(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   private def requireCols(df: DataFrame, name: String, cols: Set[String]): Unit =
@@ -28,14 +58,15 @@ object Tables {
   /** The engine's "matrix" data model (SURVEY.md §1.4): one row per matrix
     * row, vector widened float->double (exact) so all downstream arithmetic
     * is f64 like the reference's correctness tests (attention.py:99-101). */
-  def embeddings(spark: SparkSession, dir: String): DataFrame = {
-    val df = load(spark, dir, "embeddings")
-    requireCols(df, "embeddings", Set("vec_id", "embedding", "label"))
-    df.select(
-      col("vec_id").cast("long").as("vec_id"),
-      col("embedding").cast("array<double>").as("vec"),
-      col("label").cast("long").as("label"))
-  }
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"$dir/embeddings/f64") {
+      val df = load(spark, dir, "embeddings")
+      requireCols(df, "embeddings", Set("vec_id", "embedding", "label"))
+      df.select(
+        col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("vec"),
+        col("label").cast("long").as("label"))
+    }
 
   /** [[embeddings]] at the parquet file's NATIVE float32 width (no widening
     * cast) — the input to the float32 kernel parity path (the reference's
@@ -55,11 +86,12 @@ object Tables {
     df
   }
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = load(spark, dir, "events")
-    requireCols(df, "events", Set("event_id", "ts", "user_id", "event_type", "value", "props"))
-    fixEventTs(df)
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"$dir/events/ts") {
+      val df = load(spark, dir, "events")
+      requireCols(df, "events", Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+      fixEventTs(df)
+    }
 
   /** Normalize the fixture's `ts` to TIMESTAMP (LTZ). The driver has shipped
     * two physical encodings across rounds: TIMESTAMP(NANOS), which Spark's
