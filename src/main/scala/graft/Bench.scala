@@ -89,7 +89,7 @@ object Bench {
   /** Interleaved (blocked, broadcast) pairs per kernel in the
     * relative-speed report — more than [[Runs]] because the ratio of two
     * sub-second medians needs the extra samples (see the kernel loop). */
-  private val KernelRuns = 5
+  private val KernelRuns = 7
 
   /** Max machine-busy fraction IN EXCESS of this process's own load for a
     * kernel pair run to count as contention-clean (the gate in the kernel
@@ -347,8 +347,16 @@ object Bench {
               // r12 kernel_ratio(xentropy) 1.34 reading was mostly this
               // position effect (profiled: same kernel measured last in
               // a warm process reads ~0.9-1.2)
-              force(fn(spark, sfDir, PairPlan.Blocked))
-              force(fn(spark, sfDir, PairPlan.Broadcast))
+              // TWICE per mode (r15): the pairs now run at session START
+              // (see the call site), where one invocation leaves the
+              // generated loops C1-compiled at best — the v2 artifact's
+              // first-measured kernels read blocked-high (attention 1.36)
+              // purely from compilation tiering; the second warm pass
+              // lets C2 reach both modes before anything is timed
+              (1 to 2).foreach { _ =>
+                force(fn(spark, sfDir, PairPlan.Blocked))
+                force(fn(spark, sfDir, PairPlan.Broadcast))
+              }
               // INTERLEAVED timed pairs (r13): these are 0.3-0.6 s walls,
               // where co-tenant/JIT drift over a measurement window moves
               // a single-mode median by ±40% (profiled: broadcast alone
@@ -369,18 +377,28 @@ object Bench {
               // re-runs once (the same one-shot re-measure discipline as
               // query rows). The artifact records how many clean pairs
               // the ratio stands on.
-              def pairLoop() = (1 to KernelRuns).map { _ =>
+              // arm ORDER ALTERNATES per pair (r15): within one pair the
+              // first-run arm absorbs any residual warm-in (fresh code
+              // cache lines, page faults), which biased the fixed-order
+              // loop against blocked; odd pairs time blocked first, even
+              // pairs broadcast first, so the bias cancels in the median
+              def pairLoop() = (1 to KernelRuns).map { i =>
+                def timed(m: PairPlan.Mode): (Double, Double) = {
+                  val c = osBean.getProcessCpuTime
+                  val t = System.nanoTime()
+                  force(fn(spark, sfDir, m))
+                  ((System.nanoTime() - t) / 1e9,
+                    (osBean.getProcessCpuTime - c) / 1e9)
+                }
                 val s0 = procStat()
-                val c0 = osBean.getProcessCpuTime
-                val t0 = System.nanoTime()
-                force(fn(spark, sfDir, PairPlan.Blocked))
-                val bl = (System.nanoTime() - t0) / 1e9
-                val blc = (osBean.getProcessCpuTime - c0) / 1e9
-                val c1 = osBean.getProcessCpuTime
-                val t1 = System.nanoTime()
-                force(fn(spark, sfDir, PairPlan.Broadcast))
-                val br = (System.nanoTime() - t1) / 1e9
-                val brc = (osBean.getProcessCpuTime - c1) / 1e9
+                val ((bl, blc), (br, brc)) =
+                  if (i % 2 == 1) {
+                    val b = timed(PairPlan.Blocked)
+                    (b, timed(PairPlan.Broadcast))
+                  } else {
+                    val r = timed(PairPlan.Broadcast)
+                    (timed(PairPlan.Blocked), r)
+                  }
                 val s1 = procStat()
                 spark.catalog.clearCache()
                 val busy = if (s1._2 > s0._2)

@@ -19,6 +19,10 @@ object Overhead {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("GRAFT_SET").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     def timeIt(tag: String, n: Int)(f: => Unit): Unit = {
       f; f
       val t0 = System.nanoTime
